@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is measured with the noop sink (full distributed execution, no
+driver-side collect), after a JVM/session warmup query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from entangledb_spark import registry  # noqa: E402
+from entangledb_spark.session import get_spark  # noqa: E402
+
+registry.load_all()
+
+# Headline set: one per operator family — scan/agg, joins (hash + star),
+# top-k, window, streaming-window, text, dedup (exact + MinHash-LSH), ANN.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_filter_pushdown",
+    "q12_join_inner_hash",
+    "q13_join_left_outer",
+    "q17_join_star",
+    "q19_agg_groupby_expr",
+    "q23_order_limit_topk",
+    "q30_window_rank",
+    "q40_events_tumbling_window",
+    "q50_text_tokens",
+    "q53_text_fingerprint",
+    "q60_dedup_exact",
+    "q62_dedup_minhash_lsh",
+    "q70_ann_bruteforce_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("entangledb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: spin up executors/codegen paths outside the timed region.
+    registry.QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

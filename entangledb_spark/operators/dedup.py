@@ -1,0 +1,342 @@
+"""Deduplication operators for training-data pipelines (beyond parity).
+
+Five strategies, ordered by cost, all shuffle-minimal and driver-free:
+
+- exact:        md5(normalized text) → groupBy. One skew-free shuffle.
+- n-gram Jaccard: token-set overlap via explode + self-join on token.
+- MinHash+LSH:  k seeded xxhash64 minima over word shingles → banded
+                signatures → candidate pairs join only within LSH buckets.
+- SimHash:      64-bit bit-vote fingerprint, hamming distance via
+                bit_count(xor) on candidate pairs.
+- embedding cosine: near-dup by vector similarity (see similarity.py for
+                the ANN machinery).
+
+Everything is deterministic (seeded xxhash64; no RNG), so results are
+stable across runs and cluster sizes — a hard requirement for
+reproducible corpus curation. MinHash/SimHash internals are not
+SQL-expressible, so those two register without DuckDB oracles (driver
+records rows-only checks); exact / Jaccard / cosine have full oracles.
+
+Scale notes: LSH banding is the 100 TB path — candidate generation cost is
+proportional to bucket collisions, not |corpus|²; the brute-force joins
+here are bounded by sampling the probe side and exist to validate the
+banded path against ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.text import fingerprint
+from entangledb_spark.functions.numeric import r4
+from entangledb_spark.registry import query, table
+
+MINHASH_PERMS = 16  # number of seeded hash permutations
+LSH_BANDS = 4  # 4 bands × 4 rows — candidates need 1 identical band
+SHINGLE_N = 3  # word-shingle width
+
+
+@query(
+    "q60_dedup_exact",
+    oracle=r"""
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*)                    AS n_copies
+    FROM (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ) t
+    GROUP BY fp
+    """,
+)
+def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep lowest doc_id.
+    The survivor set is `WHERE doc_id = keep_id`; emitting (keep_id,
+    n_copies) keeps the oracle comparison content-addressed."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_tokens(col):
+    """Lowercased word tokens — shared tokenizer for all near-dup ops."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)
+
+
+@query(
+    "q61_dedup_ngram_jaccard",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           r4(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+)
+def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup: explode distinct tokens, self-join on
+    (token, lang) to count |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. The probe
+    side is sampled (doc_id % 10 = 0) to bound pair count; the lang key
+    acts as a blocking key — the same role LSH bands play at full scale."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.filter(F.col("doc_id") % 10 == 0).alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+    )
+
+
+# Deterministic odd multipliers/offsets (30-bit) for the MinHash linear
+# permutations h_k(x) = (a_k·x + b_k) mod P — the classic universal-hash
+# family. One xxhash64 per shingle + 16 multiply-adds replaces 16 string
+# hashes per shingle (~10× cheaper), and 30-bit operands keep a_k·x < 2^61
+# so ANSI overflow checking never trips.
+_MINHASH_P = (1 << 61) - 1
+_MINHASH_AB = [
+    ((2654435761 * (k + 1)) & 0x3FFFFFFF | 1, (40503 * (k + 7) ** 2) & 0x3FFFFFFF)
+    for k in range(MINHASH_PERMS)
+]
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → MinHash signature (array of MINHASH_PERMS minima).
+
+    Word shingles of width SHINGLE_N are hashed once (xxhash64 over the
+    SHINGLE_N token columns — no concatenated string is materialized),
+    masked to 30 bits, then permuted by MINHASH_PERMS linear hashes; the
+    per-permutation minimum is the signature component. Built-ins only —
+    everything runs in codegen, the arrays stay row-local, no shuffle.
+
+    Callers should `repartition_for_cpu` first: fixture tables arrive as a
+    single parquet file → one partition, which would serialize this
+    CPU-bound map on one core.
+    """
+    toks = word_tokens(F.col(text_col))
+    base = F.when(
+        F.size(F.col("_toks")) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_toks")) - SHINGLE_N),
+            lambda i: F.xxhash64(
+                F.element_at(F.col("_toks"), i + 1),
+                F.element_at(F.col("_toks"), i + 2),
+                F.element_at(F.col("_toks"), i + 3),
+            ).bitwiseAND(F.lit(0x3FFFFFFF)),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks"))).bitwiseAND(F.lit(0x3FFFFFFF))))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
+            )
+            for a, b in _MINHASH_AB
+        ]
+    )
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("_base", base)
+        .withColumn("minhash", sig)
+        .drop("_toks", "_base")
+    )
+
+
+def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread rows across cores before a CPU-heavy narrow map.
+
+    Small fixture tables arrive as one parquet file → one partition; a
+    round-robin repartition costs one tiny shuffle and unlocks full
+    parallelism. At 100 TB inputs already have thousands of partitions and
+    AQE coalescing keeps sizes sane, so this is a no-op-ish guard, not a
+    hot-path cost."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+@query("q62_dedup_minhash_lsh")  # seeded-hash internals → no SQL oracle (rows-only)
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: signature → LSH_BANDS band hashes → explode →
+    groupBy (band_idx, band_hash) → candidate pairs from same-bucket docs.
+
+    This is the scale path for near-dup at 100 TB: cost is O(corpus) for
+    signatures plus O(collisions) for pairs — never O(n²). Emits candidate
+    pairs with their estimated Jaccard (fraction of matching signature
+    components).
+    """
+    d = repartition_for_cpu(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    sig = minhash_signature(d).select("doc_id", "minhash")
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "minhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "minhash", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
+                ),
+                lambda m: m,
+            )
+        ).cast("double")
+        / MINHASH_PERMS
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r4(est).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+@query("q63_dedup_simhash")  # seeded-hash internals → no SQL oracle (rows-only)
+def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: 64-bit fingerprint where bit i is the sign of the sum of
+    ±1 votes from each token's xxhash64 bit i. Near-dups have small
+    hamming distance; here we emit (doc_id, simhash, band16_*) with 16-bit
+    bands for bucketed lookup — pairs within a band bucket are candidates.
+
+    All vector math is expressed over an array of 64 bit positions with
+    transform/aggregate — codegen'd, no shuffle, no UDF.
+    """
+    d = repartition_for_cpu(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    toks = F.array_distinct(word_tokens(F.col("text")))
+    # Hash each token once; vote per bit over the hash array.
+    hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    # vote[i] = Σ tokens (hash>>i & 1 ? +1 : -1); bit i set iff vote > 0.
+    # The bit loop is unrolled in Python (shift amounts must be literals);
+    # n_tokens work per bit, all inside codegen.
+    def bit_term(i: int):
+        vote = F.aggregate(
+            F.col("_hashes"),
+            F.lit(0).cast("long"),
+            lambda a, h: a
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = long sign bit
+        return F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    simhash = sum((bit_term(i) for i in range(1, 64)), start=bit_term(0))
+    out = (
+        d.withColumn("_toks", toks)
+        .withColumn("_hashes", hashes)
+        .withColumn("simhash", simhash)
+        .drop("_toks", "_hashes")
+    )
+    return out.select(
+        "doc_id",
+        "simhash",
+        F.shiftrightunsigned(F.col("simhash"), 48).bitwiseAND(F.lit(0xFFFF)).alias("band_a"),
+        F.shiftrightunsigned(F.col("simhash"), 32).bitwiseAND(F.lit(0xFFFF)).alias("band_b"),
+        F.shiftrightunsigned(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF)).alias("band_c"),
+        F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("band_d"),
+    )
+
+
+@query(
+    "q64_dedup_embedding_cosine",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           r4(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb)))) AS cos_sim
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0
+      AND list_dot_product(a.emb, b.emb)
+          / (sqrt(list_dot_product(a.emb, a.emb))
+             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.99
+    """,
+)
+def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.99 pairs. Dot products and norms via
+    zip_with/aggregate — JVM-side, no UDF. Probe side sampled to bound the
+    pair count; the production path replaces the cross join with the LSH
+    bucketing in similarity.py."""
+    from entangledb_spark.operators.similarity import cosine_sim
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.filter(F.col("vec_id") % 10 == 0).alias("a")
+    b = e.alias("b")
+    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            r4(F.col("cos_sim_raw")).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Multimodal column handling (beyond parity): image/audio/video as opaque
+binary columns with typed metadata, processed via Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked stub (deterministic fake features derived from the bytes) — the
+Spark-side plumbing is real and tested: schemas, mapInPandas batch
+iteration, partition sizing, and the metadata projections are exactly what
+a production decode would use; only `_decode_stub` would be swapped for a
+real codec (PIL/torchaudio/ffmpeg).
+
+Scale notes: binary payloads ride in the same Parquet row groups as their
+metadata; mapInPandas streams Arrow batches so peak memory is
+(batch size × payload), independent of partition row count. Feature
+extraction is a narrow map — no shuffle. Repartitioning before decode
+targets payload bytes per task, not row counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from entangledb_spark.functions.numeric import r4
+from entangledb_spark.registry import query, table
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", StringType(), True),  # binary in production
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feat_dim", LongType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes | str, kind: str, dim: int = 8) -> list[float]:
+    """STUB — stands in for a real image/audio/video decoder.
+
+    Deterministic fake feature vector derived from payload bytes so tests
+    are stable. A production deployment replaces ONLY this function with
+    e.g. PIL decode → resize → CNN features; the Spark plumbing around it
+    (Arrow batches, schema, partitioning) is unchanged.
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode requires codec libraries")
+    data = payload.encode() if isinstance(payload, str) else bytes(payload)
+    acc = [0] * dim
+    for i, byte in enumerate(data):
+        acc[i % dim] = (acc[i % dim] + byte * (i + 1)) % 10007
+    return [v / 10007.0 for v in acc]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + featurize media rows with mapInPandas (Arrow batching).
+
+    Input must have columns (media_id, kind, payload, n_bytes); output
+    follows FEATURE_SCHEMA. Batch-at-a-time so a 100 GB partition never
+    materializes; per-batch peak memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch × payload size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_stub(p, k, dim) if p is not None else None
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_dim": [dim if f is not None else None for f in feats],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fabricate a media table from the documents fixture: the text bytes
+    play the role of an opaque payload (kind assigned round-robin)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").alias("payload"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "q80_multimodal_metadata",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           count(*)                       AS n_media,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+           CAST(max(length(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q80_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the media table (payloads untouched —
+    column pruning means the scan never reads the payload bytes)."""
+    m = media_from_documents(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+@query("q81_multimodal_features")  # stubbed decode → rows-only check
+def q81_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end decode→featurize pipeline over Arrow batches. The decode
+    is the documented stub; schema/batching/partitioning are production
+    shaped. Returns per-kind feature statistics."""
+    feats = extract_features(media_from_documents(spark, sf_dir))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        r4(F.avg(F.element_at("features", 1))).alias("avg_feat0"),
+        F.max("feat_dim").alias("feat_dim"),
+    )

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (beyond parity).
+
+Brute-force cosine top-k is the correctness baseline; sign-random-projection
+LSH bucketing and IVF (inverted-file, centroid-routed) are the scale paths.
+
+All vector math uses built-in higher-order functions (zip_with + aggregate)
+— JVM codegen, Arrow-free, no Python in the hot path. At 100 TB the
+brute-force path is only ever run with a small probe set (it's O(|Q|·|N|));
+the LSH/IVF paths bound the candidate set per query to one bucket/cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from entangledb_spark.functions.numeric import r4
+from entangledb_spark.registry import query, table
+
+N_HYPERPLANES = 8  # sign-LSH code width → 256 buckets
+N_IVF_CELLS = 16  # IVF coarse cells
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — stays in codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity between two float-array columns (cast to double
+    element-wise first so accumulation matches the DuckDB oracle)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+@query(
+    "q70_ann_bruteforce_topk",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    sims AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             r4(list_dot_product(q.emb, n.emb)
+                / (sqrt(list_dot_product(q.emb, q.emb))
+                   * sqrt(list_dot_product(n.emb, n.emb)))) AS cos_sim
+      FROM vecs q JOIN vecs n ON q.vec_id <> n.vec_id
+      WHERE q.vec_id < 5
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a fixed probe set (vec_id < 5).
+
+    Ranking is on the ROUNDED similarity with neighbor_id tiebreak so both
+    engines rank identically despite last-bit float differences.
+    Scale: probe set broadcasts; each corpus partition computes its local
+    candidates; WindowGroupLimit keeps per-partition top-k before the final
+    per-query merge."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(e.filter(F.col("vec_id") < 5)).alias("q")
+    n = e.alias("n")
+    sim = (
+        q.join(n, F.col("q.vec_id") != F.col("n.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
+    """Sign-random-projection LSH bucket id.
+
+    Hyperplane h's component for dimension i is a deterministic pseudo-random
+    ±1 derived from xxhash64(h, i) — reproducible on any cluster, no RNG
+    state to ship. Bucket = integer of sign bits."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    return F.aggregate(
+        planes,
+        F.lit(0).cast("long"),
+        lambda acc, h: acc * 2
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    dims,
+                    lambda x, i: x.cast("double")
+                    * F.when(F.pmod(F.xxhash64(h, i), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+@query("q71_ann_lsh_bucketed")  # seeded-hash bucketing → no SQL oracle (rows-only)
+def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: probe and corpus vectors are routed to sign-LSH
+    buckets; candidates are same-bucket only, then exact cosine re-ranks.
+
+    The candidate join is an equi-join on bucket id → hash-partitioned,
+    no cross product anywhere. This is the 100 TB shape: recall tunes with
+    n_planes / multi-probe, cost stays O(collisions)."""
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    e = repartition_for_cpu(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    with_b = e.withColumn("bucket", srp_bucket(F.col("embedding")))
+    q = with_b.filter(F.col("vec_id") < 20).alias("q")
+    n = with_b.alias("n")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        q.join(
+            n,
+            (F.col("q.bucket") == F.col("n.bucket"))
+            & (F.col("q.vec_id") != F.col("n.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.col("q.bucket").alias("bucket"),
+            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query("q72_ann_ivf")  # centroid seeding via hash-selected medoids → rows-only
+def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: N_IVF_CELLS deterministic seed vectors act as coarse
+    centroids (medoid = the vector whose xxhash64(vec_id) mod cells == cell
+    with the lowest vec_id — reproducible without k-means iterations);
+    every vector is assigned to its nearest centroid; queries search only
+    their own cell.
+
+    At scale the cell assignment is one broadcast join (centroids are tiny)
+    + one narrow map; per-cell candidate lists can additionally be stored
+    bucketed-by-cell so probes prune at the file level."""
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    e = repartition_for_cpu(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_IVF_CELLS))
+    w_med = Window.partitionBy("cell").orderBy("vec_id")
+    centroids = (
+        e.withColumn("cell", cell_of)
+        .withColumn("rk", F.row_number().over(w_med))
+        .filter(F.col("rk") == 1)
+        .select(F.col("cell"), F.col("embedding").alias("centroid"))
+    )
+    # assign every vector to nearest centroid (broadcast the tiny centroid set)
+    cent = F.broadcast(centroids)
+    assigned = (
+        e.crossJoin(cent)
+        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    q = assigned.filter(F.col("vec_id") < 20).alias("q")
+    n = assigned.alias("n")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        q.join(
+            n,
+            (F.col("q.cell") == F.col("n.cell")) & (F.col("q.vec_id") != F.col("n.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.col("q.cell").alias("cell"),
+            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis operators for training-data pipelines (beyond parity).
+
+All hot-path logic is built-in JVM expressions (regexp_*, length, split,
+md5) — no Python UDFs — so these stay inside whole-stage codegen and scale
+linearly with partitions: each operator is a pure per-row map, zero
+shuffles (except the final fingerprint group-by), which is exactly the
+shape you want over a 100 TB document corpus.
+
+Operators: token counting, quality scoring, language ID (stopword n-gram
+heuristic), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entangledb_spark.functions.numeric import r4
+from entangledb_spark.registry import query, table
+
+# Stopword marker regexes per language — tiny, deterministic heuristic that
+# both engines (Spark & DuckDB oracle) evaluate identically. Word-boundary
+# anchored; counts per document are the language scores.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|los|las|es|una|que)\b",
+}
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[a-zA-Z]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex).
+
+    The distributed analog of the reference's per-row primary-key identity
+    (rows are identified by PK bytes, /root/reference/src/sql/engine/
+    kv.rs:146): content-addressed identity for dedup at corpus scale.
+    """
+    return F.md5(normalize_text(col))
+
+
+@query(
+    "q50_text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                              AS n_char,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)      AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+                                                                     AS n_distinct_words
+    FROM documents
+    """,
+)
+def q50_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, alpha words, distinct vocabulary.
+    Pure narrow map — no shuffle, codegen'd regexp extraction."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_char"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
+        .cast("long")
+        .alias("n_words"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_words"),
+    )
+
+
+@query(
+    "q51_text_quality",
+    oracle=r"""
+    SELECT doc_id,
+           r4(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / greatest(length(text), 1))                       AS punct_ratio,
+           r4(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1))                       AS digit_ratio,
+           r4(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS stopword_ratio,
+           r4(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS avg_token_len,
+           (length(text) >= 50 AND length(text) <= 10000
+            AND len(regexp_extract_all(text, '\S+')) >= 10)            AS passes_length_gate
+    FROM documents
+    """,
+)
+def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/digit/stopword ratios, average token
+    length, and a length gate — the standard cheap pre-filters applied
+    before expensive model-based scoring in a data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    n_char = F.length("text")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
+    return d.select(
+        "doc_id",
+        r4(
+            count_re(F.col("text"), r"[.,;:!?]").cast("double")
+            / F.greatest(n_char, F.lit(1))
+        ).alias("punct_ratio"),
+        r4(
+            count_re(F.col("text"), r"[0-9]").cast("double") / F.greatest(n_char, F.lit(1))
+        ).alias("digit_ratio"),
+        r4(
+            count_re(F.lower(F.col("text")), LANG_MARKERS["en"]).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        ).alias("stopword_ratio"),
+        r4(n_char.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "avg_token_len"
+        ),
+        ((n_char >= 50) & (n_char <= 10000) & (n_tok >= 10)).alias("passes_length_gate"),
+    )
+
+
+def _langid_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+@query(
+    "q52_text_langid",
+    oracle=r"""
+    WITH scores AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS BIGINT)  AS en_score,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS BIGINT) AS de_score,
+             CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS BIGINT)  AS fr_score,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS BIGINT) AS es_score
+      FROM documents
+    )
+    SELECT doc_id, en_score, de_score, fr_score, es_score,
+           CASE
+             WHEN greatest(en_score, de_score, fr_score, es_score) = 0 THEN 'und'
+             WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+             WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+             WHEN fr_score >= es_score THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang
+    FROM scores
+    """,
+)
+def q52_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker counts with a deterministic argmax
+    (fixed precedence en>de>fr>es on ties, 'und' when no markers hit).
+    At 100 TB this is a narrow map; a production variant swaps the marker
+    regexes for a char-n-gram Naive Bayes — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    s = _langid_scores(F.col("text"))
+    en, de, fr, es = s["en"], s["de"], s["fr"], s["es"]
+    predicted = (
+        F.when(F.greatest(en, de, fr, es) == 0, F.lit("und"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_score"),
+        de.alias("de_score"),
+        fr.alias("fr_score"),
+        es.alias("es_score"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@query(
+    "q53_text_fingerprint",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*)            AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q53_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over normalized text, grouped — the
+    exact-dedup building block. One shuffle on the 128-bit fingerprint;
+    fingerprints are uniform so the shuffle is skew-free by construction."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

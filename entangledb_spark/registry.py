@@ -1,0 +1,108 @@
+"""Query/oracle registry shared by all operator modules.
+
+Every implemented operator from SURVEY.md §2 (plus the beyond-parity
+pipeline operators) registers:
+  - a Spark implementation ``(spark, sf_dir) -> DataFrame`` built on the
+    DataFrame API (declarative — Catalyst owns the physical plan), and
+  - optionally a DuckDB-runnable ANSI-SQL oracle string computing the same
+    result with the same column names (the driver hash-compares them).
+
+Ops whose semantics aren't SQL-expressible (seeded-hash MinHash/SimHash
+signatures, LSH bucketing) register without an oracle; the driver records a
+weaker rows-only check for those, by design.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _expand_r4(sql: str) -> str:
+    """Expand the ``r4(expr)`` macro in oracle SQL to the portable rounding
+    formula (see functions/numeric.py: Spark and DuckDB ROUND disagree on
+    doubles; the explicit floor formula is bit-identical on both)."""
+    key = "r4("
+    while key in sql:
+        start = sql.index(key)
+        depth = 0
+        for k in range(start + len(key) - 1, len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    inner = sql[start + len(key) : k]
+                    # CAST → DOUBLE first: DuckDB keeps FLOAT through
+                    # floor/÷, which would compare float32 against Spark's
+                    # float64 and miss.
+                    sql = (
+                        sql[:start]
+                        + f"floor(CAST(({inner}) AS DOUBLE) * 10000 + 0.5) / 10000"
+                        + sql[k + 1 :]
+                    )
+                    break
+        else:
+            raise ValueError(f"unbalanced r4() in oracle SQL: {sql[start:start+80]}")
+    return sql
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = _expand_r4(oracle)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet scan → Catalyst pushes filters
+    and prunes columns into the reader (verified via .explain PushedFilters).
+
+    Fallback: the events fixture stores ts as timestamp[ns], which Spark's
+    Parquet reader rejects (nanos aren't representable in Spark timestamps).
+    For that one case we load via pyarrow, truncate ns→µs, and parallelize —
+    acceptable because it's a fixture-format shim, not an operator: every
+    query only uses second-granularity time. A production events source is
+    Kafka / µs-parquet and takes the normal scan path.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution to surface illegal-type errors
+        return df
+    except Exception:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        cols = [
+            pc.cast(t.column(i), pa.timestamp("us"), safe=False)
+            if pa.types.is_timestamp(t.schema.field(i).type)
+            else t.column(i)
+            for i in range(t.num_columns)
+        ]
+        t = pa.table(cols, names=t.column_names)
+        return spark.createDataFrame(t.to_pandas())
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    import entangledb_spark.operators.dedup  # noqa: F401
+    import entangledb_spark.operators.multimodal  # noqa: F401
+    import entangledb_spark.operators.relational  # noqa: F401
+    import entangledb_spark.operators.similarity  # noqa: F401
+    import entangledb_spark.operators.text  # noqa: F401
+    import entangledb_spark.streaming.events  # noqa: F401
