@@ -1,0 +1,121 @@
+"""Interactive SQL REPL — the engine's analog of the reference's
+`entanglesql` client (/root/reference/src/bin/entanglesql.rs:100-161):
+`!tables`, `!table <name>`, `!status`, headers toggle, multi-statement
+input. Run: python -m entangledb_spark.cli [--db DIR].
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from entangledb_spark.engine import Engine, EngineError
+from entangledb_spark.session import get_spark
+
+
+def format_table(columns, rows, headers: bool = True) -> str:
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in rows]
+    widths = [len(c) for c in columns]
+    for r in cells:
+        for i, v in enumerate(r):
+            widths[i] = max(widths[i], len(v))
+    lines = []
+    if headers:
+        lines.append(" | ".join(c.ljust(w) for c, w in zip(columns, widths)))
+        lines.append("-+-".join("-" * w for w in widths))
+    lines += [" | ".join(v.ljust(w) for v, w in zip(r, widths)) for r in cells]
+    return "\n".join(lines)
+
+
+def run_command(engine: Engine, line: str) -> str:
+    cmd, *args = line[1:].split()
+    if cmd == "tables":
+        manifest = engine.catalog.manifest()
+        return "\n".join(sorted(manifest["tables"])) or "(no tables)"
+    if cmd == "table":
+        if not args:
+            return "usage: !table <name>"
+        manifest = engine.catalog.manifest()
+        meta = manifest["tables"].get(args[0])
+        if meta is None:
+            return f"table {args[0]} does not exist"
+        out = [f"CREATE TABLE {args[0]} ("]
+        for c in meta["columns"]:
+            opts = []
+            if c["primary_key"]:
+                opts.append("PRIMARY KEY")
+            elif not c["nullable"]:
+                opts.append("NOT NULL")
+            if c["has_default"] and c["default"] is not None:
+                opts.append(f"DEFAULT {c['default']!r}")
+            if c["unique"] and not c["primary_key"]:
+                opts.append("UNIQUE")
+            if c["references"]:
+                opts.append(f"REFERENCES {c['references']}")
+            if c["index"] and not c["unique"]:
+                opts.append("INDEX")
+            opt = (" " + " ".join(opts)) if opts else ""
+            out.append(f"  {c['name']} {c['datatype']}{opt},")
+        out[-1] = out[-1].rstrip(",")
+        out.append(")")
+        return "\n".join(out)
+    if cmd == "status":
+        return (
+            f"version: {engine.catalog.current_version()}  "
+            f"in_transaction: {engine.in_transaction}"
+        )
+    return f"unknown command !{cmd}"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="entangledb-on-spark SQL shell")
+    ap.add_argument("--db", default="./entangle_db", help="database directory")
+    ap.add_argument("-c", "--command", help="execute one statement and exit")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("entangledb-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    engine = Engine(spark, args.db)
+
+    def run_one(sql: str) -> None:
+        sql = sql.strip()
+        if not sql:
+            return
+        if sql.startswith("!"):
+            print(run_command(engine, sql))
+            return
+        try:
+            r = engine.execute(sql)
+            if r.rows is not None:
+                print(format_table(r.columns or [], r.rows))
+                print(f"({len(r.rows)} rows)")
+            else:
+                print(r.status)
+        except EngineError as e:
+            print(f"Error: {e}", file=sys.stderr)
+
+    if args.command:
+        run_one(args.command)
+        return 0
+
+    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !status, or SQL.")
+    buffer = ""
+    while True:
+        try:
+            prompt = "entangledb> " if not buffer else "        ...> "
+            line = input(prompt)
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if line.startswith("!") and not buffer:
+            print(run_command(engine, line.strip()))
+            continue
+        buffer += line + "\n"
+        if ";" in line or not line.strip():
+            for stmt in buffer.split(";"):
+                run_one(stmt)
+            buffer = ""
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,500 @@
+"""The entangleDB-on-Spark engine: session layer + statement execution.
+
+Maps the reference's session semantics (/root/reference/src/sql/engine/
+mod.rs:79-143) onto the snapshot catalog:
+
+- `BEGIN [READ ONLY|READ WRITE] [AS OF SYSTEM TIME n]` pins a manifest
+  version; read-write transactions stage changes in a pending manifest.
+- `COMMIT` publishes the pending manifest as version N+1; `ROLLBACK`
+  discards it. Both error without an open transaction (mod.rs:103-117).
+- Statements outside a transaction auto-commit (mod.rs:124-143).
+- `EXPLAIN stmt` returns our logical plan tree; physical detail is
+  delegated to Spark's own explain (Catalyst is the optimizer — SURVEY
+  §4.1 maps every reference rewrite rule onto a built-in Catalyst rule).
+
+DML is set-oriented and distributed end-to-end: INSERT/UPDATE/DELETE read
+the pinned snapshot, transform declaratively, constraint-check with
+aggregate/anti-join passes, and write a new immutable snapshot. No
+driver-side row loops anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entangledb_spark.functions.expressions import CompileError, compile_expr, static_type
+from entangledb_spark.plans import ast
+from entangledb_spark.plans.compiler import compile_select
+from entangledb_spark.plans.lexer import LexError
+from entangledb_spark.plans.parser import ParseError, parse
+from entangledb_spark.sources import constraints as con
+from entangledb_spark.sources.catalog import (
+    SPARK_TYPES,
+    CatalogError,
+    SnapshotCatalog,
+    column_to_dict,
+    schema_of,
+)
+
+
+class EngineError(ValueError):
+    pass
+
+
+@dataclass
+class Result:
+    """Query/statement result. For SELECT: columns + rows; for others a
+    status string mirroring the reference's ResultSet variants."""
+
+    status: str
+    columns: Optional[list[str]] = None
+    rows: Optional[list[tuple]] = None
+    dataframe: Optional[DataFrame] = None
+    version: Optional[int] = None
+
+
+def _fold_constant(e: ast.Expr) -> Any:
+    """Constant-fold a literal-only expression (defaults are folded at plan
+    time in the reference, planner.rs:49-53,635-638)."""
+    if isinstance(e, ast.Literal):
+        return e.value
+    if isinstance(e, ast.Op) and e.name == "NEG":
+        v = _fold_constant(e.args[0])
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return -v
+    raise EngineError("default value must be a constant")
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.catalog = SnapshotCatalog(spark, base_dir)
+        self._txn: Optional[dict] = None  # pending manifest (read-write txn)
+        self._txn_read_only = False
+        self._txn_version: Optional[int] = None
+
+    # ------------------------------------------------------------------ api
+
+    def execute(self, sql: str) -> Result:
+        try:
+            stmt = parse(sql)
+            return self._execute_statement(stmt)
+        except EngineError:
+            raise
+        except (LexError, ParseError, CompileError, CatalogError, con.ConstraintError) as e:
+            raise EngineError(str(e)) from e
+
+    def explain(self, sql: str) -> str:
+        stmt = parse(sql)
+        if isinstance(stmt, ast.Explain):
+            stmt = stmt.statement
+        return self._explain(stmt)
+
+    @property
+    def in_transaction(self) -> bool:
+        return self._txn is not None or self._txn_version is not None
+
+    # ---------------------------------------------------------- dispatch
+
+    def _execute_statement(self, stmt: ast.Statement) -> Result:
+        if isinstance(stmt, ast.Explain):
+            return Result(status="EXPLAIN", columns=["plan"],
+                          rows=[(line,) for line in self._explain(stmt.statement).splitlines()])
+        if isinstance(stmt, ast.Begin):
+            return self._begin(stmt)
+        if isinstance(stmt, ast.Commit):
+            return self._commit()
+        if isinstance(stmt, ast.Rollback):
+            return self._rollback()
+        if isinstance(stmt, ast.Select):
+            df = compile_select(stmt, self.spark, self._reader())
+            rows = [tuple(r) for r in df.collect()]
+            return Result(status="SELECT", columns=list(df.columns), rows=rows, dataframe=df)
+        # mutations below
+        if self._txn_version is not None and self._txn is None:
+            raise EngineError("can't write in a read-only transaction")
+        if isinstance(stmt, ast.CreateTable):
+            return self._mutate(lambda m: self._create_table(m, stmt))
+        if isinstance(stmt, ast.DropTable):
+            return self._mutate(lambda m: self._drop_table(m, stmt))
+        if isinstance(stmt, ast.Insert):
+            return self._mutate(lambda m: self._insert(m, stmt))
+        if isinstance(stmt, ast.Update):
+            return self._mutate(lambda m: self._update(m, stmt))
+        if isinstance(stmt, ast.Delete):
+            return self._mutate(lambda m: self._delete(m, stmt))
+        raise EngineError(f"unsupported statement {type(stmt).__name__}")
+
+    # ---------------------------------------------------------- sessions
+
+    def _begin(self, stmt: ast.Begin) -> Result:
+        if self.in_transaction:
+            raise EngineError("already in a transaction")
+        if stmt.as_of is not None:
+            self.catalog.manifest(stmt.as_of)  # existence check
+            self._txn_version = stmt.as_of
+            return Result(status=f"BEGIN READ ONLY AS OF {stmt.as_of}", version=stmt.as_of)
+        v = self.catalog.current_version()
+        self._txn_version = v
+        if not stmt.read_only:
+            self._txn = self.catalog.manifest(v)
+        return Result(status="BEGIN", version=v)
+
+    def _commit(self) -> Result:
+        if not self.in_transaction:
+            raise EngineError("not in a transaction")
+        if self._txn is not None:
+            v = self.catalog.publish(self._txn)
+        else:
+            v = self._txn_version
+        self._txn = None
+        self._txn_version = None
+        return Result(status="COMMIT", version=v)
+
+    def _rollback(self) -> Result:
+        if not self.in_transaction:
+            raise EngineError("not in a transaction")
+        self._txn = None
+        self._txn_version = None
+        return Result(status="ROLLBACK")
+
+    def _mutate(self, apply) -> Result:
+        """Run a mutation against the active pending manifest, or auto-commit
+        (implicit single-statement transaction, engine/mod.rs:124-143)."""
+        if self._txn is not None:
+            return apply(self._txn)
+        manifest = self.catalog.manifest()
+        result = apply(manifest)
+        v = self.catalog.publish(manifest)
+        result.version = v
+        return result
+
+    def _reader(self):
+        if self._txn is not None:
+            manifest = self._txn
+        else:
+            manifest = self.catalog.manifest(self._txn_version)
+
+        def read(name: str) -> DataFrame:
+            return self.catalog.read_df(manifest, name)
+
+        return read
+
+    def _manifest_for_read(self) -> dict:
+        if self._txn is not None:
+            return self._txn
+        return self.catalog.manifest(self._txn_version)
+
+    # ---------------------------------------------------------- DDL
+
+    def _create_table(self, manifest: dict, stmt: ast.CreateTable) -> Result:
+        if stmt.name in manifest["tables"]:
+            raise EngineError(f"table {stmt.name} already exists")
+        pks = [c for c in stmt.columns if c.primary_key]
+        if len(pks) != 1:
+            raise EngineError("exactly one primary key column is required")  # schema.rs:102-106
+        cols = []
+        for c in stmt.columns:
+            if c.primary_key and c.nullable is True:
+                raise EngineError("primary key column cannot be nullable")
+            has_default = c.default is not None
+            default_value = _fold_constant(c.default) if has_default else None
+            nullable = (not c.primary_key) if c.nullable is None else c.nullable
+            if nullable and not has_default:
+                # nullable columns get an implicit NULL default (planner.rs:48-53)
+                has_default, default_value = True, None
+            if c.references is not None and c.references != stmt.name:
+                if c.references not in manifest["tables"]:
+                    raise EngineError(f"referenced table {c.references} does not exist")
+            cols.append(column_to_dict(c, default_value, has_default))
+        manifest["tables"][stmt.name] = {"columns": cols, "data": None}
+        return Result(status=f"CREATE TABLE {stmt.name}")
+
+    def _drop_table(self, manifest: dict, stmt: ast.DropTable) -> Result:
+        if stmt.name not in manifest["tables"]:
+            raise EngineError(f"table {stmt.name} does not exist")
+        for other, meta in manifest["tables"].items():
+            if other == stmt.name:
+                continue
+            for c in meta["columns"]:
+                if c["references"] == stmt.name:
+                    raise EngineError(
+                        f"table {stmt.name} is referenced by table {other} (column {c['name']})"
+                    )
+        del manifest["tables"][stmt.name]
+        return Result(status=f"DROP TABLE {stmt.name}")
+
+    # ---------------------------------------------------------- DML helpers
+
+    def _table_meta(self, manifest: dict, name: str) -> dict:
+        t = manifest["tables"].get(name)
+        if t is None:
+            raise EngineError(f"table {name} does not exist")
+        return t
+
+    def _pk_of(self, meta: dict) -> str:
+        return next(c["name"] for c in meta["columns"] if c["primary_key"])
+
+    def _validate_and_stage(
+        self, manifest: dict, name: str, new_df: DataFrame
+    ) -> None:
+        meta = self._table_meta(manifest, name)
+        cols = meta["columns"]
+        con.check_not_null_and_length(name, new_df, cols)
+        con.check_unique(name, new_df, cols)
+
+        def target_df_and_pk(tname: str):
+            if tname == name:
+                tmeta = meta
+                return new_df, self._pk_of(tmeta)
+            tmeta = self._table_meta(manifest, tname)
+            return self.catalog.read_df(manifest, tname), self._pk_of(tmeta)
+
+        con.check_foreign_keys(name, new_df, cols, target_df_and_pk)
+        meta["data"] = self.catalog.write_snapshot(name, new_df)
+
+    # ---------------------------------------------------------- INSERT
+
+    def _insert(self, manifest: dict, stmt: ast.Insert) -> Result:
+        meta = self._table_meta(manifest, stmt.table)
+        cols = meta["columns"]
+        col_names = [c["name"] for c in cols]
+        by_name = {c["name"]: c for c in cols}
+
+        if stmt.columns is not None:
+            for cname in stmt.columns:
+                if cname not in by_name:
+                    raise EngineError(f"unknown column {cname} in table {stmt.table}")
+            target_cols = list(stmt.columns)
+        else:
+            target_cols = None
+
+        rows = []
+        for values in stmt.values:
+            named: dict[str, Any] = {}
+            if target_cols is not None:
+                if len(values) != len(target_cols):
+                    raise EngineError(
+                        f"column count {len(target_cols)} does not match value count {len(values)}"
+                    )
+                for cname, expr in zip(target_cols, values):
+                    named[cname] = _eval_constant(expr)
+            else:
+                if len(values) > len(col_names):
+                    raise EngineError(f"too many values for table {stmt.table}")
+                for cname, expr in zip(col_names, values):
+                    named[cname] = _eval_constant(expr)
+            # pad with defaults (mutation.rs:24-56)
+            for c in cols:
+                if c["name"] not in named:
+                    if not c["has_default"]:
+                        raise EngineError(
+                            f"no value given for column {c['name']} in table {stmt.table}"
+                        )
+                    named[c["name"]] = c["default"]
+            rows.append(_coerce_row(named, cols, stmt.table))
+
+        schema = schema_of(
+            [dict(c, nullable=True) for c in cols]  # NULL checks run separately
+        )
+        new_rows = self.spark.createDataFrame(rows, schema)
+        existing = self.catalog.read_df(manifest, stmt.table)
+        combined = existing.unionByName(new_rows)
+        self._validate_and_stage(manifest, stmt.table, combined)
+        return Result(status=f"INSERT {len(rows)}")
+
+    # ---------------------------------------------------------- UPDATE
+
+    def _update(self, manifest: dict, stmt: ast.Update) -> Result:
+        meta = self._table_meta(manifest, stmt.table)
+        by_name = {c["name"]: c for c in meta["columns"]}
+        for cname, _ in stmt.sets:
+            if cname not in by_name:
+                raise EngineError(f"unknown column {cname} in table {stmt.table}")
+        df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
+        scope_resolve, scope_type = _single_table_scope(stmt.table, df)
+        pred = (
+            compile_expr(stmt.where, scope_resolve, scope_type)
+            if stmt.where is not None
+            else F.lit(True)
+        )
+        n_matched = df.filter(pred).count()
+        out = df
+        updates = {
+            cname: compile_expr(expr, scope_resolve, scope_type)
+            for cname, expr in stmt.sets
+        }
+        for cname, new_col in updates.items():
+            ty = SPARK_TYPES[by_name[cname]["datatype"]]
+            out = out.withColumn(
+                cname, F.when(pred, new_col.cast(ty)).otherwise(F.col(cname))
+            )
+        self._validate_and_stage(manifest, stmt.table, out)
+        return Result(status=f"UPDATE {n_matched}")
+
+    # ---------------------------------------------------------- DELETE
+
+    def _delete(self, manifest: dict, stmt: ast.Delete) -> Result:
+        meta = self._table_meta(manifest, stmt.table)
+        pk = self._pk_of(meta)
+        df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
+        scope_resolve, scope_type = _single_table_scope(stmt.table, df)
+        pred = (
+            compile_expr(stmt.where, scope_resolve, scope_type)
+            if stmt.where is not None
+            else F.lit(True)
+        )
+        n_matched = df.filter(pred).count()
+        remaining = df.filter(~F.coalesce(pred, F.lit(False)))
+        # delete-side FK: no surviving row may reference a removed key
+        # (engine/kv.rs:157-176)
+        referencing = []
+        for other, ometa in manifest["tables"].items():
+            for c in ometa["columns"]:
+                if c["references"] == stmt.table:
+                    odf = (
+                        remaining
+                        if other == stmt.table
+                        else self.catalog.read_df(manifest, other)
+                    )
+                    referencing.append((other, c["name"], odf))
+        con.check_delete_references(stmt.table, remaining, pk, referencing)
+        meta["data"] = self.catalog.write_snapshot(stmt.table, remaining)
+        return Result(status=f"DELETE {n_matched}")
+
+    # ---------------------------------------------------------- EXPLAIN
+
+    def _explain(self, stmt: ast.Statement) -> str:
+        """Our logical plan pretty-printer (plan shape mirrors plan/mod.rs:
+        258-415) + Spark's physical plan for SELECTs."""
+        lines = _format_plan(stmt)
+        if isinstance(stmt, ast.Select):
+            import contextlib
+            import io
+
+            df = compile_select(stmt, self.spark, self._reader())
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            lines += ["", "Physical (Catalyst):", *buf.getvalue().splitlines()]
+        return "\n".join(lines)
+
+
+def _single_table_scope(name: str, df: DataFrame):
+    cols = set(df.columns)
+    dtypes = dict(df.dtypes)
+
+    def resolve(f: ast.Field):
+        if f.table is not None and f.table != name:
+            raise CompileError(f"unknown table {f.table}")
+        if f.name not in cols:
+            raise CompileError(f"unknown column {f.name} in table {name}")
+        return F.col(f"{name}.{f.name}")
+
+    def type_of(f: ast.Field):
+        return {
+            "bigint": "int", "int": "int", "double": "float",
+            "float": "float", "string": "str", "boolean": "bool",
+        }.get(dtypes.get(f.name))
+
+    return resolve, type_of
+
+
+def _eval_constant(e: ast.Expr) -> Any:
+    """Evaluate a constant insert expression on the driver (insert rows are
+    constants after constant folding in the reference, mutation.rs:20-23)."""
+    if isinstance(e, ast.Literal):
+        return e.value
+    if isinstance(e, ast.Op):
+        name = e.name
+        if name in ("NEG", "POS"):
+            v = _eval_constant(e.args[0])
+            if v is None:
+                return None
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise EngineError("can't negate non-numeric value")
+            return -v if name == "NEG" else v
+        vals = [_eval_constant(a) for a in e.args]
+        if any(v is None for v in vals):
+            return None
+        ops = {
+            "ADD": lambda a, b: a + b,
+            "SUB": lambda a, b: a - b,
+            "MUL": lambda a, b: a * b,
+        }
+        if name in ops:
+            return ops[name](*vals)
+        if name == "DIV":
+            if vals[1] == 0:
+                raise EngineError("can't divide by zero")
+            if isinstance(vals[0], int) and isinstance(vals[1], int):
+                q = abs(vals[0]) // abs(vals[1])
+                return q if (vals[0] >= 0) == (vals[1] >= 0) else -q
+            return vals[0] / vals[1]
+    raise EngineError("INSERT values must be constant expressions")
+
+
+def _coerce_row(named: dict, cols: list[dict], table: str) -> tuple:
+    out = []
+    for c in cols:
+        v = named[c["name"]]
+        if v is None:
+            out.append(None)
+            continue
+        dt = c["datatype"]
+        if dt == "BOOLEAN":
+            if not isinstance(v, bool):
+                raise EngineError(f"invalid value {v!r} for boolean column {c['name']}")
+        elif dt == "INTEGER":
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise EngineError(f"invalid value {v!r} for integer column {c['name']}")
+        elif dt == "FLOAT":
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise EngineError(f"invalid value {v!r} for float column {c['name']}")
+            v = float(v)
+        elif dt == "STRING":
+            if not isinstance(v, str):
+                raise EngineError(f"invalid value {v!r} for string column {c['name']}")
+        out.append(v)
+    return tuple(out)
+
+
+def _format_plan(stmt: ast.Statement, indent: int = 0) -> list[str]:
+    pad = "  " * indent
+    if isinstance(stmt, ast.Select):
+        lines = [f"{pad}Select"]
+        if stmt.limit is not None:
+            lines.append(f"{pad}  Limit {stmt.limit}")
+        if stmt.offset is not None:
+            lines.append(f"{pad}  Offset {stmt.offset}")
+        if stmt.order_by:
+            dirs = [(o.expr, "desc" if o.desc else "asc") for o in stmt.order_by]
+            lines.append(f"{pad}  Order {dirs}")
+        lines.append(f"{pad}  Projection {[e for e, _ in stmt.select]}")
+        if stmt.having is not None:
+            lines.append(f"{pad}  Having {stmt.having}")
+        if stmt.group_by:
+            lines.append(f"{pad}  Aggregate group_by={list(stmt.group_by)}")
+        if stmt.where is not None:
+            lines.append(f"{pad}  Filter {stmt.where}")
+        if stmt.from_ is not None:
+            lines.extend(_format_from(stmt.from_, indent + 1))
+        else:
+            lines.append(f"{pad}  Nothing")
+        return lines
+    return [f"{pad}{type(stmt).__name__} {stmt}"]
+
+
+def _format_from(item: ast.FromItem, indent: int) -> list[str]:
+    pad = "  " * indent
+    if isinstance(item, ast.TableRef):
+        alias = f" as {item.alias}" if item.alias else ""
+        return [f"{pad}Scan {item.name}{alias}"]
+    lines = [f"{pad}{item.join_type.value.title()}Join on={item.predicate}"]
+    lines += _format_from(item.left, indent + 1)
+    lines += _format_from(item.right, indent + 1)
+    return lines

@@ -1,0 +1,203 @@
+"""AST expression → Spark Column translation with entangleDB semantics.
+
+Carries the reference's expression-language semantics (SURVEY §2.2,
+/root/reference/src/sql/types/expression.rs) onto Catalyst expressions:
+
+- integer/integer division truncates toward zero (`div`), float division
+  stays `/` (expression.rs:142-158); engine sessions run ANSI so division
+  by zero and integer overflow raise, as the reference does;
+- `^` exponentiation (NOT Spark's bitwise xor): integer^non-negative-int
+  yields an integral result, otherwise double (expression.rs:159-176);
+- `!` postfix factorial errors on negatives and on arguments > 20 (the
+  reference errors on i64 overflow at 21!; expression.rs:177-184);
+- LIKE uses doubled-wildcard escapes (`%%` → literal %, `__` → literal _,
+  expression.rs:243-258), translated to Spark's backslash-escaped LIKE;
+- three-valued AND/OR/NOT, IS NULL, and comparison NULL propagation map
+  1:1 onto Spark's boolean semantics (verified by truth-table tests).
+
+Type decisions that the reference makes per-row (dynamic Value types) are
+made statically here from column dtypes — the one observable divergence is
+`int ^ negative-int-column`, which yields double always (documented).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from entangledb_spark.plans import ast
+
+Resolver = Callable[[ast.Field], Column]
+TypeOf = Callable[[ast.Expr], Optional[str]]  # 'int'|'float'|'str'|'bool'|None
+
+
+class CompileError(ValueError):
+    pass
+
+
+def translate_like_pattern(pattern: str) -> str:
+    """entangleDB LIKE escaping (doubling) → Spark LIKE escaping (backslash).
+
+    `%%` → literal %, `__` → literal _ (expression.rs:249-250); a lone
+    backslash in the input is literal and must be escaped for Spark."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c in "%_" and i + 1 < len(pattern) and pattern[i + 1] == c:
+            out.append("\\" + c)
+            i += 2
+        elif c == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def static_type(e: ast.Expr, field_type: TypeOf) -> Optional[str]:
+    """Best-effort static type of an expression ('int'/'float'/'str'/'bool')."""
+    if isinstance(e, ast.Literal):
+        v = e.value
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        return None
+    if isinstance(e, ast.Field):
+        return field_type(e)
+    if isinstance(e, ast.FuncCall):
+        n = e.name.lower()
+        if n == "count":
+            return "int"
+        if n in ("sum", "min", "max", "avg"):
+            return static_type(e.args[0], field_type)
+        return None
+    if isinstance(e, ast.Op):
+        n = e.name
+        if n in ("AND", "OR", "NOT", "EQ", "NE", "GT", "GTE", "LT", "LTE", "LIKE", "IS_NULL"):
+            return "bool"
+        if n == "FACTORIAL":
+            return "int"
+        if n in ("NEG", "POS"):
+            return static_type(e.args[0], field_type)
+        if n in ("ADD", "SUB", "MUL", "MOD"):
+            ts = [static_type(a, field_type) for a in e.args]
+            if all(t == "int" for t in ts):
+                return "int"
+            if any(t == "float" for t in ts):
+                return "float"
+            return None
+        if n == "DIV":
+            ts = [static_type(a, field_type) for a in e.args]
+            return "int" if all(t == "int" for t in ts) else "float"
+        if n == "EXP":
+            lt = static_type(e.args[0], field_type)
+            rhs = e.args[1]
+            if (
+                lt == "int"
+                and isinstance(rhs, ast.Literal)
+                and isinstance(rhs.value, int)
+                and not isinstance(rhs.value, bool)
+                and rhs.value >= 0
+            ):
+                return "int"
+            return "float"
+    return None
+
+
+def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
+    """Lower an AST expression to a Column. Aggregate FuncCalls must already
+    have been rewritten to Fields by the SELECT compiler — reaching one here
+    means it appeared outside an aggregation context."""
+    if isinstance(e, ast.Literal):
+        if e.value is None:
+            return F.lit(None)
+        return F.lit(e.value)
+    if isinstance(e, ast.Field):
+        return resolve(e)
+    if isinstance(e, ast.FuncCall):
+        raise CompileError(f"unknown function: {e.name}")  # planner.rs:538-540
+    assert isinstance(e, ast.Op)
+    n = e.name
+    args = e.args
+
+    def c(i: int) -> Column:
+        return compile_expr(args[i], resolve, field_type)
+
+    if n == "AND":
+        return c(0) & c(1)
+    if n == "OR":
+        return c(0) | c(1)
+    if n == "NOT":
+        return ~c(0)
+    if n == "EQ":
+        return c(0) == c(1)
+    if n == "NE":
+        return c(0) != c(1)
+    if n == "GT":
+        return c(0) > c(1)
+    if n == "GTE":
+        return c(0) >= c(1)
+    if n == "LT":
+        return c(0) < c(1)
+    if n == "LTE":
+        return c(0) <= c(1)
+    if n == "IS_NULL":
+        return c(0).isNull()
+    if n == "LIKE":
+        pat = args[1]
+        if not (isinstance(pat, ast.Literal) and isinstance(pat.value, str)):
+            raise CompileError("LIKE pattern must be a string literal")
+        return c(0).like(translate_like_pattern(pat.value))
+    if n == "ADD":
+        return c(0) + c(1)
+    if n == "SUB":
+        return c(0) - c(1)
+    if n == "MUL":
+        return c(0) * c(1)
+    if n == "MOD":
+        return c(0) % c(1)
+    if n == "DIV":
+        ts = [static_type(a, field_type) for a in args]
+        if all(t == "int" for t in ts):
+            # Integer/Integer → Integer, truncating (expression.rs:142-150)
+            return F.call_function("div", c(0), c(1))
+        return c(0) / c(1)
+    if n == "EXP":
+        lt = static_type(args[0], field_type)
+        rhs = args[1]
+        p = F.pow(c(0), c(1))
+        if (
+            lt == "int"
+            and isinstance(rhs, ast.Literal)
+            and isinstance(rhs.value, int)
+            and not isinstance(rhs.value, bool)
+            and rhs.value >= 0
+        ):
+            return p.cast("long")  # int ^ nonneg-int stays integral
+        return p
+    if n == "NEG":
+        return -c(0)
+    if n == "POS":
+        # unary + asserts numeric, identity (expression.rs:136-141)
+        t = static_type(args[0], field_type)
+        if t in ("str", "bool"):
+            raise CompileError("can't take the positive of a non-numeric value")
+        return c(0)
+    if n == "FACTORIAL":
+        x = c(0).cast("int")
+        # reference errors on negative and on overflow (>20 for i64)
+        return (
+            F.when(x < 0, F.raise_error(F.lit("can't take factorial of negative number")))
+            .when(x > 20, F.raise_error(F.lit("factorial overflow (argument > 20)")))
+            .otherwise(F.factorial(x))
+        )
+    raise CompileError(f"unknown operator {n}")

@@ -1,0 +1,203 @@
+"""AST for the entangleDB SQL dialect.
+
+Mirrors the *surface grammar* of the reference
+(/root/reference/src/sql/parser/ast.rs — statements, FROM join trees,
+name-based expressions) as plain Python dataclasses. This is IR #1; the
+compiler (functions/expressions.py + engine.py) lowers it straight onto
+DataFrame operations — there is no positional-index IR #2 because Spark
+resolves names itself (SURVEY §3.1 step 4 note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Union
+
+# --------------------------------------------------------------------------
+# Expressions
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Literal:
+    value: Union[None, bool, int, float, str]
+
+
+@dataclass(frozen=True)
+class Field:
+    """Column reference, optionally table-qualified."""
+
+    name: str
+    table: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Op:
+    """Operator application. `name` is one of:
+    AND OR NOT / EQ NE GT GTE LT LTE LIKE IS_NULL /
+    ADD SUB MUL DIV MOD EXP NEG POS FACTORIAL."""
+
+    name: str
+    args: tuple["Expr", ...]
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    """Function-call syntax. The planner resolves only the five aggregates
+    (avg/count/max/min/sum — planner.rs:503-512); anything else errors at
+    plan time, exactly like the reference (planner.rs:538-540)."""
+
+    name: str
+    args: tuple["Expr", ...]
+    star: bool = False  # COUNT(*) → count(TRUE) special case (parser/mod.rs:540-543)
+
+
+Expr = Union[Literal, Field, Op, FuncCall]
+
+AGGREGATES = ("avg", "count", "max", "min", "sum")
+
+
+def is_aggregate(e: Expr) -> bool:
+    return isinstance(e, FuncCall) and e.name.lower() in AGGREGATES
+
+
+def contains_aggregate(e: Expr) -> bool:
+    if is_aggregate(e):
+        return True
+    if isinstance(e, Op):
+        return any(contains_aggregate(a) for a in e.args)
+    if isinstance(e, FuncCall):
+        return any(contains_aggregate(a) for a in e.args)
+    return False
+
+
+def walk(e: Expr):
+    yield e
+    if isinstance(e, (Op, FuncCall)):
+        for a in e.args:
+            yield from walk(a)
+
+
+# --------------------------------------------------------------------------
+# FROM items
+# --------------------------------------------------------------------------
+
+
+class JoinType(str, Enum):
+    CROSS = "cross"
+    INNER = "inner"
+    LEFT = "left"
+    RIGHT = "right"
+
+
+@dataclass(frozen=True)
+class TableRef:
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Join:
+    left: "FromItem"
+    right: "FromItem"
+    join_type: JoinType
+    predicate: Optional[Expr] = None
+
+
+FromItem = Union[TableRef, Join]
+
+
+# --------------------------------------------------------------------------
+# Statements
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    """CREATE TABLE column with the reference's options
+    (/root/reference/src/sql/schema.rs:138-156)."""
+
+    name: str
+    datatype: str  # BOOLEAN | INTEGER | FLOAT | STRING
+    primary_key: bool = False
+    nullable: Optional[bool] = None  # None → default (non-PK: nullable)
+    default: Optional[Expr] = None
+    unique: bool = False
+    references: Optional[str] = None
+    index: bool = False
+
+
+@dataclass(frozen=True)
+class CreateTable:
+    name: str
+    columns: tuple[ColumnDef, ...]
+
+
+@dataclass(frozen=True)
+class DropTable:
+    name: str
+
+
+@dataclass(frozen=True)
+class Insert:
+    table: str
+    columns: Optional[tuple[str, ...]]
+    values: tuple[tuple[Expr, ...], ...]
+
+
+@dataclass(frozen=True)
+class Update:
+    table: str
+    sets: tuple[tuple[str, Expr], ...]
+    where: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class Delete:
+    table: str
+    where: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+
+
+@dataclass(frozen=True)
+class Select:
+    select: tuple[tuple[Expr, Optional[str]], ...]  # (expr, alias)
+    from_: Optional[FromItem] = None
+    where: Optional[Expr] = None
+    group_by: tuple[Expr, ...] = ()
+    having: Optional[Expr] = None
+    order_by: tuple[OrderItem, ...] = ()
+    offset: Optional[Expr] = None
+    limit: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class Begin:
+    read_only: bool = False
+    as_of: Optional[int] = None  # MVCC version number, not wall-clock
+
+
+@dataclass(frozen=True)
+class Commit:
+    pass
+
+
+@dataclass(frozen=True)
+class Rollback:
+    pass
+
+
+@dataclass(frozen=True)
+class Explain:
+    statement: "Statement"
+
+
+Statement = Union[
+    CreateTable, DropTable, Insert, Update, Delete, Select, Begin, Commit, Rollback, Explain
+]

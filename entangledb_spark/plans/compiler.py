@@ -1,0 +1,324 @@
+"""SELECT → DataFrame compiler.
+
+The reference plans SELECT by assembling FROM → WHERE → aggregate
+extraction (with hidden columns for HAVING/ORDER references) → projection →
+ORDER → OFFSET → LIMIT (planner.rs:120-253). We keep the same clause
+semantics but lower directly onto DataFrame transformations and let
+Catalyst do every optimizer pass the reference hand-rolls (SURVEY §4.1:
+constant folding, filter pushdown, index-lookup conversion, noop cleaning,
+hash-join selection are ALL built-in Catalyst rules).
+
+Name resolution (the reference's Scope, planner.rs:642-819): each table
+instance gets a user-visible alias; DataFrames are `.alias`ed so qualified
+references compile to `F.col("alias.name")`; unqualified names are resolved
+by ownership with ambiguity errors.
+
+Aggregation (planner.rs:163-191 decomposition): aggregate calls and group
+expressions are computed in a groupBy/agg with generated internal names,
+then SELECT/HAVING/ORDER expressions are rewritten over those — the same
+pre-projection → aggregate → post-projection shape as the reference, minus
+the positional-index bookkeeping.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entangledb_spark.functions.expressions import (
+    CompileError,
+    compile_expr,
+    static_type,
+)
+from entangledb_spark.plans import ast
+
+@dataclass
+class Scope:
+    """alias → (DataFrame, [column names]); insertion-ordered."""
+
+    tables: dict[str, tuple[DataFrame, list[str]]] = field(default_factory=dict)
+
+    def add(self, alias: str, df: DataFrame) -> DataFrame:
+        if alias in self.tables:
+            raise CompileError(f"duplicate table name or alias: {alias}")
+        aliased = df.alias(alias)
+        self.tables[alias] = (aliased, list(df.columns))
+        return aliased
+
+    def resolve(self, f: ast.Field) -> Column:
+        if f.table is not None:
+            if f.table not in self.tables:
+                raise CompileError(f"unknown table: {f.table}")
+            if f.name not in self.tables[f.table][1]:
+                raise CompileError(f"unknown column {f.name} in table {f.table}")
+            return F.col(f"{f.table}.{f.name}")
+        owners = [a for a, (_, cols) in self.tables.items() if f.name in cols]
+        if not owners:
+            raise CompileError(f"unknown column: {f.name}")
+        if len(owners) > 1:
+            raise CompileError(f"ambiguous column: {f.name} (in {', '.join(owners)})")
+        return F.col(f"{owners[0]}.{f.name}")
+
+    def dtype_of(self, f: ast.Field) -> Optional[str]:
+        aliases = (
+            [f.table]
+            if f.table is not None
+            else [a for a, (_, cols) in self.tables.items() if f.name in cols]
+        )
+        for a in aliases:
+            if a in self.tables:
+                df, cols = self.tables[a]
+                if f.name in cols:
+                    spark_t = dict(df.dtypes).get(f.name)
+                    return {
+                        "bigint": "int", "int": "int", "smallint": "int",
+                        "tinyint": "int", "double": "float", "float": "float",
+                        "string": "str", "boolean": "bool",
+                    }.get(spark_t)
+        return None
+
+    def all_columns(self) -> list[tuple[str, str]]:
+        out = []
+        for a, (_, cols) in self.tables.items():
+            out.extend((a, c) for c in cols)
+        return out
+
+
+TableReader = Callable[[str], DataFrame]
+
+
+def compile_from(item: ast.FromItem, read: TableReader, scope: Scope) -> DataFrame:
+    if isinstance(item, ast.TableRef):
+        alias = item.alias or item.name
+        return scope.add(alias, read(item.name))
+    assert isinstance(item, ast.Join)
+    left = compile_from(item.left, read, scope)
+    right = compile_from(item.right, read, scope)
+    if item.join_type == ast.JoinType.CROSS:
+        return left.crossJoin(right)
+    pred = (
+        compile_expr(item.predicate, scope.resolve, scope.dtype_of)
+        if item.predicate is not None
+        else None
+    )
+    how = {
+        ast.JoinType.INNER: "inner",
+        ast.JoinType.LEFT: "left",
+        ast.JoinType.RIGHT: "right",
+    }[item.join_type]
+    return left.join(right, on=pred, how=how)
+
+
+def _rewrite(e: ast.Expr, mapping: dict[ast.Expr, str]) -> ast.Expr:
+    """Replace mapped subtrees with internal Field refs (post-agg rewrite)."""
+    if e in mapping:
+        return ast.Field(name=mapping[e])
+    if isinstance(e, ast.Op):
+        return ast.Op(e.name, tuple(_rewrite(a, mapping) for a in e.args))
+    if isinstance(e, ast.FuncCall):
+        if ast.is_aggregate(e):
+            raise CompileError("unmapped aggregate (nested aggregates are not allowed)")
+        return ast.FuncCall(e.name, tuple(_rewrite(a, mapping) for a in e.args), e.star)
+    return e
+
+
+def _agg_column(fc: ast.FuncCall, scope: Scope) -> Column:
+    name = fc.name.lower()
+    if ast.contains_aggregate(fc.args[0]):
+        raise CompileError("aggregate functions can't be nested")  # planner.rs:391-396
+    arg = compile_expr(fc.args[0], scope.resolve, scope.dtype_of)
+    if name == "count":
+        return F.count(arg)
+    if name == "min":
+        return F.min(arg)
+    if name == "max":
+        return F.max(arg)
+    if name == "sum":
+        return F.sum(arg)
+    if name == "avg":
+        # integer AVG = integer division in the reference (aggregation.rs:
+        # 113-139); we follow the SQL standard / DuckDB oracle and return
+        # double (SURVEY §2.4 divergence note).
+        return F.avg(arg)
+    raise CompileError(f"unknown function: {name}")
+
+
+def compile_select(
+    stmt: ast.Select, spark: SparkSession, read: TableReader
+) -> DataFrame:
+    scope = Scope()
+    if stmt.from_ is not None:
+        df = compile_from(stmt.from_, read, scope)
+    else:
+        df = spark.range(1).drop("id")  # Nothing node: one empty row
+
+    if stmt.where is not None:
+        if ast.contains_aggregate(stmt.where):
+            raise CompileError("aggregate functions are not allowed in WHERE")
+        df = df.filter(compile_expr(stmt.where, scope.resolve, scope.dtype_of))
+
+    # --- SELECT * expansion -----------------------------------------------
+    select_items: list[tuple[ast.Expr, Optional[str]]] = []
+    for expr, alias in stmt.select:
+        if isinstance(expr, ast.Literal) and expr.value == "*" and alias is None:
+            if not scope.tables:
+                raise CompileError("SELECT * requires a FROM clause")
+            for t_alias, col in scope.all_columns():
+                select_items.append((ast.Field(name=col, table=t_alias), col))
+        else:
+            select_items.append((expr, alias))
+
+    has_agg = (
+        bool(stmt.group_by)
+        or any(ast.contains_aggregate(e) for e, _ in select_items)
+        or (stmt.having is not None)
+    )
+
+    if not has_agg:
+        out_cols, hidden = [], 0
+        names: list[str] = []
+        for i, (expr, alias) in enumerate(select_items):
+            name = alias or (expr.name if isinstance(expr, ast.Field) else f"col_{i}")
+            names.append(name)
+            out_cols.append(compile_expr(expr, scope.resolve, scope.dtype_of).alias(name))
+        order_cols = []
+        for item in stmt.order_by:
+            e = item.expr
+            # ORDER BY may reference select aliases or hidden source columns
+            if isinstance(e, ast.Field) and e.table is None and e.name in names:
+                c = F.col(e.name)
+            else:
+                c = compile_expr(e, scope.resolve, scope.dtype_of)
+                out_cols.append(c.alias(f"__h{hidden}"))
+                c = F.col(f"__h{hidden}")
+                hidden += 1
+            order_cols.append(c.desc_nulls_last() if item.desc else c.asc_nulls_first())
+        df = df.select(*out_cols)
+        if order_cols:
+            df = df.orderBy(*order_cols)
+        if hidden:
+            df = df.drop(*[f"__h{i}" for i in range(hidden)])
+        return _offset_limit(df, stmt, scope)
+
+    # --- aggregation path ---------------------------------------------------
+    # hidden-column machinery of planner.rs:150-161,445-500, Spark-style.
+    alias_of: dict[str, ast.Expr] = {
+        a: e for e, a in select_items if a is not None
+    }
+    group_exprs: list[ast.Expr] = []
+    for g in stmt.group_by:
+        if ast.contains_aggregate(g):
+            raise CompileError("group expression cannot contain aggregates")
+        # GROUP BY may name a SELECT alias (planner.rs:399-443 form 1)
+        if isinstance(g, ast.Field) and g.table is None and g.name in alias_of:
+            group_exprs.append(alias_of[g.name])
+        else:
+            group_exprs.append(g)
+
+    mapping: dict[ast.Expr, str] = {}
+    group_cols: list[Column] = []
+    for i, g in enumerate(group_exprs):
+        mapping[g] = f"__g{i}"
+        group_cols.append(compile_expr(g, scope.resolve, scope.dtype_of).alias(f"__g{i}"))
+
+    # collect aggregate calls from select + having + order
+    agg_calls: list[ast.FuncCall] = []
+
+    def collect(e: Optional[ast.Expr]):
+        if e is None:
+            return
+        for sub in ast.walk(e):
+            if ast.is_aggregate(sub) and sub not in agg_calls:
+                agg_calls.append(sub)
+
+    for e, _ in select_items:
+        collect(e)
+    collect(stmt.having)
+    for item in stmt.order_by:
+        collect(item.expr)
+
+    agg_cols = []
+    for j, fc in enumerate(agg_calls):
+        if fc in mapping:
+            continue
+        mapping[fc] = f"__a{j}"
+        agg_cols.append(_agg_column(fc, scope).alias(f"__a{j}"))
+    if not agg_cols:
+        # GROUP BY with no aggregates: still a grouping (DISTINCT-like)
+        agg_cols = [F.count(F.lit(1)).alias("__dummy")]
+
+    grouped = df.groupBy(*group_cols).agg(*agg_cols) if group_cols else df.agg(*agg_cols)
+
+    # post-aggregation scope: internal columns only
+    post = Scope()
+    post.tables["__agg"] = (grouped.alias("__agg"), list(grouped.columns))
+    grouped = grouped.alias("__agg")
+
+    def post_compile(e: ast.Expr) -> Column:
+        rewritten = _rewrite(e, mapping)
+        # a bare field that is neither a group expr nor inside an aggregate
+        # is an error in the reference; Spark would also refuse — produce the
+        # reference's message for unresolvable ones.
+        for sub in ast.walk(rewritten):
+            if isinstance(sub, ast.Field) and not sub.name.startswith("__"):
+                raise CompileError(
+                    f"column {sub.name} must appear in GROUP BY or an aggregate"
+                )
+        return compile_expr(rewritten, post.resolve, post.dtype_of)
+
+    names = []
+    out_cols = []
+    for i, (expr, alias) in enumerate(select_items):
+        name = alias or (expr.name if isinstance(expr, ast.Field) else f"col_{i}")
+        names.append(name)
+        out_cols.append(post_compile(expr).alias(name))
+
+    if stmt.having is not None:
+        having_rw = stmt.having
+        # HAVING may reference select aliases (planner.rs:445-500)
+        if isinstance(having_rw, ast.Field) and having_rw.name in alias_of:
+            having_rw = alias_of[having_rw.name]
+        grouped = grouped.filter(post_compile(having_rw))
+
+    hidden = 0
+    order_cols = []
+    for item in stmt.order_by:
+        e = item.expr
+        if isinstance(e, ast.Field) and e.table is None and e.name in names:
+            c = F.col(e.name)
+        else:
+            if isinstance(e, ast.Field) and e.table is None and e.name in alias_of:
+                e = alias_of[e.name]
+            c = post_compile(e)
+            out_cols.append(c.alias(f"__h{hidden}"))
+            c = F.col(f"__h{hidden}")
+            hidden += 1
+        order_cols.append(c.desc_nulls_last() if item.desc else c.asc_nulls_first())
+
+    result = grouped.select(*out_cols)
+    if order_cols:
+        result = result.orderBy(*order_cols)
+    if hidden:
+        result = result.drop(*[f"__h{i}" for i in range(hidden)])
+    return _offset_limit(result, stmt, scope)
+
+
+def _const_int(e: Optional[ast.Expr], what: str) -> Optional[int]:
+    if e is None:
+        return None
+    if isinstance(e, ast.Literal) and isinstance(e.value, int) and not isinstance(e.value, bool):
+        return e.value
+    raise CompileError(f"{what} must be an integer constant")
+
+
+def _offset_limit(df: DataFrame, stmt: ast.Select, scope: Scope) -> DataFrame:
+    off = _const_int(stmt.offset, "OFFSET")
+    lim = _const_int(stmt.limit, "LIMIT")
+    if off is not None:
+        df = df.offset(off)
+    if lim is not None:
+        df = df.limit(lim)
+    return df

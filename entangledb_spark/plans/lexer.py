@@ -1,0 +1,73 @@
+"""Tokenizer for the entangleDB SQL dialect.
+
+Token surface per /root/reference/src/sql/parser/lexer.rs: numbers, single-
+quoted strings with '' escaping, identifiers/keywords (case-insensitive),
+and the symbols  . = != <> > >= < <= + - * / % ^ ! ( ) , ;  plus the
+keyword literals TRUE/FALSE/NULL/INFINITY/NAN. Implemented as a compiled
+regex scanner — idiomatic Python, not a port.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Iterator
+
+
+class LexError(ValueError):
+    pass
+
+
+KEYWORDS = {
+    "and", "as", "asc", "begin", "bool", "boolean", "by", "char", "commit",
+    "create", "cross", "default", "delete", "desc", "double", "drop",
+    "explain", "false", "float", "from", "group", "having", "index",
+    "infinity", "inner", "insert", "int", "integer", "into", "is", "join",
+    "key", "left", "like", "limit", "nan", "not", "null", "of", "offset",
+    "on", "only", "or", "order", "outer", "primary", "read", "references",
+    "right", "rollback", "select", "set", "string", "system", "table",
+    "text", "time", "transaction", "true", "unique", "update", "values",
+    "varchar", "where", "write",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*)
+  | (?P<number>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<symbol>!=|<>|>=|<=|[.=<>+\-*/%^!(),;])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # number | string | ident | keyword | symbol | eof
+    text: str
+    pos: int
+
+    def __repr__(self) -> str:  # compact for parser error messages
+        return f"{self.kind}:{self.text!r}@{self.pos}"
+
+
+def tokenize(sql: str) -> Iterator[Token]:
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise LexError(f"unexpected character {sql[pos]!r} at position {pos}")
+        kind = m.lastgroup
+        text = m.group()
+        if kind not in ("ws", "comment"):
+            if kind == "ident" and text.lower() in KEYWORDS:
+                yield Token("keyword", text.lower(), pos)
+            elif kind == "string":
+                # strip quotes, collapse '' escapes
+                yield Token("string", text[1:-1].replace("''", "'"), pos)
+            else:
+                yield Token(kind, text, pos)
+        pos = m.end()
+    yield Token("eof", "", pos)

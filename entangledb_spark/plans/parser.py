@@ -1,0 +1,436 @@
+"""Recursive-descent / precedence-climbing parser for the entangleDB dialect.
+
+Grammar per the reference's surface (statements: BEGIN/COMMIT/ROLLBACK/
+EXPLAIN/CREATE TABLE/DROP TABLE/INSERT/UPDATE/DELETE/SELECT; FROM join
+trees with CROSS/INNER/LEFT/RIGHT [OUTER]; precedence-climbed expressions
+with ^ exponent, ! factorial, IS [NOT] NULL, LIKE, and INFINITY/NAN
+literals — /root/reference/src/sql/parser/mod.rs). Fresh implementation in
+Python; precedence table follows the documented dialect, not the Rust code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from entangledb_spark.plans import ast
+from entangledb_spark.plans.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+# infix operator → (precedence, right_assoc, ast op name)
+_INFIX = {
+    "or": (1, False, "OR"),
+    "and": (2, False, "AND"),
+    "=": (4, False, "EQ"),
+    "!=": (4, False, "NE"),
+    "<>": (4, False, "NE"),
+    ">": (4, False, "GT"),
+    ">=": (4, False, "GTE"),
+    "<": (4, False, "LT"),
+    "<=": (4, False, "LTE"),
+    "like": (4, False, "LIKE"),
+    "+": (5, False, "ADD"),
+    "-": (5, False, "SUB"),
+    "*": (6, False, "MUL"),
+    "/": (6, False, "DIV"),
+    "%": (6, False, "MOD"),
+    "^": (7, True, "EXP"),
+}
+
+_TYPE_KEYWORDS = {
+    "bool": "BOOLEAN", "boolean": "BOOLEAN",
+    "char": "STRING", "string": "STRING", "text": "STRING", "varchar": "STRING",
+    "double": "FLOAT", "float": "FLOAT",
+    "int": "INTEGER", "integer": "INTEGER",
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.tokens = list(tokenize(sql))
+        self.i = 0
+
+    # ---- token helpers ----------------------------------------------------
+
+    def peek(self) -> Token:
+        return self.tokens[self.i]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: Optional[str] = None) -> Optional[Token]:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: Optional[str] = None) -> Token:
+        t = self.accept(kind, text)
+        if t is None:
+            raise ParseError(f"expected {text or kind}, found {self.peek()}")
+        return t
+
+    def accept_kw(self, *words: str) -> bool:
+        return self.accept("keyword", words[0]) is not None if len(words) == 1 else all(
+            self.expect("keyword", w) or True for w in words
+        )
+
+    # ---- entry ------------------------------------------------------------
+
+    def parse(self) -> ast.Statement:
+        stmt = self.parse_statement()
+        self.accept("symbol", ";")
+        self.expect("eof")
+        return stmt
+
+    def parse_statement(self) -> ast.Statement:
+        t = self.peek()
+        if t.kind != "keyword":
+            raise ParseError(f"unexpected token {t}")
+        dispatch = {
+            "begin": self.parse_begin,
+            "commit": lambda: (self.next(), ast.Commit())[1],
+            "rollback": lambda: (self.next(), ast.Rollback())[1],
+            "explain": self.parse_explain,
+            "create": self.parse_create_table,
+            "drop": self.parse_drop_table,
+            "insert": self.parse_insert,
+            "update": self.parse_update,
+            "delete": self.parse_delete,
+            "select": self.parse_select,
+        }
+        fn = dispatch.get(t.text)
+        if fn is None:
+            raise ParseError(f"unexpected keyword {t.text!r}")
+        return fn()
+
+    # ---- transactions -----------------------------------------------------
+
+    def parse_begin(self) -> ast.Begin:
+        self.expect("keyword", "begin")
+        self.accept("keyword", "transaction")
+        read_only = False
+        if self.accept("keyword", "read"):
+            if self.accept("keyword", "only"):
+                read_only = True
+            else:
+                self.expect("keyword", "write")
+        as_of = None
+        if self.accept("keyword", "as"):
+            self.expect("keyword", "of")
+            self.expect("keyword", "system")
+            self.expect("keyword", "time")
+            as_of = int(self.expect("number").text)
+            if not read_only:
+                raise ParseError("AS OF SYSTEM TIME requires READ ONLY")
+        return ast.Begin(read_only=read_only, as_of=as_of)
+
+    def parse_explain(self) -> ast.Explain:
+        self.expect("keyword", "explain")
+        return ast.Explain(self.parse_statement())
+
+    # ---- DDL --------------------------------------------------------------
+
+    def parse_create_table(self) -> ast.CreateTable:
+        self.expect("keyword", "create")
+        self.expect("keyword", "table")
+        name = self.expect("ident").text
+        self.expect("symbol", "(")
+        cols = []
+        while True:
+            cols.append(self.parse_column_def())
+            if not self.accept("symbol", ","):
+                break
+        self.expect("symbol", ")")
+        return ast.CreateTable(name=name, columns=tuple(cols))
+
+    def parse_column_def(self) -> ast.ColumnDef:
+        name = self.expect("ident").text
+        ty = self.peek()
+        if ty.kind != "keyword" or ty.text not in _TYPE_KEYWORDS:
+            raise ParseError(f"expected datatype, found {ty}")
+        self.next()
+        col = dict(name=name, datatype=_TYPE_KEYWORDS[ty.text])
+        while True:
+            if self.accept("keyword", "primary"):
+                self.expect("keyword", "key")
+                col["primary_key"] = True
+            elif self.accept("keyword", "not"):
+                self.expect("keyword", "null")
+                col["nullable"] = False
+            elif self.accept("keyword", "null"):
+                col["nullable"] = True
+            elif self.accept("keyword", "default"):
+                col["default"] = self.parse_expr()
+            elif self.accept("keyword", "unique"):
+                col["unique"] = True
+            elif self.accept("keyword", "references"):
+                col["references"] = self.expect("ident").text
+            elif self.accept("keyword", "index"):
+                col["index"] = True
+            else:
+                break
+        return ast.ColumnDef(**col)
+
+    def parse_drop_table(self) -> ast.DropTable:
+        self.expect("keyword", "drop")
+        self.expect("keyword", "table")
+        return ast.DropTable(self.expect("ident").text)
+
+    # ---- DML --------------------------------------------------------------
+
+    def parse_insert(self) -> ast.Insert:
+        self.expect("keyword", "insert")
+        self.expect("keyword", "into")
+        table = self.expect("ident").text
+        columns = None
+        if self.accept("symbol", "("):
+            columns = []
+            while True:
+                columns.append(self.expect("ident").text)
+                if not self.accept("symbol", ","):
+                    break
+            self.expect("symbol", ")")
+            columns = tuple(columns)
+        self.expect("keyword", "values")
+        rows = []
+        while True:
+            self.expect("symbol", "(")
+            row = []
+            while True:
+                row.append(self.parse_expr())
+                if not self.accept("symbol", ","):
+                    break
+            self.expect("symbol", ")")
+            rows.append(tuple(row))
+            if not self.accept("symbol", ","):
+                break
+        return ast.Insert(table=table, columns=columns, values=tuple(rows))
+
+    def parse_update(self) -> ast.Update:
+        self.expect("keyword", "update")
+        table = self.expect("ident").text
+        self.expect("keyword", "set")
+        sets = []
+        while True:
+            col = self.expect("ident").text
+            self.expect("symbol", "=")
+            sets.append((col, self.parse_expr()))
+            if not self.accept("symbol", ","):
+                break
+        where = self.parse_expr() if self.accept("keyword", "where") else None
+        return ast.Update(table=table, sets=tuple(sets), where=where)
+
+    def parse_delete(self) -> ast.Delete:
+        self.expect("keyword", "delete")
+        self.expect("keyword", "from")
+        table = self.expect("ident").text
+        where = self.parse_expr() if self.accept("keyword", "where") else None
+        return ast.Delete(table=table, where=where)
+
+    # ---- SELECT -----------------------------------------------------------
+
+    def parse_select(self) -> ast.Select:
+        self.expect("keyword", "select")
+        select = []
+        while True:
+            if self.accept("symbol", "*"):
+                select.append((ast.Literal("*"), None))  # SELECT * sentinel
+            else:
+                expr = self.parse_expr()
+                alias = None
+                if self.accept("keyword", "as"):
+                    t = self.peek()
+                    if t.kind in ("ident", "string"):
+                        alias = self.next().text
+                    else:
+                        raise ParseError(f"expected alias, found {t}")
+                elif self.peek().kind == "ident":
+                    alias = self.next().text
+                select.append((expr, alias))
+            if not self.accept("symbol", ","):
+                break
+
+        from_ = None
+        if self.accept("keyword", "from"):
+            from_ = self.parse_from_item()
+            while self.accept("symbol", ","):  # comma = cross join
+                from_ = ast.Join(from_, self.parse_from_item(), ast.JoinType.CROSS)
+
+        where = self.parse_expr() if self.accept("keyword", "where") else None
+
+        group_by: tuple = ()
+        if self.accept("keyword", "group"):
+            self.expect("keyword", "by")
+            groups = [self.parse_expr()]
+            while self.accept("symbol", ","):
+                groups.append(self.parse_expr())
+            group_by = tuple(groups)
+
+        having = self.parse_expr() if self.accept("keyword", "having") else None
+
+        order_by: tuple = ()
+        if self.accept("keyword", "order"):
+            self.expect("keyword", "by")
+            items = []
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept("keyword", "desc"):
+                    desc = True
+                else:
+                    self.accept("keyword", "asc")
+                items.append(ast.OrderItem(e, desc))
+                if not self.accept("symbol", ","):
+                    break
+            order_by = tuple(items)
+
+        # LIMIT and OFFSET accepted in either order; OFFSET applies first
+        # (reference plan order: Offset below Limit, planner.rs:221-240).
+        limit = offset = None
+        for _ in range(2):
+            if limit is None and self.accept("keyword", "limit"):
+                limit = self.parse_expr()
+            elif offset is None and self.accept("keyword", "offset"):
+                offset = self.parse_expr()
+        return ast.Select(
+            select=tuple(select), from_=from_, where=where, group_by=group_by,
+            having=having, order_by=order_by, offset=offset, limit=limit,
+        )
+
+    def parse_from_item(self) -> ast.FromItem:
+        left: ast.FromItem = self.parse_table_ref()
+        while True:
+            jt = None
+            if self.accept("keyword", "cross"):
+                self.expect("keyword", "join")
+                jt = ast.JoinType.CROSS
+            elif self.accept("keyword", "inner"):
+                self.expect("keyword", "join")
+                jt = ast.JoinType.INNER
+            elif self.accept("keyword", "left"):
+                self.accept("keyword", "outer")
+                self.expect("keyword", "join")
+                jt = ast.JoinType.LEFT
+            elif self.accept("keyword", "right"):
+                self.accept("keyword", "outer")
+                self.expect("keyword", "join")
+                jt = ast.JoinType.RIGHT
+            elif self.accept("keyword", "join"):
+                jt = ast.JoinType.INNER
+            else:
+                return left
+            right = self.parse_table_ref()
+            predicate = None
+            if jt != ast.JoinType.CROSS:
+                self.expect("keyword", "on")
+                predicate = self.parse_expr()
+            left = ast.Join(left, right, jt, predicate)
+
+    def parse_table_ref(self) -> ast.TableRef:
+        name = self.expect("ident").text
+        alias = None
+        if self.accept("keyword", "as"):
+            alias = self.expect("ident").text
+        elif self.peek().kind == "ident":
+            alias = self.next().text
+        return ast.TableRef(name=name, alias=alias)
+
+    # ---- expressions (precedence climbing) --------------------------------
+
+    def parse_expr(self, min_prec: int = 1) -> ast.Expr:
+        lhs = self.parse_prefix()
+        while True:
+            lhs2 = self.parse_postfix(lhs)
+            if lhs2 is not lhs:
+                lhs = lhs2
+                continue
+            t = self.peek()
+            key = t.text if t.kind in ("symbol", "keyword") else None
+            if key not in _INFIX:
+                return lhs
+            prec, right_assoc, op = _INFIX[key]
+            if prec < min_prec:
+                return lhs
+            self.next()
+            rhs = self.parse_expr(prec if right_assoc else prec + 1)
+            lhs = ast.Op(op, (lhs, rhs))
+
+    def parse_prefix(self) -> ast.Expr:
+        if self.accept("keyword", "not"):
+            # NOT binds tighter than AND/OR, looser than comparisons
+            return ast.Op("NOT", (self.parse_expr(4),))
+        if self.accept("symbol", "-"):
+            return ast.Op("NEG", (self.parse_expr(8),))
+        if self.accept("symbol", "+"):
+            return ast.Op("POS", (self.parse_expr(8),))
+        return self.parse_atom()
+
+    def parse_postfix(self, lhs: ast.Expr) -> ast.Expr:
+        if self.accept("symbol", "!"):
+            return ast.Op("FACTORIAL", (lhs,))
+        save = self.i
+        if self.accept("keyword", "is"):
+            negate = self.accept("keyword", "not") is not None
+            if self.accept("keyword", "null"):
+                e = ast.Op("IS_NULL", (lhs,))
+                return ast.Op("NOT", (e,)) if negate else e
+            self.i = save  # not IS [NOT] NULL → rewind
+        return lhs
+
+    def parse_atom(self) -> ast.Expr:
+        t = self.peek()
+        if t.kind == "number":
+            self.next()
+            text = t.text
+            if "." in text or "e" in text or "E" in text:
+                return ast.Literal(float(text))
+            return ast.Literal(int(text))
+        if t.kind == "string":
+            self.next()
+            return ast.Literal(t.text)
+        if t.kind == "keyword":
+            if self.accept("keyword", "true"):
+                return ast.Literal(True)
+            if self.accept("keyword", "false"):
+                return ast.Literal(False)
+            if self.accept("keyword", "null"):
+                return ast.Literal(None)
+            if self.accept("keyword", "infinity"):
+                return ast.Literal(float("inf"))
+            if self.accept("keyword", "nan"):
+                return ast.Literal(float("nan"))
+            raise ParseError(f"unexpected keyword {t}")
+        if t.kind == "ident":
+            self.next()
+            if self.accept("symbol", "("):
+                # function call; COUNT(*) → count(TRUE) (parser/mod.rs:540-543)
+                if self.accept("symbol", "*"):
+                    self.expect("symbol", ")")
+                    return ast.FuncCall(t.text.lower(), (ast.Literal(True),), star=True)
+                args = []
+                if not self.accept("symbol", ")"):
+                    while True:
+                        args.append(self.parse_expr())
+                        if not self.accept("symbol", ","):
+                            break
+                    self.expect("symbol", ")")
+                return ast.FuncCall(t.text.lower(), tuple(args))
+            if self.accept("symbol", "."):
+                col = self.expect("ident").text
+                return ast.Field(name=col, table=t.text)
+            return ast.Field(name=t.text)
+        if self.accept("symbol", "("):
+            e = self.parse_expr()
+            self.expect("symbol", ")")
+            return e
+        raise ParseError(f"unexpected token {t}")
+
+
+def parse(sql: str) -> ast.Statement:
+    return Parser(sql).parse()

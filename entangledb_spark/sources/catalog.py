@@ -1,0 +1,143 @@
+"""Snapshot-versioned table storage — the Spark-side replacement for the
+reference's MVCC store (/root/reference/src/storage/mvcc.rs).
+
+Model: the database is a directory of immutable version manifests.
+Each manifest (JSON) maps table name → {schema, data path}. A committed
+transaction publishes manifest N+1 with an atomic rename; readers pin a
+manifest version for their whole transaction, which gives:
+
+- snapshot isolation for reads (the reference's is_visible() semantics,
+  mvcc.rs:182-218, reduced to the serialized-writer case its single mutex
+  enforces anyway — mvcc.rs:84-95);
+- `BEGIN READ ONLY AS OF SYSTEM TIME n` = read manifest n (mvcc.rs:119-122);
+- DML = read current snapshot → transform → write new parquet dir →
+  publish. No in-place mutation anywhere, so concurrent readers are never
+  torn and historical versions stay queryable.
+
+Layout:
+    base/
+      manifests/v{N}.json     immutable manifests
+      CURRENT                 text file: latest committed N (atomic replace)
+      data/{table}/{uuid}/    immutable parquet snapshots
+
+Scale notes: a manifest is O(#tables); data snapshots are full-table
+rewrites here (correct + simple); the production evolution is delta files
+with compaction, which changes only `write_snapshot`/`read_df` — the
+manifest/commit protocol is already the Delta-style transaction-log shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from entangledb_spark.plans import ast
+
+SPARK_TYPES = {
+    "BOOLEAN": T.BooleanType(),
+    "INTEGER": T.LongType(),
+    "FLOAT": T.DoubleType(),
+    "STRING": T.StringType(),
+}
+
+
+class CatalogError(ValueError):
+    pass
+
+
+def column_to_dict(c: ast.ColumnDef, default_value: Any = None, has_default: bool = False) -> dict:
+    return {
+        "name": c.name,
+        "datatype": c.datatype,
+        "primary_key": c.primary_key,
+        "nullable": (not c.primary_key) if c.nullable is None else c.nullable,
+        "has_default": has_default,
+        "default": default_value,
+        "unique": c.unique or c.primary_key,
+        "references": c.references,
+        "index": c.index or c.unique,
+    }
+
+
+def schema_of(columns: list[dict]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(c["name"], SPARK_TYPES[c["datatype"]], c["nullable"])
+            for c in columns
+        ]
+    )
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = base_dir
+        os.makedirs(os.path.join(base_dir, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(base_dir, "data"), exist_ok=True)
+        if not os.path.exists(self._current_path()):
+            self._write_manifest(0, {"tables": {}})
+            self._publish_current(0)
+
+    # ---- manifest plumbing -------------------------------------------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.base, "CURRENT")
+
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.base, "manifests", f"v{v}.json")
+
+    def _write_manifest(self, v: int, manifest: dict) -> None:
+        tmp = self._manifest_path(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(v))
+
+    def _publish_current(self, v: int) -> None:
+        tmp = self._current_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._current_path())
+
+    def current_version(self) -> int:
+        with open(self._current_path()) as f:
+            return int(f.read().strip())
+
+    def manifest(self, v: Optional[int] = None) -> dict:
+        v = self.current_version() if v is None else v
+        path = self._manifest_path(v)
+        if not os.path.exists(path):
+            raise CatalogError(f"version {v} does not exist")
+        with open(path) as f:
+            return json.load(f)
+
+    def publish(self, manifest: dict) -> int:
+        """Commit: write manifest N+1, then atomically move CURRENT.
+        Single-writer (the reference serializes writers behind a mutex too);
+        a cluster deployment would CAS the CURRENT pointer in a metastore."""
+        v = self.current_version() + 1
+        self._write_manifest(v, manifest)
+        self._publish_current(v)
+        return v
+
+    # ---- table data --------------------------------------------------------
+
+    def read_df(self, manifest: dict, name: str) -> DataFrame:
+        t = manifest["tables"].get(name)
+        if t is None:
+            raise CatalogError(f"table {name} does not exist")
+        schema = schema_of(t["columns"])
+        if t["data"] is None:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(os.path.join(self.base, t["data"]))
+
+    def write_snapshot(self, name: str, df: DataFrame) -> str:
+        """Write an immutable parquet snapshot, return its manifest-relative
+        path. Distributed write — no driver materialization."""
+        rel = os.path.join("data", name, uuid.uuid4().hex[:12])
+        df.write.mode("overwrite").parquet(os.path.join(self.base, rel))
+        return rel

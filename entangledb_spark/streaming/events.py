@@ -85,16 +85,31 @@ def q41_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events Parquet (file source; one-file-per-batch
-    keeps tests fast). Schema is taken from the static table — in
-    production this is the Kafka topic's declared schema."""
-    static = table(spark, sf_dir, "events")
+def stream_events(spark: SparkSession, source_dir: str, schema) -> DataFrame:
+    """readStream over a parquet directory (file source; one-file-per-batch
+    keeps tests fast). In production this is the Kafka topic's declared
+    schema; here the caller materializes a normalized copy of the events
+    fixture first (the raw fixture is timestamp[ns], which Spark's reader
+    rejects — see registry.table)."""
     return (
-        spark.readStream.schema(static.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .parquet(source_dir)
     )
+
+
+def materialize_events_source(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Write a µs-timestamp copy of the events fixture as a streaming source
+    dir; returns the static DataFrame (for schema + batch comparison).
+
+    Single time-ordered file: the file streaming source processes files in
+    nondeterministic order, and out-of-order files make earlier events LATE
+    relative to the advancing watermark (correctly dropped — but we want a
+    deterministic fixture). A Kafka source partitioned by key has the same
+    property per-partition and doesn't need this."""
+    static = table(spark, sf_dir, "events")
+    static.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
 
 
 def windowed_counts(events: DataFrame) -> DataFrame:
@@ -123,8 +138,9 @@ def run_stream_once(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     (availableNow trigger) writing a Parquet sink — used by tests to prove
     the streaming graph executes, checkpoints, and produces the same
     aggregates as the batch query."""
+    src = materialize_events_source(spark, sf_dir, f"{out_dir}/source")
     q = (
-        windowed_counts(stream_events(spark, sf_dir))
+        windowed_counts(stream_events(spark, f"{out_dir}/source", src.schema))
         .writeStream.outputMode("append")
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .trigger(availableNow=True)

@@ -1,0 +1,338 @@
+"""End-to-end engine tests: SQL text → snapshot-versioned storage → results.
+
+Covers the reference's semantics inventory: expression truth tables
+(3-valued logic), LIKE doubling escapes, integer division/exponent/
+factorial, DDL + constraints (PK/NOT NULL/UNIQUE/FK/string length), DML as
+snapshot rewrites, transactions with AS OF time travel, and the README's
+own example queries (movies/genres/countries shapes from FIXTURES.md §A).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from entangledb_spark.engine import Engine, EngineError
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "db"))
+
+
+def one(eng, sql):
+    rows = eng.execute(sql).rows
+    assert len(rows) == 1
+    return rows[0]
+
+
+def setup_movies(eng):
+    eng.execute(
+        "CREATE TABLE genres (id INTEGER PRIMARY KEY, name STRING NOT NULL)"
+    )
+    eng.execute(
+        "CREATE TABLE movies (id INTEGER PRIMARY KEY, title STRING NOT NULL, "
+        "released INTEGER NOT NULL, rating FLOAT NULL, genre_id INTEGER NULL REFERENCES genres)"
+    )
+    eng.execute("INSERT INTO genres VALUES (1, 'Drama'), (2, 'Scifi'), (3, 'Comedy')")
+    eng.execute(
+        "INSERT INTO movies VALUES "
+        "(1, 'Stalker', 1979, 9.0, 1), "
+        "(2, 'Solaris', 1972, 8.5, 2), "
+        "(3, 'Sideways', 2004, 7.5, 3), "
+        "(4, 'Heat', 1995, 8.3, 1), "
+        "(5, 'Unrated', 2021, NULL, NULL)"
+    )
+
+
+# ---------------------------------------------------------------- expressions
+
+
+def test_fromless_arithmetic(eng):
+    assert one(eng, "SELECT 1 + 2 * 3") == (7,)
+    assert one(eng, "SELECT 7 / 2") == (3,)  # int/int truncates
+    assert one(eng, "SELECT -7 / 2") == (-3,)  # toward zero
+    assert one(eng, "SELECT 7.0 / 2") == (3.5,)
+    assert one(eng, "SELECT 7 % 3") == (1,)
+    assert one(eng, "SELECT 2 ^ 10") == (1024,)  # integer result
+    assert one(eng, "SELECT 5!") == (120,)
+    assert one(eng, "SELECT -(1 + 2)") == (-3,)
+
+
+def test_three_valued_logic(eng):
+    # expression.rs:52-74 truth tables
+    assert one(eng, "SELECT TRUE AND NULL") == (None,)
+    assert one(eng, "SELECT FALSE AND NULL") == (False,)
+    assert one(eng, "SELECT TRUE OR NULL") == (True,)
+    assert one(eng, "SELECT FALSE OR NULL") == (None,)
+    assert one(eng, "SELECT NOT NULL") == (None,)
+    assert one(eng, "SELECT NULL = NULL") == (None,)
+    assert one(eng, "SELECT NULL IS NULL") == (True,)
+    assert one(eng, "SELECT 1 IS NOT NULL") == (True,)
+
+
+def test_float_literals(eng):
+    assert one(eng, "SELECT INFINITY") == (float("inf"),)
+    assert one(eng, "SELECT -INFINITY") == (float("-inf"),)
+    (v,) = one(eng, "SELECT NAN")
+    assert math.isnan(v)
+
+
+def test_comparisons(eng):
+    assert one(eng, "SELECT 1 < 2, 2 <= 2, 3 > 2, 3 >= 4, 1 = 1.0, 1 != 2") == (
+        True, True, True, False, True, True,
+    )
+    assert one(eng, "SELECT 'a' < 'b', FALSE < TRUE") == (True, True)
+
+
+def test_factorial_errors(eng):
+    with pytest.raises(Exception):
+        eng.execute("SELECT (0 - 3)!")
+    with pytest.raises(Exception):
+        eng.execute("SELECT 25!")
+
+
+def test_like_translation(eng):
+    eng.execute("CREATE TABLE s (id INTEGER PRIMARY KEY, v STRING NOT NULL)")
+    eng.execute(
+        "INSERT INTO s VALUES (1, 'hello'), (2, 'h_llo'), (3, 'h%llo'), (4, 'heXYllo')"
+    )
+    r = eng.execute("SELECT id FROM s WHERE v LIKE 'h_llo'")
+    assert sorted(t[0] for t in r.rows) == [1, 2, 3]  # _ matches any one char
+    r = eng.execute("SELECT id FROM s WHERE v LIKE 'h__llo'")  # literal _
+    assert sorted(t[0] for t in r.rows) == [2]
+    r = eng.execute("SELECT id FROM s WHERE v LIKE 'h%%llo'")  # literal %
+    assert sorted(t[0] for t in r.rows) == [3]
+    r = eng.execute("SELECT id FROM s WHERE v LIKE 'h%llo'")
+    assert sorted(t[0] for t in r.rows) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------- SELECT
+
+
+def test_select_star_and_projection(eng):
+    setup_movies(eng)
+    r = eng.execute("SELECT * FROM movies")
+    assert r.columns == ["id", "title", "released", "rating", "genre_id"]
+    assert len(r.rows) == 5
+    r = eng.execute("SELECT title, released - 1900 AS age FROM movies WHERE id = 1")
+    assert r.columns == ["title", "age"] and r.rows == [("Stalker", 79)]
+
+
+def test_joins(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT m.title, g.name FROM movies m JOIN genres g ON m.genre_id = g.id "
+        "ORDER BY m.id"
+    )
+    assert r.rows[0] == ("Stalker", "Drama") and len(r.rows) == 4
+    r = eng.execute(
+        "SELECT m.title, g.name FROM movies m LEFT JOIN genres g ON m.genre_id = g.id"
+    )
+    assert ("Unrated", None) in r.rows and len(r.rows) == 5
+    r = eng.execute(
+        "SELECT g.name, m.title FROM movies m RIGHT JOIN genres g ON m.genre_id = g.id"
+    )
+    assert len(r.rows) == 4  # every genre matched
+    r = eng.execute("SELECT count(*) FROM movies, genres")
+    assert r.rows == [(15,)]
+
+
+def test_aggregates_and_groups(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT genre_id, count(*) AS n, min(rating) AS lo, max(rating) AS hi "
+        "FROM movies GROUP BY genre_id ORDER BY genre_id"
+    )
+    # NULL group sorts first (nulls-first ASC, types/mod.rs:133-135)
+    assert r.rows[0][0] is None
+    assert r.rows[1] == (1, 2, 8.3, 9.0)
+    r = eng.execute(
+        "SELECT released / 10 AS decade, count(*) FROM movies "
+        "GROUP BY decade ORDER BY decade"
+    )
+    assert (197, 2) in r.rows
+    r = eng.execute(
+        "SELECT genre_id, count(*) AS n FROM movies GROUP BY genre_id "
+        "HAVING count(*) > 1"
+    )
+    assert r.rows == [(1, 2)]
+    # expression decomposition (planner.rs:166-177 worked example)
+    r = eng.execute(
+        "SELECT (max(rating * 100) - min(rating * 100)) / 100 FROM movies"
+    )
+    assert r.rows[0][0] == pytest.approx(1.5)
+
+
+def test_order_limit_offset(eng):
+    setup_movies(eng)
+    r = eng.execute("SELECT id FROM movies ORDER BY released DESC LIMIT 2 OFFSET 1")
+    assert [t[0] for t in r.rows] == [3, 4]
+    r = eng.execute("SELECT id, rating FROM movies ORDER BY rating")
+    assert r.rows[0][1] is None  # nulls first on ASC
+
+
+def test_zero_row_aggregate(eng):
+    setup_movies(eng)
+    r = eng.execute("SELECT count(*), sum(rating), min(title) FROM movies WHERE FALSE")
+    assert r.rows == [(0, None, None)]
+
+
+def test_name_errors(eng):
+    setup_movies(eng)
+    with pytest.raises(EngineError):
+        eng.execute("SELECT nope FROM movies")
+    with pytest.raises(EngineError):
+        eng.execute("SELECT id FROM movies m JOIN genres g ON m.genre_id = g.id")
+    with pytest.raises(EngineError):
+        eng.execute("SELECT frobnicate(1)")
+
+
+# ---------------------------------------------------------------- constraints
+
+
+def test_pk_and_unique(eng):
+    eng.execute("CREATE TABLE u (id INTEGER PRIMARY KEY, email STRING UNIQUE)")
+    eng.execute("INSERT INTO u VALUES (1, 'a@x'), (2, 'b@x')")
+    with pytest.raises(EngineError, match="primary key"):
+        eng.execute("INSERT INTO u VALUES (1, 'c@x')")
+    with pytest.raises(EngineError, match="unique"):
+        eng.execute("INSERT INTO u VALUES (3, 'a@x')")
+    # UNIQUE allows multiple NULLs
+    eng.execute("INSERT INTO u VALUES (4, NULL), (5, NULL)")
+
+
+def test_not_null_and_defaults(eng):
+    eng.execute(
+        "CREATE TABLE d (id INTEGER PRIMARY KEY, req STRING NOT NULL, "
+        "opt INTEGER, pct FLOAT DEFAULT 0.5)"
+    )
+    eng.execute("INSERT INTO d (id, req) VALUES (1, 'x')")  # defaults pad
+    r = eng.execute("SELECT * FROM d")
+    assert r.rows == [(1, "x", None, 0.5)]
+    with pytest.raises(EngineError, match="NULL value not allowed"):
+        eng.execute("INSERT INTO d VALUES (2, NULL, 1, 1.0)")
+    with pytest.raises(EngineError, match="no value given"):
+        eng.execute("INSERT INTO d (id) VALUES (3)")
+
+
+def test_string_length_limit(eng):
+    eng.execute("CREATE TABLE sl (id INTEGER PRIMARY KEY, v STRING)")
+    eng.execute(f"INSERT INTO sl VALUES (1, '{'a' * 1024}')")
+    with pytest.raises(EngineError, match="1024"):
+        eng.execute(f"INSERT INTO sl VALUES (2, '{'a' * 1025}')")
+
+
+def test_foreign_keys(eng):
+    setup_movies(eng)
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("INSERT INTO movies VALUES (9, 'Bad', 2000, 1.0, 99)")
+    with pytest.raises(EngineError, match="referenced"):
+        eng.execute("DELETE FROM genres WHERE id = 1")
+    eng.execute("DELETE FROM movies WHERE genre_id = 1")
+    eng.execute("DELETE FROM genres WHERE id = 1")  # now unreferenced
+
+
+def test_drop_table_fk_guard(eng):
+    setup_movies(eng)
+    with pytest.raises(EngineError, match="referenced by"):
+        eng.execute("DROP TABLE genres")
+    eng.execute("DROP TABLE movies")
+    eng.execute("DROP TABLE genres")
+    with pytest.raises(EngineError):
+        eng.execute("SELECT * FROM movies")
+
+
+# ---------------------------------------------------------------- DML
+
+
+def test_update(eng):
+    setup_movies(eng)
+    r = eng.execute("UPDATE movies SET rating = rating + 0.5 WHERE genre_id = 1")
+    assert r.status == "UPDATE 2"
+    r = eng.execute("SELECT rating FROM movies WHERE id = 1")
+    assert r.rows == [(9.5,)]
+    r = eng.execute("SELECT rating FROM movies WHERE id = 2")
+    assert r.rows == [(8.5,)]  # untouched
+
+
+def test_delete(eng):
+    setup_movies(eng)
+    r = eng.execute("DELETE FROM movies WHERE released < 1980")
+    assert r.status == "DELETE 2"
+    assert one(eng, "SELECT count(*) FROM movies") == (3,)
+
+
+# ---------------------------------------------------------------- transactions
+
+
+def test_autocommit_versions(eng):
+    v0 = eng.catalog.current_version()
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    eng.execute("INSERT INTO t VALUES (1)")
+    assert eng.catalog.current_version() == v0 + 2  # one version per statement
+
+
+def test_txn_commit_rollback(eng):
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO t VALUES (1)")
+    eng.execute("INSERT INTO t VALUES (2)")
+    eng.execute("COMMIT")
+    assert one(eng, "SELECT count(*) FROM t") == (2,)
+    eng.execute("BEGIN")
+    eng.execute("INSERT INTO t VALUES (3)")
+    assert one(eng, "SELECT count(*) FROM t") == (3,)  # txn sees own writes
+    eng.execute("ROLLBACK")
+    assert one(eng, "SELECT count(*) FROM t") == (2,)
+
+
+def test_txn_errors(eng):
+    with pytest.raises(EngineError):
+        eng.execute("COMMIT")
+    with pytest.raises(EngineError):
+        eng.execute("ROLLBACK")
+    eng.execute("BEGIN")
+    with pytest.raises(EngineError):
+        eng.execute("BEGIN")
+    eng.execute("ROLLBACK")
+
+
+def test_read_only_txn(eng):
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    eng.execute("BEGIN READ ONLY")
+    with pytest.raises(EngineError, match="read-only"):
+        eng.execute("INSERT INTO t VALUES (1)")
+    eng.execute("COMMIT")
+
+
+def test_as_of_time_travel(eng):
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v STRING)")
+    v1 = eng.catalog.current_version()
+    eng.execute("INSERT INTO t VALUES (1, 'first')")
+    v2 = eng.catalog.current_version()
+    eng.execute("UPDATE t SET v = 'second' WHERE id = 1")
+    eng.execute("INSERT INTO t VALUES (2, 'x')")
+
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v2}")
+    assert eng.execute("SELECT v FROM t").rows == [("first",)]
+    eng.execute("COMMIT")
+
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v1}")
+    assert eng.execute("SELECT count(*) FROM t").rows == [(0,)]
+    eng.execute("COMMIT")
+
+    assert sorted(eng.execute("SELECT v FROM t").rows) == [("second",), ("x",)]
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("BEGIN READ ONLY AS OF SYSTEM TIME 9999")
+
+
+def test_explain(eng):
+    setup_movies(eng)
+    r = eng.execute("EXPLAIN SELECT title FROM movies WHERE id = 1")
+    text = "\n".join(t[0] for t in r.rows)
+    assert "Select" in text and "Scan movies" in text
+    assert "Physical (Catalyst)" in text
