@@ -1,0 +1,161 @@
+"""Dialect-engine queries in the correctness gate.
+
+These entries execute entangleDB SQL text through the full front-end
+(lexer → parser → AST → DataFrame compiler) against the fixture tables,
+and are hash-compared against DuckDB oracles by the driver — proving the
+dialect engine end-to-end, not just the hand-built DataFrame queries.
+
+Float caution: only exact aggregates are exposed here (counts, min/max,
+sums of integral-valued doubles — exact in IEEE754, hence summation-order
+independent). Non-integral double sums live in the relational module where
+both sides round via the shared r4 formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entangledb_spark.plans import ast
+from entangledb_spark.plans.compiler import compile_select
+from entangledb_spark.plans.parser import parse
+from entangledb_spark.registry import query, table
+
+
+def _read_dialect(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture reader for the dialect engine: integer columns are upcast to
+    long because the reference's INTEGER is i64 (types/mod.rs:36); this also
+    keeps computed-int schema widths identical to the DuckDB oracle."""
+    df = table(spark, sf_dir, name)
+    casts = [
+        (F.col(c).cast("long").alias(c) if t in ("int", "smallint", "tinyint") else F.col(c))
+        for c, t in df.dtypes
+    ]
+    return df.select(*casts)
+
+
+def _run(sql: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    stmt = parse(sql)
+    assert isinstance(stmt, ast.Select)
+    return compile_select(stmt, spark, lambda name: _read_dialect(spark, sf_dir, name))
+
+
+def dialect(name: str, sql: str, oracle: str):
+    @query(name, oracle=oracle)
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        return _run(_sql, spark, sf_dir)
+
+    fn.__name__ = name
+    fn.__doc__ = f"Dialect-engine execution of: {sql.strip()}"
+    return fn
+
+
+dialect(
+    "q32_dialect_filter_agg",
+    """
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    """,
+)
+
+dialect(
+    "q33_dialect_join_topk",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 25
+    """,
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 25
+    """,
+)
+
+dialect(
+    "q34_dialect_expressions",
+    """
+    SELECT p_partkey, p_size * 2 + 1 AS dbl, p_size / 3 AS third,
+           p_size % 5 AS m5, (p_size % 6)! AS fact,
+           p_size > 25 AND p_size < 40 AS in_range,
+           p_name LIKE 'p%' OR p_brand = 'Brand#13' AS matched
+    FROM part WHERE p_partkey <= 500
+    """,
+    oracle="""
+    SELECT p_partkey, CAST(p_size * 2 + 1 AS BIGINT) AS dbl,
+           CAST(p_size // 3 AS BIGINT) AS third,
+           CAST(p_size % 5 AS BIGINT) AS m5,
+           CAST(factorial(p_size % 6) AS BIGINT) AS fact,
+           (p_size > 25 AND p_size < 40) AS in_range,
+           (p_name LIKE 'p%' OR p_brand = 'Brand#13') AS matched
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+
+dialect(
+    "q35_dialect_having_hidden",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) > 2
+    ORDER BY n_customers DESC, n_name
+    """,
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name HAVING count(*) > 2
+    ORDER BY n_customers DESC, n_name
+    """,
+)
+
+dialect(
+    "q36_dialect_left_join_nulls",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    HAVING count(o.o_orderkey) = 0
+    """,
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey HAVING count(o.o_orderkey) = 0
+    """,
+)
+
+dialect(
+    "q37_dialect_right_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM nation n RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' OR r.r_name = 'EUROPE'
+    """,
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM nation n RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' OR r.r_name = 'EUROPE'
+    """,
+)
+
+dialect(
+    "q38_dialect_groupby_expr",
+    """
+    SELECT p_size / 10 AS size_bucket, count(*) AS n,
+           min(p_retailprice) AS lo, max(p_retailprice) AS hi
+    FROM part GROUP BY size_bucket ORDER BY size_bucket
+    """,
+    oracle="""
+    SELECT CAST(p_size // 10 AS BIGINT) AS size_bucket, count(*) AS n,
+           min(p_retailprice) AS lo, max(p_retailprice) AS hi
+    FROM part GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -750,3 +750,115 @@ def q31_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("o_totalprice").over(w)).alias("running_total"),
         )
     )
+
+
+@query(
+    "q43_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           r4(sum(l_extendedprice * (1 - l_discount))) AS revenue,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(year(o_orderdate) AS BIGINT), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+    """,
+)
+def q43_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two shuffling joins → grouped
+    top-k. Scale: customer filter prunes before the join (pushed to scan);
+    the final ORDER+LIMIT becomes TakeOrderedAndProject — no global sort."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "order_year", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q44_tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT r4(sum(l_extendedprice * l_discount)) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q44_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate. Every predicate
+    reaches the Parquet reader; the scan reads 4 columns of 11; partial
+    aggregation leaves one row per partition before the single exchange."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q45_tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           r4(sum(l_extendedprice * (1 - l_discount))) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q45_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join + broadcast dim + grouped top-k by
+    revenue lost to returns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )

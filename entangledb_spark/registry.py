@@ -101,6 +101,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     import entangledb_spark.operators.dedup  # noqa: F401
+    import entangledb_spark.operators.dialect  # noqa: F401
     import entangledb_spark.operators.multimodal  # noqa: F401
     import entangledb_spark.operators.relational  # noqa: F401
     import entangledb_spark.operators.similarity  # noqa: F401

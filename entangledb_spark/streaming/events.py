@@ -147,3 +147,64 @@ def run_stream_once(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .start(f"{out_dir}/windowed")
     )
     q.awaitTermination(timeout=120)
+
+
+@query(
+    "q42_events_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, value, sec,
+             CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, event_id, value, sec,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
+           r4(sum(value)) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via lag + running sum — the
+    batch formulation of the classic stateful-streaming operator (the
+    streaming twin is session_window/applyInPandasWithState; same keying).
+    Scale: one shuffle on user_id; both window passes reuse the same
+    partitioning, so Spark plans a single exchange."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").alias("sec")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_id", "value", sec, F.col("ts")).withColumn(
+        "prev_sec", F.lag(F.unix_timestamp("ts")).over(w)
+    )
+    marked = seq.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new").over(w2).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
+        r4(F.sum("value")).alias("session_value"),
+    )
