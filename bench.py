@@ -33,7 +33,12 @@ HEADLINE = [
     "q19_agg_groupby_expr",
     "q23_order_limit_topk",
     "q30_window_rank",
+    "q33_dialect_join_topk",
     "q40_events_tumbling_window",
+    "q42_events_sessionize",
+    "q43_tpch_q3_shipping_priority",
+    "q44_tpch_q6_forecast_revenue",
+    "q45_tpch_q10_returned_items",
     "q50_text_tokens",
     "q53_text_fingerprint",
     "q60_dedup_exact",
