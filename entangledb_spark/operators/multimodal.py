@@ -79,6 +79,9 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     materializes; per-batch peak memory is bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch × payload size.
     """
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

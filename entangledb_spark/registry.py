@@ -83,6 +83,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df.schema  # force schema resolution to surface illegal-type errors
         return df
     except Exception:
+        return spark.createDataFrame(_ns_fallback_pandas(path))
+
+
+_NS_CACHE: dict[tuple[str, float], "object"] = {}
+
+
+def _ns_fallback_pandas(path: str):
+    """Memoized ns→µs conversion for fixtures Spark's reader rejects
+    (keyed by path+mtime so a regenerated fixture invalidates)."""
+    key = (path, os.path.getmtime(path))
+    if key not in _NS_CACHE:
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -94,8 +105,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             else t.column(i)
             for i in range(t.num_columns)
         ]
-        t = pa.table(cols, names=t.column_names)
-        return spark.createDataFrame(t.to_pandas())
+        _NS_CACHE.clear()  # bound memory: one cached fixture at a time
+        _NS_CACHE[key] = pa.table(cols, names=t.column_names).to_pandas()
+    return _NS_CACHE[key]
 
 
 def load_all() -> None:
