@@ -862,3 +862,93 @@ def q45_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q46_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q46_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregates (extension — the reference has none,
+    SURVEY §2.4). Scale: Spark expands distinct aggs into a two-phase
+    partial-distinct plan; for very high cardinalities swap in
+    approx_count_distinct (q49) to keep state bounded."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q47_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           r4(quantile_cont(c_acctbal, 0.5)) AS median_bal,
+           r4(quantile_cont(c_acctbal, 0.9)) AS p90_bal,
+           r4(min(c_acctbal)) AS min_bal,
+           r4(max(c_acctbal)) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). Scale note: exact percentile materializes per-group
+    values — at 100 TB use approx_percentile (t-digest, bounded state);
+    exact is appropriate for bounded-cardinality groups like these."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        r4(F.expr("percentile(c_acctbal, 0.5)")).alias("median_bal"),
+        r4(F.expr("percentile(c_acctbal, 0.9)")).alias("p90_bal"),
+        r4(F.min("c_acctbal")).alias("min_bal"),
+        r4(F.max("c_acctbal")).alias("max_bal"),
+    )
+
+
+@query(
+    "q48_stats_moments",
+    oracle="""
+    SELECT n_nationkey % 5 AS grp,
+           r4(stddev_samp(c_acctbal)) AS sd_bal,
+           r4(var_samp(c_acctbal) / 1000) AS var_bal_k,
+           r4(corr(c_acctbal, CAST(c_custkey AS DOUBLE))) AS corr_bal_key,
+           r4(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)) / 1000) AS cov_k
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def q48_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev/variance/correlation/covariance) —
+    single-pass streaming moments, map-side combinable, skew-free."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    key_d = F.col("c_custkey").cast("double")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy((F.col("n_nationkey") % 5).alias("grp"))
+        .agg(
+            r4(F.stddev_samp("c_acctbal")).alias("sd_bal"),
+            r4(F.var_samp("c_acctbal") / 1000).alias("var_bal_k"),
+            r4(F.corr(F.col("c_acctbal"), key_d)).alias("corr_bal_key"),
+            r4(F.covar_samp(F.col("c_acctbal"), key_d) / 1000).alias("cov_k"),
+        )
+    )
+
+
+@query("q49_approx_distinct")  # approximate sketch → rows-only check
+def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — THE scale path for cardinality
+    at 100 TB (bounded sketch state vs unbounded exact-distinct hash sets).
+    Not oracle-matched: sketch estimates are engine-specific by design."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

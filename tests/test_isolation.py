@@ -1,0 +1,104 @@
+"""Snapshot-isolation anomaly tests — the engine-level analog of the
+reference's MVCC anomaly golden scripts (/root/reference/src/storage/golden/
+mvcc/anomaly_*, SURVEY §5): two Engine sessions share one database
+directory; readers pin a version and must not observe concurrent commits.
+The single-writer model matches the reference's mutex-serialized writer
+(storage/mvcc.rs:84-95)."""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.engine import Engine, EngineError
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    base = str(tmp_path / "db")
+    a = Engine(spark, base)
+    b = Engine(spark, base)
+    a.execute("CREATE TABLE accounts (id INTEGER PRIMARY KEY, balance INTEGER NOT NULL)")
+    a.execute("INSERT INTO accounts VALUES (1, 100), (2, 200)")
+    return a, b
+
+
+def val(eng, sql):
+    return eng.execute(sql).rows[0][0]
+
+
+def test_repeatable_read_no_fuzzy_read(db):
+    """anomaly_fuzzy_read: a pinned reader sees the same value before and
+    after a concurrent committed update."""
+    a, b = db
+    b.execute("BEGIN READ ONLY")
+    before = val(b, "SELECT balance FROM accounts WHERE id = 1")
+    a.execute("UPDATE accounts SET balance = 999 WHERE id = 1")
+    after = val(b, "SELECT balance FROM accounts WHERE id = 1")
+    b.execute("COMMIT")
+    assert before == after == 100
+    assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 999
+
+
+def test_no_dirty_read(db):
+    """anomaly_dirty_read: uncommitted writes in A's open transaction are
+    invisible to B."""
+    a, b = db
+    a.execute("BEGIN")
+    a.execute("UPDATE accounts SET balance = 0 WHERE id = 1")
+    assert val(a, "SELECT balance FROM accounts WHERE id = 1") == 0  # own write
+    assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 100  # not B
+    a.execute("ROLLBACK")
+    assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 100
+
+
+def test_no_phantom_read(db):
+    """anomaly_phantom_read: a pinned reader's predicate scan is stable
+    against concurrent inserts."""
+    a, b = db
+    b.execute("BEGIN READ ONLY")
+    n0 = val(b, "SELECT count(*) FROM accounts WHERE balance >= 100")
+    a.execute("INSERT INTO accounts VALUES (3, 300)")
+    n1 = val(b, "SELECT count(*) FROM accounts WHERE balance >= 100")
+    b.execute("COMMIT")
+    assert n0 == n1 == 2
+    assert val(b, "SELECT count(*) FROM accounts") == 3
+
+
+def test_rollback_discards_all_writes(db):
+    """begin → several writes → rollback leaves no trace (reference
+    golden `rollback`)."""
+    a, b = db
+    a.execute("BEGIN")
+    a.execute("INSERT INTO accounts VALUES (10, 1)")
+    a.execute("UPDATE accounts SET balance = balance + 1 WHERE id = 2")
+    a.execute("DELETE FROM accounts WHERE id = 1")
+    a.execute("ROLLBACK")
+    assert val(b, "SELECT count(*) FROM accounts") == 2
+    assert val(b, "SELECT balance FROM accounts WHERE id = 2") == 200
+
+
+def test_update_pk_self_reference(db):
+    """UPDATE t SET pk = pk + 1 — the self-referential pathology the
+    reference itself flags (mutation.rs:102-107). Set-oriented snapshot
+    rewrite handles it naturally: all updates apply to the OLD snapshot."""
+    a, _ = db
+    a.execute("UPDATE accounts SET id = id + 1")
+    rows = sorted(a.execute("SELECT id, balance FROM accounts").rows)
+    assert rows == [(2, 100), (3, 200)]
+
+
+def test_update_pk_collision_detected(db):
+    a, _ = db
+    with pytest.raises(EngineError, match="duplicate primary key"):
+        a.execute("UPDATE accounts SET id = 1")  # both rows → pk 1
+
+
+def test_as_of_survives_later_writes(db):
+    a, b = db
+    v = a.catalog.current_version()
+    a.execute("UPDATE accounts SET balance = 1 WHERE id = 1")
+    a.execute("DELETE FROM accounts WHERE id = 2")
+    b.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v}")
+    assert val(b, "SELECT count(*) FROM accounts") == 2
+    assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 100
+    b.execute("COMMIT")
