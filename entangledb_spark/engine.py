@@ -239,23 +239,23 @@ class Engine:
     def _pk_of(self, meta: dict) -> str:
         return next(c["name"] for c in meta["columns"] if c["primary_key"])
 
-    def _validate_and_stage(
-        self, manifest: dict, name: str, new_df: DataFrame
-    ) -> None:
+    def _validate_view(self, manifest: dict, name: str, candidate: DataFrame) -> None:
+        """Run every constraint against the candidate full-table view (the
+        state that WOULD be current if the mutation commits). The view is a
+        lazy plan — checks are distributed jobs, the view itself is never
+        materialized on the driver."""
         meta = self._table_meta(manifest, name)
         cols = meta["columns"]
-        con.check_not_null_and_length(name, new_df, cols)
-        con.check_unique(name, new_df, cols)
+        con.check_not_null_and_length(name, candidate, cols)
+        con.check_unique(name, candidate, cols)
 
         def target_df_and_pk(tname: str):
             if tname == name:
-                tmeta = meta
-                return new_df, self._pk_of(tmeta)
+                return candidate, self._pk_of(meta)
             tmeta = self._table_meta(manifest, tname)
             return self.catalog.read_df(manifest, tname), self._pk_of(tmeta)
 
-        con.check_foreign_keys(name, new_df, cols, target_df_and_pk)
-        meta["data"] = self.catalog.write_snapshot(name, new_df)
+        con.check_foreign_keys(name, candidate, cols, target_df_and_pk)
 
     # ---------------------------------------------------------- INSERT
 
@@ -304,7 +304,9 @@ class Engine:
         new_rows = self.spark.createDataFrame(rows, schema)
         existing = self.catalog.read_df(manifest, stmt.table)
         combined = existing.unionByName(new_rows)
-        self._validate_and_stage(manifest, stmt.table, combined)
+        self._validate_view(manifest, stmt.table, combined)
+        # merge-on-read: only the new rows hit disk (O(inserted), not O(table))
+        self.catalog.stage_delta(manifest, stmt.table, upserts=new_rows)
         return Result(status=f"INSERT {len(rows)}")
 
     # ---------------------------------------------------------- UPDATE
@@ -323,17 +325,39 @@ class Engine:
             else F.lit(True)
         )
         n_matched = df.filter(pred).count()
-        out = df
         updates = {
             cname: compile_expr(expr, scope_resolve, scope_type)
             for cname, expr in stmt.sets
         }
-        for cname, new_col in updates.items():
-            ty = SPARK_TYPES[by_name[cname]["datatype"]]
-            out = out.withColumn(
-                cname, F.when(pred, new_col.cast(ty)).otherwise(F.col(cname))
-            )
-        self._validate_and_stage(manifest, stmt.table, out)
+        # Evaluate the predicate ONCE against pre-update values (a SET that
+        # flips its own WHERE condition must not unselect the row), then
+        # apply every SET expression against the old row values.
+        flagged = df.withColumn("__upd", F.coalesce(pred, F.lit(False)))
+        # one simultaneous select: every SET expression sees OLD values
+        # (`SET a = 1, b = a` assigns the old a to b — mutation.rs evaluates
+        # against the original row too)
+        projected = []
+        for c in [col["name"] for col in meta["columns"]]:
+            if c in updates:
+                ty = SPARK_TYPES[by_name[c]["datatype"]]
+                projected.append(
+                    F.when(F.col("__upd"), updates[c].cast(ty))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                projected.append(F.col(c))
+        out = flagged.select(*projected, F.col("__upd"))
+        self._validate_view(manifest, stmt.table, out.drop("__upd"))
+        # merge-on-read: write only the changed rows; if the PK itself was
+        # assigned, tombstone the old keys in the same delta (upsert wins at
+        # equal rank, so UPDATE pk=pk+1 overlaps resolve correctly)
+        pk = self._pk_of(meta)
+        changed = out.filter(F.col("__upd")).drop("__upd")
+        old_keys = flagged.filter(F.col("__upd")).select(pk) if pk in updates else None
+        self.catalog.stage_delta(
+            manifest, stmt.table, upserts=changed, deletes=old_keys
+        )
         return Result(status=f"UPDATE {n_matched}")
 
     # ---------------------------------------------------------- DELETE
@@ -363,7 +387,10 @@ class Engine:
                     )
                     referencing.append((other, c["name"], odf))
         con.check_delete_references(stmt.table, remaining, pk, referencing)
-        meta["data"] = self.catalog.write_snapshot(stmt.table, remaining)
+        # merge-on-read: write only the tombstoned keys
+        self.catalog.stage_delta(
+            manifest, stmt.table, deletes=df.filter(pred).select(pk)
+        )
         return Result(status=f"DELETE {n_matched}")
 
     # ---------------------------------------------------------- EXPLAIN

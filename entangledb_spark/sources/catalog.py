@@ -124,20 +124,106 @@ class SnapshotCatalog:
         self._publish_current(v)
         return v
 
-    # ---- table data --------------------------------------------------------
+    # ---- table data (merge-on-read) ----------------------------------------
+    #
+    # A table version is a base snapshot plus an ordered list of delta
+    # entries, each holding `upserts` (full rows) and/or `deletes` (PK
+    # tombstones). Mutations write O(changed rows), not O(table) — the
+    # property that makes DML viable on a 100 TB table. Reads resolve the
+    # latest row per PK with one window pass (single shuffle on the PK);
+    # after COMPACT_AFTER deltas the full view is rewritten as a new base
+    # so read amplification stays bounded. This is the Delta-Lake /
+    # Iceberg merge-on-read shape in miniature.
+
+    COMPACT_AFTER = 8
+
+    def _pk_of(self, meta: dict) -> str:
+        return next(c["name"] for c in meta["columns"] if c["primary_key"])
+
+    def _read_path(self, rel: str, schema: T.StructType) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(os.path.join(self.base, rel))
 
     def read_df(self, manifest: dict, name: str) -> DataFrame:
         t = manifest["tables"].get(name)
         if t is None:
             raise CatalogError(f"table {name} does not exist")
         schema = schema_of(t["columns"])
-        if t["data"] is None:
+        deltas = t.get("deltas", [])
+        if t["data"] is None and not deltas:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(os.path.join(self.base, t["data"]))
+        base = (
+            self._read_path(t["data"], schema)
+            if t["data"] is not None
+            else self.spark.createDataFrame([], schema)
+        )
+        if not deltas:
+            return base
+        from pyspark.sql import Window, functions as F
+
+        pk = self._pk_of(t)
+        pk_schema = T.StructType([schema[pk]])
+        parts = [base.withColumn("__rank", F.lit(0)).withColumn("__del", F.lit(False))]
+        for i, d in enumerate(deltas, start=1):
+            if d.get("upserts"):
+                parts.append(
+                    self._read_path(d["upserts"], schema)
+                    .withColumn("__rank", F.lit(i))
+                    .withColumn("__del", F.lit(False))
+                )
+            if d.get("deletes"):
+                tomb = self._read_path(d["deletes"], pk_schema)
+                for c in schema.fieldNames():
+                    if c != pk:
+                        tomb = tomb.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                parts.append(
+                    tomb.select(*schema.fieldNames())
+                    .withColumn("__rank", F.lit(i))
+                    .withColumn("__del", F.lit(True))
+                )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        # latest version of each PK wins; at equal rank an upsert beats a
+        # tombstone (UPDATE pk=pk+1 writes both in one delta)
+        w = Window.partitionBy(pk).orderBy(F.col("__rank").desc(), F.col("__del").asc())
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (~F.col("__del")))
+            .drop("__rank", "__del", "__rn")
+        )
 
     def write_snapshot(self, name: str, df: DataFrame) -> str:
-        """Write an immutable parquet snapshot, return its manifest-relative
+        """Write an immutable parquet file set, return its manifest-relative
         path. Distributed write — no driver materialization."""
         rel = os.path.join("data", name, uuid.uuid4().hex[:12])
         df.write.mode("overwrite").parquet(os.path.join(self.base, rel))
         return rel
+
+    def stage_delta(
+        self,
+        manifest: dict,
+        name: str,
+        upserts: Optional[DataFrame] = None,
+        deletes: Optional[DataFrame] = None,
+    ) -> None:
+        """Append a merge-on-read delta (O(changed rows) write), compacting
+        into a fresh base when the delta chain gets long."""
+        meta = manifest["tables"][name]
+        delta: dict = {}
+        if upserts is not None:
+            delta["upserts"] = self.write_snapshot(name, upserts)
+        if deletes is not None:
+            delta["deletes"] = self.write_snapshot(name, deletes)
+        if not delta:
+            return
+        meta.setdefault("deltas", []).append(delta)
+        if len(meta["deltas"]) >= self.COMPACT_AFTER:
+            self.compact(manifest, name)
+
+    def compact(self, manifest: dict, name: str) -> None:
+        """Materialize the current view as a new base and clear the delta
+        chain — bounds read amplification; run out-of-band at scale."""
+        meta = manifest["tables"][name]
+        view = self.read_df(manifest, name)
+        meta["data"] = self.write_snapshot(name, view)
+        meta["deltas"] = []

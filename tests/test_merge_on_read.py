@@ -1,0 +1,75 @@
+"""Merge-on-read storage: mutations write O(changed rows) deltas; reads
+resolve latest-per-PK; compaction bounds the delta chain."""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER)")
+    e.execute("INSERT INTO t VALUES (1, 10, 100), (2, 20, 200), (3, 30, 300)")
+    return e
+
+
+def meta(eng):
+    return eng.catalog.manifest()["tables"]["t"]
+
+
+def test_mutations_append_deltas_not_bases(eng):
+    m0 = meta(eng)
+    assert len(m0.get("deltas", [])) == 1  # the INSERT
+    base0 = m0["data"]
+    eng.execute("UPDATE t SET a = a + 1 WHERE id = 1")
+    eng.execute("DELETE FROM t WHERE id = 3")
+    m1 = meta(eng)
+    assert m1["data"] == base0  # base untouched
+    assert len(m1["deltas"]) == 3
+    assert "upserts" in m1["deltas"][1] and "deletes" in m1["deltas"][2]
+    rows = sorted(eng.execute("SELECT id, a FROM t").rows)
+    assert rows == [(1, 11), (2, 20)]
+
+
+def test_update_delta_contains_only_changed_rows(eng, spark):
+    eng.execute("UPDATE t SET a = 0 WHERE id = 2")
+    m = meta(eng)
+    up = m["deltas"][-1]["upserts"]
+    delta_df = spark.read.parquet(f"{eng.catalog.base}/{up}")
+    assert delta_df.count() == 1  # only the matched row, not the table
+    assert delta_df.first()["id"] == 2
+
+
+def test_predicate_evaluated_on_old_values(eng):
+    # SET flips its own WHERE condition: row must still be written
+    eng.execute("UPDATE t SET a = 999 WHERE a < 15")
+    rows = sorted(eng.execute("SELECT id, a FROM t").rows)
+    assert rows == [(1, 999), (2, 20), (3, 30)]
+
+
+def test_simultaneous_set_sees_old_values(eng):
+    eng.execute("UPDATE t SET a = 1, b = a WHERE id = 1")
+    r = eng.execute("SELECT a, b FROM t WHERE id = 1").rows
+    assert r == [(1, 10)]  # b got OLD a, not the new 1
+
+
+def test_pk_update_overlap(eng):
+    eng.execute("UPDATE t SET id = id + 1")  # 1,2,3 -> 2,3,4 with overlaps
+    rows = sorted(eng.execute("SELECT id, a FROM t").rows)
+    assert rows == [(2, 10), (3, 20), (4, 30)]
+
+
+def test_compaction_bounds_delta_chain(eng):
+    for i in range(10):
+        eng.execute(f"UPDATE t SET a = {i} WHERE id = 1")
+    m = meta(eng)
+    assert len(m.get("deltas", [])) < eng.catalog.COMPACT_AFTER  # compacted
+    assert eng.execute("SELECT a FROM t WHERE id = 1").rows == [(9,)]
+    # history still intact: AS OF before the updates
+    v_first = 2  # v1 = create, v2 = insert
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v_first}")
+    assert eng.execute("SELECT a FROM t WHERE id = 1").rows == [(10,)]
+    eng.execute("COMMIT")
