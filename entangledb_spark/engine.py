@@ -98,6 +98,18 @@ class Engine:
     def in_transaction(self) -> bool:
         return self._txn is not None or self._txn_version is not None
 
+    # catalog introspection — the reference's Request::ListTables/GetTable
+    # (server.rs:215-220) and the REPL's !tables/!table backing calls
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._manifest_for_read()["tables"])
+
+    def get_table(self, name: str) -> dict:
+        t = self._manifest_for_read()["tables"].get(name)
+        if t is None:
+            raise EngineError(f"table {name} does not exist")
+        return {"name": name, "columns": [dict(c) for c in t["columns"]]}
+
     # ---------------------------------------------------------- dispatch
 
     def _execute_statement(self, stmt: ast.Statement) -> Result:

@@ -138,18 +138,24 @@ def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
         return c(0) | c(1)
     if n == "NOT":
         return ~c(0)
-    if n == "EQ":
-        return c(0) == c(1)
-    if n == "NE":
-        return c(0) != c(1)
-    if n == "GT":
-        return c(0) > c(1)
-    if n == "GTE":
-        return c(0) >= c(1)
-    if n == "LT":
-        return c(0) < c(1)
-    if n == "LTE":
-        return c(0) <= c(1)
+    if n in ("EQ", "NE", "GT", "GTE", "LT", "LTE"):
+        # mixed non-numeric comparison is an error in the reference
+        # (expression.rs:86-88: "Can't compare"); Spark would implicitly
+        # cast, so pre-validate with static types where known.
+        lt, rt = (static_type(a, field_type) for a in args)
+        numeric = {"int", "float"}
+        if lt is not None and rt is not None and lt != rt:
+            if not (lt in numeric and rt in numeric):
+                raise CompileError(f"can't compare {lt} with {rt}")
+        op = {
+            "EQ": lambda a, b: a == b,
+            "NE": lambda a, b: a != b,
+            "GT": lambda a, b: a > b,
+            "GTE": lambda a, b: a >= b,
+            "LT": lambda a, b: a < b,
+            "LTE": lambda a, b: a <= b,
+        }[n]
+        return op(c(0), c(1))
     if n == "IS_NULL":
         return c(0).isNull()
     if n == "LIKE":

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
-N_HYPERPLANES = 8  # sign-LSH code width → 256 buckets
+N_HYPERPLANES = 4  # sign-LSH code width per table → 16 buckets
+N_LSH_TABLES = 6  # independent hash tables; candidates = union over tables
 N_IVF_CELLS = 16  # IVF coarse cells
 
 
@@ -101,12 +102,12 @@ def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
-    """Sign-random-projection LSH bucket id.
+def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) -> Column:
+    """Sign-random-projection LSH bucket id for one hash table.
 
     Hyperplane h's component for dimension i is a deterministic pseudo-random
-    ±1 derived from xxhash64(h, i) — reproducible on any cluster, no RNG
-    state to ship. Bucket = integer of sign bits."""
+    ±1 derived from xxhash64(table_seed, h, i) — reproducible on any
+    cluster, no RNG state to ship. Bucket = integer of sign bits."""
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
     return F.aggregate(
@@ -119,7 +120,9 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
                     vec,
                     dims,
                     lambda x, i: x.cast("double")
-                    * F.when(F.pmod(F.xxhash64(h, i), F.lit(2)) == 0, 1.0).otherwise(-1.0),
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(table_seed), h, i), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
                 ),
                 F.lit(0.0),
                 lambda a, v: a + v,
@@ -132,33 +135,53 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
 
 @query("q71_ann_lsh_bucketed")  # seeded-hash bucketing → no SQL oracle (rows-only)
 def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: probe and corpus vectors are routed to sign-LSH
-    buckets; candidates are same-bucket only, then exact cosine re-ranks.
+    """Multi-table LSH ANN: each vector gets N_LSH_TABLES independent
+    sign-LSH bucket ids (exploded to one row per table); candidates are
+    pairs sharing a bucket in ANY table (distinct-deduped), then exact
+    cosine re-ranks the candidates.
 
-    The candidate join is an equi-join on bucket id → hash-partitioned,
-    no cross product anywhere. This is the 100 TB shape: recall tunes with
-    n_planes / multi-probe, cost stays O(collisions)."""
+    The candidate join is an equi-join on (table, bucket) → hash-
+    partitioned, no cross product anywhere. This is the 100 TB shape:
+    recall tunes with table count / plane count / multi-probe, cost stays
+    O(collisions)."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    with_b = e.withColumn("bucket", srp_bucket(F.col("embedding")))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket(F.col("embedding"), table_seed=t).alias("bucket"),
+            )
+            for t in range(N_LSH_TABLES)
+        ]
+    )
+    with_b = e.select(
+        "vec_id", "embedding", F.explode(buckets).alias("tb")
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
     q = with_b.filter(F.col("vec_id") < 20).alias("q")
     n = with_b.alias("n")
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
+    cands = (
         q.join(
             n,
-            (F.col("q.bucket") == F.col("n.bucket"))
+            (F.col("q.tbl") == F.col("n.tbl"))
+            & (F.col("q.bucket") == F.col("n.bucket"))
             & (F.col("q.vec_id") != F.col("n.vec_id")),
         )
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
-            F.col("q.bucket").alias("bucket"),
-            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias("cos_sim"),
+            F.col("q.embedding").alias("q_emb"),
+            F.col("n.embedding").alias("n_emb"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("cos_sim", r4(cosine_sim(F.col("q_emb"), F.col("n_emb"))))
+        .drop("q_emb", "n_emb")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )

@@ -336,3 +336,28 @@ def test_explain(eng):
     text = "\n".join(t[0] for t in r.rows)
     assert "Select" in text and "Scan movies" in text
     assert "Physical (Catalyst)" in text
+
+
+def test_mixed_type_comparison_errors(eng):
+    # expression.rs:86-88 "Can't compare" — pre-validated at compile time
+    for bad in [
+        "SELECT 1 = 'a'",
+        "SELECT 'a' < 1",
+        "SELECT TRUE > 1",
+        "SELECT 'x' >= FALSE",
+    ]:
+        with pytest.raises(EngineError, match="can't compare"):
+            eng.execute(bad)
+    # numeric cross-compare and same-type compares stay legal
+    assert one(eng, "SELECT 1 < 2.5, 'a' = 'a', TRUE = TRUE") == (True, True, True)
+
+
+def test_catalog_introspection(eng):
+    setup_movies(eng)
+    assert eng.list_tables() == ["genres", "movies"]
+    t = eng.get_table("movies")
+    assert t["name"] == "movies"
+    cols = {c["name"]: c for c in t["columns"]}
+    assert cols["id"]["primary_key"] and cols["genre_id"]["references"] == "genres"
+    with pytest.raises(EngineError):
+        eng.get_table("nope")

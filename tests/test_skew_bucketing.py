@@ -93,3 +93,27 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """ANN quality: sign-LSH bucketed top-5 should recover a meaningful
+    fraction of the exact brute-force top-5 (recall tunes with plane count;
+    this guards against a broken bucketing that returns junk)."""
+    from entangledb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
+    approx = QUERIES["q71_ann_lsh_bucketed"](spark, sf).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        if r.query_id in truth:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.2, f"LSH recall collapsed: {avg_recall}"
