@@ -205,3 +205,91 @@ def q53_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+CHUNK_TOKENS = 50
+
+
+@query(
+    "q55_text_chunking",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_id
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(toks[(chunk_id*50+1):((chunk_id+1)*50)], ' ') AS chunk,
+           CAST(least(50, len(toks) - chunk_id*50) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: split each document into CHUNK_TOKENS-token
+    windows — the standard pre-tokenization step of a training pipeline.
+    posexplode of row-local token slices: a narrow flatMap, no shuffle,
+    output rows ≈ corpus_tokens / CHUNK_TOKENS regardless of document-length
+    skew (one giant doc becomes many rows, not one giant row)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    n_chunks = F.ceil(F.size("_toks") / float(CHUNK_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    )
+    return (
+        d.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .select("doc_id", "_toks", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("_toks") - F.col("chunk_id") * CHUNK_TOKENS
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q56_text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q56_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of e-mail/phone patterns with match
+    counts — a cheap-first pass before model-based PII detection. Pure
+    codegen'd narrow map; the regexes are RE2/Java-compatible so the oracle
+    evaluates the exact same patterns."""
+    d = table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )
