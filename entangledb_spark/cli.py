@@ -74,7 +74,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark("entangledb-cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL: recoverable query errors are reported by the REPL itself; the
+    # JVM's ERROR-level query-context JSON logs would double-print them
+    spark.sparkContext.setLogLevel("FATAL")
     engine = Engine(spark, args.db)
 
     def run_one(sql: str) -> None:
@@ -93,6 +95,9 @@ def main(argv=None) -> int:
                 print(r.status)
         except EngineError as e:
             print(f"Error: {e}", file=sys.stderr)
+        except Exception as e:  # runtime errors (ANSI overflow, div-zero, ...)
+            msg = str(e).split("\n")[0]
+            print(f"Error: {type(e).__name__}: {msg}", file=sys.stderr)
 
     if args.command:
         run_one(args.command)

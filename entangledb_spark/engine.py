@@ -80,13 +80,22 @@ class Engine:
     # ------------------------------------------------------------------ api
 
     def execute(self, sql: str) -> Result:
+        from pyspark.errors import AnalysisException
+
         try:
             stmt = parse(sql)
             return self._execute_statement(stmt)
         except EngineError:
             raise
-        except (LexError, ParseError, CompileError, CatalogError, con.ConstraintError) as e:
-            raise EngineError(str(e)) from e
+        except (
+            LexError,
+            ParseError,
+            CompileError,
+            CatalogError,
+            con.ConstraintError,
+            AnalysisException,  # Catalyst analyzer = our type checker of last resort
+        ) as e:
+            raise EngineError(str(e).split("\n")[0]) from e
 
     def explain(self, sql: str) -> str:
         stmt = parse(sql)

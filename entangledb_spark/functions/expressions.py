@@ -37,6 +37,38 @@ class CompileError(ValueError):
     pass
 
 
+# Scalar function library (extension — the reference resolves NO scalar
+# functions, planner.rs:538-540; these map 1:1 onto JVM built-ins and stay
+# in whole-stage codegen). name → (min_arity, max_arity or None=variadic,
+# builder over compiled argument Columns).
+SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
+    "abs": (1, 1, F.abs),
+    "ceil": (1, 1, F.ceil),
+    "floor": (1, 1, F.floor),
+    "round": (1, 1, lambda c: F.round(c, 0)),
+    "sqrt": (1, 1, F.sqrt),
+    "pow": (2, 2, F.pow),
+    "ln": (1, 1, F.log),
+    "exp": (1, 1, F.exp),
+    "upper": (1, 1, F.upper),
+    "lower": (1, 1, F.lower),
+    "length": (1, 1, lambda c: F.length(c).cast("long")),
+    "trim": (1, 1, F.trim),
+    "substr": (
+        2,
+        3,
+        lambda s, pos, ln=None: F.substring(
+            s, pos, ln if ln is not None else F.lit(2147483647)
+        ),
+    ),
+    "concat": (1, None, F.concat),
+    "coalesce": (1, None, F.coalesce),
+    "nullif": (2, 2, F.nullif),
+    "greatest": (2, None, F.greatest),
+    "least": (2, None, F.least),
+}
+
+
 def translate_like_pattern(pattern: str) -> str:
     """entangleDB LIKE escaping (doubling) → Spark LIKE escaping (backslash).
 
@@ -124,7 +156,16 @@ def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
     if isinstance(e, ast.Field):
         return resolve(e)
     if isinstance(e, ast.FuncCall):
-        raise CompileError(f"unknown function: {e.name}")  # planner.rs:538-540
+        name = e.name.lower()
+        if name in ast.AGGREGATES:
+            raise CompileError(f"aggregate {name} not allowed here")
+        spec = SCALAR_FUNCS.get(name)
+        if spec is None:
+            raise CompileError(f"unknown function: {name}")  # planner.rs:538-540
+        lo, hi, builder = spec
+        if len(e.args) < lo or (hi is not None and len(e.args) > hi):
+            raise CompileError(f"wrong argument count for {name}")
+        return builder(*[compile_expr(a, resolve, field_type) for a in e.args])
     assert isinstance(e, ast.Op)
     n = e.name
     args = e.args
@@ -158,6 +199,15 @@ def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
         return op(c(0), c(1))
     if n == "IS_NULL":
         return c(0).isNull()
+    if n == "IN":
+        return c(0).isin(*[c(i) for i in range(1, len(args))])
+    if n == "CASE":
+        # args = (c1, v1, c2, v2, ..., else_val)
+        expr = None
+        for i in range(0, len(args) - 1, 2):
+            branch = F.when(c(i), c(i + 1))
+            expr = branch if expr is None else expr.when(c(i), c(i + 1))
+        return expr.otherwise(c(len(args) - 1))
     if n == "LIKE":
         pat = args[1]
         if not (isinstance(pat, ast.Literal) and isinstance(pat.value, str)):

@@ -19,15 +19,16 @@ class LexError(ValueError):
 
 
 KEYWORDS = {
-    "and", "as", "asc", "begin", "bool", "boolean", "by", "char", "commit",
-    "create", "cross", "default", "delete", "desc", "double", "drop",
-    "explain", "false", "float", "from", "group", "having", "index",
-    "infinity", "inner", "insert", "int", "integer", "into", "is", "join",
-    "key", "left", "like", "limit", "nan", "not", "null", "of", "offset",
-    "on", "only", "or", "order", "outer", "primary", "read", "references",
-    "right", "rollback", "select", "set", "string", "system", "table",
-    "text", "time", "transaction", "true", "unique", "update", "values",
-    "varchar", "where", "write",
+    "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
+    "commit", "create", "cross", "default", "delete", "desc", "double",
+    "drop", "else", "end", "explain", "false", "float", "from", "group",
+    "having", "in", "index", "infinity", "inner", "insert", "int",
+    "integer", "into", "is", "join", "key", "left", "like", "limit", "nan",
+    "not", "null", "of", "offset", "on", "only", "or", "order", "outer",
+    "primary", "read", "references", "right", "rollback", "select", "set",
+    "string", "system", "table", "text", "then", "time", "transaction",
+    "true", "unique", "update", "values", "varchar", "when", "where",
+    "write",
 }
 
 _TOKEN_RE = re.compile(

@@ -381,6 +381,19 @@ class Parser:
                 e = ast.Op("IS_NULL", (lhs,))
                 return ast.Op("NOT", (e,)) if negate else e
             self.i = save  # not IS [NOT] NULL → rewind
+        # [NOT] IN (v1, v2, ...) — extension (the reference lacks IN; its
+        # optimizer only synthesizes OR-chains, expression.rs:466-517)
+        save = self.i
+        negate = self.accept("keyword", "not") is not None
+        if self.accept("keyword", "in"):
+            self.expect("symbol", "(")
+            items = [self.parse_expr()]
+            while self.accept("symbol", ","):
+                items.append(self.parse_expr())
+            self.expect("symbol", ")")
+            e = ast.Op("IN", (lhs, *items))
+            return ast.Op("NOT", (e,)) if negate else e
+        self.i = save
         return lhs
 
     def parse_atom(self) -> ast.Expr:
@@ -405,6 +418,8 @@ class Parser:
                 return ast.Literal(float("inf"))
             if self.accept("keyword", "nan"):
                 return ast.Literal(float("nan"))
+            if self.accept("keyword", "case"):
+                return self.parse_case()
             raise ParseError(f"unexpected keyword {t}")
         if t.kind == "ident":
             self.next()
@@ -430,6 +445,23 @@ class Parser:
             self.expect("symbol", ")")
             return e
         raise ParseError(f"unexpected token {t}")
+
+    def parse_case(self) -> ast.Expr:
+        """CASE WHEN cond THEN val [...] [ELSE val] END (extension).
+        Encoded as Op("CASE", (c1, v1, c2, v2, ..., else_val))."""
+        parts: list[ast.Expr] = []
+        while self.accept("keyword", "when"):
+            parts.append(self.parse_expr())
+            self.expect("keyword", "then")
+            parts.append(self.parse_expr())
+        if not parts:
+            raise ParseError("CASE requires at least one WHEN branch")
+        if self.accept("keyword", "else"):
+            parts.append(self.parse_expr())
+        else:
+            parts.append(ast.Literal(None))
+        self.expect("keyword", "end")
+        return ast.Op("CASE", tuple(parts))
 
 
 def parse(sql: str) -> ast.Statement:

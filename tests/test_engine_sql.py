@@ -361,3 +361,53 @@ def test_catalog_introspection(eng):
     assert cols["id"]["primary_key"] and cols["genre_id"]["references"] == "genres"
     with pytest.raises(EngineError):
         eng.get_table("nope")
+
+
+def test_order_by_hidden_aggregate(eng):
+    setup_movies(eng)
+    # ORDER BY an aggregate that is not in the SELECT list — the reference's
+    # hidden-column machinery (planner.rs:150-161,445-500)
+    r = eng.execute(
+        "SELECT genre_id FROM movies WHERE genre_id IS NOT NULL "
+        "GROUP BY genre_id ORDER BY count(*) DESC, genre_id"
+    )
+    assert r.columns == ["genre_id"]
+    assert [t[0] for t in r.rows] == [1, 2, 3]
+    # and ORDER BY a non-selected source column in a non-aggregate query
+    r = eng.execute("SELECT title FROM movies ORDER BY released DESC LIMIT 2")
+    assert [t[0] for t in r.rows] == ["Unrated", "Sideways"]
+
+
+def test_in_list(eng):
+    setup_movies(eng)
+    r = eng.execute("SELECT id FROM movies WHERE id IN (1, 3, 99)")
+    assert sorted(t[0] for t in r.rows) == [1, 3]
+    r = eng.execute("SELECT id FROM movies WHERE id NOT IN (1, 2, 3, 4)")
+    assert sorted(t[0] for t in r.rows) == [5]
+    r = eng.execute("SELECT id FROM movies WHERE genre_id IN (1) AND released > 1980")
+    assert [t[0] for t in r.rows] == [4]
+
+
+def test_case_when(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT title, CASE WHEN rating >= 9.0 THEN 'great' "
+        "WHEN rating >= 8.0 THEN 'good' ELSE 'other' END AS verdict "
+        "FROM movies ORDER BY id"
+    )
+    assert [t[1] for t in r.rows] == ["great", "good", "other", "good", "other"]
+    # CASE with no ELSE yields NULL
+    assert one(eng, "SELECT CASE WHEN FALSE THEN 1 END") == (None,)
+
+
+def test_scalar_functions(eng):
+    assert one(
+        eng,
+        "SELECT abs(0 - 5), upper('ab'), lower('AB'), length('abc'), "
+        "coalesce(NULL, NULL, 7), nullif(3, 3), round(2.6), sqrt(16.0), "
+        "substr('hello', 2, 3), concat('a', 'b', 'c'), greatest(1, 9, 3)",
+    ) == (5, "AB", "ab", 3, 7, None, 3.0, 4.0, "ell", "abc", 9)
+    with pytest.raises(EngineError, match="unknown function"):
+        eng.execute("SELECT frob(1)")
+    with pytest.raises(EngineError, match="argument count"):
+        eng.execute("SELECT abs(1, 2)")
