@@ -159,3 +159,30 @@ dialect(
     FROM part GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+dialect(
+    "q39_dialect_scalar_case_in",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
+                WHEN p_size < 25 THEN 'small'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
+           abs(p_size - 25) AS dist_from_mid,
+           substr(p_name, 1, 4) AS prefix
+    FROM part WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    """,
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
+                WHEN p_size < 25 THEN 'small'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
+           CAST(abs(p_size - 25) AS BIGINT) AS dist_from_mid,
+           substr(p_name, 1, 4) AS prefix
+    FROM part WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    """,
+)

@@ -208,3 +208,27 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
         r4(F.sum("value")).alias("session_value"),
     )
+
+
+@query(
+    "q57_json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q57_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events.props column is a JSON string;
+    get_json_object pulls typed fields without a Python UDF (JVM-side JSON
+    path evaluation). At 100 TB, repeatedly-queried fields get materialized
+    to real columns; ad-hoc paths stay lazy like this."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )

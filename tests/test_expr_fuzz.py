@@ -39,6 +39,13 @@ def int_expr(depth: int):
             lambda t: f"({t[0]} {t[1]} {t[2]})"
         ),
         st.tuples(sub, nonzero_small).map(lambda t: f"({t[0]} % {t[1]})"),
+        sub.map(lambda e: f"abs({e})"),
+        st.tuples(sub, sub).map(lambda t: f"coalesce(NULL, {t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"greatest({t[0]}, {t[1]})"),
+        # CASE over an int condition result
+        st.tuples(sub, sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} < {t[1]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
     )
 
 
@@ -59,6 +66,9 @@ def bool_expr(depth: int):
         ),
         sub.map(lambda e: f"(NOT {e})"),
         sub.map(lambda e: f"({e} IS NULL)"),
+        st.tuples(int_expr(1), small_int, small_int).map(
+            lambda t: f"({t[0]} IN ({t[1]}, {t[2]}))"
+        ),
     )
 
 
