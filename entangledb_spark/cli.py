@@ -59,6 +59,14 @@ def run_command(engine: Engine, line: str) -> str:
         out[-1] = out[-1].rstrip(",")
         out.append(")")
         return "\n".join(out)
+    if cmd == "attach":
+        if len(args) < 2:
+            return "usage: !attach <name> <parquet-path>"
+        try:
+            r = engine.attach_parquet(args[0], args[1])
+            return f"{r.status} (version {r.version})"
+        except EngineError as e:
+            return f"Error: {e}"
     if cmd == "status":
         return (
             f"version: {engine.catalog.current_version()}  "
@@ -103,7 +111,7 @@ def main(argv=None) -> int:
         run_one(args.command)
         return 0
 
-    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !status, or SQL.")
+    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !attach <name> <path>, !status, or SQL.")
     buffer = ""
     while True:
         try:

@@ -20,6 +20,7 @@ driver-side row loops anywhere.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
@@ -112,6 +113,44 @@ class Engine:
 
     def list_tables(self) -> list[str]:
         return sorted(self._manifest_for_read()["tables"])
+
+    def attach_parquet(self, name: str, path: str) -> Result:
+        """ATTACH an external parquet file/dir as a read-only table (schema
+        inferred; types outside the 4-type system carried through verbatim).
+        Lets a user point the SQL engine at existing data with zero copies —
+        the scan stays a native parquet source with pushdown/pruning."""
+        from entangledb_spark.sources.catalog import FROM_SPARK_TYPES
+        from entangledb_spark.sources.parquet_io import read_parquet_any
+
+        if self._txn is not None or self._txn_version is not None:
+            raise EngineError("ATTACH is not allowed inside a transaction")
+        path = os.path.abspath(path)
+        df = read_parquet_any(self.spark, path)
+        manifest = self.catalog.manifest()
+        if name in manifest["tables"]:
+            raise EngineError(f"table {name} already exists")
+        columns = [
+            {
+                "name": c,
+                "datatype": FROM_SPARK_TYPES.get(t, f"EXT({t})"),
+                "spark_type": t,
+                "primary_key": False,
+                "nullable": True,
+                "has_default": False,
+                "default": None,
+                "unique": False,
+                "references": None,
+                "index": False,
+            }
+            for c, t in df.dtypes
+        ]
+        manifest["tables"][name] = {
+            "columns": columns,
+            "data": None,
+            "external": path,
+        }
+        v = self.catalog.publish(manifest)
+        return Result(status=f"ATTACH {name}", version=v)
 
     def get_table(self, name: str) -> dict:
         t = self._manifest_for_read()["tables"].get(name)
@@ -251,10 +290,12 @@ class Engine:
 
     # ---------------------------------------------------------- DML helpers
 
-    def _table_meta(self, manifest: dict, name: str) -> dict:
+    def _table_meta(self, manifest: dict, name: str, writable: bool = False) -> dict:
         t = manifest["tables"].get(name)
         if t is None:
             raise EngineError(f"table {name} does not exist")
+        if writable and t.get("external"):
+            raise EngineError(f"table {name} is an attached external table (read-only)")
         return t
 
     def _pk_of(self, meta: dict) -> str:
@@ -281,7 +322,7 @@ class Engine:
     # ---------------------------------------------------------- INSERT
 
     def _insert(self, manifest: dict, stmt: ast.Insert) -> Result:
-        meta = self._table_meta(manifest, stmt.table)
+        meta = self._table_meta(manifest, stmt.table, writable=True)
         cols = meta["columns"]
         col_names = [c["name"] for c in cols]
         by_name = {c["name"]: c for c in cols}
@@ -333,7 +374,7 @@ class Engine:
     # ---------------------------------------------------------- UPDATE
 
     def _update(self, manifest: dict, stmt: ast.Update) -> Result:
-        meta = self._table_meta(manifest, stmt.table)
+        meta = self._table_meta(manifest, stmt.table, writable=True)
         by_name = {c["name"]: c for c in meta["columns"]}
         for cname, _ in stmt.sets:
             if cname not in by_name:
@@ -384,7 +425,7 @@ class Engine:
     # ---------------------------------------------------------- DELETE
 
     def _delete(self, manifest: dict, stmt: ast.Delete) -> Result:
-        meta = self._table_meta(manifest, stmt.table)
+        meta = self._table_meta(manifest, stmt.table, writable=True)
         pk = self._pk_of(meta)
         df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
         scope_resolve, scope_type = _single_table_scope(stmt.table, df)

@@ -77,37 +77,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     query only uses second-granularity time. A production events source is
     Kafka / µs-parquet and takes the normal scan path.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution to surface illegal-type errors
-        return df
-    except Exception:
-        return spark.createDataFrame(_ns_fallback_pandas(path))
+    from entangledb_spark.sources.parquet_io import read_parquet_any
 
-
-_NS_CACHE: dict[tuple[str, float], "object"] = {}
-
-
-def _ns_fallback_pandas(path: str):
-    """Memoized ns→µs conversion for fixtures Spark's reader rejects
-    (keyed by path+mtime so a regenerated fixture invalidates)."""
-    key = (path, os.path.getmtime(path))
-    if key not in _NS_CACHE:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(path)
-        cols = [
-            pc.cast(t.column(i), pa.timestamp("us"), safe=False)
-            if pa.types.is_timestamp(t.schema.field(i).type)
-            else t.column(i)
-            for i in range(t.num_columns)
-        ]
-        _NS_CACHE.clear()  # bound memory: one cached fixture at a time
-        _NS_CACHE[key] = pa.table(cols, names=t.column_names).to_pandas()
-    return _NS_CACHE[key]
+    return read_parquet_any(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all() -> None:

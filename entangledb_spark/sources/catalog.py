@@ -45,6 +45,18 @@ SPARK_TYPES = {
     "STRING": T.StringType(),
 }
 
+# engine datatype ← Spark simpleString (for ATTACH schema inference)
+FROM_SPARK_TYPES = {
+    "boolean": "BOOLEAN",
+    "tinyint": "INTEGER",
+    "smallint": "INTEGER",
+    "int": "INTEGER",
+    "bigint": "INTEGER",
+    "float": "FLOAT",
+    "double": "FLOAT",
+    "string": "STRING",
+}
+
 
 class CatalogError(ValueError):
     pass
@@ -65,12 +77,16 @@ def column_to_dict(c: ast.ColumnDef, default_value: Any = None, has_default: boo
 
 
 def schema_of(columns: list[dict]) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(c["name"], SPARK_TYPES[c["datatype"]], c["nullable"])
-            for c in columns
-        ]
-    )
+    fields = []
+    for c in columns:
+        if c["datatype"] in SPARK_TYPES:
+            t = SPARK_TYPES[c["datatype"]]
+        else:
+            # ATTACHed external column with a type outside the 4-type system
+            # (timestamp, array, ...): carried through verbatim
+            t = T._parse_datatype_string(c["spark_type"])
+        fields.append(T.StructField(c["name"], t, c["nullable"]))
+    return T.StructType(fields)
 
 
 class SnapshotCatalog:
@@ -147,6 +163,12 @@ class SnapshotCatalog:
         t = manifest["tables"].get(name)
         if t is None:
             raise CatalogError(f"table {name} does not exist")
+        if t.get("external"):
+            # ATTACHed read-only parquet outside the snapshot store; the
+            # scan stays a plain parquet source so pushdown/pruning work.
+            from entangledb_spark.sources.parquet_io import read_parquet_any
+
+            return read_parquet_any(self.spark, t["external"])
         schema = schema_of(t["columns"])
         deltas = t.get("deltas", [])
         if t["data"] is None and not deltas:

@@ -411,3 +411,29 @@ def test_scalar_functions(eng):
         eng.execute("SELECT frob(1)")
     with pytest.raises(EngineError, match="argument count"):
         eng.execute("SELECT abs(1, 2)")
+
+
+def test_attach_external_parquet(eng):
+    r = eng.attach_parquet("li", "/root/testdata/sf0.001/lineitem.parquet")
+    assert r.status == "ATTACH li"
+    assert "li" in eng.list_tables()
+    # SQL over the attached table through the dialect engine
+    res = eng.execute(
+        "SELECT l_returnflag, count(*) AS n FROM li GROUP BY l_returnflag"
+    )
+    assert sum(t[1] for t in res.rows) == 6000
+    # timestamp column (outside the 4-type system) carried through
+    cols = {c["name"]: c for c in eng.get_table("li")["columns"]}
+    assert cols["l_shipdate"]["datatype"].startswith("EXT(")
+    # read-only: mutations refuse, DROP detaches without touching data
+    with pytest.raises(EngineError, match="read-only"):
+        eng.execute("DELETE FROM li WHERE l_orderkey = 1")
+    with pytest.raises(EngineError, match="read-only"):
+        eng.execute("UPDATE li SET l_quantity = 0")
+    eng.execute("DROP TABLE li")
+    import os
+
+    assert os.path.exists("/root/testdata/sf0.001/lineitem.parquet")
+    # ns-timestamp fixture attaches via the pyarrow fallback
+    eng.attach_parquet("ev", "/root/testdata/sf0.001/events.parquet")
+    assert eng.execute("SELECT count(*) AS n FROM ev").rows == [(1000,)]
