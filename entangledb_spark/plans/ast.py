@@ -53,7 +53,17 @@ class FuncCall:
     star: bool = False  # COUNT(*) → count(TRUE) special case (parser/mod.rs:540-543)
 
 
-Expr = Union[Literal, Field, Op, FuncCall]
+@dataclass(frozen=True)
+class Subquery:
+    """Uncorrelated subquery in expression position (extension — the
+    reference has no subqueries). Forms: scalar `(SELECT ...)`,
+    `x IN (SELECT ...)` (Op "IN_SUBQ"), `EXISTS (SELECT ...)` (Op
+    "EXISTS"). Resolved by the compiler before expression lowering."""
+
+    select: "Select"
+
+
+Expr = Union[Literal, Field, Op, FuncCall, Subquery]
 
 AGGREGATES = ("avg", "count", "max", "min", "sum")
 

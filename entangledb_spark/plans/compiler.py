@@ -146,9 +146,93 @@ def _agg_column(fc: ast.FuncCall, scope: Scope) -> Column:
     raise CompileError(f"unknown function: {name}")
 
 
+IN_SUBQUERY_LIMIT = 100_000  # max values folded into an IN list
+
+
+def _resolve_subqueries(
+    e: Optional[ast.Expr], spark: SparkSession, read: TableReader
+) -> Optional[ast.Expr]:
+    """Evaluate uncorrelated subqueries bottom-up, folding results into the
+    outer expression tree:
+
+    - scalar `(SELECT ...)` → its single value (errors on >1 row/column;
+      0 rows → NULL) — the inner query runs as its own distributed job and
+      only the scalar crosses to the driver, which then lets Catalyst push
+      the comparison down into the outer scan;
+    - `x IN (SELECT c ...)` → IN over the distinct result values (bounded
+      by IN_SUBQUERY_LIMIT — beyond that, rewrite as a JOIN);
+    - `EXISTS (SELECT ...)` → TRUE/FALSE via LIMIT 1.
+
+    Correlated subqueries surface as unknown-column errors from the inner
+    compile, which is the accurate message for this engine.
+    """
+    if e is None:
+        return None
+    if isinstance(e, ast.Subquery):
+        df = compile_select(e.select, spark, read)
+        if len(df.columns) != 1:
+            raise CompileError("scalar subquery must return exactly one column")
+        rows = df.limit(2).collect()
+        if len(rows) > 1:
+            raise CompileError("scalar subquery returned more than one row")
+        return ast.Literal(rows[0][0] if rows else None)
+    if isinstance(e, ast.Op):
+        if e.name == "IN_SUBQ":
+            lhs = _resolve_subqueries(e.args[0], spark, read)
+            sub = e.args[1]
+            assert isinstance(sub, ast.Subquery)
+            df = compile_select(sub.select, spark, read)
+            if len(df.columns) != 1:
+                raise CompileError("IN subquery must return exactly one column")
+            vals = df.distinct().limit(IN_SUBQUERY_LIMIT + 1).collect()
+            if len(vals) > IN_SUBQUERY_LIMIT:
+                raise CompileError(
+                    f"IN subquery exceeds {IN_SUBQUERY_LIMIT} distinct values; "
+                    "rewrite as a JOIN"
+                )
+            if not vals:
+                return ast.Literal(False)
+            return ast.Op("IN", (lhs, *[ast.Literal(r[0]) for r in vals]))
+        if e.name == "EXISTS":
+            sub = e.args[0]
+            assert isinstance(sub, ast.Subquery)
+            df = compile_select(sub.select, spark, read)
+            return ast.Literal(len(df.limit(1).collect()) > 0)
+        return ast.Op(e.name, tuple(_resolve_subqueries(a, spark, read) for a in e.args))
+    if isinstance(e, ast.FuncCall):
+        return ast.FuncCall(
+            e.name, tuple(_resolve_subqueries(a, spark, read) for a in e.args), e.star
+        )
+    return e
+
+
 def compile_select(
     stmt: ast.Select, spark: SparkSession, read: TableReader
 ) -> DataFrame:
+    # fold uncorrelated subqueries first (no-op when none are present)
+    def rs(x):
+        return _resolve_subqueries(x, spark, read)
+
+    if any(
+        isinstance(sub, (ast.Subquery,)) or (isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS"))
+        for root in (
+            [e for e, _ in stmt.select]
+            + [x for x in (stmt.where, stmt.having) if x is not None]
+            + list(stmt.group_by)
+            + [o.expr for o in stmt.order_by]
+        )
+        for sub in ast.walk(root)
+    ):
+        stmt = ast.Select(
+            select=tuple((rs(e), a) for e, a in stmt.select),
+            from_=stmt.from_,
+            where=rs(stmt.where),
+            group_by=tuple(rs(g) for g in stmt.group_by),
+            having=rs(stmt.having),
+            order_by=tuple(ast.OrderItem(rs(o.expr), o.desc) for o in stmt.order_by),
+            offset=stmt.offset,
+            limit=stmt.limit,
+        )
     scope = Scope()
     if stmt.from_ is not None:
         df = compile_from(stmt.from_, read, scope)

@@ -21,7 +21,7 @@ class LexError(ValueError):
 KEYWORDS = {
     "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
     "commit", "create", "cross", "default", "delete", "desc", "double",
-    "drop", "else", "end", "explain", "false", "float", "from", "group",
+    "drop", "else", "end", "exists", "explain", "false", "float", "from", "group",
     "having", "in", "index", "infinity", "inner", "insert", "int",
     "integer", "into", "is", "join", "key", "left", "like", "limit", "nan",
     "not", "null", "of", "offset", "on", "only", "or", "order", "outer",

@@ -362,6 +362,11 @@ class Parser:
             lhs = ast.Op(op, (lhs, rhs))
 
     def parse_prefix(self) -> ast.Expr:
+        if self.accept("keyword", "exists"):
+            self.expect("symbol", "(")
+            sub = ast.Subquery(self.parse_select())
+            self.expect("symbol", ")")
+            return ast.Op("EXISTS", (sub,))
         if self.accept("keyword", "not"):
             # NOT binds tighter than AND/OR, looser than comparisons
             return ast.Op("NOT", (self.parse_expr(4),))
@@ -387,11 +392,16 @@ class Parser:
         negate = self.accept("keyword", "not") is not None
         if self.accept("keyword", "in"):
             self.expect("symbol", "(")
-            items = [self.parse_expr()]
-            while self.accept("symbol", ","):
-                items.append(self.parse_expr())
-            self.expect("symbol", ")")
-            e = ast.Op("IN", (lhs, *items))
+            if self.peek().kind == "keyword" and self.peek().text == "select":
+                sub = ast.Subquery(self.parse_select())
+                self.expect("symbol", ")")
+                e: ast.Expr = ast.Op("IN_SUBQ", (lhs, sub))
+            else:
+                items = [self.parse_expr()]
+                while self.accept("symbol", ","):
+                    items.append(self.parse_expr())
+                self.expect("symbol", ")")
+                e = ast.Op("IN", (lhs, *items))
             return ast.Op("NOT", (e,)) if negate else e
         self.i = save
         return lhs
@@ -441,6 +451,10 @@ class Parser:
                 return ast.Field(name=col, table=t.text)
             return ast.Field(name=t.text)
         if self.accept("symbol", "("):
+            if self.peek().kind == "keyword" and self.peek().text == "select":
+                sub = ast.Subquery(self.parse_select())
+                self.expect("symbol", ")")
+                return sub  # scalar subquery
             e = self.parse_expr()
             self.expect("symbol", ")")
             return e

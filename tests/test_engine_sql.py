@@ -437,3 +437,57 @@ def test_attach_external_parquet(eng):
     # ns-timestamp fixture attaches via the pyarrow fallback
     eng.attach_parquet("ev", "/root/testdata/sf0.001/events.parquet")
     assert eng.execute("SELECT count(*) AS n FROM ev").rows == [(1000,)]
+
+
+def test_scalar_subquery(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT title FROM movies WHERE rating = (SELECT max(rating) FROM movies)"
+    )
+    assert r.rows == [("Stalker",)]
+    r = eng.execute(
+        "SELECT title, (SELECT count(*) FROM genres) AS n_genres FROM movies WHERE id = 1"
+    )
+    assert r.rows == [("Stalker", 3)]
+    # zero-row scalar subquery → NULL
+    assert one(eng, "SELECT (SELECT max(id) FROM movies WHERE FALSE) IS NULL") == (True,)
+    with pytest.raises(EngineError, match="more than one row"):
+        eng.execute("SELECT (SELECT id FROM movies)")
+    with pytest.raises(EngineError, match="one column"):
+        eng.execute("SELECT (SELECT id, title FROM movies WHERE id = 1)")
+
+
+def test_in_subquery(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT title FROM movies WHERE genre_id IN "
+        "(SELECT id FROM genres WHERE name = 'Drama')"
+    )
+    assert sorted(t[0] for t in r.rows) == ["Heat", "Stalker"]
+    r = eng.execute(
+        "SELECT title FROM movies WHERE genre_id NOT IN (SELECT id FROM genres)"
+    )
+    assert r.rows == []  # NULL genre_id → NOT IN is NULL, filtered
+    r = eng.execute(
+        "SELECT title FROM movies WHERE id IN (SELECT id FROM movies WHERE FALSE)"
+    )
+    assert r.rows == []
+
+
+def test_exists_subquery(eng):
+    setup_movies(eng)
+    assert one(eng, "SELECT EXISTS (SELECT 1 FROM movies WHERE rating > 8.9)") == (True,)
+    assert one(eng, "SELECT NOT EXISTS (SELECT 1 FROM movies WHERE rating > 99)") == (True,)
+    r = eng.execute(
+        "SELECT count(*) FROM genres WHERE EXISTS (SELECT 1 FROM movies WHERE rating > 8.9)"
+    )
+    assert r.rows == [(3,)]
+
+
+def test_correlated_subquery_rejected(eng):
+    setup_movies(eng)
+    with pytest.raises(EngineError, match="unknown (column|table)"):
+        eng.execute(
+            "SELECT title FROM movies m WHERE EXISTS "
+            "(SELECT 1 FROM genres g WHERE g.id = m.genre_id)"
+        )
