@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from entangledb_spark.functions.expressions import CompileError, compile_expr, static_type
 from entangledb_spark.plans import ast
-from entangledb_spark.plans.compiler import compile_select
+from entangledb_spark.plans.compiler import compile_select, compile_statement
 from entangledb_spark.plans.lexer import LexError
 from entangledb_spark.plans.parser import ParseError, parse
 from entangledb_spark.sources import constraints as con
@@ -170,8 +170,8 @@ class Engine:
             return self._commit()
         if isinstance(stmt, ast.Rollback):
             return self._rollback()
-        if isinstance(stmt, ast.Select):
-            df = compile_select(stmt, self.spark, self._reader())
+        if isinstance(stmt, (ast.Select, ast.SetOp)):
+            df = compile_statement(stmt, self.spark, self._reader())
             rows = [tuple(r) for r in df.collect()]
             return Result(status="SELECT", columns=list(df.columns), rows=rows, dataframe=df)
         # mutations below
@@ -461,11 +461,11 @@ class Engine:
         """Our logical plan pretty-printer (plan shape mirrors plan/mod.rs:
         258-415) + Spark's physical plan for SELECTs."""
         lines = _format_plan(stmt)
-        if isinstance(stmt, ast.Select):
+        if isinstance(stmt, (ast.Select, ast.SetOp)):
             import contextlib
             import io
 
-            df = compile_select(stmt, self.spark, self._reader())
+            df = compile_statement(stmt, self.spark, self._reader())
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")

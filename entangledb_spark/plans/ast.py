@@ -44,13 +44,14 @@ class Op:
 
 @dataclass(frozen=True)
 class FuncCall:
-    """Function-call syntax. The planner resolves only the five aggregates
-    (avg/count/max/min/sum — planner.rs:503-512); anything else errors at
-    plan time, exactly like the reference (planner.rs:538-540)."""
+    """Function-call syntax. The planner resolves the five aggregates
+    (avg/count/max/min/sum — planner.rs:503-512) plus our scalar-function
+    extension; anything else errors at plan time (planner.rs:538-540)."""
 
     name: str
     args: tuple["Expr", ...]
     star: bool = False  # COUNT(*) → count(TRUE) special case (parser/mod.rs:540-543)
+    distinct: bool = False  # COUNT(DISTINCT x) etc. — extension
 
 
 @dataclass(frozen=True)
@@ -185,6 +186,23 @@ class Select:
     order_by: tuple[OrderItem, ...] = ()
     offset: Optional[Expr] = None
     limit: Optional[Expr] = None
+    distinct: bool = False  # SELECT DISTINCT — extension
+
+
+@dataclass(frozen=True)
+class SetOp:
+    """UNION / INTERSECT / EXCEPT between two selects (extension — SURVEY
+    §2.7: the reference has no set operations). `all_rows` only for UNION.
+    Trailing ORDER BY / LIMIT / OFFSET apply to the whole combined result
+    (standard SQL binding); ORDER BY may only reference output columns."""
+
+    kind: str  # union | intersect | except
+    left: "Statement"
+    right: "Statement"
+    all_rows: bool = False
+    order_by: tuple[OrderItem, ...] = ()
+    offset: Optional[Expr] = None
+    limit: Optional[Expr] = None
 
 
 @dataclass(frozen=True)
@@ -209,5 +227,6 @@ class Explain:
 
 
 Statement = Union[
-    CreateTable, DropTable, Insert, Update, Delete, Select, Begin, Commit, Rollback, Explain
+    CreateTable, DropTable, Insert, Update, Delete, Select, SetOp,
+    Begin, Commit, Rollback, Explain,
 ]

@@ -130,6 +130,17 @@ def _agg_column(fc: ast.FuncCall, scope: Scope) -> Column:
     if ast.contains_aggregate(fc.args[0]):
         raise CompileError("aggregate functions can't be nested")  # planner.rs:391-396
     arg = compile_expr(fc.args[0], scope.resolve, scope.dtype_of)
+    if fc.distinct:  # DISTINCT aggregates — extension (reference has none)
+        if name == "count":
+            return F.count_distinct(arg)
+        if name == "sum":
+            return F.sum_distinct(arg)
+        if name == "avg":
+            return F.sum_distinct(arg) / F.count_distinct(arg)
+        if name in ("min", "max"):
+            pass  # DISTINCT is a no-op for min/max
+        else:
+            raise CompileError(f"DISTINCT not supported for {name}")
     if name == "count":
         return F.count(arg)
     if name == "min":
@@ -275,12 +286,18 @@ def compile_select(
             if isinstance(e, ast.Field) and e.table is None and e.name in names:
                 c = F.col(e.name)
             else:
+                if stmt.distinct:
+                    raise CompileError(
+                        "with SELECT DISTINCT, ORDER BY must reference the select list"
+                    )
                 c = compile_expr(e, scope.resolve, scope.dtype_of)
                 out_cols.append(c.alias(f"__h{hidden}"))
                 c = F.col(f"__h{hidden}")
                 hidden += 1
             order_cols.append(c.desc_nulls_last() if item.desc else c.asc_nulls_first())
         df = df.select(*out_cols)
+        if stmt.distinct:
+            df = df.distinct()
         if order_cols:
             df = df.orderBy(*order_cols)
         if hidden:
@@ -383,11 +400,52 @@ def compile_select(
         order_cols.append(c.desc_nulls_last() if item.desc else c.asc_nulls_first())
 
     result = grouped.select(*out_cols)
+    if stmt.distinct:
+        result = result.distinct()
     if order_cols:
         result = result.orderBy(*order_cols)
     if hidden:
         result = result.drop(*[f"__h{i}" for i in range(hidden)])
     return _offset_limit(result, stmt, scope)
+
+
+def compile_statement(
+    stmt, spark: SparkSession, read: TableReader
+) -> DataFrame:
+    """Compile a query statement (Select or SetOp chain) to a DataFrame."""
+    if isinstance(stmt, ast.SetOp):
+        left = compile_statement(stmt.left, spark, read)
+        right = compile_statement(stmt.right, spark, read)
+        if len(left.columns) != len(right.columns):
+            raise CompileError("set operation inputs must have the same column count")
+        right = right.toDF(*left.columns)
+        if stmt.kind == "union":
+            out = left.unionByName(right)
+            out = out if stmt.all_rows else out.distinct()
+        elif stmt.kind == "intersect":
+            out = left.intersect(right)
+        else:
+            out = left.subtract(right)  # EXCEPT (distinct semantics)
+        # statement-level tail: ORDER BY may only name output columns
+        order_cols = []
+        for item in stmt.order_by:
+            e = item.expr
+            if not (isinstance(e, ast.Field) and e.table is None and e.name in out.columns):
+                raise CompileError(
+                    "ORDER BY on a set operation must reference output columns"
+                )
+            c = F.col(e.name)
+            order_cols.append(c.desc_nulls_last() if item.desc else c.asc_nulls_first())
+        if order_cols:
+            out = out.orderBy(*order_cols)
+        off = _const_int(stmt.offset, "OFFSET")
+        lim = _const_int(stmt.limit, "LIMIT")
+        if off is not None:
+            out = out.offset(off)
+        if lim is not None:
+            out = out.limit(lim)
+        return out
+    return compile_select(stmt, spark, read)
 
 
 def _const_int(e: Optional[ast.Expr], what: str) -> Optional[int]:

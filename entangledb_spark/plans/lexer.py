@@ -19,14 +19,15 @@ class LexError(ValueError):
 
 
 KEYWORDS = {
-    "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
+    "all", "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
     "commit", "create", "cross", "default", "delete", "desc", "double",
-    "drop", "else", "end", "exists", "explain", "false", "float", "from", "group",
-    "having", "in", "index", "infinity", "inner", "insert", "int",
+    "distinct", "drop", "else", "end", "except", "exists", "explain", "false",
+    "float", "from", "group",
+    "having", "in", "index", "infinity", "inner", "insert", "int", "intersect",
     "integer", "into", "is", "join", "key", "left", "like", "limit", "nan",
     "not", "null", "of", "offset", "on", "only", "or", "order", "outer",
     "primary", "read", "references", "right", "rollback", "select", "set",
-    "string", "system", "table", "text", "then", "time", "transaction",
+    "string", "system", "table", "text", "then", "time", "transaction", "union",
     "true", "unique", "update", "values", "varchar", "when", "where",
     "write",
 }

@@ -102,7 +102,7 @@ class Parser:
             "insert": self.parse_insert,
             "update": self.parse_update,
             "delete": self.parse_delete,
-            "select": self.parse_select,
+            "select": self.parse_select_statement,
         }
         fn = dispatch.get(t.text)
         if fn is None:
@@ -235,8 +235,58 @@ class Parser:
 
     # ---- SELECT -----------------------------------------------------------
 
-    def parse_select(self) -> ast.Select:
+    def parse_select_statement(self) -> "ast.Statement":
+        """SELECT possibly chained with UNION [ALL] / INTERSECT / EXCEPT
+        (left-associative; extension — the reference has no set ops).
+        Trailing ORDER BY / LIMIT / OFFSET bind to the whole chain."""
+        left: ast.Statement = self.parse_select(include_tail=False)
+        is_chain = False
+        while True:
+            kind = None
+            for kw in ("union", "intersect", "except"):
+                if self.accept("keyword", kw):
+                    kind = kw
+                    break
+            if kind is None:
+                break
+            is_chain = True
+            all_rows = kind == "union" and self.accept("keyword", "all") is not None
+            right = self.parse_select(include_tail=False)
+            left = ast.SetOp(kind=kind, left=left, right=right, all_rows=all_rows)
+        from dataclasses import replace
+
+        order_by, offset, limit = self._parse_tail()
+        return replace(left, order_by=order_by, offset=offset, limit=limit)
+
+    def _parse_tail(self):
+        """ORDER BY / LIMIT / OFFSET (LIMIT and OFFSET in either order;
+        OFFSET applies first — reference plan order, planner.rs:221-240)."""
+        order_by: tuple = ()
+        if self.accept("keyword", "order"):
+            self.expect("keyword", "by")
+            items = []
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept("keyword", "desc"):
+                    desc = True
+                else:
+                    self.accept("keyword", "asc")
+                items.append(ast.OrderItem(e, desc))
+                if not self.accept("symbol", ","):
+                    break
+            order_by = tuple(items)
+        limit = offset = None
+        for _ in range(2):
+            if limit is None and self.accept("keyword", "limit"):
+                limit = self.parse_expr()
+            elif offset is None and self.accept("keyword", "offset"):
+                offset = self.parse_expr()
+        return order_by, offset, limit
+
+    def parse_select(self, include_tail: bool = True) -> ast.Select:
         self.expect("keyword", "select")
+        distinct = self.accept("keyword", "distinct") is not None
         select = []
         while True:
             if self.accept("symbol", "*"):
@@ -275,32 +325,13 @@ class Parser:
         having = self.parse_expr() if self.accept("keyword", "having") else None
 
         order_by: tuple = ()
-        if self.accept("keyword", "order"):
-            self.expect("keyword", "by")
-            items = []
-            while True:
-                e = self.parse_expr()
-                desc = False
-                if self.accept("keyword", "desc"):
-                    desc = True
-                else:
-                    self.accept("keyword", "asc")
-                items.append(ast.OrderItem(e, desc))
-                if not self.accept("symbol", ","):
-                    break
-            order_by = tuple(items)
-
-        # LIMIT and OFFSET accepted in either order; OFFSET applies first
-        # (reference plan order: Offset below Limit, planner.rs:221-240).
         limit = offset = None
-        for _ in range(2):
-            if limit is None and self.accept("keyword", "limit"):
-                limit = self.parse_expr()
-            elif offset is None and self.accept("keyword", "offset"):
-                offset = self.parse_expr()
+        if include_tail:
+            order_by, offset, limit = self._parse_tail()
         return ast.Select(
             select=tuple(select), from_=from_, where=where, group_by=group_by,
             having=having, order_by=order_by, offset=offset, limit=limit,
+            distinct=distinct,
         )
 
     def parse_from_item(self) -> ast.FromItem:
@@ -438,6 +469,7 @@ class Parser:
                 if self.accept("symbol", "*"):
                     self.expect("symbol", ")")
                     return ast.FuncCall(t.text.lower(), (ast.Literal(True),), star=True)
+                distinct = self.accept("keyword", "distinct") is not None
                 args = []
                 if not self.accept("symbol", ")"):
                     while True:
@@ -445,7 +477,7 @@ class Parser:
                         if not self.accept("symbol", ","):
                             break
                     self.expect("symbol", ")")
-                return ast.FuncCall(t.text.lower(), tuple(args))
+                return ast.FuncCall(t.text.lower(), tuple(args), distinct=distinct)
             if self.accept("symbol", "."):
                 col = self.expect("ident").text
                 return ast.Field(name=col, table=t.text)

@@ -491,3 +491,54 @@ def test_correlated_subquery_rejected(eng):
             "SELECT title FROM movies m WHERE EXISTS "
             "(SELECT 1 FROM genres g WHERE g.id = m.genre_id)"
         )
+
+
+def test_set_operations(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT genre_id FROM movies WHERE id < 3 "
+        "UNION SELECT genre_id FROM movies WHERE id >= 3"
+    )
+    assert len(r.rows) == 4  # 1, 2, 3, NULL deduped
+    r = eng.execute(
+        "SELECT id FROM movies UNION ALL SELECT id FROM movies"
+    )
+    assert len(r.rows) == 10
+    r = eng.execute(
+        "SELECT id FROM genres INTERSECT SELECT genre_id FROM movies"
+    )
+    assert sorted(t[0] for t in r.rows) == [1, 2, 3]
+    r = eng.execute(
+        "SELECT id FROM movies EXCEPT SELECT id FROM movies WHERE id < 4"
+    )
+    assert sorted(t[0] for t in r.rows) == [4, 5]
+    with pytest.raises(EngineError, match="column count"):
+        eng.execute("SELECT id, title FROM movies UNION SELECT id FROM movies")
+
+
+def test_select_distinct_and_distinct_aggs(eng):
+    setup_movies(eng)
+    r = eng.execute("SELECT DISTINCT genre_id FROM movies")
+    assert len(r.rows) == 4
+    r = eng.execute(
+        "SELECT count(DISTINCT genre_id) AS ng, count(genre_id) AS n FROM movies"
+    )
+    assert r.rows == [(3, 4)]
+    r = eng.execute("SELECT sum(DISTINCT released / 1000) AS s FROM movies")
+    assert r.rows == [(3,)]  # distinct {1, 2}
+    with pytest.raises(EngineError, match="select list"):
+        eng.execute("SELECT DISTINCT genre_id FROM movies ORDER BY released")
+
+
+def test_setop_statement_level_order_limit(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT id AS k FROM movies WHERE id < 3 "
+        "UNION SELECT id FROM movies WHERE id > 3 "
+        "ORDER BY k DESC LIMIT 2"
+    )
+    assert [t[0] for t in r.rows] == [5, 4]
+    with pytest.raises(EngineError, match="output columns"):
+        eng.execute(
+            "SELECT id FROM movies UNION SELECT id FROM movies ORDER BY rating"
+        )
