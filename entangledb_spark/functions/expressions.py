@@ -145,6 +145,56 @@ def static_type(e: ast.Expr, field_type: TypeOf) -> Optional[str]:
     return None
 
 
+_RANKING_FUNCS = ("row_number", "rank", "dense_rank")
+_OFFSET_FUNCS = ("lag", "lead")
+
+
+def _compile_window(e: "ast.WindowFunc", resolve: Resolver, field_type: TypeOf) -> Column:
+    """Lower a window function onto pyspark.sql.Window (extension — the
+    reference has no window functions, SURVEY §2.5). One shuffle on the
+    partition keys; ranking filters compile to WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    name = e.name.lower()
+    spec = Window.partitionBy(
+        *[compile_expr(p, resolve, field_type) for p in e.partition_by]
+    )
+    if e.order_by:
+        spec = spec.orderBy(
+            *[
+                (
+                    compile_expr(o.expr, resolve, field_type).desc_nulls_last()
+                    if o.desc
+                    else compile_expr(o.expr, resolve, field_type).asc_nulls_first()
+                )
+                for o in e.order_by
+            ]
+        )
+    if e.frame == "rows_unbounded_current":
+        spec = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if name in _RANKING_FUNCS:
+        if not e.order_by:
+            raise CompileError(f"{name}() requires ORDER BY in its window")
+        fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[name]
+        return fn().over(spec).cast("long")
+    if name in _OFFSET_FUNCS:
+        if not e.order_by:
+            raise CompileError(f"{name}() requires ORDER BY in its window")
+        arg = compile_expr(e.args[0], resolve, field_type)
+        off = 1
+        if len(e.args) > 1:
+            lit = e.args[1]
+            if not (isinstance(lit, ast.Literal) and isinstance(lit.value, int)):
+                raise CompileError(f"{name}() offset must be an integer constant")
+            off = lit.value
+        return (F.lag(arg, off) if name == "lag" else F.lead(arg, off)).over(spec)
+    if name in ast.AGGREGATES:
+        arg = compile_expr(e.args[0], resolve, field_type)
+        fn = {"count": F.count, "min": F.min, "max": F.max, "sum": F.sum, "avg": F.avg}[name]
+        return fn(arg).over(spec)
+    raise CompileError(f"unknown window function: {name}")
+
+
 def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
     """Lower an AST expression to a Column. Aggregate FuncCalls must already
     have been rewritten to Fields by the SELECT compiler — reaching one here
@@ -155,6 +205,8 @@ def compile_expr(e: ast.Expr, resolve: Resolver, field_type: TypeOf) -> Column:
         return F.lit(e.value)
     if isinstance(e, ast.Field):
         return resolve(e)
+    if isinstance(e, ast.WindowFunc):
+        return _compile_window(e, resolve, field_type)
     if isinstance(e, ast.FuncCall):
         name = e.name.lower()
         if name in ast.AGGREGATES:

@@ -55,6 +55,20 @@ class FuncCall:
 
 
 @dataclass(frozen=True)
+class WindowFunc:
+    """Window function application (extension — SURVEY §2.5: the reference
+    has none): `fn(args) OVER (PARTITION BY ... ORDER BY ... [frame])`.
+    Supported fns: row_number/rank/dense_rank, lag/lead, and the five
+    aggregates. `frame`: None (default) or 'rows_unbounded_current'."""
+
+    name: str
+    args: tuple["Expr", ...]
+    partition_by: tuple["Expr", ...] = ()
+    order_by: tuple["OrderItem", ...] = ()
+    frame: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class Subquery:
     """Uncorrelated subquery in expression position (extension — the
     reference has no subqueries). Forms: scalar `(SELECT ...)`,
@@ -64,7 +78,7 @@ class Subquery:
     select: "Select"
 
 
-Expr = Union[Literal, Field, Op, FuncCall, Subquery]
+Expr = Union[Literal, Field, Op, FuncCall, WindowFunc, Subquery]
 
 AGGREGATES = ("avg", "count", "max", "min", "sum")
 
@@ -76,6 +90,8 @@ def is_aggregate(e: Expr) -> bool:
 def contains_aggregate(e: Expr) -> bool:
     if is_aggregate(e):
         return True
+    if isinstance(e, WindowFunc):
+        return False  # windowed aggregates are not grouping aggregates
     if isinstance(e, Op):
         return any(contains_aggregate(a) for a in e.args)
     if isinstance(e, FuncCall):
@@ -88,6 +104,13 @@ def walk(e: Expr):
     if isinstance(e, (Op, FuncCall)):
         for a in e.args:
             yield from walk(a)
+    elif isinstance(e, WindowFunc):
+        for a in e.args:
+            yield from walk(a)
+        for p in e.partition_by:
+            yield from walk(p)
+        for o in e.order_by:
+            yield from walk(o.expr)
 
 
 # --------------------------------------------------------------------------

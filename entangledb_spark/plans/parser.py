@@ -477,7 +477,10 @@ class Parser:
                         if not self.accept("symbol", ","):
                             break
                     self.expect("symbol", ")")
-                return ast.FuncCall(t.text.lower(), tuple(args), distinct=distinct)
+                call = ast.FuncCall(t.text.lower(), tuple(args), distinct=distinct)
+                if self.accept("keyword", "over"):
+                    return self.parse_window(call)
+                return call
             if self.accept("symbol", "."):
                 col = self.expect("ident").text
                 return ast.Field(name=col, table=t.text)
@@ -491,6 +494,49 @@ class Parser:
             self.expect("symbol", ")")
             return e
         raise ParseError(f"unexpected token {t}")
+
+    def parse_window(self, call: ast.FuncCall) -> ast.Expr:
+        """OVER ( [PARTITION BY e, ...] [ORDER BY item, ...]
+        [ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW] ) — extension."""
+        self.expect("symbol", "(")
+        partition: list = []
+        if self.accept("keyword", "partition"):
+            self.expect("keyword", "by")
+            partition.append(self.parse_expr())
+            while self.accept("symbol", ","):
+                partition.append(self.parse_expr())
+        order: list = []
+        if self.accept("keyword", "order"):
+            self.expect("keyword", "by")
+            while True:
+                e = self.parse_expr()
+                desc = False
+                if self.accept("keyword", "desc"):
+                    desc = True
+                else:
+                    self.accept("keyword", "asc")
+                order.append(ast.OrderItem(e, desc))
+                if not self.accept("symbol", ","):
+                    break
+        frame = None
+        if self.accept("keyword", "rows"):
+            self.expect("keyword", "between")
+            self.expect("keyword", "unbounded")
+            self.expect("keyword", "preceding")
+            self.expect("keyword", "and")
+            self.expect("keyword", "current")
+            self.expect("keyword", "row")
+            frame = "rows_unbounded_current"
+        self.expect("symbol", ")")
+        if call.distinct:
+            raise ParseError("DISTINCT is not supported in window functions")
+        return ast.WindowFunc(
+            name=call.name,
+            args=call.args if not call.star else (ast.Literal(True),),
+            partition_by=tuple(partition),
+            order_by=tuple(order),
+            frame=frame,
+        )
 
     def parse_case(self) -> ast.Expr:
         """CASE WHEN cond THEN val [...] [ELSE val] END (extension).

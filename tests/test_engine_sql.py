@@ -542,3 +542,29 @@ def test_setop_statement_level_order_limit(eng):
         eng.execute(
             "SELECT id FROM movies UNION SELECT id FROM movies ORDER BY rating"
         )
+
+
+def test_window_functions(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "SELECT title, row_number() OVER (PARTITION BY genre_id ORDER BY rating DESC, id) AS rn "
+        "FROM movies WHERE genre_id IS NOT NULL ORDER BY genre_id, rn"
+    )
+    assert [(t[0], t[1]) for t in r.rows][:2] == [("Stalker", 1), ("Heat", 2)]
+    r = eng.execute(
+        "SELECT id, rank() OVER (ORDER BY released) AS rk FROM movies ORDER BY rk"
+    )
+    assert [t[1] for t in r.rows] == [1, 2, 3, 4, 5]
+    r = eng.execute(
+        "SELECT id, lag(released) OVER (ORDER BY released, id) AS prev FROM movies "
+        "ORDER BY released, id"
+    )
+    assert r.rows[0][1] is None and r.rows[1][1] == 1972
+    # windowed aggregate with running frame
+    r = eng.execute(
+        "SELECT id, sum(released) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS rt FROM movies ORDER BY id"
+    )
+    assert r.rows[0][1] == 1979 and r.rows[1][1] == 1979 + 1972
+    with pytest.raises(EngineError, match="requires ORDER BY"):
+        eng.execute("SELECT row_number() OVER (PARTITION BY genre_id) FROM movies")
