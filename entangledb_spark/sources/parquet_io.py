@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 _NS_CACHE: dict[tuple[str, float], object] = {}
+_DF_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
@@ -21,7 +22,13 @@ def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
         df.schema  # force schema resolution to surface illegal-type errors
         return df
     except Exception:
-        return spark.createDataFrame(_ns_fallback_pandas(path))
+        # memoize the fallback DataFrame per (application, path, mtime):
+        # createDataFrame from 100k pandas rows costs ~1s per call otherwise
+        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
+        if key not in _DF_CACHE:
+            _DF_CACHE.clear()  # one cached fixture frame at a time
+            _DF_CACHE[key] = spark.createDataFrame(_ns_fallback_pandas(path))
+        return _DF_CACHE[key]
 
 
 def _ns_fallback_pandas(path: str):
