@@ -27,9 +27,9 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entangledb_spark.functions.expressions import CompileError, compile_expr, static_type
+from entangledb_spark.functions.expressions import CompileError, compile_expr
 from entangledb_spark.plans import ast
-from entangledb_spark.plans.compiler import compile_select, compile_statement
+from entangledb_spark.plans.compiler import compile_statement
 from entangledb_spark.plans.lexer import LexError
 from entangledb_spark.plans.parser import ParseError, parse
 from entangledb_spark.sources import constraints as con
@@ -179,6 +179,8 @@ class Engine:
             raise EngineError("can't write in a read-only transaction")
         if isinstance(stmt, ast.CreateTable):
             return self._mutate(lambda m: self._create_table(m, stmt))
+        if isinstance(stmt, ast.CreateTableAs):
+            return self._mutate(lambda m: self._create_table_as(m, stmt))
         if isinstance(stmt, ast.DropTable):
             return self._mutate(lambda m: self._drop_table(m, stmt))
         if isinstance(stmt, ast.Insert):
@@ -335,6 +337,9 @@ class Engine:
         else:
             target_cols = None
 
+        if stmt.query is not None:
+            return self._insert_select(manifest, stmt, meta, target_cols)
+
         rows = []
         for values in stmt.values:
             named: dict[str, Any] = {}
@@ -370,6 +375,75 @@ class Engine:
         # merge-on-read: only the new rows hit disk (O(inserted), not O(table))
         self.catalog.stage_delta(manifest, stmt.table, upserts=new_rows)
         return Result(status=f"INSERT {len(rows)}")
+
+    def _insert_select(
+        self, manifest: dict, stmt: ast.Insert, meta: dict, target_cols
+    ) -> Result:
+        """INSERT ... SELECT (extension): the source query stays a lazy
+        distributed plan end-to-end — rows never touch the driver."""
+        cols = meta["columns"]
+        src_df = compile_statement(stmt.query, self.spark, self._reader())
+        names = target_cols if target_cols is not None else [c["name"] for c in cols]
+        if len(src_df.columns) != len(names):
+            raise EngineError(
+                f"INSERT SELECT column count {len(src_df.columns)} does not match {len(names)}"
+            )
+        src_df = src_df.toDF(*names)
+        by_name = {c["name"]: c for c in cols}
+        out_cols = []
+        for c in cols:
+            if c["name"] in names:
+                out_cols.append(
+                    F.col(c["name"]).cast(SPARK_TYPES[c["datatype"]]).alias(c["name"])
+                )
+            elif c["has_default"]:
+                out_cols.append(
+                    F.lit(c["default"]).cast(SPARK_TYPES[c["datatype"]]).alias(c["name"])
+                )
+            else:
+                raise EngineError(
+                    f"no value given for column {c['name']} in table {stmt.table}"
+                )
+        new_rows = src_df.select(*out_cols)
+        n_new = new_rows.count()
+        existing = self.catalog.read_df(manifest, stmt.table)
+        combined = existing.unionByName(new_rows)
+        self._validate_view(manifest, stmt.table, combined)
+        self.catalog.stage_delta(manifest, stmt.table, upserts=new_rows)
+        return Result(status=f"INSERT {n_new}")
+
+    def _create_table_as(self, manifest: dict, stmt: ast.CreateTableAs) -> Result:
+        """CREATE TABLE AS SELECT (extension): materialize a query as a new
+        managed table; the first output column becomes the primary key and
+        is validated unique + non-null like any other PK."""
+        from entangledb_spark.sources.catalog import FROM_SPARK_TYPES
+
+        if stmt.name in manifest["tables"]:
+            raise EngineError(f"table {stmt.name} already exists")
+        df = compile_statement(stmt.query, self.spark, self._reader())
+        cols = []
+        for i, (cname, ctype) in enumerate(df.dtypes):
+            dt = FROM_SPARK_TYPES.get(ctype)
+            if dt is None:
+                raise EngineError(
+                    f"column {cname} has type {ctype}, outside the engine type system"
+                )
+            cols.append(
+                {
+                    "name": cname, "datatype": dt, "primary_key": i == 0,
+                    "nullable": i != 0, "has_default": i != 0, "default": None,
+                    "unique": i == 0, "references": None, "index": i == 0,
+                }
+            )
+        manifest["tables"][stmt.name] = {"columns": cols, "data": None, "deltas": []}
+        target_types = [SPARK_TYPES[c["datatype"]] for c in cols]
+        casted = df.select(
+            *[F.col(n).cast(t).alias(n) for (n, _), t in zip(df.dtypes, target_types)]
+        )
+        self._validate_view(manifest, stmt.name, casted)
+        self.catalog.stage_delta(manifest, stmt.name, upserts=casted)
+        n = casted.count()
+        return Result(status=f"CREATE TABLE {stmt.name} AS ({n} rows)")
 
     # ---------------------------------------------------------- UPDATE
 

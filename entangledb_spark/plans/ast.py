@@ -10,7 +10,7 @@ resolves names itself (SURVEY §3.1 step 4 note).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import Optional, Union
 
@@ -177,7 +177,17 @@ class DropTable:
 class Insert:
     table: str
     columns: Optional[tuple[str, ...]]
-    values: tuple[tuple[Expr, ...], ...]
+    values: tuple[tuple[Expr, ...], ...] = ()
+    query: Optional["Statement"] = None  # INSERT ... SELECT — extension
+
+
+@dataclass(frozen=True)
+class CreateTableAs:
+    """CREATE TABLE name AS SELECT ... (extension). The first output column
+    becomes the primary key (validated non-null + unique on write)."""
+
+    name: str
+    query: "Statement"
 
 
 @dataclass(frozen=True)
@@ -250,6 +260,6 @@ class Explain:
 
 
 Statement = Union[
-    CreateTable, DropTable, Insert, Update, Delete, Select, SetOp,
+    CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Select, SetOp,
     Begin, Commit, Rollback, Explain,
 ]

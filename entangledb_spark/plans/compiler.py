@@ -28,11 +28,7 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from entangledb_spark.functions.expressions import (
-    CompileError,
-    compile_expr,
-    static_type,
-)
+from entangledb_spark.functions.expressions import CompileError, compile_expr
 from entangledb_spark.plans import ast
 
 @dataclass

@@ -136,10 +136,12 @@ class Parser:
 
     # ---- DDL --------------------------------------------------------------
 
-    def parse_create_table(self) -> ast.CreateTable:
+    def parse_create_table(self) -> "ast.Statement":
         self.expect("keyword", "create")
         self.expect("keyword", "table")
         name = self.expect("ident").text
+        if self.accept("keyword", "as"):
+            return ast.CreateTableAs(name=name, query=self.parse_select_statement())
         self.expect("symbol", "(")
         cols = []
         while True:
@@ -197,6 +199,10 @@ class Parser:
                     break
             self.expect("symbol", ")")
             columns = tuple(columns)
+        if self.peek().kind == "keyword" and self.peek().text == "select":
+            return ast.Insert(
+                table=table, columns=columns, query=self.parse_select_statement()
+            )
         self.expect("keyword", "values")
         rows = []
         while True:

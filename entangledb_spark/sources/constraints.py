@@ -20,8 +20,6 @@ snapshot being published) and scales to any table size:
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -568,3 +568,46 @@ def test_window_functions(eng):
     assert r.rows[0][1] == 1979 and r.rows[1][1] == 1979 + 1972
     with pytest.raises(EngineError, match="requires ORDER BY"):
         eng.execute("SELECT row_number() OVER (PARTITION BY genre_id) FROM movies")
+
+
+def test_insert_select(eng):
+    setup_movies(eng)
+    eng.execute("CREATE TABLE classics (id INTEGER PRIMARY KEY, title STRING NOT NULL)")
+    r = eng.execute(
+        "INSERT INTO classics SELECT id, title FROM movies WHERE released < 1990"
+    )
+    assert r.status == "INSERT 2"
+    rows = eng.execute("SELECT title FROM classics ORDER BY id").rows
+    assert [t[0] for t in rows] == ["Stalker", "Solaris"]
+    # with explicit column list + default padding
+    eng.execute(
+        "CREATE TABLE titles (id INTEGER PRIMARY KEY, t STRING, score FLOAT DEFAULT 0.0)"
+    )
+    eng.execute("INSERT INTO titles (id, t) SELECT id + 100, title FROM movies")
+    assert one(eng, "SELECT count(*), min(score) FROM titles") == (5, 0.0)
+    with pytest.raises(EngineError, match="column count"):
+        eng.execute("INSERT INTO classics SELECT id FROM movies")
+    with pytest.raises(EngineError, match="duplicate primary key"):
+        eng.execute("INSERT INTO classics SELECT id, title FROM movies WHERE id = 1")
+
+
+def test_create_table_as_select(eng):
+    setup_movies(eng)
+    r = eng.execute(
+        "CREATE TABLE by_genre AS SELECT genre_id, count(*) AS n FROM movies "
+        "WHERE genre_id IS NOT NULL GROUP BY genre_id"
+    )
+    assert "3 rows" in r.status
+    rows = eng.execute("SELECT * FROM by_genre ORDER BY genre_id").rows
+    assert rows == [(1, 2), (2, 1), (3, 1)]
+    # the new table is a real managed table: DML works
+    eng.execute("DELETE FROM by_genre WHERE genre_id = 3")
+    assert one(eng, "SELECT count(*) FROM by_genre") == (2,)
+    # first column = PK → NULLs and duplicates both refuse
+    with pytest.raises(EngineError, match="NULL value not allowed"):
+        eng.execute("CREATE TABLE bad1 AS SELECT genre_id, id FROM movies")
+    with pytest.raises(EngineError, match="duplicate primary key"):
+        eng.execute(
+            "CREATE TABLE bad2 AS SELECT genre_id, id FROM movies "
+            "WHERE genre_id IS NOT NULL"
+        )
