@@ -628,6 +628,12 @@ def _coerce_row(named: dict, cols: list[dict], table: str) -> tuple:
 
 def _format_plan(stmt: ast.Statement, indent: int = 0) -> list[str]:
     pad = "  " * indent
+    if isinstance(stmt, ast.SetOp):
+        label = stmt.kind.upper() + (" ALL" if stmt.all_rows else "")
+        lines = [f"{pad}{label}"]
+        lines += _format_plan(stmt.left, indent + 1)
+        lines += _format_plan(stmt.right, indent + 1)
+        return lines
     if isinstance(stmt, ast.Select):
         lines = [f"{pad}Select"]
         if stmt.limit is not None:

@@ -186,3 +186,24 @@ dialect(
     FROM part WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
     """,
 )
+
+
+dialect(
+    "q59_dialect_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok
+    FROM orders WHERE o_custkey < 100
+    """,
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok
+    FROM orders WHERE o_custkey < 100
+    """,
+)

@@ -952,3 +952,23 @@ def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q90_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, r4(sum(l_quantity)) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q90_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (extension): per-(flag,status), per-flag, and
+    grand-total rows in one pass. Spark expands rollup into a single
+    partial-aggregated shuffle — same cost shape as a plain GROUP BY."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("l_quantity")).alias("qty"))
+    )

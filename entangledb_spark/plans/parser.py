@@ -75,11 +75,6 @@ class Parser:
             raise ParseError(f"expected {text or kind}, found {self.peek()}")
         return t
 
-    def accept_kw(self, *words: str) -> bool:
-        return self.accept("keyword", words[0]) is not None if len(words) == 1 else all(
-            self.expect("keyword", w) or True for w in words
-        )
-
     # ---- entry ------------------------------------------------------------
 
     def parse(self) -> ast.Statement:
