@@ -293,3 +293,44 @@ def q56_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phones"),
     )
+
+
+@query("q66_text_entropy_udf")  # numpy-backed scoring → rows-only check
+def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Shannon entropy per document via a vectorized @pandas_udf
+    — the third Python-integration shape next to mapInPandas (multimodal)
+    and applyInPandasWithState (streaming): scalar Arrow batches in, one
+    numpy computation per batch, no per-row Python overhead. Entropy of the
+    token frequency distribution is a standard gibberish/boilerplate signal
+    (low entropy = repetitive text)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint parser can't resolve for locally-imported pd
+    @pandas_udf("double")
+    def token_entropy(texts):
+        out = []
+        for t in texts:
+            toks = t.lower().split()
+            if not toks:
+                out.append(0.0)
+                continue
+            _, counts = np.unique(np.array(toks), return_counts=True)
+            p = counts / counts.sum()
+            out.append(float(-(p * np.log2(p)).sum()))
+        return pd.Series(out)
+
+    d = table(spark, sf_dir, "documents")
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    d = repartition_for_cpu(d.select("doc_id", "text"), spark)
+    return d.select(
+        "doc_id",
+        r4(token_entropy(F.col("text"))).alias("entropy_bits"),
+    )
