@@ -334,3 +334,80 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         r4(token_entropy(F.col("text"))).alias("entropy_bits"),
     )
+
+
+# Deterministic pseudo-random for sampling: Knuth multiplicative hash on the
+# document id — pure BIGINT arithmetic, so Spark and DuckDB agree bit-for-bit
+# and a re-run (or a different cluster) draws the same sample. doc_id·K stays
+# far below 2^63 for any realistic id space.
+SAMPLE_K = 2654435761
+
+
+@query(
+    "q91_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             (doc_id * {SAMPLE_K}) % 1000 AS bucket
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 20 documents per language stratum,
+    selected by a deterministic hash order — reproducible corpus subsets
+    without RNG state. Scale: one shuffle on the stratum key;
+    WindowGroupLimit keeps per-partition top-k before the merge."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SAMPLE_K) % 1000
+    w = Window.partitionBy("lang").orderBy(bucket.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@query(
+    "q92_dataset_mixture",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             (doc_id * {SAMPLE_K}) % 100 AS bucket,
+             CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 20 END AS rate
+      FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM tagged WHERE bucket < rate GROUP BY source
+    """,
+)
+def q92_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source sampling rates (80%/50%/20%)
+    applied with the deterministic hash — the standard way to rebalance
+    source proportions in a training mix. Pure narrow filter + one tiny
+    aggregation; rates change without reshuffling anything."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * SAMPLE_K) % 100
+    rate = (
+        F.when(F.col("source") == "src0", 80)
+        .when(F.col("source") == "src1", 50)
+        .otherwise(20)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
