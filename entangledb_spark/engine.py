@@ -210,7 +210,7 @@ class Engine:
         if not self.in_transaction:
             raise EngineError("not in a transaction")
         if self._txn is not None:
-            v = self.catalog.publish(self._txn)
+            v = self.catalog.publish(self._txn, expected_version=self._txn_version)
         else:
             v = self._txn_version
         self._txn = None
@@ -229,9 +229,10 @@ class Engine:
         (implicit single-statement transaction, engine/mod.rs:124-143)."""
         if self._txn is not None:
             return apply(self._txn)
-        manifest = self.catalog.manifest()
+        base = self.catalog.current_version()
+        manifest = self.catalog.manifest(base)
         result = apply(manifest)
-        v = self.catalog.publish(manifest)
+        v = self.catalog.publish(manifest, expected_version=base)
         result.version = v
         return result
 

@@ -62,6 +62,10 @@ class CatalogError(ValueError):
     pass
 
 
+class ConflictError(CatalogError):
+    """A concurrent commit published a newer version first (OCC failure)."""
+
+
 def column_to_dict(c: ast.ColumnDef, default_value: Any = None, has_default: bool = False) -> dict:
     return {
         "name": c.name,
@@ -131,11 +135,23 @@ class SnapshotCatalog:
         with open(path) as f:
             return json.load(f)
 
-    def publish(self, manifest: dict) -> int:
+    def publish(self, manifest: dict, expected_version: Optional[int] = None) -> int:
         """Commit: write manifest N+1, then atomically move CURRENT.
-        Single-writer (the reference serializes writers behind a mutex too);
-        a cluster deployment would CAS the CURRENT pointer in a metastore."""
-        v = self.current_version() + 1
+
+        Optimistic concurrency: when `expected_version` is given (the
+        version the transaction read its state from), a concurrent commit
+        in between raises ConflictError instead of silently losing the
+        other writer's changes — the detect-and-retry analog of the
+        reference's writer mutex (storage/mvcc.rs:84-95), and the same
+        protocol a cluster deployment runs as a CAS on a metastore pointer.
+        """
+        current = self.current_version()
+        if expected_version is not None and current != expected_version:
+            raise ConflictError(
+                f"transaction conflict: database is at version {current}, "
+                f"transaction started at {expected_version}; retry"
+            )
+        v = current + 1
         self._write_manifest(v, manifest)
         self._publish_current(v)
         return v

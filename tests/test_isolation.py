@@ -102,3 +102,28 @@ def test_as_of_survives_later_writes(db):
     assert val(b, "SELECT count(*) FROM accounts") == 2
     assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 100
     b.execute("COMMIT")
+
+
+def test_write_write_conflict_detected(db):
+    """Optimistic concurrency: two transactions based on the same version —
+    the second commit must fail instead of silently dropping the first
+    writer's changes (the detect-and-retry analog of the reference's
+    writer mutex, storage/mvcc.rs:84-95)."""
+    a, b = db
+    a.execute("BEGIN")
+    b.execute("BEGIN")
+    a.execute("INSERT INTO accounts VALUES (10, 1)")
+    b.execute("INSERT INTO accounts VALUES (11, 2)")
+    a.execute("COMMIT")
+    with pytest.raises(EngineError, match="conflict"):
+        b.execute("COMMIT")
+    # the failed transaction stays open; the user rolls back and retries
+    b.execute("ROLLBACK")
+    assert val(b, "SELECT count(*) FROM accounts") == 3  # only a's insert survived
+
+
+def test_autocommit_has_no_conflict_window_in_sequence(db):
+    a, b = db
+    a.execute("INSERT INTO accounts VALUES (20, 5)")
+    b.execute("INSERT INTO accounts VALUES (21, 6)")
+    assert val(a, "SELECT count(*) FROM accounts") == 4
