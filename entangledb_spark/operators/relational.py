@@ -972,3 +972,29 @@ def q90_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("l_quantity")).alias("qty"))
     )
+
+
+@query(
+    "q93_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q93_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers (extension): all 2^k aggregation levels
+    in one pass, grouping flags distinguishing rollup NULLs from data NULLs
+    — the standard OLAP summary shape. Single partial-aggregated shuffle."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+    )
