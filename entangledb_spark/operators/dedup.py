@@ -340,3 +340,77 @@ def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("cos_sim_raw")).alias("cos_sim"),
         )
     )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 8
+) -> DataFrame:
+    """Label-propagation connected components over a candidate-pair graph:
+    every vertex starts as its own label; each round adopts the minimum
+    label among itself and its neighbors. Pure joins/aggregations — the
+    hand-rolled version of Pregel/GraphFrames CC, adequate because near-dup
+    components have tiny diameters (a cluster of copies is almost a clique,
+    so labels converge in 2-3 rounds; max_iter bounds pathological chains).
+
+    vertices: (id); edges: (a, b). Returns (id, component) where component
+    is the minimum vertex id in the connected component.
+    Each round is cached to keep the lineage flat (iterative plans would
+    otherwise grow exponentially); at 100 TB scale the same loop runs with
+    per-round checkpoints to truncate lineage durably.
+    """
+    # Materialize the (usually tiny) candidate graph once: without this, the
+    # lazily-built iteration plan would recompute the upstream candidate
+    # generation (MinHash signatures + LSH join) on every round.
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.id)
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            # truncate lineage each round (iterative plans grow exponentially)
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+@query("q67_dedup_clusters")  # graph iteration → rows-only check
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: MinHash-LSH candidate pairs →
+    connected components → duplicate clusters with a keep-document.
+    The survivor set is `docs anti-join (cluster members - keepers)`."""
+    pairs = q62_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    vertices = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            F.col("n_docs"),
+            F.col("keep_doc").cast("long").alias("keep_doc"),
+        )
+    )

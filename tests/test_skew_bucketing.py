@@ -117,3 +117,15 @@ def test_lsh_recall_vs_bruteforce(spark):
     ]
     avg_recall = sum(recalls) / len(recalls)
     assert avg_recall >= 0.2, f"LSH recall collapsed: {avg_recall}"
+
+
+def test_connected_components(spark):
+    """Known graph: chain 1-2-3, pair 10-11, isolated 20."""
+    from entangledb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "id long")
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
