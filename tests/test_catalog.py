@@ -68,3 +68,16 @@ def test_ns_fallback_reader(spark):
     # normal parquet takes the native scan path (plan mentions FileScan)
     df2 = read_parquet_any(spark, "/root/testdata/sf0.001/orders.parquet")
     assert "FileScan" in df2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cli_format_table():
+    from entangledb_spark.cli import format_table
+
+    out = format_table(["a", "long_col"], [(1, "x"), (None, "yy")])
+    lines = out.splitlines()
+    assert lines[0].startswith("a") and "long_col" in lines[0]
+    assert "NULL" in out
+    assert len(lines) == 4  # header + rule + 2 rows
+    # empty result keeps the header
+    out = format_table(["only"], [])
+    assert out.splitlines()[0].strip() == "only"
