@@ -1,50 +1,95 @@
 """Robust parquet reading shared by the fixture registry and the catalog.
 
 Spark's reader rejects INT64 TIMESTAMP(NANOS) parquet (nanoseconds don't
-fit Spark timestamps). `read_parquet_any` falls back to a memoized pyarrow
-load with ns→µs truncation for such files — a fixture-format shim; real
-sources write µs parquet and always take the native scan path (which keeps
-PushedFilters / column pruning)."""
+fit Spark timestamps). For such files we run a ONE-TIME DISTRIBUTED
+conversion: read the file natively with ``spark.sql.legacy.parquet
+.nanosAsLong`` (the ns column arrives as raw int64), convert ns→µs with
+``timestamp_micros(c div 1000)`` (integer division — double division would
+lose µs precision at 1.7e18 ns), and write a µs-normalized parquet copy to
+a per-(path, mtime) cache dir. Every subsequent read scans the converted
+copy natively, so PushedFilters / column pruning / partition splitting all
+apply and nothing ever materializes on the driver.
+
+The ns check reads only the parquet footer (driver-side metadata, ~ms) —
+no probe job, no aborted-job stacktrace. Directories (our own catalog
+writes, always µs) skip the check entirely.
+"""
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-_NS_CACHE: dict[tuple[str, float], object] = {}
-_DF_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+# (abspath, mtime_ns) -> list of ns-timestamp column names (footer memo)
+_NS_COLS_CACHE: dict[tuple[str, int], list[str]] = {}
 
 
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution to surface illegal-type errors
-        return df
-    except Exception:
-        # memoize the fallback DataFrame per (application, path, mtime):
-        # createDataFrame from 100k pandas rows costs ~1s per call otherwise
-        key = (spark.sparkContext.applicationId, path, os.path.getmtime(path))
-        if key not in _DF_CACHE:
-            _DF_CACHE.clear()  # one cached fixture frame at a time
-            _DF_CACHE[key] = spark.createDataFrame(_ns_fallback_pandas(path))
-        return _DF_CACHE[key]
+    """Native parquet scan; ns-timestamp files go through the one-time
+    distributed µs conversion described in the module docstring."""
+    ns_cols = _ns_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    return spark.read.parquet(_ensure_us_copy(spark, path, ns_cols))
 
 
-def _ns_fallback_pandas(path: str):
-    key = (path, os.path.getmtime(path))
-    if key not in _NS_CACHE:
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Names of INT64 TIMESTAMP(NANOS) columns, from the parquet footer
+    only. Directories are our own (Spark-written, µs) — skip."""
+    if os.path.isdir(path):
+        return []
+    key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    if key not in _NS_COLS_CACHE:
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path)
-        cols = [
-            pc.cast(t.column(i), pa.timestamp("us"), safe=False)
-            if pa.types.is_timestamp(t.schema.field(i).type)
-            else t.column(i)
-            for i in range(t.num_columns)
+        schema = pq.read_schema(path)
+        _NS_COLS_CACHE[key] = [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
         ]
-        _NS_CACHE.clear()  # bound memory: one cached fixture at a time
-        _NS_CACHE[key] = pa.table(cols, names=t.column_names).to_pandas()
-    return _NS_CACHE[key]
+    return _NS_COLS_CACHE[key]
+
+
+def _us_cache_dir(path: str) -> str:
+    st = os.stat(path)
+    tag = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "entangledb-us-cache", f"{tag}-{st.st_mtime_ns}"
+    )
+
+
+def _ensure_us_copy(spark: SparkSession, path: str, ns_cols: list[str]) -> str:
+    """Return the path of the µs-normalized copy, converting on first touch.
+
+    The conversion is a normal distributed read→write job. Concurrent
+    sessions race via write-to-tmp + atomic rename: the loser's rename
+    fails (dest exists) and it simply uses the winner's copy.
+    """
+    dest = _us_cache_dir(path)
+    if os.path.isdir(dest) and os.path.exists(os.path.join(dest, "_SUCCESS")):
+        return dest
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            # `div` = integer division on the raw int64 nanos
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        df.write.mode("overwrite").parquet(tmp)
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; use winner's
+    return dest
