@@ -112,20 +112,49 @@ class SnapshotCatalog:
         return os.path.join(self.base, "manifests", f"v{v}.json")
 
     def _write_manifest(self, v: int, manifest: dict) -> None:
-        tmp = self._manifest_path(v) + ".tmp"
+        # per-call-unique tmp: concurrent bootstraps (two connections
+        # opening a fresh db) must not share a tmp path; the v0 write is
+        # idempotent so last-replace-wins is safe.
+        tmp = self._manifest_path(v) + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self._manifest_path(v))
 
+    def _write_manifest_excl(self, v: int, manifest: dict) -> None:
+        """Atomically CREATE manifest v — fails with FileExistsError if a
+        concurrent committer created it first. The hard-link is the commit
+        point: creating v{N}.json IS the compare-and-swap, so the protocol
+        is safe across OS processes, not just threads (os.replace alone
+        would let two check-then-act writers both 'win')."""
+        tmp = self._manifest_path(v) + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        try:
+            os.link(tmp, self._manifest_path(v))  # atomic create-if-absent
+        finally:
+            os.unlink(tmp)
+
     def _publish_current(self, v: int) -> None:
-        tmp = self._current_path() + ".tmp"
+        # tmp name must be unique per CALL, not per process: concurrent
+        # threads (e.g. server connections) publishing through one catalog
+        # would otherwise share a tmp path and race replace vs. write.
+        # CURRENT itself is last-writer-wins — current_version self-heals
+        # forward past any stale pointer by scanning the manifests.
+        tmp = self._current_path() + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._current_path())
 
     def current_version(self) -> int:
+        """Latest committed version. CURRENT is a cache of the answer; the
+        manifest files are the source of truth — if a committer crashed (or
+        lost a race) between creating v{N}.json and updating CURRENT, the
+        pointer self-heals by advancing past every existing manifest."""
         with open(self._current_path()) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def manifest(self, v: Optional[int] = None) -> dict:
         v = self.current_version() if v is None else v
@@ -145,16 +174,25 @@ class SnapshotCatalog:
         reference's writer mutex (storage/mvcc.rs:84-95), and the same
         protocol a cluster deployment runs as a CAS on a metastore pointer.
         """
-        current = self.current_version()
-        if expected_version is not None and current != expected_version:
-            raise ConflictError(
-                f"transaction conflict: database is at version {current}, "
-                f"transaction started at {expected_version}; retry"
-            )
-        v = current + 1
-        self._write_manifest(v, manifest)
-        self._publish_current(v)
-        return v
+        while True:
+            current = self.current_version()
+            if expected_version is not None and current != expected_version:
+                raise ConflictError(
+                    f"transaction conflict: database is at version {current}, "
+                    f"transaction started at {expected_version}; retry"
+                )
+            v = current + 1
+            try:
+                self._write_manifest_excl(v, manifest)
+            except FileExistsError:
+                if expected_version is not None:
+                    raise ConflictError(
+                        f"transaction conflict: version {v} was committed "
+                        f"concurrently; transaction started at {expected_version}; retry"
+                    ) from None
+                continue  # unconditional publish: retry on the next version
+            self._publish_current(v)
+            return v
 
     # ---- table data (merge-on-read) ----------------------------------------
     #
@@ -243,9 +281,12 @@ class SnapshotCatalog:
         name: str,
         upserts: Optional[DataFrame] = None,
         deletes: Optional[DataFrame] = None,
-    ) -> None:
+    ) -> Optional[dict]:
         """Append a merge-on-read delta (O(changed rows) write), compacting
-        into a fresh base when the delta chain gets long."""
+        into a fresh base when the delta chain gets long. Returns the delta
+        entry ({'upserts': path, 'deletes': path}) so callers can report
+        row counts from the written files' footers instead of re-running
+        the matching job."""
         meta = manifest["tables"][name]
         delta: dict = {}
         if upserts is not None:
@@ -253,10 +294,23 @@ class SnapshotCatalog:
         if deletes is not None:
             delta["deletes"] = self.write_snapshot(name, deletes)
         if not delta:
-            return
+            return None
         meta.setdefault("deltas", []).append(delta)
         if len(meta["deltas"]) >= self.COMPACT_AFTER:
             self.compact(manifest, name)
+        return delta
+
+    def count_rows(self, rel: str) -> int:
+        """Row count of a written snapshot from parquet footer statistics —
+        a metadata-only read, no data scan."""
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.base, rel)
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
 
     def compact(self, manifest: dict, name: str) -> None:
         """Materialize the current view as a new base and clear the delta
