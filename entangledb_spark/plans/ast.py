@@ -25,6 +25,13 @@ class Literal:
 
 
 @dataclass(frozen=True)
+class Star:
+    """The bare `*` in a SELECT list. A dedicated node so a genuine string
+    literal '*' (which the reference returns as-is) can never be confused
+    with the all-columns sentinel."""
+
+
+@dataclass(frozen=True)
 class Field:
     """Column reference, optionally table-qualified."""
 
@@ -78,7 +85,7 @@ class Subquery:
     select: "Select"
 
 
-Expr = Union[Literal, Field, Op, FuncCall, WindowFunc, Subquery]
+Expr = Union[Literal, Star, Field, Op, FuncCall, WindowFunc, Subquery]
 
 AGGREGATES = ("avg", "count", "max", "min", "sum")
 

@@ -22,6 +22,7 @@ the positional-index bookkeeping.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -95,6 +96,12 @@ def compile_from(item: ast.FromItem, read: TableReader, scope: Scope) -> DataFra
     right = compile_from(item.right, read, scope)
     if item.join_type == ast.JoinType.CROSS:
         return left.crossJoin(right)
+    if item.predicate is not None and any(
+        isinstance(sub, ast.Subquery)
+        or (isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS"))
+        for sub in ast.walk(item.predicate)
+    ):
+        raise CompileError("subqueries are not supported in join predicates")
     pred = (
         compile_expr(item.predicate, scope.resolve, scope.dtype_of)
         if item.predicate is not None
@@ -153,7 +160,94 @@ def _agg_column(fc: ast.FuncCall, scope: Scope) -> Column:
     raise CompileError(f"unknown function: {name}")
 
 
-IN_SUBQUERY_LIMIT = 100_000  # max values folded into an IN list
+IN_SUBQUERY_LIMIT = 100_000  # max values folded into an IN list (non-conjunct positions)
+
+
+def _split_semi_anti(
+    where: Optional[ast.Expr],
+) -> tuple[list[tuple[str, ast.Expr, ast.Subquery]], Optional[ast.Expr]]:
+    """Split WHERE into ([(kind, lhs, subquery), ...], remaining-expr).
+
+    Top-level `x IN (SELECT ...)` / `x NOT IN (SELECT ...)` conjuncts are
+    extracted as semi/anti join specs — the scale-safe plan (no driver
+    round-trip, no value-count limit). Subqueries in any other position
+    (inside OR, in the select list, ...) stay in the tree and go through
+    the bounded literal fold."""
+    if where is None:
+        return [], None
+
+    def conjuncts(e: ast.Expr):
+        if isinstance(e, ast.Op) and e.name == "AND":
+            for a in e.args:
+                yield from conjuncts(a)
+        else:
+            yield e
+
+    specs: list[tuple[str, ast.Expr, ast.Subquery]] = []
+    rest: list[ast.Expr] = []
+    for c in conjuncts(where):
+        if isinstance(c, ast.Op) and c.name == "IN_SUBQ":
+            sub = c.args[1]
+            assert isinstance(sub, ast.Subquery)
+            specs.append(("semi", c.args[0], sub))
+        elif (
+            isinstance(c, ast.Op)
+            and c.name == "NOT"
+            and isinstance(c.args[0], ast.Op)
+            and c.args[0].name == "IN_SUBQ"
+        ):
+            sub = c.args[0].args[1]
+            assert isinstance(sub, ast.Subquery)
+            specs.append(("anti", c.args[0].args[0], sub))
+        else:
+            rest.append(c)
+    remaining: Optional[ast.Expr] = None
+    for c in rest:
+        remaining = c if remaining is None else ast.Op("AND", (remaining, c))
+    return specs, remaining
+
+
+def _apply_semi_anti(
+    df: DataFrame,
+    specs: list[tuple[str, ast.Expr, ast.Subquery]],
+    scope: Scope,
+    spark: SparkSession,
+    read: TableReader,
+) -> DataFrame:
+    """Apply [NOT] IN-subquery conjuncts as left_semi / left_anti joins.
+
+    IN → left_semi on equality: exact SQL semantics fall out (a NULL probe
+    or no-match row is dropped, matching WHERE's treatment of NULL/FALSE).
+
+    NOT IN → null-aware anti join, decomposed to stay hash-joinable: one
+    tiny aggregate probe of the subquery (two scalars cross the driver —
+    O(1), not O(values)) decides the degenerate cases (empty set → keep
+    everything; any NULL value → nothing is ever TRUE), then the general
+    case filters NULL probes and left_anti-joins on equality. A single
+    disjunctive null-aware condition would force a nested-loop join."""
+    for i, (kind, lhs, sub) in enumerate(specs):
+        lhs = _resolve_subqueries(lhs, spark, read)
+        inner = compile_select(sub.select, spark, read)
+        if len(inner.columns) != 1:
+            raise CompileError("IN subquery must return exactly one column")
+        incol = inner.columns[0]
+        ialias = f"__in{i}"
+        inner_a = inner.alias(ialias)
+        lhs_col = compile_expr(lhs, scope.resolve, scope.dtype_of)
+        cond = lhs_col == F.col(f"{ialias}.{incol}")
+        if kind == "semi":
+            df = df.join(inner_a, cond, "left_semi")
+            continue
+        probe = inner.agg(
+            F.count(F.lit(1)).alias("n"), F.count(F.col(incol)).alias("n_nonnull")
+        ).first()
+        if probe["n"] == 0:
+            continue  # NOT IN over the empty set is TRUE for every row
+        if probe["n"] != probe["n_nonnull"]:
+            df = df.filter(F.lit(False))  # a NULL value → NOT IN is never TRUE
+            continue
+        df = df.filter(lhs_col.isNotNull()).join(inner_a, cond, "left_anti")
+    return df
 
 
 def _resolve_subqueries(
@@ -216,7 +310,16 @@ def _resolve_subqueries(
 def compile_select(
     stmt: ast.Select, spark: SparkSession, read: TableReader
 ) -> DataFrame:
-    # fold uncorrelated subqueries first (no-op when none are present)
+    # WHERE-conjunct [NOT] IN subqueries become semi/anti joins (scale
+    # path). FROM-less selects keep the literal fold — there is no frame
+    # to join against.
+    semi_specs: list[tuple[str, ast.Expr, ast.Subquery]] = []
+    if stmt.from_ is not None:
+        semi_specs, remaining_where = _split_semi_anti(stmt.where)
+        if semi_specs:
+            stmt = dataclasses.replace(stmt, where=remaining_where)
+
+    # fold remaining uncorrelated subqueries (no-op when none are present)
     def rs(x):
         return _resolve_subqueries(x, spark, read)
 
@@ -230,21 +333,22 @@ def compile_select(
         )
         for sub in ast.walk(root)
     ):
-        stmt = ast.Select(
+        stmt = dataclasses.replace(
+            stmt,
             select=tuple((rs(e), a) for e, a in stmt.select),
-            from_=stmt.from_,
             where=rs(stmt.where),
             group_by=tuple(rs(g) for g in stmt.group_by),
             having=rs(stmt.having),
             order_by=tuple(ast.OrderItem(rs(o.expr), o.desc) for o in stmt.order_by),
-            offset=stmt.offset,
-            limit=stmt.limit,
         )
     scope = Scope()
     if stmt.from_ is not None:
         df = compile_from(stmt.from_, read, scope)
     else:
         df = spark.range(1).drop("id")  # Nothing node: one empty row
+
+    if semi_specs:
+        df = _apply_semi_anti(df, semi_specs, scope, spark, read)
 
     if stmt.where is not None:
         if ast.contains_aggregate(stmt.where):
@@ -254,7 +358,7 @@ def compile_select(
     # --- SELECT * expansion -----------------------------------------------
     select_items: list[tuple[ast.Expr, Optional[str]]] = []
     for expr, alias in stmt.select:
-        if isinstance(expr, ast.Literal) and expr.value == "*" and alias is None:
+        if isinstance(expr, ast.Star):
             if not scope.tables:
                 raise CompileError("SELECT * requires a FROM clause")
             for t_alias, col in scope.all_columns():

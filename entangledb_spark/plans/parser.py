@@ -291,7 +291,7 @@ class Parser:
         select = []
         while True:
             if self.accept("symbol", "*"):
-                select.append((ast.Literal("*"), None))  # SELECT * sentinel
+                select.append((ast.Star(), None))  # SELECT * sentinel
             else:
                 expr = self.parse_expr()
                 alias = None
