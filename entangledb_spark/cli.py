@@ -7,10 +7,14 @@ input. Run: python -m entangledb_spark.cli [--db DIR].
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from entangledb_spark.engine import Engine, EngineError
 from entangledb_spark.session import get_spark
+
+# display cap: the REPL never pulls more than this many rows to the driver
+MAX_DISPLAY_ROWS = int(os.environ.get("ENTANGLE_MAX_DISPLAY_ROWS", "1000"))
 
 
 def format_table(columns, rows, headers: bool = True) -> str:
@@ -83,8 +87,13 @@ def main(argv=None) -> int:
 
     spark = get_spark("entangledb-cli")
     # FATAL: recoverable query errors are reported by the REPL itself; the
-    # JVM's ERROR-level query-context JSON logs would double-print them
+    # JVM's ERROR-level query-context JSON logs would double-print them.
+    # PySpark's PYTHON-side DataFrameQueryContextLogger does the same from
+    # the Python logging tree, so quiet that as well.
     spark.sparkContext.setLogLevel("FATAL")
+    import logging
+
+    logging.getLogger("pyspark").setLevel(logging.CRITICAL)
     engine = Engine(spark, args.db)
 
     def run_one(sql: str) -> None:
@@ -96,9 +105,18 @@ def main(argv=None) -> int:
             return
         try:
             r = engine.execute(sql)
-            if r.rows is not None:
-                print(format_table(r.columns or [], r.rows))
-                print(f"({len(r.rows)} rows)")
+            if r.dataframe is not None or r.rows is not None:
+                # capped pull: O(MAX_DISPLAY_ROWS) driver memory even for
+                # `SELECT * FROM <huge table>` (toLocalIterator under the hood)
+                rows, truncated = r.fetch(MAX_DISPLAY_ROWS)
+                print(format_table(r.columns or [], rows))
+                if truncated:
+                    print(
+                        f"(first {len(rows)} rows shown; raise "
+                        "ENTANGLE_MAX_DISPLAY_ROWS or add LIMIT for more)"
+                    )
+                else:
+                    print(f"({len(rows)} rows)")
             else:
                 print(r.status)
         except EngineError as e:

@@ -46,16 +46,52 @@ class EngineError(ValueError):
     pass
 
 
-@dataclass
 class Result:
-    """Query/statement result. For SELECT: columns + rows; for others a
-    status string mirroring the reference's ResultSet variants."""
+    """Query/statement result. For SELECT the DataFrame is kept LAZY —
+    `execute` launches no collection job; callers pull rows through
+    `fetch(max_rows)` (O(max_rows) driver memory via toLocalIterator) or
+    the `rows` property (full materialization, for small results/tests).
+    Other statements carry a status string mirroring the reference's
+    ResultSet variants."""
 
-    status: str
-    columns: Optional[list[str]] = None
-    rows: Optional[list[tuple]] = None
-    dataframe: Optional[DataFrame] = None
-    version: Optional[int] = None
+    def __init__(
+        self,
+        status: str,
+        columns: Optional[list[str]] = None,
+        rows: Optional[list[tuple]] = None,
+        dataframe: Optional[DataFrame] = None,
+        version: Optional[int] = None,
+    ):
+        self.status = status
+        self.columns = columns
+        self.dataframe = dataframe
+        self.version = version
+        self._rows = rows
+
+    @property
+    def rows(self) -> Optional[list[tuple]]:
+        if self._rows is None and self.dataframe is not None:
+            # partition-at-a-time pull — never a single giant collect
+            self._rows = [tuple(r) for r in self.dataframe.toLocalIterator()]
+        return self._rows
+
+    def fetch(self, max_rows: Optional[int] = None) -> tuple[list[tuple], bool]:
+        """First `max_rows` rows plus a truncated flag. Driver memory is
+        O(max_rows) regardless of result size — the REPL path for
+        `SELECT * FROM <100 TB table>`."""
+        if self.dataframe is None or self._rows is not None:
+            rows = self._rows or []
+            if max_rows is not None and len(rows) > max_rows:
+                return rows[:max_rows], True
+            return rows, False
+        if max_rows is None:
+            return self.rows or [], False
+        out: list[tuple] = []
+        for r in self.dataframe.toLocalIterator():
+            if len(out) >= max_rows:
+                return out, True
+            out.append(tuple(r))
+        return out, False
 
 
 def _fold_constant(e: ast.Expr) -> Any:
@@ -126,7 +162,11 @@ class Engine:
             raise EngineError("ATTACH is not allowed inside a transaction")
         path = os.path.abspath(path)
         df = read_parquet_any(self.spark, path)
-        manifest = self.catalog.manifest()
+        # OCC like _mutate: pin the version the manifest was read from so a
+        # concurrent commit between read and publish conflicts instead of
+        # being silently overwritten
+        base = self.catalog.current_version()
+        manifest = self.catalog.manifest(base)
         if name in manifest["tables"]:
             raise EngineError(f"table {name} already exists")
         columns = [
@@ -149,7 +189,7 @@ class Engine:
             "data": None,
             "external": path,
         }
-        v = self.catalog.publish(manifest)
+        v = self.catalog.publish(manifest, expected_version=base)
         return Result(status=f"ATTACH {name}", version=v)
 
     def get_table(self, name: str) -> dict:
@@ -172,8 +212,21 @@ class Engine:
             return self._rollback()
         if isinstance(stmt, (ast.Select, ast.SetOp)):
             df = compile_statement(stmt, self.spark, self._reader())
-            rows = [tuple(r) for r in df.collect()]
-            return Result(status="SELECT", columns=list(df.columns), rows=rows, dataframe=df)
+            if _is_constant_query(stmt):
+                # FROM-less (Nothing-node) selects are a handful of constant
+                # rows: materialize eagerly so expression runtime errors
+                # (factorial domain, div-zero, overflow) surface here with
+                # the engine's error type, like the reference.
+                try:
+                    rows = [tuple(r) for r in df.collect()]
+                except Exception as e:  # Spark runtime error on constants
+                    raise EngineError(str(e).splitlines()[0]) from e
+                return Result(
+                    status="SELECT", columns=list(df.columns), rows=rows, dataframe=df
+                )
+            # table-backed SELECT: the Result stays LAZY — no job here, rows
+            # pull on demand (fetch(max_rows) is O(max_rows) driver memory)
+            return Result(status="SELECT", columns=list(df.columns), dataframe=df)
         # mutations below
         if self._txn_version is not None and self._txn is None:
             raise EngineError("can't write in a read-only transaction")
@@ -390,7 +443,24 @@ class Engine:
                 f"INSERT SELECT column count {len(src_df.columns)} does not match {len(names)}"
             )
         src_df = src_df.toDF(*names)
+        src_types = dict(src_df.dtypes)
+        # strict write typing like the VALUES path (_coerce_row): a source
+        # column must already have the target's type family (int widens to
+        # float); no silent string/float→int casts
+        compatible = {
+            "BOOLEAN": {"boolean"},
+            "INTEGER": {"tinyint", "smallint", "int", "bigint"},
+            "FLOAT": {"tinyint", "smallint", "int", "bigint", "float", "double"},
+            "STRING": {"string"},
+        }
         by_name = {c["name"]: c for c in cols}
+        for n in names:
+            st = src_types[n]
+            if st != "void" and st not in compatible[by_name[n]["datatype"]]:
+                raise EngineError(
+                    f"invalid value of type {st} for "
+                    f"{by_name[n]['datatype'].lower()} column {n} in table {stmt.table}"
+                )
         out_cols = []
         for c in cols:
             if c["name"] in names:
@@ -406,11 +476,11 @@ class Engine:
                     f"no value given for column {c['name']} in table {stmt.table}"
                 )
         new_rows = src_df.select(*out_cols)
-        n_new = new_rows.count()
         existing = self.catalog.read_df(manifest, stmt.table)
         combined = existing.unionByName(new_rows)
         self._validate_view(manifest, stmt.table, combined)
-        self.catalog.stage_delta(manifest, stmt.table, upserts=new_rows)
+        delta = self.catalog.stage_delta(manifest, stmt.table, upserts=new_rows)
+        n_new = self.catalog.count_rows(delta["upserts"]) if delta else 0
         return Result(status=f"INSERT {n_new}")
 
     def _create_table_as(self, manifest: dict, stmt: ast.CreateTableAs) -> Result:
@@ -449,19 +519,33 @@ class Engine:
     # ---------------------------------------------------------- UPDATE
 
     def _update(self, manifest: dict, stmt: ast.Update) -> Result:
+        from entangledb_spark.functions.expressions import static_type
+
         meta = self._table_meta(manifest, stmt.table, writable=True)
         by_name = {c["name"]: c for c in meta["columns"]}
-        for cname, _ in stmt.sets:
-            if cname not in by_name:
-                raise EngineError(f"unknown column {cname} in table {stmt.table}")
         df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
         scope_resolve, scope_type = _single_table_scope(stmt.table, df)
+        for cname, expr in stmt.sets:
+            if cname not in by_name:
+                raise EngineError(f"unknown column {cname} in table {stmt.table}")
+            # strict write typing like INSERT's _coerce_row (schema.rs value
+            # validation): reject type-mismatched SET statically instead of
+            # silently casting ('42'→INT, 2.7→truncated 2)
+            st = static_type(expr, scope_type)
+            want = {"BOOLEAN": "bool", "INTEGER": "int", "FLOAT": "float", "STRING": "str"}[
+                by_name[cname]["datatype"]
+            ]
+            ok = st is None or st == want or (want == "float" and st == "int")
+            if not ok:
+                raise EngineError(
+                    f"invalid value of type {st} for {by_name[cname]['datatype'].lower()} "
+                    f"column {cname} in table {stmt.table}"
+                )
         pred = (
             compile_expr(stmt.where, scope_resolve, scope_type)
             if stmt.where is not None
             else F.lit(True)
         )
-        n_matched = df.filter(pred).count()
         updates = {
             cname: compile_expr(expr, scope_resolve, scope_type)
             for cname, expr in stmt.sets
@@ -492,9 +576,12 @@ class Engine:
         pk = self._pk_of(meta)
         changed = out.filter(F.col("__upd")).drop("__upd")
         old_keys = flagged.filter(F.col("__upd")).select(pk) if pk in updates else None
-        self.catalog.stage_delta(
+        delta = self.catalog.stage_delta(
             manifest, stmt.table, upserts=changed, deletes=old_keys
         )
+        # matched count from the written delta's parquet footers (metadata
+        # read) instead of a second full-table filter job
+        n_matched = self.catalog.count_rows(delta["upserts"]) if delta else 0
         return Result(status=f"UPDATE {n_matched}")
 
     # ---------------------------------------------------------- DELETE
@@ -509,7 +596,6 @@ class Engine:
             if stmt.where is not None
             else F.lit(True)
         )
-        n_matched = df.filter(pred).count()
         remaining = df.filter(~F.coalesce(pred, F.lit(False)))
         # delete-side FK: no surviving row may reference a removed key
         # (engine/kv.rs:157-176)
@@ -524,10 +610,12 @@ class Engine:
                     )
                     referencing.append((other, c["name"], odf))
         con.check_delete_references(stmt.table, remaining, pk, referencing)
-        # merge-on-read: write only the tombstoned keys
-        self.catalog.stage_delta(
+        # merge-on-read: write only the tombstoned keys; the matched count
+        # comes from the written delta's parquet footers (no extra filter job)
+        delta = self.catalog.stage_delta(
             manifest, stmt.table, deletes=df.filter(pred).select(pk)
         )
+        n_matched = self.catalog.count_rows(delta["deletes"]) if delta else 0
         return Result(status=f"DELETE {n_matched}")
 
     # ---------------------------------------------------------- EXPLAIN
@@ -546,6 +634,16 @@ class Engine:
                 df.explain("formatted")
             lines += ["", "Physical (Catalyst):", *buf.getvalue().splitlines()]
         return "\n".join(lines)
+
+
+def _is_constant_query(stmt: ast.Statement) -> bool:
+    """True for FROM-less selects (and set-op chains of them) — results are
+    O(1) constant rows, safe to materialize eagerly."""
+    if isinstance(stmt, ast.Select):
+        return stmt.from_ is None
+    if isinstance(stmt, ast.SetOp):
+        return _is_constant_query(stmt.left) and _is_constant_query(stmt.right)
+    return False
 
 
 def _single_table_scope(name: str, df: DataFrame):

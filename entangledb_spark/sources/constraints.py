@@ -53,19 +53,30 @@ def check_not_null_and_length(name: str, df: DataFrame, columns: list[dict]) -> 
 
 
 def check_unique(name: str, df: DataFrame, columns: list[dict]) -> None:
-    for c in columns:
-        if not (c["primary_key"] or c["unique"]):
-            continue
+    """One aggregate job for ALL unique/PK columns: a column has duplicates
+    iff count(col) > count(DISTINCT col) (both skip NULLs — NULLs are
+    exempt for UNIQUE, caught by NOT NULL for PKs). Only on failure does a
+    second (per-failing-column) job run to name the duplicate value."""
+    unique_cols = [c for c in columns if c["primary_key"] or c["unique"]]
+    if not unique_cols:
+        return
+    aggs = []
+    for c in unique_cols:
         col = F.col(c["name"])
-        dupes = (
-            df.filter(col.isNotNull())
-            .groupBy(col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dupes:
+        aggs.append(F.count(col).alias(f"n__{c['name']}"))
+        aggs.append(F.count_distinct(col).alias(f"d__{c['name']}"))
+    row = df.agg(*aggs).first().asDict()
+    for c in unique_cols:
+        if row[f"n__{c['name']}"] > row[f"d__{c['name']}"]:
+            col = F.col(c["name"])
+            dupes = (
+                df.filter(col.isNotNull())
+                .groupBy(col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
             label = "primary key" if c["primary_key"] else "unique value"
             raise ConstraintError(
                 f"duplicate {label} {dupes[0][0]!r} for column {c['name']} in table {name}"
