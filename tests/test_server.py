@@ -1,0 +1,69 @@
+"""Network server/client round-trips (reference src/server.rs:104-225,
+src/client.rs): per-connection sessions, capped row transfer, error
+propagation, and transaction isolation between connections."""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.engine import EngineError
+from entangledb_spark.server import EngineClient, EngineServer
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    srv = EngineServer(spark, str(tmp_path / "db"), port=0)
+    srv.serve_in_background()
+    yield srv
+    srv.shutdown()
+
+
+def client(server) -> EngineClient:
+    host, port = server.address
+    return EngineClient(host, port)
+
+
+def test_execute_roundtrip(server):
+    c = client(server)
+    c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, name STRING)")
+    c.execute("INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    r = c.execute("SELECT id, name FROM t ORDER BY id")
+    assert r["columns"] == ["id", "name"]
+    assert r["rows"] == [[1, "a"], [2, "b"], [3, None]]
+    assert r["truncated"] is False
+    assert c.list_tables() == ["t"]
+    cols = {col["name"]: col for col in c.get_table("t")["columns"]}
+    assert cols["id"]["primary_key"]
+    c.close()
+
+
+def test_row_cap_truncation(server):
+    c = client(server)
+    c.execute("CREATE TABLE n (id INTEGER PRIMARY KEY)")
+    c.execute("INSERT INTO n VALUES " + ", ".join(f"({i})" for i in range(20)))
+    r = c.execute("SELECT id FROM n ORDER BY id", max_rows=5)
+    assert len(r["rows"]) == 5 and r["truncated"] is True
+    c.close()
+
+
+def test_error_propagation_and_session_survival(server):
+    c = client(server)
+    with pytest.raises(EngineError, match="does not exist"):
+        c.execute("SELECT * FROM missing")
+    # the session survives errors (server.rs keeps the connection alive)
+    r = c.execute("SELECT 1 + 1 AS two")
+    assert r["rows"] == [[2]]
+    c.close()
+
+
+def test_per_connection_transactions(server):
+    c1, c2 = client(server), client(server)
+    c1.execute("CREATE TABLE acct (id INTEGER PRIMARY KEY, bal INTEGER)")
+    c1.execute("INSERT INTO acct VALUES (1, 100)")
+    c1.execute("BEGIN")
+    c1.execute("UPDATE acct SET bal = 50 WHERE id = 1")
+    # c2 has its own session: sees the committed snapshot, not c1's pending txn
+    assert c2.execute("SELECT bal FROM acct")["rows"] == [[100]]
+    c1.execute("COMMIT")
+    assert c2.execute("SELECT bal FROM acct")["rows"] == [[50]]
+    c1.close(), c2.close()
