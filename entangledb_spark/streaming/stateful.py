@@ -77,8 +77,13 @@ def _update_user_totals(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState update function: fold new rows into (count,
-    total) state and emit the refreshed running totals for this user."""
+    total) state and emit the refreshed running totals for this user.
+    On a ProcessingTime timeout the key's state is evicted (removed) and
+    nothing is emitted — idle users don't accumulate state forever."""
     (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         n, total = state.get
     else:
