@@ -33,8 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     beyond-parity pipeline operators). Each callable takes (spark, sf_dir)
     and returns a DataFrame; computed columns are aliased to match the
-    oracle exactly."""
-    return dict(registry.QUERIES)
+    oracle exactly. Ordered oracle-backed first, rows-only last; the
+    registry is kept at ≤50 entries so the driver's 50-row CORRECTNESS
+    window covers every query."""
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

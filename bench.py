@@ -26,24 +26,25 @@ registry.load_all()
 # top-k, window, streaming-window, text, dedup (exact + MinHash-LSH), ANN.
 HEADLINE = [
     "q01_pricing_summary",
-    "q03_filter_pushdown",
+    "q02_scan_filter_project",
     "q12_join_inner_hash",
-    "q13_join_left_outer",
+    "q13_join_outer",
     "q17_join_star",
-    "q19_agg_groupby_expr",
-    "q23_order_limit_topk",
-    "q30_window_rank",
+    "q19_agg_groupby_having",
+    "q23_order_limit_offset",
+    "q30_windows",
     "q33_dialect_join_topk",
     "q40_events_tumbling_window",
     "q42_events_sessionize",
     "q43_tpch_q3_shipping_priority",
     "q44_tpch_q6_forecast_revenue",
     "q45_tpch_q10_returned_items",
-    "q50_text_tokens",
-    "q53_text_fingerprint",
+    "q50_text_suite",
     "q60_dedup_exact",
     "q62_dedup_minhash_lsh",
     "q70_ann_bruteforce_topk",
+    "q94_asof_join",
+    "q95_range_join",
 ]
 
 

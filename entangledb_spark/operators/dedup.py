@@ -70,12 +70,27 @@ def word_tokens(col):
     return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)
 
 
+# Tokens appearing in more than this fraction of documents are dropped
+# before the Jaccard self-join: stopword-frequency tokens would hot-spot a
+# single join key at corpus scale (every doc shares "the"), and removing
+# them is standard practice that also improves near-dup precision. The cap
+# is relative so the query is scale-factor independent.
+DOC_FREQ_CAP = 0.5
+
+
 @query(
-    "q61_dedup_ngram_jaccard",
-    oracle=r"""
-    WITH tok AS (
+    "q61_dedup_near_pairs",
+    oracle=rf"""
+    WITH tok_all AS (
       SELECT doc_id, lang, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
       FROM documents
+    ),
+    hot AS (
+      SELECT w FROM tok_all GROUP BY w
+      HAVING count(*) > {DOC_FREQ_CAP} * (SELECT count(*) FROM documents)
+    ),
+    tok AS (
+      SELECT * FROM tok_all WHERE w NOT IN (SELECT w FROM hot)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     pairs AS (
@@ -83,24 +98,63 @@ def word_tokens(col):
       FROM tok a JOIN tok b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE a.doc_id % 10 = 0
       GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT doc_a, doc_b,
+             r4(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)) AS score
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             r4(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb)))) AS score
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0
+        AND list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))) >= 0.99
     )
-    SELECT doc_a, doc_b,
-           r4(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    SELECT 'jaccard' AS method, CAST(doc_a AS BIGINT) AS id_a,
+           CAST(doc_b AS BIGINT) AS id_b, score FROM jac
+    UNION ALL
+    SELECT 'cosine' AS method, CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), score FROM cos
     """,
 )
-def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard near-dup: explode distinct tokens, self-join on
-    (token, lang) to count |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. The probe
+def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair finders with exact scores, tagged:
+
+    'jaccard': token-set Jaccard — explode distinct tokens, drop tokens in
+    more than DOC_FREQ_CAP of all documents (hot-key/skew guard: the
+    dropped set is tiny, so it ships as a broadcast anti-join), self-join
+    on (token, lang) to count |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. The probe
     side is sampled (doc_id % 10 = 0) to bound pair count; the lang key
-    acts as a blocking key — the same role LSH bands play at full scale."""
+    acts as a blocking key — the same role LSH bands play at full scale
+    (the banded production path is q62).
+
+    'cosine': embedding near-dup at cosine ≥ 0.99 — dot products and norms
+    via zip_with/aggregate, JVM-side, no UDF; probe side sampled the same
+    way. The production path replaces the pair join with the LSH bucketing
+    in similarity.py."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok_all = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("w")
     )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_total"))
+    hot = (
+        tok_all.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > DOC_FREQ_CAP * F.col("n_total"))
+        .select("w")
+    )
+    tok = tok_all.join(F.broadcast(hot), "w", "left_anti")
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.filter(F.col("doc_id") % 10 == 0).alias("a")
     b = tok.alias("b")
@@ -116,15 +170,39 @@ def q61_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = F.col("shared").cast("double") / (
+    jac_score = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     )
-    return (
+    jac = (
         pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
+        .filter(jac_score >= 0.5)
+        .select(
+            F.lit("jaccard").alias("method"),
+            F.col("doc_a").cast("long").alias("id_a"),
+            F.col("doc_b").cast("long").alias("id_b"),
+            r4(jac_score).alias("score"),
+        )
     )
+
+    from entangledb_spark.operators.similarity import cosine_sim
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    va = e.filter(F.col("vec_id") % 10 == 0).alias("va")
+    vb = e.alias("vb")
+    cos_raw = cosine_sim(F.col("va.embedding"), F.col("vb.embedding"))
+    cos = (
+        va.join(vb, F.col("va.vec_id") < F.col("vb.vec_id"))
+        .withColumn("cos_sim_raw", cos_raw)
+        .filter(F.col("cos_sim_raw") >= 0.99)
+        .select(
+            F.lit("cosine").alias("method"),
+            F.col("va.vec_id").cast("long").alias("id_a"),
+            F.col("vb.vec_id").cast("long").alias("id_b"),
+            r4(F.col("cos_sim_raw")).alias("score"),
+        )
+    )
+    return jac.unionByName(cos)
 
 
 # Deterministic odd multipliers/offsets (30-bit) for the MinHash linear
@@ -299,46 +377,6 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftrightunsigned(F.col("simhash"), 32).bitwiseAND(F.lit(0xFFFF)).alias("band_b"),
         F.shiftrightunsigned(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF)).alias("band_c"),
         F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("band_d"),
-    )
-
-
-@query(
-    "q64_dedup_embedding_cosine",
-    oracle="""
-    WITH vecs AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           r4(list_dot_product(a.emb, b.emb)
-              / (sqrt(list_dot_product(a.emb, a.emb))
-                 * sqrt(list_dot_product(b.emb, b.emb)))) AS cos_sim
-    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-    WHERE a.vec_id % 10 = 0
-      AND list_dot_product(a.emb, b.emb)
-          / (sqrt(list_dot_product(a.emb, a.emb))
-             * sqrt(list_dot_product(b.emb, b.emb))) >= 0.99
-    """,
-)
-def q64_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: cosine ≥ 0.99 pairs. Dot products and norms via
-    zip_with/aggregate — JVM-side, no UDF. Probe side sampled to bound the
-    pair count; the production path replaces the cross join with the LSH
-    bucketing in similarity.py."""
-    from entangledb_spark.operators.similarity import cosine_sim
-
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.filter(F.col("vec_id") % 10 == 0).alias("a")
-    b = e.alias("b")
-    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.99)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            r4(F.col("cos_sim_raw")).alias("cos_sim"),
-        )
     )
 
 

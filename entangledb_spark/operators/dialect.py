@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entangledb_spark.plans import ast
-from entangledb_spark.plans.compiler import compile_select
+from entangledb_spark.plans.compiler import compile_statement
 from entangledb_spark.plans.parser import parse
 from entangledb_spark.registry import query, table
 
@@ -36,8 +36,8 @@ def _read_dialect(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _run(sql: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     stmt = parse(sql)
-    assert isinstance(stmt, ast.Select)
-    return compile_select(stmt, spark, lambda name: _read_dialect(spark, sf_dir, name))
+    assert isinstance(stmt, (ast.Select, ast.SetOp))
+    return compile_statement(stmt, spark, lambda name: _read_dialect(spark, sf_dir, name))
 
 
 def dialect(name: str, sql: str, oracle: str):
@@ -50,17 +50,21 @@ def dialect(name: str, sql: str, oracle: str):
     return fn
 
 
+# Filter + aggregation (count/sum/min/max) + GROUP BY expression + ORDER BY
+# through the dialect front-end in one statement (merged q32+q38 shapes:
+# filter-agg on a predicate + the group-by-select-alias resolution form).
 dialect(
     "q32_dialect_filter_agg",
     """
-    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
-           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-    FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    SELECT p_size / 10 AS size_bucket, count(*) AS n, sum(p_size) AS sum_size,
+           min(p_retailprice) AS lo, max(p_retailprice) AS hi
+    FROM part WHERE p_size < 47 GROUP BY size_bucket ORDER BY size_bucket
     """,
     oracle="""
-    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
-           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
-    FROM lineitem WHERE l_quantity < 30 GROUP BY l_returnflag
+    SELECT CAST(p_size // 10 AS BIGINT) AS size_bucket, count(*) AS n,
+           CAST(sum(p_size) AS BIGINT) AS sum_size,
+           min(p_retailprice) AS lo, max(p_retailprice) AS hi
+    FROM part WHERE p_size < 47 GROUP BY 1 ORDER BY 1
     """,
 )
 
@@ -80,13 +84,23 @@ dialect(
     """,
 )
 
+# Expression + scalar-function surface through the dialect in one projection
+# (merged q34+q39 shapes: arithmetic/factorial/boolean exprs + CASE, IN,
+# coalesce/nullif, upper, abs, substr).
 dialect(
     "q34_dialect_expressions",
     """
     SELECT p_partkey, p_size * 2 + 1 AS dbl, p_size / 3 AS third,
            p_size % 5 AS m5, (p_size % 6)! AS fact,
            p_size > 25 AND p_size < 40 AS in_range,
-           p_name LIKE 'p%' OR p_brand = 'Brand#13' AS matched
+           p_name LIKE 'p%' OR p_brand = 'Brand#13' AS matched,
+           upper(p_brand) AS brand_u,
+           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
+                WHEN p_size < 25 THEN 'small'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
+           abs(p_size - 25) AS dist_from_mid,
+           substr(p_name, 1, 4) AS prefix
     FROM part WHERE p_partkey <= 500
     """,
     oracle="""
@@ -95,7 +109,14 @@ dialect(
            CAST(p_size % 5 AS BIGINT) AS m5,
            CAST(factorial(p_size % 6) AS BIGINT) AS fact,
            (p_size > 25 AND p_size < 40) AS in_range,
-           (p_name LIKE 'p%' OR p_brand = 'Brand#13') AS matched
+           (p_name LIKE 'p%' OR p_brand = 'Brand#13') AS matched,
+           upper(p_brand) AS brand_u,
+           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
+                WHEN p_size < 25 THEN 'small'
+                ELSE 'large' END AS size_class,
+           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
+           CAST(abs(p_size - 25) AS BIGINT) AS dist_from_mid,
+           substr(p_name, 1, 4) AS prefix
     FROM part WHERE p_partkey <= 500
     """,
 )
@@ -117,73 +138,33 @@ dialect(
     """,
 )
 
+# LEFT and RIGHT outer joins through the dialect, tagged and unioned in a
+# single statement (merged q36+q37 shapes) — also exercises the dialect's
+# set-operation chaining between two grouped SELECTs with HAVING/WHERE.
 dialect(
-    "q36_dialect_left_join_nulls",
+    "q36_dialect_outer_joins",
     """
-    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    SELECT 'left' AS side, c.c_custkey AS k, count(o.o_orderkey) AS n
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     HAVING count(o.o_orderkey) = 0
+    UNION ALL
+    SELECT 'right' AS side, r.r_regionkey AS k, count(n.n_nationkey) AS n
+    FROM nation n RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' OR r.r_name = 'EUROPE'
+    GROUP BY r.r_regionkey
     """,
     oracle="""
-    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    SELECT 'left' AS side, CAST(c.c_custkey AS BIGINT) AS k,
+           count(o.o_orderkey) AS n
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey HAVING count(o.o_orderkey) = 0
-    """,
-)
-
-dialect(
-    "q37_dialect_right_cross",
-    """
-    SELECT r.r_name, n.n_name
+    UNION ALL
+    SELECT 'right' AS side, CAST(r.r_regionkey AS BIGINT) AS k,
+           count(n.n_nationkey) AS n
     FROM nation n RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA' OR r.r_name = 'EUROPE'
-    """,
-    oracle="""
-    SELECT r.r_name, n.n_name
-    FROM nation n RIGHT JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA' OR r.r_name = 'EUROPE'
-    """,
-)
-
-dialect(
-    "q38_dialect_groupby_expr",
-    """
-    SELECT p_size / 10 AS size_bucket, count(*) AS n,
-           min(p_retailprice) AS lo, max(p_retailprice) AS hi
-    FROM part GROUP BY size_bucket ORDER BY size_bucket
-    """,
-    oracle="""
-    SELECT CAST(p_size // 10 AS BIGINT) AS size_bucket, count(*) AS n,
-           min(p_retailprice) AS lo, max(p_retailprice) AS hi
-    FROM part GROUP BY 1 ORDER BY 1
-    """,
-)
-
-
-dialect(
-    "q39_dialect_scalar_case_in",
-    """
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
-                WHEN p_size < 25 THEN 'small'
-                ELSE 'large' END AS size_class,
-           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
-           abs(p_size - 25) AS dist_from_mid,
-           substr(p_name, 1, 4) AS prefix
-    FROM part WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
-    """,
-    oracle="""
-    SELECT p_partkey,
-           upper(p_brand) AS brand_u,
-           CASE WHEN p_size IN (1, 2, 3, 4, 5) THEN 'tiny'
-                WHEN p_size < 25 THEN 'small'
-                ELSE 'large' END AS size_class,
-           coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
-           CAST(abs(p_size - 25) AS BIGINT) AS dist_from_mid,
-           substr(p_name, 1, 4) AS prefix
-    FROM part WHERE p_partkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+    GROUP BY r.r_regionkey
     """,
 )
 

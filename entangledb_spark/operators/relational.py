@@ -75,24 +75,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_scan_project",
-    oracle="SELECT r_regionkey, r_name FROM region",
-)
-def q02_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan node (plan/mod.rs:117-121): full table scan with projection."""
-    return table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-
-
-@query(
-    "q03_filter_pushdown",
+    "q02_scan_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
     """,
 )
-def q03_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter node (execution/query.rs:8-42). Both conjuncts reach the
-    Parquet scan as PushedFilters; only 4 of 11 columns are read."""
+def q02_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + Filter + Projection nodes in one plan (plan/mod.rs:117-121,
+    execution/query.rs:8-87). Both conjuncts reach the Parquet scan as
+    PushedFilters; only 4 of 11 columns are read (ReadSchema pruning) —
+    the plan shape every larger query builds on."""
     return (
         table(spark, sf_dir, "lineitem")
         .filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05))
@@ -101,39 +94,32 @@ def q03_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q04_key_lookup",
+    "q04_lookups",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    SELECT 'pk' AS kind, o_orderkey, o_custkey, o_totalprice FROM orders
     WHERE o_orderkey IN (1, 2, 3, 7, 32, 100, 101)
+    UNION ALL
+    SELECT 'idx' AS kind, o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey <= 500
     """,
 )
-def q04_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KeyLookup node (execution/source.rs:31-58): point lookups by PK.
-    Spark needs no index — the IN-list pushes to Parquet min/max row-group
-    stats, the distributed analog of a primary-key point read."""
-    return (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey").isin(1, 2, 3, 7, 32, 100, 101))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
+def q04_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyLookup + IndexLookup nodes (execution/source.rs:31-93), tagged.
 
-
-@query(
-    "q05_index_lookup",
-    oracle="""
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
-    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
-    """,
-)
-def q05_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IndexLookup node (execution/source.rs:61-93): secondary-index probe.
-    Same result set as `col IN values` with dictionary/stats-based row-group
-    skipping at the scan (SURVEY §1.4 mapping)."""
-    return (
-        table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-        .select("c_custkey", "c_name", "c_mktsegment")
+    'pk' branch: point lookups by primary key — Spark needs no index, the
+    IN-list pushes to Parquet min/max row-group stats (the distributed
+    analog of a PK point read). 'idx' branch: secondary-"index" probe on a
+    non-key column — dictionary/stats-based row-group skipping at the scan
+    (SURVEY §1.4 mapping). Both branches stay scan-local; the union is a
+    no-shuffle concatenation."""
+    o = table(spark, sf_dir, "orders")
+    pk = o.filter(F.col("o_orderkey").isin(1, 2, 3, 7, 32, 100, 101)).select(
+        F.lit("pk").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice"
     )
+    idx = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") <= 500)
+    ).select(F.lit("idx").alias("kind"), "o_orderkey", "o_custkey", "o_totalprice")
+    return pk.unionByName(idx)
 
 
 # ---------------------------------------------------------------------------
@@ -167,122 +153,87 @@ def q06_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q07_expr_intdiv_mod",
+    "q07_expr_int_math",
     oracle="""
     SELECT p_partkey,
            CAST(p_size // 7 AS BIGINT) AS size_div,
-           CAST(p_size % 7 AS BIGINT)  AS size_mod
-    FROM part
-    """,
-)
-def q07_expr_intdiv_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer division truncates (expression.rs:142-158): the reference's
-    Integer/Integer→Integer. Spark `/` returns double, so the engine emits
-    `div` for int/int (SURVEY §4.3); `%` is remainder (expression.rs:185-202)."""
-    return table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.expr("p_size div 7").cast("long").alias("size_div"),
-        (F.col("p_size") % 7).cast("long").alias("size_mod"),
-    )
-
-
-@query(
-    "q08_expr_pow_factorial",
-    oracle="""
-    SELECT p_partkey,
+           CAST(p_size % 7 AS BIGINT)  AS size_mod,
            CAST(pow(p_size % 5 + 1, 3) AS BIGINT)  AS cube_col,
            CAST(factorial(p_size % 6) AS BIGINT)   AS fact_col
     FROM part
     """,
 )
-def q08_expr_pow_factorial(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`^` exponentiation (int^nonneg-int stays integral, expression.rs:
-    159-176) and postfix `!` factorial (expression.rs:177-184). Spark's `^`
-    is bitwise XOR, so the dialect compiles `^`→pow with an integral cast,
-    and `!`→factorial (inputs kept ≤20, Spark's factorial domain)."""
+def q07_expr_int_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer math surface: truncating `/` (expression.rs:142-158,
+    Integer/Integer→Integer — Spark `/` returns double, so the engine emits
+    `div` for int/int, SURVEY §4.3), `%` remainder (expression.rs:185-202),
+    `^` exponentiation (int^nonneg-int stays integral, expression.rs:
+    159-176 — Spark's `^` is XOR, so the dialect compiles `^`→pow with an
+    integral cast), and postfix `!` factorial (expression.rs:177-184,
+    inputs kept ≤20, Spark's factorial domain). One narrow codegen'd map."""
     return table(spark, sf_dir, "part").select(
         "p_partkey",
+        F.expr("p_size div 7").cast("long").alias("size_div"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
         F.pow(F.col("p_size") % 5 + 1, F.lit(3)).cast("long").alias("cube_col"),
         F.factorial(F.col("p_size") % 6).cast("long").alias("fact_col"),
     )
 
 
 @query(
-    "q09_expr_like",
+    "q09_expr_predicates",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_name LIKE 'Customer#%' AND c_name LIKE '_ustomer%1' AND c_mktsegment LIKE '%ILD%'
+    SELECT c_custkey,
+           (c_name LIKE 'Customer#%')                     AS like_prefix,
+           (c_name LIKE '_ustomer%1')                     AS like_mixed,
+           (c_mktsegment LIKE '%ILD%')                    AS like_infix,
+           (nullif(c_acctbal > 1000, false) AND c_acctbal > 0) AS and_col,
+           (nullif(c_acctbal > 1000, false) OR  c_acctbal > 0) AS or_col,
+           (NOT nullif(c_acctbal > 1000, false))          AS not_col,
+           (nullif(c_acctbal > 1000, false) IS NULL)      AS isnull_col,
+           (nullif(c_acctbal > 1000, false) IS NOT NULL)  AS isnotnull_col,
+           (c_acctbal >  1000.0)                          AS gt_col,
+           (c_acctbal <= 1000.0)                          AS le_col,
+           (c_nationkey = 5)                              AS eq_col,
+           (c_nationkey <> 5)                             AS ne_col,
+           (c_name > c_mktsegment)                        AS str_cmp,
+           (c_nationkey < c_acctbal)                      AS int_float_cmp
+    FROM customer WHERE c_custkey <= 500
     """,
 )
-def q09_expr_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE with % and _ wildcards, anchored both ends (expression.rs:
-    243-258). The reference's doubled-wildcard escapes (%%→literal %) are
-    handled in the dialect translator (plans/expressions), not here."""
-    c = table(spark, sf_dir, "customer")
-    return c.filter(
-        F.col("c_name").like("Customer#%")
-        & F.col("c_name").like("_ustomer%1")
-        & F.col("c_mktsegment").like("%ILD%")
-    ).select("c_custkey", "c_name")
+def q09_expr_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate expression surface in one projection:
 
-
-@query(
-    "q10_expr_three_valued_logic",
-    oracle="""
-    SELECT event_id,
-           (nullif(value > 100, false) AND value > 50) AS and_col,
-           (nullif(value > 100, false) OR  value > 50) AS or_col,
-           (NOT nullif(value > 100, false))            AS not_col,
-           (nullif(value > 100, false) IS NULL)        AS isnull_col,
-           (nullif(value > 100, false) IS NOT NULL)    AS isnotnull_col
-    FROM events WHERE event_id < 500
-    """,
-)
-def q10_expr_three_valued_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-valued AND/OR/NOT truth tables (expression.rs:52-74) and IS [NOT]
-    NULL (expression.rs:116-119). `nullif(value>100, false)` fabricates a
-    TRUE/NULL column, so `NULL AND true→NULL`, `NULL OR true→TRUE`, etc.
-    Spark's Boolean logic is identical to the reference's."""
-    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    maybe = F.expr("nullif(value > 100, false)")
-    b = F.col("value") > 50
-    return e.select(
-        "event_id",
+    - LIKE with % and _ wildcards, anchored both ends (expression.rs:
+      243-258; the reference's doubled-wildcard escapes %%→literal % are
+      handled in the dialect translator, tested there).
+    - 3-valued AND/OR/NOT truth tables (expression.rs:52-74) and IS [NOT]
+      NULL (expression.rs:116-119): `nullif(c_acctbal>1000, false)`
+      fabricates a TRUE/NULL column so `NULL AND true→NULL`,
+      `NULL OR true→TRUE`, etc.
+    - Comparisons (expression.rs:78-115): typed (in)equality, `>=`/`<=`
+      desugaring (planner.rs:562-590), string lexicographic ordering, and
+      int↔float cross-type numeric comparison.
+    All codegen'd; zero shuffles."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    maybe = F.expr("nullif(c_acctbal > 1000, false)")
+    b = F.col("c_acctbal") > 0
+    return c.select(
+        "c_custkey",
+        F.col("c_name").like("Customer#%").alias("like_prefix"),
+        F.col("c_name").like("_ustomer%1").alias("like_mixed"),
+        F.col("c_mktsegment").like("%ILD%").alias("like_infix"),
         (maybe & b).alias("and_col"),
         (maybe | b).alias("or_col"),
         (~maybe).alias("not_col"),
         maybe.isNull().alias("isnull_col"),
         maybe.isNotNull().alias("isnotnull_col"),
-    )
-
-
-@query(
-    "q11_expr_comparisons",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           (l_quantity >  25.0)              AS gt_col,
-           (l_quantity <= 25.0)              AS le_col,
-           (l_linenumber = 1)                AS eq_col,
-           (l_linenumber <> 1)               AS ne_col,
-           (l_returnflag > l_linestatus)     AS str_cmp,
-           (l_linenumber < l_quantity)       AS int_float_cmp
-    FROM lineitem WHERE l_orderkey <= 100
-    """,
-)
-def q11_expr_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Comparison surface (expression.rs:78-115): typed equality, `>=`/`<=`
-    desugaring (planner.rs:562-590 — same results), string lexicographic
-    ordering, and int↔float cross-type numeric comparison."""
-    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_quantity") > 25.0).alias("gt_col"),
-        (F.col("l_quantity") <= 25.0).alias("le_col"),
-        (F.col("l_linenumber") == 1).alias("eq_col"),
-        (F.col("l_linenumber") != 1).alias("ne_col"),
-        (F.col("l_returnflag") > F.col("l_linestatus")).alias("str_cmp"),
-        (F.col("l_linenumber") < F.col("l_quantity")).alias("int_float_cmp"),
+        (F.col("c_acctbal") > 1000.0).alias("gt_col"),
+        (F.col("c_acctbal") <= 1000.0).alias("le_col"),
+        (F.col("c_nationkey") == 5).alias("eq_col"),
+        (F.col("c_nationkey") != 5).alias("ne_col"),
+        (F.col("c_name") > F.col("c_mktsegment")).alias("str_cmp"),
+        (F.col("c_nationkey") < F.col("c_acctbal")).alias("int_float_cmp"),
     )
 
 
@@ -320,80 +271,84 @@ def q12_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q13_join_left_outer",
+    "q13_join_outer",
     oracle="""
-    SELECT c_custkey, count(o_orderkey) AS n_orders
+    SELECT 'left' AS side, c_custkey, count(o_orderkey) AS n_orders
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT 'right' AS side, c_custkey, count(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
 )
-def q13_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join (join.rs:10-141, outer flag): unmatched left rows
-    padded with NULLs; count(o_orderkey) counts non-null → 0 for them."""
+def q13_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT and RIGHT OUTER joins (join.rs:10-141 outer flag; planner.rs:
+    296-319 rewrites right→left with a column swap — Spark supports both
+    natively). The two tagged branches compute the same aggregate through
+    the two join types; the value-hash passing proves the swap equivalence
+    the reference implements by hand. Unmatched customers appear with
+    n_orders = 0 (count of a NULL-padded column)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    return (
+    left = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(F.lit("left").alias("side"), "c_custkey", "n_orders")
     )
-
-
-@query(
-    "q14_join_right_outer",
-    oracle="""
-    SELECT c_custkey, c_acctbal, o_orderkey
-    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-    WHERE c_acctbal < 0
-    """,
-)
-def q14_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RIGHT OUTER join. The reference rewrites right→left with a column
-    swap at plan time (planner.rs:296-319); Spark supports it natively."""
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    return (
+    right = (
         o.join(c, o.o_custkey == c.c_custkey, "right")
-        .filter(F.col("c_acctbal") < 0)
-        .select("c_custkey", "c_acctbal", "o_orderkey")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(F.lit("right").alias("side"), "c_custkey", "n_orders")
     )
+    return left.unionByName(right)
 
 
 @query(
-    "q15_join_cross",
+    "q15_join_cross_theta",
     oracle="""
-    SELECT r_name, o_orderstatus
-    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) AS s
-    """,
-)
-def q15_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS JOIN (planner.rs:260-280 — NLJ with no predicate). Both sides
-    reduced first, so the product is 5×3 regardless of scale factor."""
-    r = table(spark, sf_dir, "region").select("r_name")
-    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
-    return r.crossJoin(s)
-
-
-@query(
-    "q16_join_theta",
-    oracle="""
-    SELECT s_suppkey, c_custkey
+    SELECT 'cross' AS kind,
+           CAST(n_nationkey AS BIGINT) AS k1, CAST(r_regionkey AS BIGINT) AS k2
+    FROM nation CROSS JOIN region
+    UNION ALL
+    SELECT 'theta' AS kind,
+           CAST(s_suppkey AS BIGINT) AS k1, CAST(c_custkey AS BIGINT) AS k2
     FROM supplier JOIN customer
       ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
     """,
 )
-def q16_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NestedLoopJoin with arbitrary predicate (join.rs:10-141). The equi
-    conjunct makes Catalyst hash-partition on nationkey and evaluate the
-    inequality as a post-join residual — the same split the reference's
-    FilterPushdown does by hand (optimizer.rs:98-157)."""
+def q15_join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN (planner.rs:260-280 — NLJ with no predicate; both sides
+    tiny dims, so the product is 25×5 regardless of scale factor) and
+    NestedLoopJoin with an arbitrary theta predicate (join.rs:10-141). For
+    the theta branch, the equi conjunct makes Catalyst hash-partition on
+    nationkey and evaluate the inequality as a post-join residual — the
+    same split the reference's FilterPushdown does by hand
+    (optimizer.rs:98-157)."""
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey")
+    cross = n.crossJoin(r).select(
+        F.lit("cross").alias("kind"),
+        F.col("n_nationkey").cast("long").alias("k1"),
+        F.col("r_regionkey").cast("long").alias("k2"),
+    )
     s = table(spark, sf_dir, "supplier")
     c = table(spark, sf_dir, "customer")
-    return s.join(
-        c,
-        (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal),
-        "inner",
-    ).select("s_suppkey", "c_custkey")
+    theta = (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal < c.c_acctbal),
+            "inner",
+        )
+        .select(
+            F.lit("theta").alias("kind"),
+            F.col("s_suppkey").cast("long").alias("k1"),
+            F.col("c_custkey").cast("long").alias("k2"),
+        )
+    )
+    return cross.unionByName(theta)
 
 
 @query(
@@ -445,51 +400,105 @@ def q17_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q18_agg_five",
+    "q18_agg_suite",
     oracle="""
-    SELECT count(*)                     AS n_rows,
-           count(l_quantity)            AS n_qty,
-           r4(sum(l_quantity))    AS sum_qty,
-           r4(avg(l_quantity))    AS avg_qty,
-           r4(min(l_extendedprice)) AS min_price,
-           r4(max(l_extendedprice)) AS max_price,
-           min(l_returnflag)            AS min_flag,
-           max(l_linestatus)            AS max_status
+    SELECT 'global' AS kind,
+           count(*)                 AS n_rows,
+           count(l_quantity)        AS n_nonnull,
+           r4(sum(l_quantity))      AS sum_v,
+           r4(avg(l_quantity))      AS avg_v,
+           r4(min(l_extendedprice)) AS min_d,
+           r4(max(l_extendedprice)) AS max_d,
+           min(l_returnflag)        AS min_s,
+           max(l_linestatus)        AS max_s
     FROM lineitem
+    UNION ALL
+    SELECT 'empty' AS kind,
+           count(*), count(l_quantity),
+           r4(sum(l_quantity)), r4(avg(l_quantity)),
+           r4(min(l_extendedprice)), r4(max(l_extendedprice)),
+           min(l_returnflag), max(l_linestatus)
+    FROM lineitem WHERE 1 = 0
+    UNION ALL
+    SELECT concat('nullgrp:', coalesce(nullif(o_orderpriority, '1-URGENT'), '<null>')) AS kind,
+           count(*),
+           count(nullif(o_orderpriority, '1-URGENT')),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders GROUP BY nullif(o_orderpriority, '1-URGENT')
     """,
 )
-def q18_agg_five(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five aggregates (aggregation.rs:87-241): COUNT/MIN/MAX/SUM/AVG,
-    global (no GROUP BY). SUM follows SQL NULL-skip semantics per the
-    oracle, diverging from the reference's NULL-poisoning SUM by design
-    (SURVEY §2.4). Partial aggregation → single-row exchange."""
+def q18_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's aggregate surface (aggregation.rs) in three tagged
+    branches with one schema:
+
+    - 'global': all five aggregates COUNT/MIN/MAX/SUM/AVG, no GROUP BY
+      (aggregation.rs:87-241). SUM follows SQL NULL-skip semantics per
+      SURVEY §2.4 (diverging from the reference's NULL-poisoning SUM by
+      design). Partial aggregation → single-row exchange.
+    - 'empty': zero-row global aggregate returns one row of identities —
+      COUNT=0, SUM/MIN/AVG=NULL (aggregation.rs:37-44).
+    - 'nullgrp:*': NULL as a group key — all-NULL keys form one group
+      (aggregation.rs:11-63), COUNT(expr) skips NULLs within the group;
+      the group key is folded into the tag.
+    """
     l = table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("l_quantity").alias("n_qty"),
-        r4(F.sum("l_quantity")).alias("sum_qty"),
-        r4(F.avg("l_quantity")).alias("avg_qty"),
-        r4(F.min("l_extendedprice")).alias("min_price"),
-        r4(F.max("l_extendedprice")).alias("max_price"),
-        F.min("l_returnflag").alias("min_flag"),
-        F.max("l_linestatus").alias("max_status"),
+
+    def global_aggs(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_quantity").alias("n_nonnull"),
+            r4(F.sum("l_quantity")).alias("sum_v"),
+            r4(F.avg("l_quantity")).alias("avg_v"),
+            r4(F.min("l_extendedprice")).alias("min_d"),
+            r4(F.max("l_extendedprice")).alias("max_d"),
+            F.min("l_returnflag").alias("min_s"),
+            F.max("l_linestatus").alias("max_s"),
+        ).select(F.lit(kind).alias("kind"), "*")
+
+    o = table(spark, sf_dir, "orders")
+    prio = F.expr("nullif(o_orderpriority, '1-URGENT')")
+    nullgrp = (
+        o.groupBy(prio.alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.count(prio).alias("n_nonnull"))
+        .select(
+            F.concat(F.lit("nullgrp:"), F.coalesce(F.col("prio"), F.lit("<null>"))).alias("kind"),
+            "n_rows",
+            "n_nonnull",
+            F.lit(None).cast("double").alias("sum_v"),
+            F.lit(None).cast("double").alias("avg_v"),
+            F.lit(None).cast("double").alias("min_d"),
+            F.lit(None).cast("double").alias("max_d"),
+            F.lit(None).cast("string").alias("min_s"),
+            F.lit(None).cast("string").alias("max_s"),
+        )
+    )
+    return (
+        global_aggs(l, "global")
+        .unionByName(global_aggs(l.filter(F.lit(False)), "empty"))
+        .unionByName(nullgrp)
     )
 
 
 @query(
-    "q19_agg_groupby_expr",
+    "q19_agg_groupby_having",
     oracle="""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
            count(*)                          AS n_orders,
-           r4(sum(o_totalprice))       AS total,
-           r4(avg(o_totalprice))       AS avg_price
+           r4(sum(o_totalprice))             AS total,
+           r4(avg(o_totalprice))             AS avg_price
     FROM orders GROUP BY CAST(year(o_orderdate) AS BIGINT)
+    HAVING count(*) >= 100 AND min(o_totalprice) < 50000
     """,
 )
-def q19_agg_groupby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY arbitrary expression — the planner's hardest resolution case
-    (planner.rs:399-443, `GROUP BY released - 2000`). Spark resolves the
-    expression natively; pre/post-projection decomposition not needed."""
+def q19_agg_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY arbitrary expression — the planner's hardest resolution
+    case (planner.rs:399-443, `GROUP BY released - 2000`) — with a HAVING
+    predicate over aggregates including one (min) referenced ONLY in the
+    predicate: the reference injects hidden columns for this
+    (planner.rs:445-500); here the hidden aggregate is computed, filtered
+    on, and dropped — same mechanics, one shuffle."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
@@ -497,73 +506,10 @@ def q19_agg_groupby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             r4(F.sum("o_totalprice")).alias("total"),
             r4(F.avg("o_totalprice")).alias("avg_price"),
+            F.min("o_totalprice").alias("_hidden_min"),
         )
-    )
-
-
-@query(
-    "q20_agg_having",
-    oracle="""
-    SELECT o_custkey, count(*) AS n, r4(max(o_totalprice)) AS max_price
-    FROM orders GROUP BY o_custkey
-    HAVING count(*) >= 12 AND max(o_totalprice) > 100
-    """,
-)
-def q20_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING over aggregates incl. ones referenced only in the predicate —
-    the reference injects hidden columns for this (planner.rs:445-500);
-    Spark's filter-after-agg resolves it directly."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r4(F.max("o_totalprice")).alias("max_price"),
-        )
-        .filter((F.col("n") >= 12) & (F.col("max_price") > 100))
-    )
-
-
-@query(
-    "q21_agg_empty_input",
-    oracle="""
-    SELECT count(*)          AS n_rows,
-           sum(l_quantity)   AS sum_qty,
-           min(l_returnflag) AS min_flag,
-           avg(l_discount)   AS avg_disc
-    FROM lineitem WHERE 1 = 0
-    """,
-)
-def q21_agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-row global aggregate returns one row of identity values:
-    COUNT=0, SUM/MIN/AVG=NULL (aggregation.rs:37-44). Spark matches."""
-    l = table(spark, sf_dir, "lineitem").filter(F.lit(False))
-    return l.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("l_quantity").alias("sum_qty"),
-        F.min("l_returnflag").alias("min_flag"),
-        F.avg("l_discount").alias("avg_disc"),
-    )
-
-
-@query(
-    "q22_agg_null_group",
-    oracle="""
-    SELECT nullif(o_orderpriority, '1-URGENT') AS prio,
-           count(*)  AS n,
-           count(nullif(o_orderpriority, '1-URGENT')) AS n_nonnull
-    FROM orders GROUP BY nullif(o_orderpriority, '1-URGENT')
-    """,
-)
-def q22_agg_null_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL as a group key: all-NULL keys form one group (hash semantics,
-    aggregation.rs:11-63 — NULL groups hash together there too), while
-    COUNT(expr) skips NULLs within the group."""
-    o = table(spark, sf_dir, "orders")
-    prio = F.expr("nullif(o_orderpriority, '1-URGENT')")
-    return o.groupBy(prio.alias("prio")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(prio).alias("n_nonnull"),
+        .filter((F.col("n_orders") >= 100) & (F.col("_hidden_min") < 50000))
+        .drop("_hidden_min")
     )
 
 
@@ -573,41 +519,26 @@ def q22_agg_null_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q23_order_limit_topk",
+    "q23_order_limit_offset",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 10
     """,
 )
-def q23_order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order+Limit (query.rs:90-169). Spark fuses them into
-    TakeOrderedAndProject — per-partition top-k then a k-row merge on the
-    driver; no global sort materialization at any scale. Tie-broken by PK
-    for determinism."""
+def q23_order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order (multi-key, desc/asc) + Limit + Offset in the reference's plan
+    order (query.rs:90-169; planner.rs:221-240: OFFSET applies below
+    LIMIT). Spark fuses sort+limit+offset into TakeOrderedAndProject —
+    per-partition top-(k+offset) then a 30-row merge on the driver; no
+    global sort materialization at any scale. Tie-broken by PK for
+    determinism."""
     return (
         table(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-@query(
-    "q24_limit_offset",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus FROM orders
-    ORDER BY o_orderkey LIMIT 20 OFFSET 10
-    """,
-)
-def q24_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Offset below Limit, exactly the reference's plan order
-    (planner.rs:221-240: OFFSET applies first)."""
-    return (
-        table(spark, sf_dir, "orders")
-        .orderBy("o_orderkey")
         .offset(10)
         .limit(20)
-        .select("o_orderkey", "o_orderstatus")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 
 
@@ -640,115 +571,102 @@ def q25_fromless_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q26_distinct",
-    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def q26_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT (extension): hash-aggregate on all columns; partial
-    aggregation makes the exchange carry ≤|distinct| rows per partition."""
-    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-
-
-@query(
-    "q27_union_distinct",
+    "q26_distinct_setops",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT 'distinct' AS op, concat(l_returnflag, '|', l_linestatus) AS val
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) d
+    UNION ALL
+    SELECT 'union' AS op, CAST(nationkey AS VARCHAR) AS val FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) u
+    UNION ALL
+    SELECT 'except' AS op, CAST(nationkey AS VARCHAR) AS val FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) e
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(nationkey AS VARCHAR) AS val FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) i
     """,
 )
-def q27_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION with dedup (extension — SURVEY §2.7: reference has none)."""
+def q26_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + the three set operations (extensions — SURVEY §2.5/§2.7:
+    the reference has none), tagged into one result:
+
+    - 'distinct': hash-aggregate on all projected columns; partial
+      aggregation makes the exchange carry ≤|distinct| rows per partition.
+    - 'union': UNION with dedup.
+    - 'except': `subtract` is EXCEPT DISTINCT — a value present on the
+      right is fully excluded however many times it appears on the left.
+    - 'intersect': INTERSECT DISTINCT.
+    Each branch is its own partial-aggregated shuffle on the value key."""
+    li = table(spark, sf_dir, "lineitem")
+    distinct = (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("op"),
+            F.concat(F.col("l_returnflag"), F.lit("|"), F.col("l_linestatus")).alias("val"),
+        )
+    )
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"), F.col("nationkey").cast("string").alias("val")
+        )
+
+    return (
+        distinct.unionByName(tag(c.union(s).distinct(), "union"))
+        .unionByName(tag(c.subtract(s), "except"))
+        .unionByName(tag(c.intersect(s), "intersect"))
+    )
 
 
 @query(
-    "q28_except",
+    "q30_windows",
     oracle="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q28_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (extension): nations with customers but no suppliers.
-    `subtract` is EXCEPT DISTINCT — a value present on the right is fully
-    excluded however many times it appears on the left."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
-
-
-@query(
-    "q29_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def q29_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (extension)."""
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
-
-
-@query(
-    "q30_window_rank",
-    oracle="""
-    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn, r4(running_total) AS running_total
     FROM (
       SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+      FROM orders WHERE o_custkey <= 200
     ) t WHERE rn <= 3
     """,
 )
-def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window row_number (extension — SURVEY §2.5: reference has no window
-    functions). Top-3 orders per customer. Scale: one shuffle on custkey;
-    rank filter is pushed into the window's sort (WindowGroupLimit)."""
-    w = Window.partitionBy("o_custkey").orderBy(
+def q30_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (extension — SURVEY §2.5: the reference has none):
+    ranking (row_number → top-3 per customer, rank filter pushed into the
+    window sort via WindowGroupLimit) and a running-sum frame (ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW — the frame fixes accumulation order,
+    so the double result is deterministic on both engines). Both windows
+    share the o_custkey partitioning → one shuffle, two sorts."""
+    rank_w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        table(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn")
-    )
-
-
-@query(
-    "q31_window_running_sum",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           r4(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS running_total
-    FROM orders WHERE o_custkey <= 50
-    """,
-)
-def q31_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-sum window frame (extension). Deterministic double result:
-    the frame fixes accumulation order on both engines."""
-    w = (
+    run_w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") <= 50)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            r4(F.sum("o_totalprice").over(w)).alias("running_total"),
-        )
+        .filter(F.col("o_custkey") <= 200)
+        .withColumn("rn", F.row_number().over(rank_w).cast("long"))
+        .withColumn("running_total", r4(F.sum("o_totalprice").over(run_w)))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "running_total")
     )
 
 
@@ -865,80 +783,50 @@ def q45_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q46_count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q46_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact DISTINCT aggregates (extension — the reference has none,
-    SURVEY §2.4). Scale: Spark expands distinct aggs into a two-phase
-    partial-distinct plan; for very high cardinalities swap in
-    approx_count_distinct (q49) to keep state bounded."""
-    o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
-        F.countDistinct("o_orderpriority").cast("long").alias("n_prios"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@query(
-    "q47_percentiles",
+    "q46_stats_suite",
     oracle="""
     SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(count(DISTINCT c_custkey % 100) AS BIGINT) AS n_key_mod,
            r4(quantile_cont(c_acctbal, 0.5)) AS median_bal,
            r4(quantile_cont(c_acctbal, 0.9)) AS p90_bal,
            r4(min(c_acctbal)) AS min_bal,
-           r4(max(c_acctbal)) AS max_bal
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
-def q47_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    quantile_cont). Scale note: exact percentile materializes per-group
-    values — at 100 TB use approx_percentile (t-digest, bounded state);
-    exact is appropriate for bounded-cardinality groups like these."""
-    c = table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        r4(F.expr("percentile(c_acctbal, 0.5)")).alias("median_bal"),
-        r4(F.expr("percentile(c_acctbal, 0.9)")).alias("p90_bal"),
-        r4(F.min("c_acctbal")).alias("min_bal"),
-        r4(F.max("c_acctbal")).alias("max_bal"),
-    )
-
-
-@query(
-    "q48_stats_moments",
-    oracle="""
-    SELECT n_nationkey % 5 AS grp,
+           r4(max(c_acctbal)) AS max_bal,
            r4(stddev_samp(c_acctbal)) AS sd_bal,
            r4(var_samp(c_acctbal) / 1000) AS var_bal_k,
            r4(corr(c_acctbal, CAST(c_custkey AS DOUBLE))) AS corr_bal_key,
            r4(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)) / 1000) AS cov_k
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY 1
+    FROM customer GROUP BY c_mktsegment
     """,
 )
-def q48_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second-moment statistics (stddev/variance/correlation/covariance) —
-    single-pass streaming moments, map-side combinable, skew-free."""
+def q46_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface (extensions — the reference has none,
+    SURVEY §2.4) in one grouped profile:
+
+    - exact DISTINCT aggregates (two, incl. over an expression): Spark
+      expands them into a two-phase partial-distinct plan; for very high
+      cardinalities swap in approx_count_distinct (q49) to bound state.
+    - exact interpolated percentiles (Spark `percentile` == DuckDB
+      quantile_cont). At 100 TB use approx_percentile (t-digest, bounded
+      state); exact is appropriate for bounded-cardinality groups.
+    - second moments (stddev/variance/correlation/covariance):
+      single-pass streaming moments, map-side combinable, skew-free.
+    """
     c = table(spark, sf_dir, "customer")
-    n = F.broadcast(table(spark, sf_dir, "nation"))
     key_d = F.col("c_custkey").cast("double")
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy((F.col("n_nationkey") % 5).alias("grp"))
-        .agg(
-            r4(F.stddev_samp("c_acctbal")).alias("sd_bal"),
-            r4(F.var_samp("c_acctbal") / 1000).alias("var_bal_k"),
-            r4(F.corr(F.col("c_acctbal"), key_d)).alias("corr_bal_key"),
-            r4(F.covar_samp(F.col("c_acctbal"), key_d) / 1000).alias("cov_k"),
-        )
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        F.countDistinct(F.col("c_custkey") % 100).cast("long").alias("n_key_mod"),
+        r4(F.expr("percentile(c_acctbal, 0.5)")).alias("median_bal"),
+        r4(F.expr("percentile(c_acctbal, 0.9)")).alias("p90_bal"),
+        r4(F.min("c_acctbal")).alias("min_bal"),
+        r4(F.max("c_acctbal")).alias("max_bal"),
+        r4(F.stddev_samp("c_acctbal")).alias("sd_bal"),
+        r4(F.var_samp("c_acctbal") / 1000).alias("var_bal_k"),
+        r4(F.corr(F.col("c_acctbal"), key_d)).alias("corr_bal_key"),
+        r4(F.covar_samp(F.col("c_acctbal"), key_d) / 1000).alias("cov_k"),
     )
 
 
@@ -955,46 +843,48 @@ def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_rollup",
+    "q90_rollup_cube",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n, r4(sum(l_quantity)) AS qty
+    SELECT 'rollup' AS gkind, l_returnflag, l_linestatus,
+           count(*) AS n, r4(sum(l_quantity)) AS qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q90_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (extension): per-(flag,status), per-flag, and
-    grand-total rows in one pass. Spark expands rollup into a single
-    partial-aggregated shuffle — same cost shape as a plain GROUP BY."""
-    l = table(spark, sf_dir, "lineitem")
-    return (
-        l.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("l_quantity")).alias("qty"))
-    )
-
-
-@query(
-    "q93_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n,
+    UNION ALL
+    SELECT 'cube' AS gkind, l_returnflag, l_linestatus,
+           count(*) AS n, r4(sum(l_quantity)) AS qty,
            CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
            CAST(grouping(l_linestatus) AS BIGINT) AS g_status
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def q93_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE with GROUPING() markers (extension): all 2^k aggregation levels
-    in one pass, grouping flags distinguishing rollup NULLs from data NULLs
-    — the standard OLAP summary shape. Single partial-aggregated shuffle."""
+def q90_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE multi-level aggregation (extensions) — both are
+    GROUPING SETS sugar, tagged into one result. ROLLUP: per-(flag,status),
+    per-flag, and grand-total rows in one pass; CUBE: all 2^k levels.
+    GROUPING() markers distinguish rollup NULLs from data NULLs — the
+    standard OLAP summary shape. Spark expands each into a single
+    partial-aggregated shuffle — same cost shape as a plain GROUP BY."""
     l = table(spark, sf_dir, "lineitem")
-    return (
-        l.cube("l_returnflag", "l_linestatus")
-        .agg(
+
+    def levels(grouped, gkind: str) -> DataFrame:
+        return grouped.agg(
             F.count(F.lit(1)).alias("n"),
+            r4(F.sum("l_quantity")).alias("qty"),
             F.grouping("l_returnflag").cast("long").alias("g_flag"),
             F.grouping("l_linestatus").cast("long").alias("g_status"),
+        ).select(
+            F.lit(gkind).alias("gkind"),
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            "qty",
+            "g_flag",
+            "g_status",
         )
+
+    return levels(l.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        levels(l.cube("l_returnflag", "l_linestatus"), "cube")
     )

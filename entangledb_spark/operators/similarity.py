@@ -243,34 +243,7 @@ def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q73_embed_normalize",
-    oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-    SELECT vec_id,
-           r4(sqrt(list_dot_product(emb, emb))) AS l2_norm,
-           r4(emb[1] / sqrt(list_dot_product(emb, emb))) AS unit_first,
-           r4(list_aggregate(list_transform(emb, x -> abs(x)), 'max')) AS max_abs
-    FROM v
-    """,
-)
-def q73_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding L2 normalization metadata: the prep step before cosine ANN
-    (unit vectors turn cosine into dot product). Pure codegen'd array math,
-    narrow map, no shuffle."""
-    e = table(spark, sf_dir, "embeddings")
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    l2 = norm(emb)
-    max_abs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    return e.select(
-        "vec_id",
-        r4(l2).alias("l2_norm"),
-        r4(F.element_at(emb, 1) / l2).alias("unit_first"),
-        r4(max_abs).alias("max_abs"),
-    )
-
-
-@query(
-    "q74_embed_quantize",
+    "q73_embed_transform",
     oracle="""
     -- internal name `sc` ≠ output alias `scale`: DuckDB's lateral column
     -- aliases would otherwise shadow the CTE column with the rounded value
@@ -278,7 +251,11 @@ def q73_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT vec_id, emb,
                  list_aggregate(list_transform(emb, x -> abs(x)), 'max') / 127.0 AS sc
           FROM v)
-    SELECT vec_id, r4(sc) AS scale,
+    SELECT vec_id,
+           r4(sqrt(list_dot_product(emb, emb))) AS l2_norm,
+           r4(emb[1] / sqrt(list_dot_product(emb, emb))) AS unit_first,
+           r4(list_aggregate(list_transform(emb, x -> abs(x)), 'max')) AS max_abs,
+           r4(sc) AS scale,
            CAST(floor(emb[1] / sc + 0.5) AS BIGINT) AS q0,
            CAST(floor(emb[2] / sc + 0.5) AS BIGINT) AS q1,
            CAST(list_aggregate(
@@ -287,16 +264,23 @@ def q73_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
 )
-def q74_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 quantization (per-vector absmax scale) — the standard
-    4x storage/bandwidth reduction for embedding corpora. Quantized codes
-    verified against the oracle via spot components + checksum."""
+def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding transform prep in one narrow map:
+
+    - L2 normalization metadata — the prep step before cosine ANN (unit
+      vectors turn cosine into dot product).
+    - symmetric int8 quantization (per-vector absmax scale) — the standard
+      4x storage/bandwidth reduction for embedding corpora; codes verified
+      against the oracle via spot components + checksum.
+
+    `floor(x + 0.5)`, not round(): engine ROUND half-way behavior differs
+    between Spark and DuckDB (see functions/numeric.py) — the explicit
+    formula is bit-identical on both. Pure codegen'd array math, no
+    shuffle."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
-    # floor(x + 0.5), not round(): engine ROUND half-way behavior differs
-    # between Spark and DuckDB (see functions/numeric.py) — the explicit
-    # formula is bit-identical on both.
+
     def code(x):
         return F.floor(x + F.lit(0.5)).cast("long")
 
@@ -304,6 +288,9 @@ def q74_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", emb.alias("emb"), scale.alias("sc"))
         .select(
             "vec_id",
+            r4(norm(F.col("emb"))).alias("l2_norm"),
+            r4(F.element_at("emb", 1) / norm(F.col("emb"))).alias("unit_first"),
+            r4(F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))).alias("max_abs"),
             r4(F.col("sc")).alias("scale"),
             code(F.element_at("emb", 1) / F.col("sc")).alias("q0"),
             code(F.element_at("emb", 2) / F.col("sc")).alias("q1"),

@@ -47,86 +47,6 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-@query(
-    "q50_text_tokens",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT)                              AS n_char,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)      AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
-                                                                     AS n_distinct_words
-    FROM documents
-    """,
-)
-def q50_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, alpha words, distinct vocabulary.
-    Pure narrow map — no shuffle, codegen'd regexp extraction."""
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_char"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
-        .cast("long")
-        .alias("n_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD_RE), 0))
-        .cast("long")
-        .alias("n_words"),
-        F.size(
-            F.array_distinct(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
-            )
-        )
-        .cast("long")
-        .alias("n_distinct_words"),
-    )
-
-
-@query(
-    "q51_text_quality",
-    oracle=r"""
-    SELECT doc_id,
-           r4(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-                 / greatest(length(text), 1))                       AS punct_ratio,
-           r4(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-                 / greatest(length(text), 1))                       AS digit_ratio,
-           r4(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS DOUBLE)
-                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS stopword_ratio,
-           r4(CAST(length(text) AS DOUBLE)
-                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS avg_token_len,
-           (length(text) >= 50 AND length(text) <= 10000
-            AND len(regexp_extract_all(text, '\S+')) >= 10)            AS passes_length_gate
-    FROM documents
-    """,
-)
-def q51_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: punctuation/digit/stopword ratios, average token
-    length, and a length gate — the standard cheap pre-filters applied
-    before expensive model-based scoring in a data pipeline."""
-    d = table(spark, sf_dir, "documents")
-    n_char = F.length("text")
-    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
-    count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
-    return d.select(
-        "doc_id",
-        r4(
-            count_re(F.col("text"), r"[.,;:!?]").cast("double")
-            / F.greatest(n_char, F.lit(1))
-        ).alias("punct_ratio"),
-        r4(
-            count_re(F.col("text"), r"[0-9]").cast("double") / F.greatest(n_char, F.lit(1))
-        ).alias("digit_ratio"),
-        r4(
-            count_re(F.lower(F.col("text")), LANG_MARKERS["en"]).cast("double")
-            / F.greatest(n_tok, F.lit(1))
-        ).alias("stopword_ratio"),
-        r4(n_char.cast("double") / F.greatest(n_tok, F.lit(1))).alias(
-            "avg_token_len"
-        ),
-        ((n_char >= 50) & (n_char <= 10000) & (n_tok >= 10)).alias("passes_length_gate"),
-    )
-
-
 def _langid_scores(text: Column) -> dict[str, Column]:
     low = F.lower(text)
     return {
@@ -135,34 +55,80 @@ def _langid_scores(text: Column) -> dict[str, Column]:
     }
 
 
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
+
+
 @query(
-    "q52_text_langid",
+    "q50_text_suite",
     oracle=r"""
     WITH scores AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in)\b')) AS BIGINT)  AS en_score,
              CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS BIGINT) AS de_score,
              CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS BIGINT)  AS fr_score,
              CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS BIGINT) AS es_score
       FROM documents
     )
-    SELECT doc_id, en_score, de_score, fr_score, es_score,
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                               AS n_char,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)       AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+                                                                      AS n_distinct_words,
+           r4(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / greatest(length(text), 1))                         AS punct_ratio,
+           r4(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1))                         AS digit_ratio,
+           r4(CAST(en_score AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS stopword_ratio,
+           r4(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS avg_token_len,
+           (length(text) >= 50 AND length(text) <= 10000
+            AND len(regexp_extract_all(text, '\S+')) >= 10)           AS passes_length_gate,
+           en_score, de_score, fr_score, es_score,
            CASE
              WHEN greatest(en_score, de_score, fr_score, es_score) = 0 THEN 'und'
              WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
              WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
              WHEN fr_score >= es_score THEN 'fr'
              ELSE 'es'
-           END AS predicted_lang
+           END AS predicted_lang,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           regexp_replace(
+             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phones
     FROM scores
     """,
 )
-def q52_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-marker counts with a deterministic argmax
-    (fixed precedence en>de>fr>es on ties, 'und' when no markers hit).
-    At 100 TB this is a narrow map; a production variant swaps the marker
-    regexes for a char-n-gram Naive Bayes — same plan shape."""
+def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in ONE wide projection — the operators a
+    training pipeline runs together in a single pass over the corpus:
+
+    - token counting: whitespace tokens, alpha words, distinct vocabulary.
+    - quality scoring: punctuation/digit/stopword ratios, average token
+      length, a length gate — the cheap pre-filters applied before
+      model-based scoring.
+    - language ID: stopword-marker counts with a deterministic argmax
+      (fixed precedence en>de>fr>es on ties, 'und' when nothing hits); a
+      production variant swaps in char-n-gram Naive Bayes, same shape.
+    - content fingerprint: md5 over normalized text — the exact-dedup key
+      (grouped form lives in q60_dedup_exact).
+    - PII redaction: e-mail/phone regex scrub with match counts.
+
+    Everything is built-in JVM regexp/hash expressions in whole-stage
+    codegen: a pure narrow map, zero shuffles, one pass over text — at
+    100 TB the fused projection reads the corpus once instead of five
+    times."""
     d = table(spark, sf_dir, "documents")
+    n_char = F.length("text")
+    n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
     s = _langid_scores(F.col("text"))
     en, de, fr, es = s["en"], s["de"], s["fr"], s["es"]
     predicted = (
@@ -172,38 +138,40 @@ def q52_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(fr >= es, F.lit("fr"))
         .otherwise(F.lit("es"))
     )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
     return d.select(
         "doc_id",
+        n_char.cast("long").alias("n_char"),
+        n_tok.cast("long").alias("n_tokens"),
+        count_re(F.col("text"), WORD_RE).cast("long").alias("n_words"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_words"),
+        r4(
+            count_re(F.col("text"), r"[.,;:!?]").cast("double")
+            / F.greatest(n_char, F.lit(1))
+        ).alias("punct_ratio"),
+        r4(
+            count_re(F.col("text"), r"[0-9]").cast("double") / F.greatest(n_char, F.lit(1))
+        ).alias("digit_ratio"),
+        r4(en.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        r4(n_char.cast("double") / F.greatest(n_tok, F.lit(1))).alias("avg_token_len"),
+        ((n_char >= 50) & (n_char <= 10000) & (n_tok >= 10)).alias("passes_length_gate"),
         en.alias("en_score"),
         de.alias("de_score"),
         fr.alias("fr_score"),
         es.alias("es_score"),
         predicted.alias("predicted_lang"),
-    )
-
-
-@query(
-    "q53_text_fingerprint",
-    oracle=r"""
-    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-           count(*)            AS n_docs,
-           CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q53_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprinting: md5 over normalized text, grouped — the
-    exact-dedup building block. One shuffle on the 128-bit fingerprint;
-    fingerprints are uniform so the shuffle is skew-free by construction."""
-    d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-        )
+        fingerprint(F.col("text")).alias("fp"),
+        redacted.alias("redacted"),
+        count_re(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
+        count_re(F.col("text"), _PHONE_RE).cast("long").alias("n_phones"),
     )
 
 
@@ -254,44 +222,6 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens"),
         )
-    )
-
-
-@query(
-    "q56_text_redact_pii",
-    oracle=r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
-                            '<EMAIL>', 'g'),
-             '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS redacted,
-           CAST(len(regexp_extract_all(text,
-                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
-                '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phones
-    FROM documents
-    """,
-)
-def q56_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing: regex redaction of e-mail/phone patterns with match
-    counts — a cheap-first pass before model-based PII detection. Pure
-    codegen'd narrow map; the regexes are RE2/Java-compatible so the oracle
-    evaluates the exact same patterns."""
-    d = table(spark, sf_dir, "documents")
-    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    phone = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
-    )
-    return d.select(
-        "doc_id",
-        redacted.alias("redacted"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
-        .cast("long")
-        .alias("n_emails"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone), 0))
-        .cast("long")
-        .alias("n_phones"),
     )
 
 

@@ -1,0 +1,168 @@
+"""Time-series join operators (beyond parity — neither the reference nor
+vanilla Spark SQL has AS-OF / range joins as first-class operators).
+
+Two classic shapes a training-data / analytics pipeline needs over event
+streams, each expressed in its scale-correct Spark form:
+
+- AS-OF join: for each left row, the latest right row at-or-before its
+  timestamp per key. Implemented with the union-marker trick — tag both
+  sides, sort within the key partition, carry the right side's values
+  forward with last(ignorenulls) over an unbounded-preceding frame, keep
+  left rows. ONE shuffle on the key, zero join explosion — versus the
+  naive key-equi + range join whose per-key cost is |L_k|·|R_k|.
+- Range join: left rows matched to all right rows in a time interval,
+  with NO key equality. Implemented by binning both sides to fixed-width
+  time buckets and equi-joining on the bucket id (left rows explode to
+  the two covering buckets) with the exact interval as a residual filter
+  — the standard interval-bin technique: the shuffle is an equi-join on a
+  dense integer key, candidates per row are bounded by bucket width, and
+  no cross product ever forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from entangledb_spark.registry import query, table
+
+RANGE_WINDOW_SEC = 600  # range-join interval width (10 minutes)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic AS-OF LEFT join: for each left row, append `value_cols` from
+    the latest right row with right.ts <= left.ts and equal `on` key
+    (NULLs when no such row). Right must be unique per (on, ts) — callers
+    pre-aggregate ties so results are deterministic.
+
+    Single shuffle on `on`; the window's sort puts right rows before left
+    rows at equal ts (marker asc) so the at-or-before semantics include
+    exact-ts matches."""
+    lcols = left.columns
+    l_tagged = left.withColumn("_is_left", F.lit(1))
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    for c in lcols:
+        if c not in (on, ts):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    return u.filter(F.col("_is_left") == 1).select(
+        *lcols, *[f"asof_{c}" for c in value_cols]
+    )
+
+
+@query(
+    "q94_asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, ts, max(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           s.ts AS asof_ts, s.signup_value AS asof_signup_value
+    FROM p ASOF LEFT JOIN s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q94_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each purchase event picks up the timestamp and value of
+    the user's latest signup event at-or-before it (DuckDB's native ASOF
+    JOIN is the oracle). Union-marker implementation — one shuffle on
+    user_id, no join explosion; ties on (user_id, ts) on the right are
+    pre-aggregated (max value) so both engines are deterministic."""
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(p, s, on="user_id", ts="ts", value_cols=["ts", "signup_value"])
+    # asof_join would collide appending right's ts under the same name, so
+    # it exposes it as asof_ts via the value_cols mechanism below.
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts"),
+        F.col("asof_signup_value"),
+    )
+
+
+@query(
+    "q95_range_join",
+    oracle=f"""
+    WITH p AS (SELECT event_id, ts FROM events WHERE event_id % 200 = 0)
+    SELECT p.event_id, count(n.event_id) AS n_following,
+           CAST(coalesce(sum(CASE WHEN n.event_type = 'error' THEN 1 END), 0) AS BIGINT)
+             AS n_errors
+    FROM p LEFT JOIN events n
+      ON n.ts > p.ts AND n.ts <= p.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
+    GROUP BY p.event_id
+    """,
+)
+def q95_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with no equi key: for each probe event, count ALL events
+    (any user) in the following 10-minute interval, plus the error subset.
+
+    Spark plan: both sides are binned to 10-minute buckets
+    (floor(epoch/600)); probes explode to the two buckets covering their
+    interval; the join is an EQUI join on the dense integer bucket id with
+    the exact interval as residual — Catalyst would otherwise fall back to
+    BroadcastNestedLoopJoin for a pure inequality join, which is O(|P|·|E|)
+    at corpus scale. Bucket width trades shuffle fan-out vs candidates per
+    probe; match it to the interval width."""
+    e = table(spark, sf_dir, "events")
+    n = e.select(
+        F.col("event_id").alias("n_id"),
+        F.col("ts").alias("n_ts"),
+        F.col("event_type").alias("n_type"),
+        F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_SEC).alias("n_bin"),
+    )
+    p = (
+        e.filter(F.col("event_id") % 200 == 0)
+        .select(
+            F.col("event_id"),
+            F.col("ts").alias("p_ts"),
+            F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_SEC).alias("p_bin"),
+        )
+        .withColumn("join_bin", F.explode(F.array(F.col("p_bin"), F.col("p_bin") + 1)))
+    )
+    in_range = (F.col("n_ts") > F.col("p_ts")) & (
+        F.col("n_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND")
+    )
+    return (
+        p.join(n, (F.col("join_bin") == F.col("n_bin")) & in_range, "left")
+        .groupBy("event_id")
+        .agg(
+            F.count("n_id").alias("n_following"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_type") == "error", 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )
