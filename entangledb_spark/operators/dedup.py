@@ -142,7 +142,7 @@ def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via zip_with/aggregate, JVM-side, no UDF; probe side sampled the same
     way. The production path replaces the pair join with the LSH bucketing
     in similarity.py."""
-    d = table(spark, sf_dir, "documents")
+    d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     tok_all = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("w")
     )
@@ -263,10 +263,15 @@ def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
 
     Small fixture tables arrive as one parquet file → one partition; a
     round-robin repartition costs one tiny shuffle and unlocks full
-    parallelism. At 100 TB inputs already have thousands of partitions and
-    AQE coalescing keeps sizes sane, so this is a no-op-ish guard, not a
-    hot-path cost."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism. The repartition only fires when the scan is narrower than
+    the cluster (partitions < cores): at 100 TB inputs already have
+    thousands of partitions, so the guard is a TRUE no-op there — an
+    unconditional repartition would re-shuffle the whole corpus just to
+    change partition count."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
 
 
 @query("q62_dedup_minhash_lsh")  # seeded-hash internals → no SQL oracle (rows-only)

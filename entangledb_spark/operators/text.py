@@ -124,8 +124,12 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is built-in JVM regexp/hash expressions in whole-stage
     codegen: a pure narrow map, zero shuffles, one pass over text — at
     100 TB the fused projection reads the corpus once instead of five
-    times."""
-    d = table(spark, sf_dir, "documents")
+    times. The ~10 regex passes are the CPU hot spot, so the scan is
+    spread across cores first (no-op when the input already has ≥cores
+    partitions)."""
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     n_char = F.length("text")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
@@ -201,7 +205,9 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode of row-local token slices: a narrow flatMap, no shuffle,
     output rows ≈ corpus_tokens / CHUNK_TOKENS regardless of document-length
     skew (one giant doc becomes many rows, not one giant row)."""
-    d = table(spark, sf_dir, "documents")
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
     n_chunks = F.ceil(F.size("_toks") / float(CHUNK_TOKENS)).cast("int")
     chunks = F.transform(
