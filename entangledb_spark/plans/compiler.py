@@ -165,14 +165,15 @@ IN_SUBQUERY_LIMIT = 100_000  # max values folded into an IN list (non-conjunct p
 
 def _split_semi_anti(
     where: Optional[ast.Expr],
-) -> tuple[list[tuple[str, ast.Expr, ast.Subquery]], Optional[ast.Expr]]:
+) -> tuple[list[tuple[str, Optional[ast.Expr], ast.Subquery]], Optional[ast.Expr]]:
     """Split WHERE into ([(kind, lhs, subquery), ...], remaining-expr).
 
-    Top-level `x IN (SELECT ...)` / `x NOT IN (SELECT ...)` conjuncts are
-    extracted as semi/anti join specs — the scale-safe plan (no driver
-    round-trip, no value-count limit). Subqueries in any other position
-    (inside OR, in the select list, ...) stay in the tree and go through
-    the bounded literal fold."""
+    Top-level `x IN (SELECT ...)` / `x NOT IN (SELECT ...)` /
+    `[NOT] EXISTS (SELECT ...)` conjuncts are extracted as semi/anti join
+    specs — the scale-safe plan (no driver round-trip, no value-count
+    limit), and the only placement where EXISTS may be CORRELATED.
+    Subqueries in any other position (inside OR, in the select list, ...)
+    stay in the tree and go through the bounded uncorrelated fold."""
     if where is None:
         return [], None
 
@@ -199,6 +200,19 @@ def _split_semi_anti(
             sub = c.args[0].args[1]
             assert isinstance(sub, ast.Subquery)
             specs.append(("anti", c.args[0].args[0], sub))
+        elif isinstance(c, ast.Op) and c.name == "EXISTS":
+            sub = c.args[0]
+            assert isinstance(sub, ast.Subquery)
+            specs.append(("exists", None, sub))
+        elif (
+            isinstance(c, ast.Op)
+            and c.name == "NOT"
+            and isinstance(c.args[0], ast.Op)
+            and c.args[0].name == "EXISTS"
+        ):
+            sub = c.args[0].args[0]
+            assert isinstance(sub, ast.Subquery)
+            specs.append(("not_exists", None, sub))
         else:
             rest.append(c)
     remaining: Optional[ast.Expr] = None
@@ -209,7 +223,7 @@ def _split_semi_anti(
 
 def _apply_semi_anti(
     df: DataFrame,
-    specs: list[tuple[str, ast.Expr, ast.Subquery]],
+    specs: list[tuple[str, Optional[ast.Expr], ast.Subquery]],
     scope: Scope,
     spark: SparkSession,
     read: TableReader,
@@ -226,6 +240,9 @@ def _apply_semi_anti(
     case filters NULL probes and left_anti-joins on equality. A single
     disjunctive null-aware condition would force a nested-loop join."""
     for i, (kind, lhs, sub) in enumerate(specs):
+        if kind in ("exists", "not_exists"):
+            df = _apply_exists(df, kind, sub, scope, spark, read)
+            continue
         lhs = _resolve_subqueries(lhs, spark, read)
         inner = compile_select(sub.select, spark, read)
         if len(inner.columns) != 1:
@@ -248,6 +265,122 @@ def _apply_semi_anti(
             continue
         df = df.filter(lhs_col.isNotNull()).join(inner_a, cond, "left_anti")
     return df
+
+
+def _apply_exists(
+    df: DataFrame,
+    kind: str,
+    sub: ast.Subquery,
+    outer: Scope,
+    spark: SparkSession,
+    read: TableReader,
+) -> DataFrame:
+    """[NOT] EXISTS as a WHERE conjunct — correlated or not (extension;
+    the reference has no subqueries at all).
+
+    Correlated form: conjuncts of the subquery's WHERE that reference
+    outer columns become the join condition of a left_semi (EXISTS) /
+    left_anti (NOT EXISTS) join against the subquery's filtered FROM
+    frame — one distributed join, no per-row re-execution, no driver
+    round-trip. NOT EXISTS needs no null-aware handling: an anti join
+    keeps exactly the rows with no TRUE match, which IS its semantics.
+
+    Uncorrelated form (no outer references): emptiness is probed with a
+    LIMIT 1 job and the predicate folds to keep-all / drop-all.
+
+    Name resolution follows standard SQL: innermost scope wins for
+    unqualified names; qualified names pick whichever scope owns the
+    alias; an alias used by BOTH scopes is rejected (rename one side)."""
+    sel = sub.select
+    if sel.offset is not None or sel.limit is not None:
+        # LIMIT 0 / OFFSET n change emptiness per-group; anything else is a
+        # no-op under EXISTS. Simpler and honest to reject the odd forms.
+        raise CompileError("LIMIT/OFFSET inside [NOT] EXISTS is not supported")
+
+    def probe(inner: DataFrame) -> DataFrame:
+        nonempty = len(inner.limit(1).collect()) > 0
+        keep = nonempty if kind == "exists" else not nonempty
+        return df if keep else df.filter(F.lit(False))
+
+    # aggregation in the subquery: a global aggregate always yields one
+    # row, and grouped/HAVING forms can't be correlated here — compile the
+    # whole subquery standalone and probe (correlated references inside it
+    # surface as unknown-column errors, the accurate message).
+    if sel.from_ is None or sel.group_by or sel.having is not None or any(
+        ast.contains_aggregate(e) for e, _ in sel.select
+    ):
+        return probe(compile_select(sel, spark, read))
+
+    inner_scope = Scope()
+    inner_df = compile_from(sel.from_, read, inner_scope)
+    shared = set(inner_scope.tables) & set(outer.tables)
+    if shared:
+        raise CompileError(
+            f"alias used in both outer query and EXISTS subquery: "
+            f"{', '.join(sorted(shared))} (alias one of them)"
+        )
+
+    def owner_scope(f: ast.Field) -> Optional[Scope]:
+        """innermost-first resolution; None = not resolvable here."""
+        if f.table is not None:
+            if f.table in inner_scope.tables:
+                return inner_scope if f.name in inner_scope.tables[f.table][1] else None
+            if f.table in outer.tables:
+                return outer if f.name in outer.tables[f.table][1] else None
+            return None
+        if any(f.name in cols for _, cols in inner_scope.tables.values()):
+            return inner_scope
+        if any(f.name in cols for _, cols in outer.tables.values()):
+            return outer
+        return None
+
+    def dual_resolve(f: ast.Field) -> Column:
+        s = owner_scope(f)
+        if s is None:
+            raise CompileError(f"unknown column: {f.name}")
+        return s.resolve(f)
+
+    def dual_dtype(f: ast.Field) -> Optional[str]:
+        s = owner_scope(f)
+        return s.dtype_of(f) if s is not None else None
+
+    def conjuncts(e: ast.Expr):
+        if isinstance(e, ast.Op) and e.name == "AND":
+            for a in e.args:
+                yield from conjuncts(a)
+        else:
+            yield e
+
+    inner_conjs: list[ast.Expr] = []
+    corr_conjs: list[ast.Expr] = []
+    if sel.where is not None:
+        for c in conjuncts(sel.where):
+            fields = [x for x in ast.walk(c) if isinstance(x, ast.Field)]
+            if any(owner_scope(f) is outer for f in fields):
+                corr_conjs.append(c)
+            else:
+                inner_conjs.append(c)
+
+    if not corr_conjs:  # uncorrelated → emptiness probe, one tiny job
+        return probe(compile_select(sel, spark, read))
+
+    inner_where: Optional[ast.Expr] = None
+    for c in inner_conjs:
+        inner_where = c if inner_where is None else ast.Op("AND", (inner_where, c))
+    inner_where = _resolve_subqueries(inner_where, spark, read)
+    if inner_where is not None:
+        inner_df = inner_df.filter(
+            compile_expr(inner_where, inner_scope.resolve, inner_scope.dtype_of)
+        )
+
+    cond: Optional[Column] = None
+    for c in corr_conjs:
+        if any(isinstance(x, ast.Subquery) for x in ast.walk(c)):
+            raise CompileError("nested subqueries in correlated EXISTS predicates")
+        col = compile_expr(c, dual_resolve, dual_dtype)
+        cond = col if cond is None else (cond & col)
+    how = "left_semi" if kind == "exists" else "left_anti"
+    return df.join(inner_df, cond, how)
 
 
 def _resolve_subqueries(

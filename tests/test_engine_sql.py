@@ -484,12 +484,23 @@ def test_exists_subquery(eng):
     assert r.rows == [(3,)]
 
 
-def test_correlated_subquery_rejected(eng):
+def test_correlated_exists_subquery(eng):
+    # correlated EXISTS compiles to a left_semi join (all 5 movies except
+    # the NULL-genre one have a matching genre row)
     setup_movies(eng)
-    with pytest.raises(EngineError, match="unknown (column|table)"):
+    r = eng.execute(
+        "SELECT title FROM movies m WHERE EXISTS "
+        "(SELECT 1 FROM genres g WHERE g.id = m.genre_id) ORDER BY title"
+    )
+    rows, _ = r.fetch(100)
+    assert [t for (t,) in rows] == ["Heat", "Sideways", "Solaris", "Stalker"]
+    # correlated references OUTSIDE the extractable WHERE-conjunct position
+    # are still rejected (the subquery compiles standalone, so the outer
+    # column is unresolvable there)
+    with pytest.raises(EngineError, match="genre_id"):
         eng.execute(
             "SELECT title FROM movies m WHERE EXISTS "
-            "(SELECT 1 FROM genres g WHERE g.id = m.genre_id)"
+            "(SELECT 1 FROM genres g GROUP BY g.id HAVING g.id = m.genre_id)"
         )
 
 

@@ -79,3 +79,65 @@ def test_in_subquery_beyond_old_fold_cap(eng):
     )
     (n,) = r.rows[0]
     assert n > 100_000
+
+
+# --- [NOT] EXISTS — correlated → semi/anti join; uncorrelated → probe ------
+
+
+@pytest.fixture()
+def ceng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "cdb"))
+    e.execute("CREATE TABLE c (id INTEGER PRIMARY KEY, name STRING)")
+    e.execute("INSERT INTO c VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    e.execute("CREATE TABLE o (oid INTEGER PRIMARY KEY, cid INTEGER, amt INTEGER)")
+    e.execute("INSERT INTO o VALUES (10, 1, 100), (11, 1, 50), (12, 3, NULL)")
+    return e
+
+
+def test_correlated_exists_is_semi_join(ceng):
+    sql = "SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o WHERE o.cid = c.id)"
+    assert rows(ceng, sql) == [(1,), (3,)]
+    assert "LeftSemi" in plan_of(ceng, sql)
+
+
+def test_correlated_not_exists_is_anti_join(ceng):
+    sql = "SELECT id FROM c WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.cid = c.id)"
+    assert rows(ceng, sql) == [(2,)]
+    assert "LeftAnti" in plan_of(ceng, sql)
+
+
+def test_correlated_exists_with_inner_filter(ceng):
+    # uncorrelated conjunct (amt > 60) filters the build side BEFORE the join
+    sql = "SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o WHERE o.cid = c.id AND amt > 60)"
+    assert rows(ceng, sql) == [(1,)]
+
+
+def test_exists_unqualified_names_innermost_scope_wins(ceng):
+    # cid resolves in the subquery scope, id only in the outer → correlated
+    sql = "SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o WHERE cid = id)"
+    assert rows(ceng, sql) == [(1,), (3,)]
+
+
+def test_uncorrelated_exists_folds(ceng):
+    assert rows(ceng, "SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o WHERE amt > 1000)") == []
+    assert rows(ceng, "SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o)") == [(1,), (2,), (3,)]
+
+
+def test_exists_global_aggregate_subquery_always_one_row(ceng):
+    # a global aggregate yields exactly one row even over zero matches
+    sql = "SELECT id FROM c WHERE EXISTS (SELECT MAX(amt) FROM o WHERE amt > 99999)"
+    assert rows(ceng, sql) == [(1,), (2,), (3,)]
+
+
+def test_exists_rejects_limit_and_shared_alias(ceng):
+    from entangledb_spark.engine import EngineError
+
+    with pytest.raises(EngineError, match="LIMIT/OFFSET"):
+        ceng.execute("SELECT id FROM c WHERE EXISTS (SELECT 1 FROM o WHERE o.cid = c.id LIMIT 1)")
+    with pytest.raises(EngineError, match="alias used in both"):
+        ceng.execute("SELECT id FROM c WHERE EXISTS (SELECT 1 FROM c WHERE c.id = 1)")
+
+
+def test_correlated_exists_mixed_conjuncts(ceng):
+    sql = "SELECT id FROM c WHERE id > 1 AND EXISTS (SELECT 1 FROM o WHERE o.cid = c.id)"
+    assert rows(ceng, sql) == [(3,)]
