@@ -232,3 +232,75 @@ def q57_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+# --- additional streaming shapes a training-data ingest pipeline needs ------
+
+SLIDE_WIDTH = "10 minutes"  # sliding-window width (overlapping windows)
+SLIDE_STEP = "5 minutes"  # slide interval → each event lands in 2 windows
+JOIN_HORIZON = "15 minutes"  # stream-stream join event-time constraint
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Watermarked SLIDING-window aggregation: width SLIDE_WIDTH advancing
+    every SLIDE_STEP, so each event contributes to width/step overlapping
+    windows. Same state-store shape as tumbling (keyed by window, type);
+    state per key is width/step× larger — the watermark still bounds it."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event_id
+    arriving within the watermark horizon (dropDuplicatesWithinWatermark —
+    at-least-once sources like Kafka re-deliver on retry; this is the
+    standard ingest guard). State holds one entry per event_id seen inside
+    the horizon and is evicted as the watermark advances — bounded, unlike
+    a plain dropDuplicates whose state grows forever on a stream."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def click_view_join(events: DataFrame) -> DataFrame:
+    """Stream-stream INNER join with an event-time range constraint: each
+    click joins the same user's views from the preceding JOIN_HORIZON —
+    the attribution-join shape (purchase←ad-view, label←feature event).
+
+    Both sides carry watermarks and the join condition bounds view_ts
+    relative to click_ts, so the state store retains only rows inside the
+    horizon; without the time bound Spark would (correctly) refuse to plan
+    the join because state would be unbounded."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", WATERMARK)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", WATERMARK)
+    )
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {JOIN_HORIZON}")),
+        "inner",
+    ).select("user_id", "click_id", "click_ts", "view_id", "view_ts")

@@ -48,3 +48,85 @@ def test_stream_is_incremental(spark, sf_dir, tmp_path):
     src = materialize_events_source(spark, sf_dir, src_dir)
     st = windowed_counts(stream_events(spark, src_dir, src.schema))
     assert st.isStreaming
+
+
+def _drive(spark, src_dir, schema, xform, out, mode="append"):
+    from entangledb_spark.streaming.events import stream_events
+
+    q = (
+        xform(stream_events(spark, src_dir, schema))
+        .writeStream.outputMode(mode)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start(f"{out}/sink")
+    )
+    q.awaitTermination(timeout=120)
+    return spark.read.parquet(f"{out}/sink")
+
+
+def test_sliding_window_stream(spark, sf_dir, tmp_path):
+    from entangledb_spark.registry import table
+    from entangledb_spark.streaming.events import materialize_events_source, sliding_counts
+
+    src_dir = str(tmp_path / "src")
+    src = materialize_events_source(spark, sf_dir, src_dir)
+    out = _drive(spark, src_dir, src.schema, sliding_counts, str(tmp_path / "out"))
+    # batch equivalent: each event falls in exactly width/step = 2 windows
+    e = table(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    s = {(r.window_start, r.event_type): r.n_events for r in out.collect()}
+    assert set(s) <= set(b)
+    assert all(b[k] == v for k, v in s.items())
+    assert len(s) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from entangledb_spark.registry import table
+    from entangledb_spark.streaming.events import dedup_stream
+
+    # source with every event delivered TWICE (at-least-once redelivery)
+    src_dir = str(tmp_path / "dup_src")
+    e = table(spark, sf_dir, "events")
+    e.unionAll(e).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    assert src.count() == 2 * e.count()
+    out = _drive(spark, src_dir, src.schema, dedup_stream, str(tmp_path / "out"))
+    # every event_id appears exactly once after streaming dedup
+    assert out.count() == e.count()
+    assert out.select("event_id").distinct().count() == e.count()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    from entangledb_spark.registry import table
+    from entangledb_spark.streaming.events import click_view_join, materialize_events_source
+
+    src_dir = str(tmp_path / "src")
+    src = materialize_events_source(spark, sf_dir, src_dir)
+    out = _drive(spark, src_dir, src.schema, click_view_join, str(tmp_path / "out"))
+    # batch equivalent of the attribution join
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 15 minutes")),
+        "inner",
+    )
+    assert out.count() == batch.count()
+    assert out.count() > 0
+    b = {(r.click_id, r.view_id) for r in batch.select("click_id", "view_id").collect()}
+    s = {(r.click_id, r.view_id) for r in out.select("click_id", "view_id").collect()}
+    assert s == b
