@@ -283,11 +283,24 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures plus O(collisions) for pairs — never O(n²). Emits candidate
     pairs with their estimated Jaccard (fraction of matching signature
     components).
+
+    The signature table is persisted before the self-join: without it the
+    two join branches each recompute the full shingle→minhash pipeline
+    (no ReusedExchange forms across the differing aliases), doubling the
+    dominant CPU cost. Signatures are ~130 B/doc — at corpus scale this
+    survives as MEMORY_AND_DISK or a checkpoint to durable storage; the
+    raw text is never read twice either way.
     """
+    from pyspark import StorageLevel
+
     d = repartition_for_cpu(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
-    sig = minhash_signature(d).select("doc_id", "minhash")
+    sig = (
+        minhash_signature(d)
+        .select("doc_id", "minhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     bands = sig.select(
         "doc_id",
