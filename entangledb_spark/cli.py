@@ -63,6 +63,18 @@ def run_command(engine: Engine, line: str) -> str:
         out[-1] = out[-1].rstrip(",")
         out.append(")")
         return "\n".join(out)
+    if cmd == "changes":
+        if len(args) < 2:
+            return "usage: !changes <table> <from_version> [<to_version>]"
+        try:
+            r = engine.table_changes(
+                args[0], int(args[1]), int(args[2]) if len(args) > 2 else None
+            )
+            rows, truncated = r.fetch(MAX_DISPLAY_ROWS)
+            out = format_table(r.columns or [], rows)
+            return out + ("\n(truncated)" if truncated else f"\n({len(rows)} rows)")
+        except (EngineError, ValueError) as e:
+            return f"Error: {e}"
     if cmd == "attach":
         if len(args) < 2:
             return "usage: !attach <name> <parquet-path>"

@@ -150,6 +150,28 @@ class Engine:
     def list_tables(self) -> list[str]:
         return sorted(self._manifest_for_read()["tables"])
 
+    def table_changes(self, name: str, from_version: int, to_version: Optional[int] = None) -> Result:
+        """Change data feed between two committed versions (extension — the
+        reference stores MVCC versions, storage/mvcc.rs:119-122, but has no
+        changed-rows API). Returns the net row-level changes with a
+        `_change_type` column ('insert'/'update'/'delete'); deletes carry
+        the pre-image. Incremental consumers poll this instead of
+        re-reading the table. Lazy like SELECT — rows pull via fetch()."""
+        from entangledb_spark.sources.catalog import CatalogError
+
+        if to_version is None:
+            to_version = self.catalog.current_version()
+        try:
+            df = self.catalog.changes_df(name, from_version, to_version)
+        except CatalogError as e:
+            raise EngineError(str(e)) from None
+        return Result(
+            status=f"CHANGES {name} v{from_version}..v{to_version}",
+            columns=list(df.columns),
+            dataframe=df,
+            version=to_version,
+        )
+
     def attach_parquet(self, name: str, path: str) -> Result:
         """ATTACH an external parquet file/dir as a read-only table (schema
         inferred; types outside the 4-type system carried through verbatim).

@@ -80,6 +80,19 @@ class _Handler(socketserver.StreamRequestHandler):
                 out["rows"] = [[_jsonable(v) for v in row] for row in rows]
                 out["truncated"] = truncated
             return out
+        if kind == "changes":  # change data feed (extension)
+            r = engine.table_changes(
+                req["name"], int(req["from_version"]), req.get("to_version")
+            )
+            rows, truncated = r.fetch(int(req.get("max_rows", DEFAULT_MAX_ROWS)))
+            return {
+                "ok": True,
+                "status": r.status,
+                "columns": r.columns,
+                "rows": [[_jsonable(v) for v in row] for row in rows],
+                "truncated": truncated,
+                "version": r.version,
+            }
         if kind == "list_tables":  # Request::ListTables (server.rs:216)
             return {"ok": True, "tables": engine.list_tables()}
         if kind == "get_table":  # Request::GetTable (server.rs:217)
@@ -135,6 +148,14 @@ class EngineClient:
 
     def list_tables(self) -> list[str]:
         return self._call({"type": "list_tables"})["tables"]
+
+    def changes(
+        self, name: str, from_version: int, to_version: Optional[int] = None
+    ) -> dict:
+        req: dict = {"type": "changes", "name": name, "from_version": from_version}
+        if to_version is not None:
+            req["to_version"] = to_version
+        return self._call(req)
 
     def get_table(self, name: str) -> dict:
         return self._call({"type": "get_table", "name": name})["table"]

@@ -67,3 +67,14 @@ def test_per_connection_transactions(server):
     c1.execute("COMMIT")
     assert c2.execute("SELECT bal FROM acct")["rows"] == [[50]]
     c1.close(), c2.close()
+
+
+def test_changes_over_the_wire(server):
+    c = client(server)
+    c.execute("CREATE TABLE cdf (id INTEGER PRIMARY KEY, v STRING)")
+    c.execute("INSERT INTO cdf VALUES (1, 'a'), (2, 'b')")
+    v = c.execute("UPDATE cdf SET v = 'B' WHERE id = 2")["version"] - 1
+    r = c.changes("cdf", v)
+    assert r["columns"] == ["id", "v", "_change_type"]
+    assert r["rows"] == [[2, "B", "update"]]
+    c.close()
