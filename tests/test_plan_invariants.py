@@ -1,0 +1,79 @@
+"""Physical-plan invariants for every gate query — the 100 TB discipline,
+machine-checked so a regression in plan shape fails CI, not the cluster:
+
+- no CartesianProduct anywhere (an unbounded cross join would be O(n²));
+- no BatchEvalPython (row-at-a-time Python UDF) on any query's data path —
+  Python compute must be Arrow-batched (ArrowEvalPython / mapInPandas);
+- BroadcastNestedLoopJoin only where a documented broadcast-tiny side
+  makes it the RIGHT plan (theta-join operator, ANN probe/centroid
+  broadcasts, single-row count broadcasts);
+- filter queries push predicates into the parquet scan (PushedFilters);
+- ORDER+LIMIT fuses to TakeOrderedAndProject (top-k, not a global sort).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+# BNLJ is acceptable ONLY for these: each broadcasts a provably tiny side
+# (theta-join semantics under test / ≤100-row ANN probe set / 16-row IVF
+# centroid table / 1-row corpus count for the doc-frequency cap).
+BNLJ_OK = {
+    "q15_join_cross_theta",
+    "q70_ann_bruteforce_topk",
+    "q72_ann_ivf",
+    "q61_dedup_near_pairs",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF)
+        qe = df._jdf.queryExecution()
+        out[name] = (qe.executedPlan().toString(), qe.toString())
+    return out
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, (p, _) in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_no_row_at_a_time_python(plans):
+    offenders = [n for n, (p, _) in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_bnlj_only_where_broadcast_tiny(plans):
+    offenders = [
+        n
+        for n, (p, _) in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert offenders == []
+
+
+def test_filter_queries_push_predicates(plans):
+    # representative scans with selective filters must reach the reader
+    for name in ["q02_scan_filter_project", "q44_tpch_q6_forecast_revenue"]:
+        _, full = plans[name]
+        assert "PushedFilters: []" not in full.split("== Physical Plan ==")[-1] or (
+            "PushedFilters: [" in full
+        ), f"{name} lost predicate pushdown"
+        assert "PushedFilters: [" in full, f"{name} has no pushed filters at all"
+
+
+def test_topk_fuses_to_take_ordered(plans):
+    p, _ = plans["q23_order_limit_offset"]
+    assert "TakeOrderedAndProject" in p
+
+
+def test_star_join_broadcasts_dims(plans):
+    p, _ = plans["q17_join_star"]
+    assert "BroadcastHashJoin" in p  # nation/region dims must broadcast
