@@ -63,6 +63,12 @@ def run_command(engine: Engine, line: str) -> str:
         out[-1] = out[-1].rstrip(",")
         out.append(")")
         return "\n".join(out)
+    if cmd == "vacuum":
+        try:
+            r = engine.vacuum(int(args[0]) if args else 8)
+            return r.status
+        except (EngineError, ValueError) as e:
+            return f"Error: {e}"
     if cmd == "changes":
         if len(args) < 2:
             return "usage: !changes <table> <from_version> [<to_version>]"

@@ -150,6 +150,24 @@ class Engine:
     def list_tables(self) -> list[str]:
         return sorted(self._manifest_for_read()["tables"])
 
+    def vacuum(self, keep_last: int = 8) -> Result:
+        """Retention GC on the snapshot store (extension): keep the last
+        `keep_last` versions, delete older manifests and unreferenced data
+        dirs. AS OF below the cutoff errors afterwards — the documented
+        time-travel retention tradeoff. Not allowed inside a transaction
+        (the pinned snapshot could be collected out from under it)."""
+        if self._txn is not None or self._txn_version is not None:
+            raise EngineError("VACUUM is not allowed inside a transaction")
+        stats = self.catalog.vacuum(keep_last)
+        return Result(
+            status=(
+                f"VACUUM kept v{stats['kept_from']}..v{stats['current']} "
+                f"(removed {stats['removed_manifests']} manifests, "
+                f"{stats['removed_data_dirs']} data dirs)"
+            ),
+            version=stats["current"],
+        )
+
     def table_changes(self, name: str, from_version: int, to_version: Optional[int] = None) -> Result:
         """Change data feed between two committed versions (extension — the
         reference stores MVCC versions, storage/mvcc.rs:119-122, but has no

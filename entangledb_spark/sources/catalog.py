@@ -320,6 +320,62 @@ class SnapshotCatalog:
         meta["data"] = self.write_snapshot(name, view)
         meta["deltas"] = []
 
+    def vacuum(self, keep_last: int = 8) -> dict:
+        """Retention GC: drop manifests older than the last `keep_last`
+        versions and delete data directories no kept version references.
+
+        Snapshot stores grow monotonically — every commit adds a manifest
+        and (for compactions/full rewrites) a full data copy, so without
+        GC a 100 TB table's history dwarfs the table. Vacuum trades
+        time-travel depth for space, exactly like Delta/Iceberg retention:
+        `AS OF` below the cutoff raises a clean version-does-not-exist
+        error afterwards. Run it quiesced (or from the single writer):
+        a concurrent uncommitted transaction's freshly staged files are
+        unreferenced until publish and would be collected."""
+        import shutil
+
+        current = self.current_version()
+        cutoff = max(0, current - max(1, keep_last) + 1)
+        referenced: set[str] = set()
+        for v in range(cutoff, current + 1):
+            for t in self.manifest(v)["tables"].values():
+                if t.get("external"):
+                    continue
+                if t.get("data"):
+                    referenced.add(t["data"])
+                for d in t.get("deltas", []):
+                    for k in ("upserts", "deletes"):
+                        if d.get(k):
+                            referenced.add(d[k])
+        removed_manifests = 0
+        mdir = os.path.join(self.base, "manifests")
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    v = int(f[1:-5])
+                except ValueError:
+                    continue
+                if v < cutoff:
+                    os.unlink(os.path.join(mdir, f))
+                    removed_manifests += 1
+        removed_dirs = 0
+        ddir = os.path.join(self.base, "data")
+        for tname in os.listdir(ddir):
+            tdir = os.path.join(ddir, tname)
+            if not os.path.isdir(tdir):
+                continue
+            for snap in os.listdir(tdir):
+                rel = os.path.join("data", tname, snap)
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, snap), ignore_errors=True)
+                    removed_dirs += 1
+        return {
+            "kept_from": cutoff,
+            "current": current,
+            "removed_manifests": removed_manifests,
+            "removed_data_dirs": removed_dirs,
+        }
+
     def changes_df(self, name: str, from_v: int, to_v: int) -> DataFrame:
         """Change data feed: net row-level changes to `name` between
         version `from_v` (exclusive) and `to_v` (inclusive), with a

@@ -98,3 +98,56 @@ def test_cli_changes_command(eng):
     out = run_command(eng, f"!changes t {v0}")
     assert "insert" in out and "7" in out
     assert "usage" in run_command(eng, "!changes t")
+
+
+# --- vacuum: retention GC over the snapshot store ---------------------------
+
+
+def test_vacuum_prunes_history_keeps_current(eng, tmp_path):
+    import os
+
+    for i in range(20, 26):
+        eng.execute(f"INSERT INTO t VALUES ({i}, 'x{i}')")
+    v_now = eng.catalog.current_version()
+    r = eng.vacuum(keep_last=2)
+    assert f"v{v_now - 1}..v{v_now}" in r.status
+    # current view intact
+    assert eng.execute("SELECT count(*) FROM t").fetch(1)[0][0][0] == 9
+    # time travel below the cutoff errors cleanly; within the window works
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v_now - 2}")
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v_now - 1}")
+    eng.execute("ROLLBACK")
+    # old manifests physically removed
+    mdir = os.path.join(eng.catalog.base, "manifests")
+    vs = sorted(int(f[1:-5]) for f in os.listdir(mdir) if f.endswith(".json"))
+    assert vs[0] == v_now - 1
+    # every remaining data dir is referenced by a kept manifest
+    referenced = set()
+    for v in vs:
+        for t in eng.catalog.manifest(v)["tables"].values():
+            if t.get("data"):
+                referenced.add(t["data"])
+            for d in t.get("deltas", []):
+                referenced.update(p for p in (d.get("upserts"), d.get("deletes")) if p)
+    ddir = os.path.join(eng.catalog.base, "data")
+    on_disk = {
+        os.path.join("data", tn, s)
+        for tn in os.listdir(ddir)
+        for s in os.listdir(os.path.join(ddir, tn))
+    }
+    assert on_disk == referenced
+
+
+def test_vacuum_rejected_inside_transaction(eng):
+    eng.execute("BEGIN")
+    with pytest.raises(EngineError, match="transaction"):
+        eng.vacuum()
+    eng.execute("ROLLBACK")
+
+
+def test_cli_vacuum(eng):
+    from entangledb_spark.cli import run_command
+
+    out = run_command(eng, "!vacuum 3")
+    assert out.startswith("VACUUM kept")
