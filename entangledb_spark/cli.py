@@ -62,7 +62,25 @@ def run_command(engine: Engine, line: str) -> str:
             out.append(f"  {c['name']} {c['datatype']}{opt},")
         out[-1] = out[-1].rstrip(",")
         out.append(")")
+        stats = meta.get("stats")
+        if stats:
+            out.append(
+                f"-- stats (v{stats['analyzed_version']}): {stats['n_rows']} rows"
+            )
+            for cn, s in stats["columns"].items():
+                rng = (
+                    f", min={s['min']}, max={s['max']}" if "min" in s else ""
+                )
+                out.append(f"--   {cn}: ndv≈{s['ndv']}{rng}")
         return "\n".join(out)
+    if cmd == "analyze":
+        if not args:
+            return "usage: !analyze <table>"
+        try:
+            r = engine.analyze(args[0])
+            return f"{r.status} (version {r.version})"
+        except EngineError as e:
+            return f"Error: {e}"
     if cmd == "vacuum":
         try:
             r = engine.vacuum(int(args[0]) if args else 8)

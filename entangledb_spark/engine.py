@@ -42,6 +42,11 @@ from entangledb_spark.sources.catalog import (
 )
 
 
+# ANALYZEd tables at or below this row count get a broadcast hint in the
+# dialect compiler's scans (≈ a few MB — safely inside executor memory).
+BROADCAST_ROW_THRESHOLD = 100_000
+
+
 class EngineError(ValueError):
     pass
 
@@ -149,6 +154,51 @@ class Engine:
 
     def list_tables(self) -> list[str]:
         return sorted(self._manifest_for_read()["tables"])
+
+    def analyze(self, name: str) -> Result:
+        """ANALYZE (extension — the reference optimizer is rule-only with
+        no statistics at all, src/sql/plan/optimizer.rs): compute table
+        statistics in ONE distributed aggregate job — row count plus
+        per-column approximate NDV and min/max — and store them in the
+        table's manifest entry. The dialect compiler uses the row count to
+        broadcast small analyzed tables even when Spark's size estimate
+        can't see through the merge-on-read resolve plan; NDV/min/max are
+        introspection surface (!table shows them).
+
+        Stats are a snapshot of the analyzed version: later DML leaves
+        them in place (still useful as estimates) until re-ANALYZEd."""
+        if self._txn is not None or self._txn_version is not None:
+            raise EngineError("ANALYZE is not allowed inside a transaction")
+        base = self.catalog.current_version()
+        manifest = self.catalog.manifest(base)
+        t = manifest["tables"].get(name)
+        if t is None:
+            raise EngineError(f"table {name} does not exist")
+        if t.get("external"):
+            raise EngineError("ANALYZE is not supported for ATTACHed external tables")
+        df = self.catalog.read_df(manifest, name)
+        aggs: list = [F.count(F.lit(1)).alias("__n")]
+        numeric = {"INTEGER", "FLOAT"}
+        for c in t["columns"]:
+            cn = c["name"]
+            aggs.append(F.approx_count_distinct(cn).alias(f"__ndv_{cn}"))
+            if c["datatype"] in numeric:
+                aggs.append(F.min(cn).alias(f"__min_{cn}"))
+                aggs.append(F.max(cn).alias(f"__max_{cn}"))
+        row = df.agg(*aggs).first()
+        cols = {}
+        for c in t["columns"]:
+            cn = c["name"]
+            s: dict = {"ndv": row[f"__ndv_{cn}"]}
+            if c["datatype"] in numeric:
+                s["min"], s["max"] = row[f"__min_{cn}"], row[f"__max_{cn}"]
+            cols[cn] = s
+        t["stats"] = {"n_rows": row["__n"], "analyzed_version": base, "columns": cols}
+        v = self.catalog.publish(manifest, expected_version=base)
+        return Result(
+            status=f"ANALYZE {name} ({row['__n']} rows, {len(cols)} columns)",
+            version=v,
+        )
 
     def vacuum(self, keep_last: int = 8) -> Result:
         """Retention GC on the snapshot store (extension): keep the last
@@ -336,7 +386,18 @@ class Engine:
             manifest = self.catalog.manifest(self._txn_version)
 
         def read(name: str) -> DataFrame:
-            return self.catalog.read_df(manifest, name)
+            df = self.catalog.read_df(manifest, name)
+            # stats-informed broadcast hint (see analyze()): Spark's own
+            # size estimate can't see through the merge-on-read resolve
+            # plan (window over base ∪ deltas), so a small dim with deltas
+            # may miss auto-broadcast. ANALYZEd row counts restore the
+            # metastore-stats-driven first plan; AQE still re-plans big
+            # misestimates at runtime.
+            meta = manifest["tables"].get(name) or {}
+            stats = meta.get("stats")
+            if stats and stats.get("n_rows", 1 << 62) <= BROADCAST_ROW_THRESHOLD:
+                df = F.broadcast(df)
+            return df
 
         return read
 
