@@ -149,6 +149,57 @@ class Engine:
     def in_transaction(self) -> bool:
         return self._txn is not None or self._txn_version is not None
 
+    # ------------------------------------------------- transaction resume
+    #
+    # The reference's transaction state (version + active set) travels
+    # inside each request so ANY node can resume the transaction
+    # (/root/reference/src/storage/mvcc.rs:124-127; golden script
+    # `src/storage/golden/mvcc/resume`). Our state is just as portable:
+    # the pinned version plus the pending manifest, whose staged deltas
+    # are already durable files — a plain JSON-able dict that can cross a
+    # process or wire boundary.
+
+    def txn_state(self) -> Optional[dict]:
+        """Portable snapshot of the open transaction (None outside one)."""
+        import copy
+
+        if not self.in_transaction:
+            return None
+        return {
+            "version": self._txn_version,
+            "manifest": copy.deepcopy(self._txn),
+        }
+
+    def detach(self) -> dict:
+        """Detach the open transaction from this session and return its
+        portable state; the session returns to auto-commit mode without
+        rolling back. The state can be `resume`d by any session on the
+        same database — including over the wire on another connection."""
+        state = self.txn_state()
+        if state is None:
+            raise EngineError("not in a transaction")
+        self._txn = None
+        self._txn_version = None
+        return state
+
+    def resume(self, state: dict) -> Result:
+        """Adopt a transaction previously captured by txn_state/detach.
+        Commit-time OCC still applies: if the same state is resumed twice,
+        the second COMMIT conflicts (first-committer-wins), so a resumed
+        transaction can never double-publish."""
+        import copy
+
+        if self.in_transaction:
+            raise EngineError("already in a transaction")
+        if not isinstance(state, dict) or "version" not in state:
+            raise EngineError("invalid transaction state")
+        version = state["version"]
+        self.catalog.manifest(version)  # existence check (vacuum may have GC'd it)
+        self._txn_version = version
+        self._txn = copy.deepcopy(state.get("manifest"))
+        kind = "READ ONLY " if self._txn is None else ""
+        return Result(status=f"RESUME {kind}AT {version}", version=version)
+
     # catalog introspection — the reference's Request::ListTables/GetTable
     # (server.rs:215-220) and the REPL's !tables/!table backing calls
 

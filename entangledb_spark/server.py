@@ -93,6 +93,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 "truncated": truncated,
                 "version": r.version,
             }
+        if kind == "detach":  # portable txn state (mvcc.rs:124-127 resume)
+            return {"ok": True, "status": "DETACH", "state": engine.detach()}
+        if kind == "resume":
+            r = engine.resume(req["state"])
+            return {"ok": True, "status": r.status, "version": r.version}
         if kind == "list_tables":  # Request::ListTables (server.rs:216)
             return {"ok": True, "tables": engine.list_tables()}
         if kind == "get_table":  # Request::GetTable (server.rs:217)
@@ -159,6 +164,14 @@ class EngineClient:
 
     def get_table(self, name: str) -> dict:
         return self._call({"type": "get_table", "name": name})["table"]
+
+    def detach(self) -> dict:
+        """Detach this connection's open transaction; the returned state
+        can be `resume`d on any other connection to the same server."""
+        return self._call({"type": "detach"})["state"]
+
+    def resume(self, state: dict) -> dict:
+        return self._call({"type": "resume", "state": state})
 
     def close(self) -> None:
         self._rfile.close()

@@ -207,3 +207,32 @@ def test_autocommit_has_no_conflict_window_in_sequence(db):
     a.execute("INSERT INTO accounts VALUES (20, 5)")
     b.execute("INSERT INTO accounts VALUES (21, 6)")
     assert val(a, "SELECT count(*) FROM accounts") == 4
+
+
+def test_txn_state_resume_in_process(db):
+    """Golden `resume`: capture a read-only AS-OF transaction's portable
+    state in one session and resume it in another — the resumed session
+    pins the same historical version."""
+    a, b = db
+    v = a.catalog.current_version()
+    a.execute("UPDATE accounts SET balance = 1 WHERE id = 1")
+    b.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v}")
+    state = b.detach()
+    assert not b.in_transaction  # detach returns the session to autocommit
+    assert val(b, "SELECT balance FROM accounts WHERE id = 1") == 1
+    c = type(a)(a.spark, a.catalog.base)
+    c.resume(state)
+    assert val(c, "SELECT balance FROM accounts WHERE id = 1") == 100
+    c.execute("COMMIT")
+
+
+def test_resume_error_cases(db):
+    a, b = db
+    with pytest.raises(EngineError, match="not in a transaction"):
+        a.detach()
+    a.execute("BEGIN")
+    with pytest.raises(EngineError, match="already in a transaction"):
+        a.resume({"version": 1, "manifest": None})
+    a.execute("ROLLBACK")
+    with pytest.raises(EngineError, match="invalid transaction state"):
+        a.resume({"bogus": True})

@@ -69,6 +69,47 @@ def test_per_connection_transactions(server):
     c1.close(), c2.close()
 
 
+def test_detach_resume_across_connections(server):
+    """Transaction state travels between connections (the reference's
+    any-node txn resume, storage/mvcc.rs:124-127 / golden `resume`): c1
+    stages uncommitted writes, detaches, drops; c2 resumes and commits."""
+    c1, c2 = client(server), client(server)
+    c1.execute("CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER)")
+    c1.execute("INSERT INTO r VALUES (1, 10)")
+    c1.execute("BEGIN")
+    c1.execute("UPDATE r SET v = 20 WHERE id = 1")
+    c1.execute("INSERT INTO r VALUES (2, 30)")
+    state = c1.detach()
+    c1.close()  # connection gone; the transaction survives in `state`
+    # nothing committed yet
+    assert c2.execute("SELECT v FROM r ORDER BY id")["rows"] == [[10]]
+    c2.resume(state)
+    # the resumed session sees its own staged writes
+    assert c2.execute("SELECT v FROM r ORDER BY id")["rows"] == [[20], [30]]
+    c2.execute("COMMIT")
+    assert c2.execute("SELECT v FROM r ORDER BY id")["rows"] == [[20], [30]]
+    c2.close()
+
+
+def test_resumed_transaction_cannot_double_publish(server):
+    """Resuming the same state on two connections is safe: commit-time OCC
+    lets exactly one publish."""
+    c1, c2, c3 = client(server), client(server), client(server)
+    c1.execute("CREATE TABLE d (id INTEGER PRIMARY KEY)")
+    c1.execute("BEGIN")
+    c1.execute("INSERT INTO d VALUES (1)")
+    state = c1.detach()
+    c2.resume(state)
+    c3.resume(state)
+    c2.execute("COMMIT")
+    with pytest.raises(EngineError, match="conflict"):
+        c3.execute("COMMIT")
+    c3.execute("ROLLBACK")
+    assert c1.execute("SELECT count(*) AS n FROM d")["rows"] == [[1]]
+    for c in (c1, c2, c3):
+        c.close()
+
+
 def test_changes_over_the_wire(server):
     c = client(server)
     c.execute("CREATE TABLE cdf (id INTEGER PRIMARY KEY, v STRING)")
