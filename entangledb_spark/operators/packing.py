@@ -1,0 +1,290 @@
+"""Corpus-level span dedup, sequence packing, and vocabulary induction.
+
+The three remaining training-data preparation steps between "scored, deduped
+documents" and "token batches on the trainer":
+
+- **Span dedup** (C4-style): remove text spans duplicated across the corpus
+  (boilerplate, licence headers, navigation chrome) while keeping exactly one
+  occurrence. Documents are split into fixed W-token windows; a window whose
+  content hash repeats >= K times corpus-wide is dropped everywhere except its
+  first occurrence (min (doc_id, idx)).
+- **Sequence packing**: assign documents to fixed token-budget training
+  sequences. Two strategies: a fully declarative contiguous packing (window
+  cumulative sum — documents may span a boundary), and a greedy no-split
+  first-fit packing (applyInPandas over bounded shards).
+- **Vocabulary induction**: corpus-wide term and document frequencies with
+  cumulative coverage — the input to tokenizer training and stopword lists.
+
+These are pytest-covered (DuckDB-mirror oracles in tests/test_packing.py)
+rather than driver-gate entries: the gate registry is capped at 50 and fully
+allocated to SURVEY §2 + headline queries.
+
+Scale notes are inline per operator; the common theme is that every shuffle
+key is either a uniform 128-bit hash (skew-free) or bounded by construction
+(shards), and all text manipulation is built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entangledb_spark.operators.text import SAMPLE_K, TOKEN_RE
+
+# Span-dedup parameters: 10-token windows, drop when seen >= 2 times.
+SPAN_TOKENS = 10
+SPAN_MIN_COUNT = 2
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+N_SHARDS = 64  # greedy-packing shard count (bounds applyInPandas group size)
+
+
+def _windows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
+    """Explode documents into (doc_id, idx, chunk, h) fixed-token windows.
+
+    Same narrow flatMap shape as q55_text_chunking: output volume is
+    corpus_tokens / span_tokens rows regardless of document-length skew.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    n_chunks = F.ceil(F.size("_toks") / float(span_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * span_tokens + 1, span_tokens)),
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+        .withColumn("h", F.md5(F.lower(F.col("chunk"))))
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_tokens: int = SPAN_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+) -> DataFrame:
+    """Corpus-level duplicate-span removal, keep-first policy.
+
+    A window is dropped iff its (case-normalized) content hash occurs
+    ``min_count``+ times corpus-wide AND this occurrence is not the global
+    first (min (doc_id, idx)) — i.e. exactly one copy of every duplicated
+    span survives, as in C4's duplicate-three-sentence-span rule
+    (https://arxiv.org/abs/1910.10683 §2.2; window-hash formulation as in
+    Lee et al., "Deduplicating Training Data Makes Language Models Better").
+
+    Plan shape (3 shuffles, all skew-safe):
+      1. groupBy(h) with partial aggregation — count + min(struct(doc,idx))
+         per distinct span; map-side combine collapses hot boilerplate spans
+         (the "click here to accept cookies" key with 1e8 occurrences) to one
+         row per input partition before the exchange.
+      2. join windows <-> span stats on h — N:1 equi-join on a uniform md5
+         key; a residual hot key is AQE skew-split at runtime. The stats side
+         is |distinct spans| rows; when the duplicated subset is small it is
+         broadcast-able, but we leave strategy choice to AQE because the
+         distinct-span count at 100 TB exceeds broadcast limits.
+      3. groupBy(doc_id) re-assembly — sort_array over collected
+         (idx, chunk) structs restores document order without a window sort.
+
+    Returns one row per non-empty document:
+      (doc_id, n_spans, n_removed, cleaned_text).
+    """
+    w = _windows(docs, span_tokens)
+    stats = w.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+    )
+    marked = w.join(stats, "h").withColumn(
+        "keep",
+        (F.col("occ") < min_count)
+        | ((F.col("first_occ.doc_id") == F.col("doc_id")) & (F.col("first_occ.idx") == F.col("idx"))),
+    )
+    kept = F.filter(
+        F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
+        lambda s: s["keep"],
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda s: s["chunk"]), " "
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def pack_contiguous(
+    docs: DataFrame, budget: int = SEQ_BUDGET, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Contiguous (concat-then-cut) sequence packing, fully declarative.
+
+    Documents are ordered deterministically within a hash shard and laid out
+    on a contiguous token tape; sequence k owns tape positions
+    [k*budget, (k+1)*budget). A document starting in one sequence may spill
+    into the next (``spans_boundary``) — the trainer treats the overflow as
+    the head of the next sequence, exactly like GPT-style corpus packing.
+
+    Zero data movement beyond ONE shuffle on the shard key; the running
+    cumulative sum is a window aggregate inside each shard partition. Shards
+    are the Knuth multiplicative hash of doc_id mod n_shards (pure BIGINT
+    arithmetic — bit-reproducible here AND in the DuckDB test oracle), so
+    shard sizes are uniform and the layout is identical run-to-run (no RNG,
+    no partition-count dependence). At 100 TB raise n_shards so one shard's
+    token tape fits an executor core's share (~corpus_tokens / n_shards);
+    shards are embarrassingly parallel.
+
+    Returns one row per document:
+      (shard, doc_id, n_tokens, seq_id, offset_in_seq, spans_boundary).
+    """
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    d = docs.select(
+        ((F.col("doc_id") * SAMPLE_K) % n_shards).alias("shard"),
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    win = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(win)
+    return (
+        d.withColumn("start", cum - F.col("n_tokens"))
+        .select(
+            "shard",
+            "doc_id",
+            "n_tokens",
+            (F.col("start") / budget).cast("long").alias("seq_id"),
+            (F.col("start") % budget).cast("long").alias("offset_in_seq"),
+            (
+                (F.col("start") / budget).cast("long")
+                != ((F.col("start") + F.col("n_tokens") - 1) / budget).cast("long")
+            ).alias("spans_boundary"),
+        )
+    )
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("pos_in_seq", T.IntegerType()),
+        T.StructField("oversize", T.BooleanType()),
+    ]
+)
+
+
+def _greedy_pack_shard(budget: int):
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, positions, oversize = [], [], []
+        seq, used, pos = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                # oversize doc: own sequence, flagged for truncation/split
+                if used > 0:
+                    seq += 1
+                seq_ids.append(seq)
+                positions.append(0)
+                oversize.append(True)
+                seq += 1
+                used, pos = 0, 0
+                continue
+            if used + n > budget:
+                seq += 1
+                used, pos = 0, 0
+            seq_ids.append(seq)
+            positions.append(pos)
+            oversize.append(False)
+            used += n
+            pos += 1
+        out = pdf[["shard", "doc_id", "n_tokens"]].copy()
+        out["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        out["pos_in_seq"] = pd.Series(positions, dtype="int32")
+        out["oversize"] = pd.Series(oversize, dtype="bool")
+        return out
+
+    return pack
+
+
+def pack_greedy(
+    spark: SparkSession,
+    docs: DataFrame,
+    budget: int = SEQ_BUDGET,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Greedy no-split sequence packing (first-fit in deterministic order).
+
+    Unlike pack_contiguous, documents are never split: when the next document
+    would overflow the budget, a new sequence starts. This wastes some tail
+    capacity (measured by tests as fill ratio) but preserves document
+    boundaries — the packing used when attention must not cross documents.
+
+    Greedy packing is inherently sequential *within* an ordering, so the
+    corpus is sharded by the Knuth hash of doc_id mod n_shards and each shard
+    packs independently inside one applyInPandas group: ONE shuffle,
+    Arrow-batched, group size bounded at corpus_docs / n_shards by the
+    uniform hash. The
+    per-doc loop is O(docs-in-shard) driver-free Python — the only
+    Python-side stage, justified because running-reset accumulation is not
+    expressible as a Catalyst window aggregate. Determinism: ordering is
+    (doc_id) within shard; re-runs and different partition counts produce
+    byte-identical assignments.
+    """
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    d = docs.select(
+        ((F.col("doc_id") * SAMPLE_K) % n_shards).cast("int").alias("shard"),
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return d.groupBy("shard").applyInPandas(_greedy_pack_shard(budget), _PACK_SCHEMA)
+
+
+def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
+    """Corpus vocabulary: term frequency, document frequency, cumulative
+    coverage share for the top_k terms by count.
+
+    Zipf skew is the hazard: "the" appears in nearly every document, so a
+    single-shot groupBy(word).agg(countDistinct(doc_id)) would expand every
+    (word, doc_id) pair through one exchange with a hot key. Instead:
+      1. pre-aggregate (word, doc_id) -> per-doc term count. Partial
+         aggregation collapses each input partition's copies of a hot word
+         before the exchange; the shuffle key (word, doc_id) is near-uniform.
+      2. groupBy(word): sum counts + count rows (= exact document frequency,
+         each (word, doc_id) now unique). Partial agg applies again.
+      3. global top_k: TakeOrderedAndProject (per-partition heap, merge on
+         driver-sized k rows) — no global sort.
+      4. coverage: window cumsum over the k surviving rows (tiny).
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+        ).alias("word"),
+    )
+    per_doc = words.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    vocab = per_doc.groupBy("word").agg(
+        F.sum("c").cast("long").alias("term_freq"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    top = vocab.orderBy(F.col("term_freq").desc(), F.col("word").asc()).limit(top_k)
+    total = docs.select(
+        F.sum(F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)))
+        .cast("double")
+        .alias("_t")
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("word").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("term_freq").desc(), F.col("word").asc())).cast("long"))
+        .withColumn("coverage", F.sum("term_freq").over(w) / F.col("_t"))
+        .drop("_t")
+    )

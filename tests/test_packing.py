@@ -1,0 +1,218 @@
+"""Span dedup, sequence packing, and vocabulary induction (operators/packing.py).
+
+Each declarative operator is checked against a DuckDB mirror oracle on the
+fixture corpus (same normalization as the driver gate: canonical() from
+tests/oracle.py); the greedy packer is checked against an independent local
+reference implementation plus structural invariants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.operators.packing import (
+    SEQ_BUDGET,
+    dedup_spans,
+    pack_contiguous,
+    pack_greedy,
+    vocabulary,
+)
+from entangledb_spark.registry import table
+from tests.oracle import canonical, duck_connect
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return table(spark, SF, "documents")
+
+
+def _compare(sdf, sql, sf_dir=SF):
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert canonical(srows, scols) == canonical(drows, dcols)
+
+
+DEDUP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) > 0
+),
+w AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS idx
+  FROM t
+),
+wh AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(toks[(idx*10+1):((idx+1)*10)], ' ') AS chunk
+  FROM w
+),
+marked AS (
+  SELECT doc_id, idx, chunk,
+         count(*) OVER (PARTITION BY md5(lower(chunk))) AS occ,
+         row_number() OVER (PARTITION BY md5(lower(chunk))
+                            ORDER BY doc_id, idx) AS rn
+  FROM wh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN chunk END,
+                           ' ' ORDER BY idx), '') AS cleaned_text
+FROM marked GROUP BY doc_id
+"""
+
+
+def test_dedup_spans_oracle(spark):
+    _compare(dedup_spans(_docs(spark)), DEDUP_ORACLE)
+
+
+def test_dedup_spans_keep_first(spark):
+    boiler = "all rights reserved click here to accept the cookie policy"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha content one two three four five six"),
+            (2, boiler + " other beta content seven eight nine ten eleven twelve"),
+            (3, "totally original writing with no duplicated span at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs, span_tokens=10).collect()}
+    # the 10-token boilerplate span survives only in doc 1 (min doc_id)
+    assert out[1]["n_removed"] == 0 and boiler in out[1]["cleaned_text"]
+    assert out[2]["n_removed"] == 1 and boiler not in out[2]["cleaned_text"]
+    assert out[2]["cleaned_text"].startswith("other beta content")
+    assert out[3]["n_removed"] == 0
+
+
+PACK_ORACLE = f"""
+WITH d AS (
+  SELECT (doc_id * 2654435761) % 64 AS shard, doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+),
+c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens
+           AS start
+  FROM d
+)
+SELECT CAST(shard AS BIGINT) AS shard, doc_id, n_tokens,
+       CAST(start // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST(start % {SEQ_BUDGET} AS BIGINT) AS offset_in_seq,
+       (start // {SEQ_BUDGET}) != ((start + n_tokens - 1) // {SEQ_BUDGET})
+         AS spans_boundary
+FROM c
+"""
+
+
+def test_pack_contiguous_oracle(spark):
+    _compare(pack_contiguous(_docs(spark)), PACK_ORACLE)
+
+
+def test_pack_contiguous_invariants(spark):
+    rows = pack_contiguous(_docs(spark)).collect()
+    assert all(0 <= r["offset_in_seq"] < SEQ_BUDGET for r in rows)
+    # token tape is gapless per shard: per-shard token sum equals
+    # (last seq_id)*budget + last offset + last doc's tokens
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        total = sum(r["n_tokens"] for r in shard_rows)
+        last = shard_rows[-1]
+        assert last["seq_id"] * SEQ_BUDGET + last["offset_in_seq"] + last["n_tokens"] == total
+
+
+def _reference_greedy(pairs, budget):
+    """Independent reimplementation: greedy first-fit in doc_id order."""
+    out = {}
+    seq, used, pos = 0, 0, 0
+    for doc_id, n in sorted(pairs):
+        if n > budget:
+            if used > 0:
+                seq += 1
+            out[doc_id] = (seq, 0, True)
+            seq, used, pos = seq + 1, 0, 0
+            continue
+        if used + n > budget:
+            seq, used, pos = seq + 1, 0, 0
+        out[doc_id] = (seq, pos, False)
+        used, pos = used + n, pos + 1
+    return out
+
+
+def test_pack_greedy_matches_reference_and_invariants(spark):
+    df = pack_greedy(spark, _docs(spark))
+    rows = df.collect()
+    n_docs = _docs(spark).selectExpr(
+        "count_if(size(regexp_extract_all(text, '\\\\S+', 0)) > 0) AS n"
+    ).collect()[0]["n"]
+    assert len(rows) == n_docs  # every non-empty doc assigned exactly once
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, shard_rows in by_shard.items():
+        ref = _reference_greedy(
+            [(r["doc_id"], r["n_tokens"]) for r in shard_rows], SEQ_BUDGET
+        )
+        seq_tokens: dict[int, int] = {}
+        for r in shard_rows:
+            assert ref[r["doc_id"]] == (r["seq_id"], r["pos_in_seq"], r["oversize"])
+            seq_tokens[r["seq_id"]] = seq_tokens.get(r["seq_id"], 0) + r["n_tokens"]
+        for r in shard_rows:
+            if not r["oversize"]:
+                assert seq_tokens[r["seq_id"]] <= SEQ_BUDGET
+
+
+def test_pack_greedy_deterministic_under_repartition(spark):
+    a = sorted(tuple(r) for r in pack_greedy(spark, _docs(spark)).collect())
+    b = sorted(
+        tuple(r) for r in pack_greedy(spark, _docs(spark).repartition(13)).collect()
+    )
+    assert a == b
+
+
+VOCAB_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+per_doc AS (SELECT word, doc_id, count(*) AS c FROM words GROUP BY 1, 2),
+vocab AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS term_freq,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM per_doc GROUP BY word
+),
+top AS (SELECT * FROM vocab ORDER BY term_freq DESC, word ASC LIMIT 200),
+tot AS (
+  SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) AS t
+  FROM documents
+)
+SELECT word, term_freq, doc_freq,
+       CAST(row_number() OVER (ORDER BY term_freq DESC, word) AS BIGINT) AS rank,
+       sum(term_freq) OVER (ORDER BY term_freq DESC, word) / t AS coverage
+FROM top, tot
+"""
+
+
+def test_vocabulary_oracle(spark):
+    _compare(vocabulary(_docs(spark), top_k=200), VOCAB_ORACLE)
+
+
+def test_vocabulary_coverage_monotone(spark):
+    rows = sorted(vocabulary(_docs(spark), top_k=50).collect(), key=lambda r: r["rank"])
+    cov = [r["coverage"] for r in rows]
+    assert all(0 < a <= b <= 1.0 for a, b in zip(cov, cov[1:]))
+    freqs = [r["term_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
