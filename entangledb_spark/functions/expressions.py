@@ -66,6 +66,11 @@ SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
     "nullif": (2, 2, F.nullif),
     "greatest": (2, None, F.greatest),
     "least": (2, None, F.least),
+    # temporal extraction (extension) — pair with the parser's DATE '...'
+    # literals; results widened to long like all dialect integers
+    "year": (1, 1, lambda c: F.year(c).cast("long")),
+    "month": (1, 1, lambda c: F.month(c).cast("long")),
+    "day": (1, 1, lambda c: F.dayofmonth(c).cast("long")),
 }
 
 

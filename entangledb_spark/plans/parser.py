@@ -422,6 +422,15 @@ class Parser:
         # optimizer only synthesizes OR-chains, expression.rs:466-517)
         save = self.i
         negate = self.accept("keyword", "not") is not None
+        if self.accept("keyword", "between"):
+            # [NOT] BETWEEN lo AND hi — extension; desugared to the
+            # conjunction. Operands parse at additive precedence so the
+            # separating AND is never consumed as the logical operator.
+            lo = self.parse_expr(5)
+            self.expect("keyword", "and")
+            hi = self.parse_expr(5)
+            e = ast.Op("AND", (ast.Op("GTE", (lhs, lo)), ast.Op("LTE", (lhs, hi))))
+            return ast.Op("NOT", (e,)) if negate else e
         if self.accept("keyword", "in"):
             self.expect("symbol", "(")
             if self.peek().kind == "keyword" and self.peek().text == "select":
@@ -465,6 +474,19 @@ class Parser:
             raise ParseError(f"unexpected keyword {t}")
         if t.kind == "ident":
             self.next()
+            # DATE '...' / TIMESTAMP '...' typed literals (extension) —
+            # only when directly followed by a string token, so `date` as a
+            # plain column name keeps working.
+            if t.text.lower() in ("date", "timestamp") and self.peek().kind == "string":
+                s = self.next().text
+                import datetime as _dt
+
+                try:
+                    if t.text.lower() == "date":
+                        return ast.Literal(_dt.date.fromisoformat(s))
+                    return ast.Literal(_dt.datetime.fromisoformat(s))
+                except ValueError as ex:
+                    raise ParseError(f"invalid {t.text.lower()} literal {s!r}") from ex
             if self.accept("symbol", "("):
                 # function call; COUNT(*) → count(TRUE) (parser/mod.rs:540-543)
                 if self.accept("symbol", "*"):
