@@ -140,11 +140,15 @@ def q80_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q81_multimodal_features")  # stubbed decode → rows-only check
 def q81_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end decode→featurize pipeline over Arrow batches. The decode
     is the documented stub; schema/batching/partitioning are production
-    shaped. Returns per-kind feature statistics."""
+    shaped. Returns per-kind feature statistics.
+
+    Not a gate entry: with the decode stubbed, a driver rows-only row
+    proves nothing pytest doesn't already (tests/test_multimodal.py checks
+    the stub features exactly and the mapInPandas plumbing end-to-end);
+    the gate slot is spent on an oracle-backed query instead."""
     feats = extract_features(media_from_documents(spark, sf_dir))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),

@@ -21,8 +21,11 @@ No Python UDFs anywhere; everything stays in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from entangledb_spark.functions.numeric import r4
+from entangledb_spark.registry import query, table
 
 WORD_SEQ_RE = r"[a-z0-9]+"
 

@@ -128,20 +128,36 @@ def q04_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q06_expr_arith",
+    "q06_expr_suite",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            r4(l_extendedprice * (1 - l_discount))       AS net_price,
            r4(-l_discount)                              AS neg_disc,
            r4(l_quantity + l_tax * 10)                  AS q_plus,
-           r4(l_extendedprice / (l_quantity + 1))       AS unit_ish
+           r4(l_extendedprice / (l_quantity + 1))       AS unit_ish,
+           CAST(l_linenumber // 3 AS BIGINT)            AS int_div,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS int_mod,
+           CAST(pow(l_linenumber % 5 + 1, 3) AS BIGINT) AS cube_col,
+           CAST(factorial(CAST(l_quantity AS BIGINT) % 6) AS BIGINT) AS fact_col
     FROM lineitem WHERE l_orderkey <= 200
     """,
 )
-def q06_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arithmetic expression surface: + - * / unary-negate with NULL
-    propagation (expression.rs:122-240). All stay in whole-stage codegen."""
+def q06_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression surface in one codegen'd projection (was q06+q07):
+
+    - `+ - * /` float arithmetic and unary negate with NULL propagation
+      (expression.rs:122-240);
+    - truncating integer `/` (expression.rs:142-158, Integer/Integer→
+      Integer — Spark `/` returns double, so the engine emits `div` for
+      int/int, SURVEY §4.3) and `%` remainder (expression.rs:185-202);
+    - `^` exponentiation (int^nonneg-int stays integral, expression.rs:
+      159-176 — Spark's `^` is XOR, so the dialect compiles `^`→pow with
+      an integral cast);
+    - postfix `!` factorial (expression.rs:177-184, inputs kept ≤20,
+      Spark's factorial domain).
+    One narrow map over lineitem; zero shuffles."""
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    qint = F.col("l_quantity").cast("long")
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -149,34 +165,10 @@ def q06_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(-F.col("l_discount")).alias("neg_disc"),
         r4(F.col("l_quantity") + F.col("l_tax") * 10).alias("q_plus"),
         r4(F.col("l_extendedprice") / (F.col("l_quantity") + 1)).alias("unit_ish"),
-    )
-
-
-@query(
-    "q07_expr_int_math",
-    oracle="""
-    SELECT p_partkey,
-           CAST(p_size // 7 AS BIGINT) AS size_div,
-           CAST(p_size % 7 AS BIGINT)  AS size_mod,
-           CAST(pow(p_size % 5 + 1, 3) AS BIGINT)  AS cube_col,
-           CAST(factorial(p_size % 6) AS BIGINT)   AS fact_col
-    FROM part
-    """,
-)
-def q07_expr_int_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer math surface: truncating `/` (expression.rs:142-158,
-    Integer/Integer→Integer — Spark `/` returns double, so the engine emits
-    `div` for int/int, SURVEY §4.3), `%` remainder (expression.rs:185-202),
-    `^` exponentiation (int^nonneg-int stays integral, expression.rs:
-    159-176 — Spark's `^` is XOR, so the dialect compiles `^`→pow with an
-    integral cast), and postfix `!` factorial (expression.rs:177-184,
-    inputs kept ≤20, Spark's factorial domain). One narrow codegen'd map."""
-    return table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.expr("p_size div 7").cast("long").alias("size_div"),
-        (F.col("p_size") % 7).cast("long").alias("size_mod"),
-        F.pow(F.col("p_size") % 5 + 1, F.lit(3)).cast("long").alias("cube_col"),
-        F.factorial(F.col("p_size") % 6).cast("long").alias("fact_col"),
+        F.expr("l_linenumber div 3").cast("long").alias("int_div"),
+        (qint % 7).cast("long").alias("int_mod"),
+        F.pow(F.col("l_linenumber") % 5 + 1, F.lit(3)).cast("long").alias("cube_col"),
+        F.factorial((qint % 6).cast("int")).cast("long").alias("fact_col"),
     )
 
 
@@ -830,15 +822,38 @@ def q46_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q49_approx_distinct")  # approximate sketch → rows-only check
+@query(
+    "q49_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS exact_custs,
+           count(*)                  AS n_orders,
+           TRUE                      AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q49_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — THE scale path for cardinality
     at 100 TB (bounded sketch state vs unbounded exact-distinct hash sets).
-    Not oracle-matched: sketch estimates are engine-specific by design."""
+
+    The HLL estimate itself is engine-specific, so the oracle can't match
+    its value; instead the query emits the EXACT distinct count (oracle-
+    matched) plus a deterministic error-bound check: Spark's HLL++ with
+    rsd=0.02 must land within 5% of truth. The hash-compare then fails iff
+    either the exact path or the sketch's error bound regresses — a
+    quantitative gate on an approximate operator (HLL is deterministic
+    for a given input, no RNG flake)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
         F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -133,8 +133,7 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) 
     )
 
 
-@query("q71_ann_lsh_bucketed")  # seeded-hash bucketing → no SQL oracle (rows-only)
-def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN: each vector gets N_LSH_TABLES independent
     sign-LSH bucket ids (exploded to one row per table); candidates are
     pairs sharing a bucket in ANY table (distinct-deduped), then exact
@@ -187,8 +186,7 @@ def q71_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q72_ann_ivf")  # centroid seeding via hash-selected medoids → rows-only
-def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: N_IVF_CELLS deterministic seed vectors act as coarse
     centroids (medoid = the vector whose xxhash64(vec_id) mod cells == cell
     with the lowest vec_id — reproducible without k-means iterations);
@@ -240,6 +238,24 @@ def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@query("q71_ann_scalable")  # seeded-hash bucketing/medoids → rows-only check
+def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both scale-path ANN strategies in one tagged result (was q71+q72):
+    'lsh' rows from the multi-table sign-LSH candidate join, 'ivf' rows
+    from the centroid-routed cell search — each re-ranked by exact cosine
+    to top-5 per probe query. The union is a no-shuffle concatenation of
+    the two plans; each branch keeps its own documented scale shape.
+    Recall of both branches against the exact q70 top-k is additionally
+    asserted quantitatively in tests/test_dedup_quality.py."""
+    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    ivf = ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    return lsh.unionByName(ivf)
 
 
 @query(

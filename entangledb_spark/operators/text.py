@@ -231,14 +231,36 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q66_text_entropy_udf")  # numpy-backed scoring → rows-only check
+@query(
+    "q66_text_entropy_udf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+    ent AS (
+      SELECT cnt.doc_id,
+             -sum((c / n) * log2(c / n)) AS e
+      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id, r4(coalesce(ent.e, 0.0)) AS entropy_bits
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    """,
+)
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary Shannon entropy per document via a vectorized @pandas_udf
     — the third Python-integration shape next to mapInPandas (multimodal)
     and applyInPandasWithState (streaming): scalar Arrow batches in, one
     numpy computation per batch, no per-row Python overhead. Entropy of the
     token frequency distribution is a standard gibberish/boilerplate signal
-    (low entropy = repetitive text)."""
+    (low entropy = repetitive text).
+
+    Oracle-matched despite the numpy path: Python's `str.split()` is the
+    `\\S+` token regex, and the entropy sum is rounded to 4 decimals on
+    both sides (summation-order float noise is ~1e-12, far below the
+    rounding grain)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

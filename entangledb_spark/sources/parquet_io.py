@@ -83,8 +83,13 @@ def _ensure_us_copy(spark: SparkSession, path: str, ns_cols: list[str]) -> str:
     try:
         df = spark.read.parquet(path)
         for c in ns_cols:
-            # `div` = integer division on the raw int64 nanos
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            dtype = dict(df.dtypes)[c]
+            if dtype == "bigint":
+                # legacy nanosAsLong honored: raw int64 nanos; `div` =
+                # integer division (double division would lose µs precision)
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # else: this Spark reads TIMESTAMP(NANOS) natively (µs-truncated
+            # NTZ) — the rewrite below still normalizes the file to µs
         df.write.mode("overwrite").parquet(tmp)
     finally:
         spark.conf.set(_NANOS_CONF, prev)

@@ -108,6 +108,10 @@ def materialize_events_source(spark: SparkSession, sf_dir: str, out_dir: str) ->
     deterministic fixture). A Kafka source partitioned by key has the same
     property per-partition and doesn't need this."""
     static = table(spark, sf_dir, "events")
+    # Watermarks require TIMESTAMP (with local tz); the fixture scans as
+    # TIMESTAMP_NTZ (parquet µs, isAdjustedToUTC=false). The session tz is
+    # pinned UTC (session.py), so the NTZ→LTZ cast is deterministic.
+    static = static.withColumn("ts", F.col("ts").cast("timestamp"))
     static.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
 

@@ -25,7 +25,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_OK = {
     "q15_join_cross_theta",
     "q70_ann_bruteforce_topk",
-    "q72_ann_ivf",
+    "q71_ann_scalable",  # IVF branch: 16-row broadcast centroid table
     "q61_dedup_near_pairs",
 }
 

@@ -99,12 +99,13 @@ def test_lsh_recall_vs_bruteforce(spark):
     """ANN quality: sign-LSH bucketed top-5 should recover a meaningful
     fraction of the exact brute-force top-5 (recall tunes with plane count;
     this guards against a broken bucketing that returns junk)."""
+    from entangledb_spark.operators.similarity import ann_lsh_bucketed
     from entangledb_spark.registry import QUERIES, load_all
 
     load_all()
     sf = "/root/testdata/sf0.001"
     exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
-    approx = QUERIES["q71_ann_lsh_bucketed"](spark, sf).collect()
+    approx = ann_lsh_bucketed(spark, sf).collect()
     truth = {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
