@@ -138,7 +138,7 @@ def q04_lookups(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(l_linenumber // 3 AS BIGINT)            AS int_div,
            CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS int_mod,
            CAST(pow(l_linenumber % 5 + 1, 3) AS BIGINT) AS cube_col,
-           CAST(factorial(CAST(l_quantity AS BIGINT) % 6) AS BIGINT) AS fact_col
+           CAST(factorial(CAST(CAST(l_quantity AS BIGINT) % 6 AS INTEGER)) AS BIGINT) AS fact_col
     FROM lineitem WHERE l_orderkey <= 200
     """,
 )

@@ -270,7 +270,13 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     at-least-once sources like Kafka re-deliver on retry; this is the
     standard ingest guard). State holds one entry per event_id seen inside
     the horizon and is evicted as the watermark advances — bounded, unlike
-    a plain dropDuplicates whose state grows forever on a stream."""
+    a plain dropDuplicates whose state grows forever on a stream.
+
+    `ts` is defensively cast to TIMESTAMP before the watermark: parquet
+    sources written with isAdjustedToUTC=false scan as TIMESTAMP_NTZ, which
+    `withWatermark` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — same
+    guard `materialize_events_source` applies for the other streaming ops."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(["event_id"])
 
 
