@@ -210,7 +210,14 @@ def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family. One xxhash64 per shingle + 16 multiply-adds replaces 16 string
 # hashes per shingle (~10× cheaper), and 30-bit operands keep a_k·x < 2^61
 # so ANSI overflow checking never trips.
-_MINHASH_P = (1 << 61) - 1
+#
+# P must be SMALLER than the products a_k·x (≈2^60) or the modulo never
+# wraps and (a·x+b) is monotonic in x — every "permutation" then selects
+# the same argmin shingle and the signature degenerates to a function of
+# one shingle (observed: est_jaccard=1.0 on pairs with exact≈0.01 before
+# this fix). Mersenne 2^31−1 exceeds the 30-bit shingle universe (hash
+# family stays injective-capable) while a·x+b ≫ P guarantees wraparound.
+_MINHASH_P = (1 << 31) - 1
 _MINHASH_AB = [
     ((2654435761 * (k + 1)) & 0x3FFFFFFF | 1, (40503 * (k + 7) ** 2) & 0x3FFFFFFF)
     for k in range(MINHASH_PERMS)
@@ -282,7 +289,11 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path for near-dup at 100 TB: cost is O(corpus) for
     signatures plus O(collisions) for pairs — never O(n²). Emits candidate
     pairs with their estimated Jaccard (fraction of matching signature
-    components).
+    components) AND the exact token-set Jaccard per pair, so every gate row
+    carries its own quality signal: |est − exact| is inspectable directly
+    in the output. Exact scores are joined back onto the CANDIDATE set only
+    (O(collisions) rows, array_intersect/array_union built-ins) — the
+    all-pairs exact computation is never performed.
 
     The signature table is persisted before the self-join: without it the
     two join branches each recompute the full shingle→minhash pipeline
@@ -336,7 +347,7 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / MINHASH_PERMS
     )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -349,6 +360,39 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(est).alias("est_jaccard"),
         )
         .distinct()
+    )
+    # Exact token-set Jaccard on the candidate set only (quality signal in
+    # the gate output; VERDICT r2 ask #4). Shingle sets mirror the signature
+    # input exactly: width-SHINGLE_N xxhash64 shingles, short docs falling
+    # back to the whole-text hash — so exact_jaccard is the true value of
+    # the quantity MinHash estimates.
+    toks = word_tokens(F.col("text"))
+    shingles = F.array_distinct(
+        F.when(
+            F.size(F.col("_toks")) >= SHINGLE_N,
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_toks")) - SHINGLE_N),
+                lambda i: F.xxhash64(
+                    F.element_at(F.col("_toks"), i + 1),
+                    F.element_at(F.col("_toks"), i + 2),
+                    F.element_at(F.col("_toks"), i + 3),
+                ).bitwiseAND(F.lit(0x3FFFFFFF)),
+            ),
+        ).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks"))).bitwiseAND(F.lit(0x3FFFFFFF)))
+        )
+    )
+    sets = (
+        d.withColumn("_toks", toks)
+        .select("doc_id", shingles.alias("shingles"))
+    )
+    exact = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles"))).cast(
+        "double"
+    ) / F.size(F.array_union(F.col("ta.shingles"), F.col("tb.shingles")))
+    return (
+        cand.join(sets.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
+        .join(sets.alias("tb"), F.col("tb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "est_jaccard", r4(exact).alias("exact_jaccard"))
     )
 
 

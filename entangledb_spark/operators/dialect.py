@@ -92,6 +92,10 @@ dialect(
     """
     SELECT p_partkey, p_size * 2 + 1 AS dbl, p_size / 3 AS third,
            p_size % 5 AS m5, (p_size % 6)! AS fact,
+           (p_size % 4) ^ 3 AS pow_int,
+           2 ^ (-(p_size % 3)) AS pow_neg,
+           -p_size AS neg_size,
+           +p_size AS pos_size,
            p_size > 25 AND p_size < 40 AS in_range,
            p_name LIKE 'p%' OR p_brand = 'Brand#13' AS matched,
            upper(p_brand) AS brand_u,
@@ -108,6 +112,10 @@ dialect(
            CAST(p_size // 3 AS BIGINT) AS third,
            CAST(p_size % 5 AS BIGINT) AS m5,
            CAST(factorial(p_size % 6) AS BIGINT) AS fact,
+           CAST((p_size % 4) ^ 3 AS BIGINT) AS pow_int,
+           CAST(2 ^ (-(p_size % 3)) AS DOUBLE) AS pow_neg,
+           CAST(-p_size AS BIGINT) AS neg_size,
+           CAST(p_size AS BIGINT) AS pos_size,
            (p_size > 25 AND p_size < 40) AS in_range,
            (p_name LIKE 'p%' OR p_brand = 'Brand#13') AS matched,
            upper(p_brand) AS brand_u,
