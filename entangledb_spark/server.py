@@ -98,6 +98,23 @@ class _Handler(socketserver.StreamRequestHandler):
         if kind == "resume":
             r = engine.resume(req["state"])
             return {"ok": True, "status": r.status, "version": r.version}
+        if kind == "status":  # Request::Status (server.rs:215) / REPL !status
+            version = engine.catalog.current_version()
+            tables = engine.list_tables()
+            spark = self.server.spark  # type: ignore[attr-defined]
+            return {
+                "ok": True,
+                "status": {
+                    "server": "entangledb-spark",
+                    "version": version,
+                    "table_count": len(tables),
+                    "tables": tables,
+                    "in_transaction": engine.in_transaction,
+                    "spark_app_id": spark.sparkContext.applicationId,
+                    "spark_version": spark.version,
+                    "parallelism": spark.sparkContext.defaultParallelism,
+                },
+            }
         if kind == "list_tables":  # Request::ListTables (server.rs:216)
             return {"ok": True, "tables": engine.list_tables()}
         if kind == "get_table":  # Request::GetTable (server.rs:217)
@@ -150,6 +167,11 @@ class EngineClient:
         if max_rows is not None:
             req["max_rows"] = max_rows
         return self._call(req)
+
+    def status(self) -> dict:
+        """Server status snapshot (reference Request::Status, server.rs:215):
+        catalog version, table count, and Spark runtime identity."""
+        return self._call({"type": "status"})["status"]
 
     def list_tables(self) -> list[str]:
         return self._call({"type": "list_tables"})["tables"]

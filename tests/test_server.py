@@ -110,6 +110,52 @@ def test_resumed_transaction_cannot_double_publish(server):
         c.close()
 
 
+def test_status_roundtrip(server):
+    """Request::Status analog (reference server.rs:215-220): catalog
+    version, table inventory, and Spark runtime identity over the wire."""
+    c = client(server)
+    s0 = c.status()
+    assert s0["server"] == "entangledb-spark"
+    assert s0["table_count"] == 0 and s0["tables"] == []
+    assert s0["in_transaction"] is False
+    assert s0["spark_app_id"] and s0["spark_version"]
+    c.execute("CREATE TABLE st (id INTEGER PRIMARY KEY)")
+    c.execute("INSERT INTO st VALUES (1)")
+    s1 = c.status()
+    assert s1["table_count"] == 1 and s1["tables"] == ["st"]
+    assert s1["version"] > s0["version"]
+    c.execute("BEGIN")
+    assert c.status()["in_transaction"] is True
+    c.execute("ROLLBACK")
+    assert c.status()["in_transaction"] is False
+    c.close()
+
+
+def test_resume_conflicts_with_concurrent_writer(server):
+    """Cross-connection resume vs an independent concurrent writer
+    (reference mvcc.rs:124-127 any-node resume + commit-time OCC): c1
+    stages a write and detaches; a THIRD session commits a conflicting
+    write; c2 resumes the detached txn and its COMMIT must fail with a
+    conflict surfaced through the wire protocol — first-committer-wins,
+    exactly as for in-process sessions."""
+    c1, c2, w = client(server), client(server), client(server)
+    c1.execute("CREATE TABLE occ (id INTEGER PRIMARY KEY, v INTEGER)")
+    c1.execute("INSERT INTO occ VALUES (1, 10)")
+    c1.execute("BEGIN")
+    c1.execute("UPDATE occ SET v = 20 WHERE id = 1")
+    state = c1.detach()
+    c1.close()
+    # independent writer lands first → the detached txn's base is stale
+    w.execute("UPDATE occ SET v = 99 WHERE id = 1")
+    c2.resume(state)
+    with pytest.raises(EngineError, match="conflict"):
+        c2.execute("COMMIT")
+    c2.execute("ROLLBACK")
+    # the winner's write survives; the loser published nothing
+    assert w.execute("SELECT v FROM occ")["rows"] == [[99]]
+    c2.close(), w.close()
+
+
 def test_changes_over_the_wire(server):
     c = client(server)
     c.execute("CREATE TABLE cdf (id INTEGER PRIMARY KEY, v STRING)")
