@@ -4,7 +4,11 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Execution is measured with the noop sink (full distributed execution, no
-driver-side collect), after a JVM/session warmup query.
+driver-side collect), after a JVM/session warmup query. Each query is run
+$SPARK_GRAFT_BENCH_REPS times (default 3) and the BEST time is reported:
+single-shot timings on ~1s queries drift ±0.2-0.5s with JVM warmup/codegen
+state across sessions, which round 2 showed is indistinguishable from real
+regressions — best-of-N is the stable round-over-round signal.
 """
 
 from __future__ import annotations
@@ -65,13 +69,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
