@@ -140,7 +140,7 @@ def q80_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q81_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end decode→featurize pipeline over Arrow batches. The decode
     is the documented stub; schema/batching/partitioning are production
     shaped. Returns per-kind feature statistics.
@@ -148,7 +148,8 @@ def q81_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not a gate entry: with the decode stubbed, a driver rows-only row
     proves nothing pytest doesn't already (tests/test_multimodal.py checks
     the stub features exactly and the mapInPandas plumbing end-to-end);
-    the gate slot is spent on an oracle-backed query instead."""
+    the freed gate slot is spent on the oracle-backed
+    q81_quality_repetition (operators/quality.py) instead."""
     feats = extract_features(media_from_documents(spark, sf_dir))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),

@@ -218,3 +218,104 @@ def contamination(
             (F.col("n_contaminated_shingles") > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "q81_quality_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+                         l -> l <> '') AS lines,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CASE WHEN len(lines) > 0
+                  THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END AS dup_line_frac,
+             coalesce(list_aggregate(list_transform(words, w -> length(w)), 'sum'), 0)
+               AS word_chars
+      FROM d
+    ),
+    lc AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS DOUBLE)
+               / greatest(sum(cnt * length(line)), 1) AS dup_line_char_frac
+      FROM (SELECT doc_id, line, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(lines) AS line FROM d)
+            GROUP BY doc_id, line)
+      GROUP BY doc_id
+    ),
+    topbg AS (
+      SELECT doc_id, max(struct_pack(cnt := cnt, glen := glen)) AS top
+      FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   length(replace(gram, ' ', '')) AS glen
+            FROM (SELECT doc_id,
+                         unnest(CASE WHEN len(words) >= 2
+                                THEN list_transform(range(1, len(words)),
+                                                    i -> words[i] || ' ' || words[i+1])
+                                ELSE CAST([] AS VARCHAR[]) END) AS gram
+                  FROM d)
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    ),
+    tg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS DOUBLE)
+               / greatest(sum(cnt * glen), 1) AS dup_trigram_char_frac
+      FROM (SELECT doc_id, gram, count(*) AS cnt,
+                   length(replace(gram, ' ', '')) AS glen
+            FROM (SELECT doc_id,
+                         unnest(CASE WHEN len(words) >= 3
+                                THEN list_transform(range(1, len(words) - 1),
+                                                    i -> words[i] || ' ' || words[i+1]
+                                                         || ' ' || words[i+2])
+                                ELSE CAST([] AS VARCHAR[]) END) AS gram
+                  FROM d)
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_lines,
+           r4(b.dup_line_frac) AS dup_line_frac,
+           r4(coalesce(lc.dup_line_char_frac, 0.0)) AS dup_line_char_frac,
+           r4(CASE WHEN topbg.top.cnt >= 2
+                   THEN CAST(topbg.top.cnt * topbg.top.glen AS DOUBLE)
+                        / greatest(b.word_chars, 1)
+                   ELSE 0.0 END) AS top_bigram_char_frac,
+           r4(coalesce(tg.dup_trigram_char_frac, 0.0)) AS dup_trigram_char_frac,
+           (b.dup_line_frac > 0.30
+            OR coalesce(lc.dup_line_char_frac, 0.0) > 0.20
+            OR CASE WHEN topbg.top.cnt >= 2
+                    THEN CAST(topbg.top.cnt * topbg.top.glen AS DOUBLE)
+                         / greatest(b.word_chars, 1)
+                    ELSE 0.0 END > 0.20
+            OR coalesce(tg.dup_trigram_char_frac, 0.0) > 0.18) AS repetition_flagged
+    FROM base b
+    LEFT JOIN lc ON lc.doc_id = b.doc_id
+    LEFT JOIN topbg ON topbg.doc_id = b.doc_id
+    LEFT JOIN tg ON tg.doc_id = b.doc_id
+    """,
+)
+def q81_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition metrics as an oracle-backed gate query: exact
+    duplicate-line / duplicate-char / top-bigram / duplicate-trigram
+    fractions per document plus the Table-A1 flag, hash-compared against a
+    full DuckDB re-derivation (unnest + list comprehension mirror).
+
+    Fractions are rounded via the shared r4 formula; the FLAG is computed
+    from the UNROUNDED doubles on both sides — the ratios are quotients of
+    exact integer counts, so the IEEE754 results (and threshold
+    comparisons) agree bit-for-bit across engines."""
+    m = repetition_metrics(table(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        "n_lines",
+        r4(F.col("dup_line_frac")).alias("dup_line_frac"),
+        r4(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        r4(F.col("top_bigram_char_frac")).alias("top_bigram_char_frac"),
+        r4(F.col("dup_trigram_char_frac")).alias("dup_trigram_char_frac"),
+        "repetition_flagged",
+    )

@@ -248,7 +248,8 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     to top-5 per probe query. The union is a no-shuffle concatenation of
     the two plans; each branch keeps its own documented scale shape.
     Recall of both branches against the exact q70 top-k is additionally
-    asserted quantitatively in tests/test_dedup_quality.py."""
+    asserted quantitatively in tests/test_skew_bucketing.py
+    (test_lsh_recall_vs_bruteforce / test_ivf_recall_vs_bruteforce)."""
     lsh = ann_lsh_bucketed(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )

@@ -25,7 +25,7 @@ SF = "/root/testdata/sf0.001"
 BNLJ_OK = {
     "q15_join_cross_theta",
     "q70_ann_bruteforce_topk",
-    "q71_ann_scalable",  # IVF branch: 16-row broadcast centroid table
+    "q71_ann_scalable",  # IVF branch only — LSH branch checked separately below
     "q61_dedup_near_pairs",
 }
 
@@ -57,6 +57,20 @@ def test_bnlj_only_where_broadcast_tiny(plans):
         if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
     ]
     assert offenders == []
+
+
+def test_ann_lsh_branch_has_no_bnlj(spark):
+    """q71's BNLJ exemption covers only the IVF branch (16-row broadcast
+    centroid table). The LSH branch's candidate generation is an EQUI-join
+    on (table, bucket) — if a regression degraded it to a
+    BroadcastNestedLoopJoin (O(n²) at scale), the union-level whitelist
+    would mask it; check the branch plan in isolation."""
+    from entangledb_spark.operators.similarity import ann_lsh_bucketed
+
+    df = ann_lsh_bucketed(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_filter_queries_push_predicates(plans):

@@ -120,6 +120,31 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert avg_recall >= 0.2, f"LSH recall collapsed: {avg_recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """ANN quality, IVF branch: centroid-routed cell search top-5 vs the
+    exact brute-force top-5 (guards against broken routing/medoids — the
+    LSH test can't catch an IVF regression and vice versa)."""
+    from entangledb_spark.operators.similarity import ann_ivf
+    from entangledb_spark.registry import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
+    approx = ann_ivf(spark, sf).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in approx:
+        if r.query_id in truth:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.2, f"IVF recall collapsed: {avg_recall}"
+
+
 def test_connected_components(spark):
     """Known graph: chain 1-2-3, pair 10-11, isolated 20."""
     from entangledb_spark.operators.dedup import connected_components
