@@ -15,9 +15,11 @@ documents" and "token batches on the trainer":
 - **Vocabulary induction**: corpus-wide term and document frequencies with
   cumulative coverage — the input to tokenizer training and stopword lists.
 
-These are pytest-covered (DuckDB-mirror oracles in tests/test_packing.py)
-rather than driver-gate entries: the gate registry is capped at 50 and fully
-allocated to SURVEY §2 + headline queries.
+Span dedup and vocabulary induction are driver-gate entries (q93, q96)
+with full DuckDB oracles; the packers stay pytest-covered (DuckDB-mirror
+oracles + an independent local greedy reference in tests/test_packing.py)
+— the greedy packer's applyInPandas shard assignment is
+partitioning-dependent in ways a row-hash gate can't express.
 
 Scale notes are inline per operator; the common theme is that every shuffle
 key is either a uniform 128-bit hash (skew-free) or bounded by construction
@@ -32,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from entangledb_spark.operators.text import SAMPLE_K, TOKEN_RE
+from entangledb_spark.registry import query, table
 
 # Span-dedup parameters: 10-token windows, drop when seen >= 2 times.
 SPAN_TOKENS = 10
@@ -288,3 +291,76 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
         .withColumn("coverage", F.sum("term_freq").over(w) / F.col("_t"))
         .drop("_t")
     )
+
+
+@query(
+    "q93_span_dedup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+      WHERE len(regexp_extract_all(text, '\S+')) > 0
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS idx
+      FROM t
+    ),
+    wh AS (
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+             array_to_string(toks[(idx*10+1):((idx+1)*10)], ' ') AS chunk
+      FROM w
+    ),
+    marked AS (
+      SELECT doc_id, idx, chunk,
+             count(*) OVER (PARTITION BY md5(lower(chunk))) AS occ,
+             row_number() OVER (PARTITION BY md5(lower(chunk))
+                                ORDER BY doc_id, idx) AS rn
+      FROM wh
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN chunk END,
+                               ' ' ORDER BY idx), '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate-span removal (keep-first) as a gate
+    query: dedup_spans over the documents table, hash-compared against a
+    DuckDB window-function re-derivation (same 10-token windows, same
+    md5(lower(chunk)) identity, same keep-first tie-break)."""
+    return dedup_spans(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q96_vocabulary",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    per_doc AS (SELECT word, doc_id, count(*) AS c FROM words GROUP BY 1, 2),
+    vocab AS (
+      SELECT word, CAST(sum(c) AS BIGINT) AS term_freq,
+             CAST(count(*) AS BIGINT) AS doc_freq
+      FROM per_doc GROUP BY word
+    ),
+    top AS (SELECT * FROM vocab ORDER BY term_freq DESC, word ASC LIMIT 200),
+    tot AS (
+      SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS DOUBLE) AS t
+      FROM documents
+    )
+    SELECT word, term_freq, doc_freq,
+           CAST(row_number() OVER (ORDER BY term_freq DESC, word) AS BIGINT) AS rank,
+           sum(term_freq) OVER (ORDER BY term_freq DESC, word) / t AS coverage
+    FROM top, tot
+    """,
+)
+def q96_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction as a gate query: top-200 terms by corpus
+    frequency with exact document frequency, rank, and cumulative coverage
+    share — the tokenizer-training / stopword-list input. Coverage is an
+    exact-integer ratio, so the doubles agree bit-for-bit with DuckDB."""
+    return vocabulary(table(spark, sf_dir, "documents"), top_k=200)

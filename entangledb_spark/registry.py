@@ -87,6 +87,7 @@ def load_all() -> None:
     import entangledb_spark.operators.dedup  # noqa: F401
     import entangledb_spark.operators.dialect  # noqa: F401
     import entangledb_spark.operators.multimodal  # noqa: F401
+    import entangledb_spark.operators.packing  # noqa: F401
     import entangledb_spark.operators.quality  # noqa: F401
     import entangledb_spark.operators.relational  # noqa: F401
     import entangledb_spark.operators.similarity  # noqa: F401

@@ -27,6 +27,7 @@ BNLJ_OK = {
     "q70_ann_bruteforce_topk",
     "q71_ann_scalable",  # IVF branch only — LSH branch checked separately below
     "q61_dedup_near_pairs",
+    "q96_vocabulary",  # 1-row corpus-total broadcast × top-k rows
 }
 
 
