@@ -47,8 +47,11 @@ HEADLINE = [
     "q60_dedup_exact",
     "q62_dedup_minhash_lsh",
     "q70_ann_bruteforce_topk",
+    "q81_quality_repetition",
+    "q93_span_dedup",
     "q94_asof_join",
     "q95_range_join",
+    "q96_vocabulary",
 ]
 
 
