@@ -1,0 +1,126 @@
+"""Exactly-once streaming ingest into the snapshot catalog
+(streaming/ingest.py): a file stream lands in a catalog table through
+foreachBatch + manifest CAS; redelivered batches are no-ops; a restarted
+stream with the same checkpoint adds nothing; concurrent SQL writers and
+the stream interleave without lost updates.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.engine import Engine
+from entangledb_spark.streaming.ingest import commit_stream_batch, stream_upsert_writer
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "db"))
+
+
+def _mk_table(engine):
+    engine.execute("CREATE TABLE ev (id INTEGER PRIMARY KEY, v INTEGER)")
+
+
+def _rows(engine):
+    r = engine.execute("SELECT id, v FROM ev ORDER BY id")
+    rows, _ = r.fetch(10_000)
+    return [tuple(t) for t in rows]
+
+
+def _write_files(spark, src_dir, parts):
+    """One parquet file per (id-range) part — maxFilesPerTrigger=1 then
+    yields one micro-batch per file."""
+    for rng in parts:
+        spark.createDataFrame([(j, j * 10) for j in rng], "id long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+
+
+def _stream(spark, src_dir):
+    return (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def test_stream_lands_in_catalog_and_restart_is_noop(spark, engine, tmp_path):
+    _mk_table(engine)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(spark, src, [range(0, 5), range(5, 10)])
+
+    w = stream_upsert_writer(engine.catalog, "ev", _stream(spark, src), "s1", ckpt)
+    w.trigger(availableNow=True).start().awaitTermination()
+    assert _rows(engine) == [(i, i * 10) for i in range(10)]
+    assert engine.catalog.manifest().get("streams", {}).get("s1", -1) >= 0
+
+    # restart with the SAME checkpoint and no new input: nothing replays
+    v_before = engine.catalog.current_version()
+    w2 = stream_upsert_writer(engine.catalog, "ev", _stream(spark, src), "s1", ckpt)
+    w2.trigger(availableNow=True).start().awaitTermination()
+    assert engine.catalog.current_version() == v_before
+    assert _rows(engine) == [(i, i * 10) for i in range(10)]
+
+    # new files after restart: only the new rows land (incremental resume)
+    _write_files(spark, src, [range(10, 12)])
+    w3 = stream_upsert_writer(engine.catalog, "ev", _stream(spark, src), "s1", ckpt)
+    w3.trigger(availableNow=True).start().awaitTermination()
+    assert _rows(engine) == [(i, i * 10) for i in range(12)]
+
+
+def test_redelivered_batch_is_noop(spark, engine, tmp_path):
+    _mk_table(engine)
+    batch = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    v1 = commit_stream_batch(engine.catalog, "ev", "s1", batch, 0)
+    assert v1 is not None
+    # crash-before-ack replay: same batch id arrives again
+    assert commit_stream_batch(engine.catalog, "ev", "s1", batch, 0) is None
+    assert engine.catalog.current_version() == v1
+    assert _rows(engine) == [(1, 10), (2, 20)]
+    # a LATER batch with overlapping PKs upserts (latest-wins on read)
+    nxt = spark.createDataFrame([(2, 99), (3, 30)], "id long, v long")
+    assert commit_stream_batch(engine.catalog, "ev", "s1", nxt, 1) == v1 + 1
+    assert _rows(engine) == [(1, 10), (2, 99), (3, 30)]
+
+
+def test_stream_interleaves_with_sql_writers(spark, engine, tmp_path):
+    """The stream's CAS loop must absorb a concurrent SQL commit landing
+    between its manifest read and publish — and vice versa: neither
+    writer's rows are lost."""
+    _mk_table(engine)
+    commit_stream_batch(
+        engine.catalog, "ev", "s1", spark.createDataFrame([(1, 10)], "id long, v long"), 0
+    )
+    engine.execute("INSERT INTO ev VALUES (100, 1)")
+    commit_stream_batch(
+        engine.catalog, "ev", "s1", spark.createDataFrame([(2, 20)], "id long, v long"), 1
+    )
+    engine.execute("UPDATE ev SET v = 2 WHERE id = 100")
+    assert _rows(engine) == [(1, 10), (2, 20), (100, 2)]
+    # two independent streams into one table keep independent positions
+    commit_stream_batch(
+        engine.catalog, "ev", "s2", spark.createDataFrame([(3, 30)], "id long, v long"), 0
+    )
+    streams = engine.catalog.manifest()["streams"]
+    assert streams["s1"] == 1 and streams["s2"] == 0
+    assert _rows(engine) == [(1, 10), (2, 20), (3, 30), (100, 2)]
+
+
+def test_many_batches_trigger_compaction(spark, engine, tmp_path):
+    """COMPACT_AFTER micro-batches fold into a fresh base so read
+    amplification stays bounded under a long-running stream."""
+    _mk_table(engine)
+    for b in range(engine.catalog.COMPACT_AFTER + 2):
+        commit_stream_batch(
+            engine.catalog,
+            "ev",
+            "s1",
+            spark.createDataFrame([(b, b)], "id long, v long"),
+            b,
+        )
+    meta = engine.catalog.manifest()["tables"]["ev"]
+    assert len(meta.get("deltas", [])) < engine.catalog.COMPACT_AFTER
+    n = engine.catalog.COMPACT_AFTER + 2
+    assert _rows(engine) == [(i, i) for i in range(n)]
