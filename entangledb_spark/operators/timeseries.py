@@ -166,3 +166,64 @@ def q95_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_errors"),
         )
     )
+
+
+GAPFILL_STEP_SEC = 3600  # default resample step (1 hour)
+
+
+def resample_gapfill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    step_sec: int = GAPFILL_STEP_SEC,
+) -> DataFrame:
+    """Fixed-step resampling with gap generation and LOCF — the
+    `time_bucket_gapfill` + `locf` shape (TimescaleDB / InfluxDB) a
+    time-series pipeline needs before ML featurization on regular grids.
+
+    Per key: aggregate events into `step_sec` buckets (count + avg), then
+    materialize EVERY bucket between the key's first and last event —
+    missing buckets appear with n_events=0, is_gap=true, and carry the
+    last observed average forward (v_locf).
+
+    Plan shape (scale-correct at 100 TB):
+      1. groupBy(key, bucket) — one shuffle on a near-uniform composite
+         key; partial aggregation collapses hot (key, bucket) cells
+         map-side.
+      2. spans = groupBy(key) min/max — tiny (one row per key), reuses
+         the same exchange prefix.
+      3. grid explode — narrow generator, output bounded by
+         span/step per key; no shuffle.
+      4. grid ⋈ agged on (key, bucket) — co-partitioned equi-join.
+      5. LOCF window per key ordered by bucket — the only per-key sort;
+         state is one running value, no frame materialization.
+    Dense keys with multi-year spans bound the explode (span/step rows per
+    key); for sparse-and-ancient keys cap the span upstream."""
+    bucket = (F.floor(F.unix_timestamp(F.col(ts)) / step_sec) * step_sec).cast("long")
+    agged = events.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg(value).alias("v_avg"),
+    )
+    spans = agged.groupBy(key).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(int(step_sec)))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agged, [key, "bucket"], "left")
+        .withColumn("is_gap", F.col("n_events").isNull())
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)).cast("long"))
+        .withColumn("v_locf", F.last("v_avg", ignorenulls=True).over(w))
+        .withColumn("bucket_ts", F.timestamp_seconds("bucket"))
+        .select(key, "bucket", "bucket_ts", "n_events", "v_avg", "v_locf", "is_gap")
+    )
