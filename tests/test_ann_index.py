@@ -1,0 +1,62 @@
+"""Persistent LSH index (operators/ann_index.py): probe results must be
+IDENTICAL to the inline ann_lsh_bucketed pipeline; the on-disk layout must
+be partitioned by (tbl, bucket); incremental append must extend candidate
+sets without a rebuild."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.ann_index import build_lsh_index, probe_lsh_index
+from entangledb_spark.operators.similarity import ann_lsh_bucketed
+from entangledb_spark.registry import table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def test_probe_matches_inline_pipeline(spark, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(_emb(spark), idx)
+    probes = _emb(spark).filter(F.col("vec_id") < 20)
+    got = sorted(
+        tuple(r) for r in probe_lsh_index(spark, idx, probes).collect()
+    )
+    want = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF).collect())
+    assert got == want and len(got) > 0
+
+
+def test_index_layout_is_partition_pruned(spark, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(_emb(spark), idx)
+    tbl_dirs = [d for d in os.listdir(idx) if d.startswith("tbl=")]
+    assert len(tbl_dirs) > 1
+    buckets = [
+        d for d in os.listdir(os.path.join(idx, tbl_dirs[0])) if d.startswith("bucket=")
+    ]
+    assert len(buckets) > 1
+    # a single-bucket probe plan reads only that bucket's partition
+    one = spark.read.parquet(idx).filter((F.col("tbl") == 0) & (F.col("bucket") == int(buckets[0].split("=")[1])))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_incremental_append(spark, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    e = _emb(spark)
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    build_lsh_index(first, idx)
+    probes = e.filter(F.col("vec_id") < 20)
+    n_before = probe_lsh_index(spark, idx, probes).count()
+    build_lsh_index(rest, idx, mode="append")
+    after = sorted(tuple(r) for r in probe_lsh_index(spark, idx, probes).collect())
+    want = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF).collect())
+    # full index after append == single-shot build == inline pipeline
+    assert after == want
+    assert len(after) >= n_before
