@@ -319,3 +319,92 @@ def q81_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("dup_trigram_char_frac")).alias("dup_trigram_char_frac"),
         "repetition_flagged",
     )
+
+
+# Add-k smoothing constant and hot-head size for the bigram LM scorer.
+LM_SMOOTHING_K = 0.5
+LM_HOT_HEAD = 1024
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = LM_SMOOTHING_K,
+    hot_head: int = LM_HOT_HEAD,
+) -> DataFrame:
+    """Corpus-self-trained bigram LM scoring — the KenLM-style perplexity
+    quality signal (CCNet / Wenzek et al. 2020): documents whose token
+    transitions are improbable under the corpus' own statistics score low
+    (gibberish, boilerplate soup, wrong-language fragments).
+
+    score(doc) = mean over its bigrams (w1,w2) of
+        ln( (C(w1,w2) + k) / (C(w1) + k·V) )        [add-k smoothing]
+    plus ppl = exp(-score). Counts come from the full corpus; V is the
+    unigram vocabulary size.
+
+    Scale shapes:
+    - Bigram counts: groupBy on the (w1,w2) composite — far more uniform
+      than unigrams; partial aggregation collapses hot pairs map-side.
+    - The doc-bigram → C(w1,w2) join keys on the same composite.
+    - The C(w1) join is the Zipf hazard: "the" is a catastrophic hot key.
+      Split-join: the top `hot_head` unigrams (tiny, covers the bulk of
+      token mass) BROADCAST; only the long uniform tail shuffles. At
+      100 TB the head stays KBs while the tail join keys are near-unique —
+      no hot reducer on either path.
+    - Per-doc mean: one groupBy(doc_id), uniform.
+
+    Returns (doc_id, n_bigrams, avg_logprob, ppl), one row per document
+    with >= 1 bigram.
+    """
+    w1 = F.col("w1")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("words")
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("words") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> struct(element_at(words, i) AS w1, element_at(words, i + 1) AS w2))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    uni = (
+        words.select(F.explode("words").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    scored_pairs = bigrams.join(bg_counts, ["w1", "w2"])
+
+    # Zipf split-join for C(w1): broadcast head, shuffle tail.
+    hot = uni.orderBy(F.col("c1").desc(), w1).limit(hot_head)
+    hot_b = F.broadcast(hot.withColumnRenamed("c1", "c1_hot"))
+    with_hot = scored_pairs.join(hot_b, "w1", "left")
+    cold = with_hot.filter(F.col("c1_hot").isNull()).drop("c1_hot").join(uni, "w1")
+    hot_side = (
+        with_hot.filter(F.col("c1_hot").isNotNull())
+        .withColumnRenamed("c1_hot", "c1")
+    )
+    all_scored = hot_side.unionByName(cold)
+
+    logprob = F.log(
+        (F.col("c12") + F.lit(k))
+        / (F.col("c1") + F.lit(k) * F.col("v").cast("double"))
+    )
+    return (
+        all_scored.crossJoin(F.broadcast(vocab_size))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            r4(F.avg(logprob)).alias("avg_logprob"),
+            r4(F.exp(-F.avg(logprob))).alias("ppl"),
+        )
+    )
