@@ -30,6 +30,13 @@ LANG_MARKERS: dict[str, str] = {
 
 TOKEN_RE = r"\S+"
 WORD_RE = r"[a-zA-Z]+"
+# GPT-2-style pre-tokenizer (contraction suffixes, space-prefixed letter/
+# digit/punct runs, whitespace runs) WITHOUT the trailing-space lookahead —
+# lookahead isn't RE2-expressible, and this variant means the same thing in
+# Java regex (Spark) and RE2 (DuckDB oracle). Counts approximate LLM token
+# counts far better than whitespace splitting (punctuation and contractions
+# tokenize separately).
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def normalize_text(col: Column) -> Column:
@@ -73,6 +80,9 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
     SELECT doc_id,
            CAST(length(text) AS BIGINT)                               AS n_char,
            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)       AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                AS BIGINT)                                            AS n_bpe_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
            CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
                                                                       AS n_distinct_words,
@@ -110,7 +120,9 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in ONE wide projection — the operators a
     training pipeline runs together in a single pass over the corpus:
 
-    - token counting: whitespace tokens, alpha words, distinct vocabulary.
+    - token counting: whitespace tokens, GPT-2-style BPE pre-tokens
+      (BPE_TOKEN_RE — the LLM-token-count estimator), alpha words,
+      distinct vocabulary.
     - quality scoring: punctuation/digit/stopword ratios, average token
       length, a length gate — the cheap pre-filters applied before
       model-based scoring.
@@ -149,6 +161,7 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_char.cast("long").alias("n_char"),
         n_tok.cast("long").alias("n_tokens"),
+        count_re(F.col("text"), BPE_TOKEN_RE).cast("long").alias("n_bpe_tokens"),
         count_re(F.col("text"), WORD_RE).cast("long").alias("n_words"),
         F.size(
             F.array_distinct(
