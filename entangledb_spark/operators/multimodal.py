@@ -156,3 +156,75 @@ def multimodal_features_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg(F.element_at("features", 1))).alias("avg_feat0"),
         F.max("feat_dim").alias("feat_dim"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_features", ArrayType(DoubleType()), True),
+    ]
+)
+
+FRAME_INTERVAL_MS = 1000  # sample one frame per second of fake "video"
+
+
+def _duration_ms_stub(payload: bytes | str) -> int:
+    """STUB — stands in for container-header duration probing (ffprobe).
+    Deterministic: 1 'second' of video per 16 payload bytes, min 1."""
+    data = payload.encode() if isinstance(payload, str) else bytes(payload)
+    return max(1, len(data) // 16) * 1000
+
+
+def sample_frames(
+    df: DataFrame,
+    interval_ms: int = FRAME_INTERVAL_MS,
+    dim: int = 8,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    with a per-frame feature vector — the 1-fps-style sampling a
+    multimodal training pipeline runs before captioning/embedding.
+
+    mapInPandas flatMap shape: each input row expands to
+    min(duration/interval, max_frames) rows INSIDE the Arrow batch loop,
+    so expansion never materializes a partition — peak memory stays
+    (batch rows × frames × dim). The decode/probe steps are the documented
+    stubs (no codecs in this container); a production swap replaces
+    `_duration_ms_stub` with ffprobe and the per-frame feature call with a
+    real decoder, leaving schema/batching/partitioning untouched.
+
+    `max_frames` is the skew guard: a 10-hour video cannot explode one
+    task — the cap bounds per-row output exactly like the chunk caps in
+    the text operators."""
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    videos = df.filter(F.col("kind") == "video")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_features": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                dur = _duration_ms_stub(payload)
+                n = min(dur // interval_ms, max_frames)
+                for i in range(int(n)):
+                    ts = i * interval_ms
+                    # per-frame stub features: decode(payload) at ts
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_features"].append(
+                        _decode_stub(f"{ts}:{payload}", "video", dim)
+                    )
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(batches, FRAME_SCHEMA)

@@ -34,3 +34,34 @@ def test_extract_features_schema_and_batching(spark, sf_dir):
         assert all(0.0 <= v < 1.0 for v in r.features)
     kinds = {r.kind for r in rows}
     assert kinds <= {"image", "audio", "video"}
+
+
+def test_sample_frames_plumbing(spark, sf_dir):
+    from entangledb_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        _decode_stub,
+        _duration_ms_stub,
+        sample_frames,
+    )
+
+    m = media_from_documents(spark, sf_dir).limit(60)
+    frames = sample_frames(m, max_frames=5)
+    assert frames.schema == FRAME_SCHEMA
+    rows = frames.collect()
+    assert len(rows) > 0
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    videos = {r.media_id: r for r in m.filter("kind = 'video'").collect()}
+    # only video rows expand, never beyond the max_frames skew cap
+    assert set(by_media) <= set(videos)
+    for mid, fr in by_media.items():
+        fr.sort(key=lambda r: r.frame_idx)
+        expected = min(_duration_ms_stub(videos[mid].payload) // 1000, 5)
+        assert [r.frame_idx for r in fr] == list(range(expected))
+        assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in fr)
+        # per-frame features are deterministic stub output at that ts
+        r0 = fr[0]
+        assert r0.frame_features == _decode_stub(
+            f"0:{videos[mid].payload}", "video"
+        )

@@ -156,6 +156,49 @@ def test_resume_conflicts_with_concurrent_writer(server):
     c2.close(), w.close()
 
 
+def test_concurrent_clients_no_lost_updates(server):
+    """N threads × M single-row inserts through separate connections into
+    one table: every insert must eventually commit exactly once (the
+    server's per-connection engines share one catalog; commit-time CAS +
+    client-side retry must absorb all interleavings)."""
+    import threading
+
+    N, M = 4, 6
+    boot = client(server)
+    boot.execute("CREATE TABLE conc (id INTEGER PRIMARY KEY)")
+    boot.close()
+    errors = []
+
+    def worker(wid: int) -> None:
+        c = client(server)
+        try:
+            for j in range(M):
+                for _ in range(50):  # retry OCC conflicts
+                    try:
+                        c.execute(f"INSERT INTO conc VALUES ({wid * 100 + j})")
+                        break
+                    except EngineError as e:
+                        if "conflict" not in str(e):
+                            raise
+                else:
+                    raise AssertionError(f"insert {wid}/{j} never committed")
+        except Exception as e:  # propagate to the main thread
+            errors.append(e)
+        finally:
+            c.close()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert errors == []
+    c = client(server)
+    r = c.execute("SELECT count(*) AS n FROM conc")
+    assert r["rows"] == [[N * M]]
+    c.close()
+
+
 def test_changes_over_the_wire(server):
     c = client(server)
     c.execute("CREATE TABLE cdf (id INTEGER PRIMARY KEY, v STRING)")
