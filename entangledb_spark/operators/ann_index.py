@@ -18,6 +18,10 @@ module splits the pipeline the way a production vector store does:
 Incremental maintenance is append-only: new corpus vectors bucket into
 the same deterministic (seeded-hash) codes and land as new files in
 existing partitions — no global rebuild, no RNG state to version.
+
+The IVF variant (build_ivf_index / probe_ivf_index) persists BOTH the
+centroid table and the cell-partitioned assignments; probes route through
+the saved centroids so cell boundaries never shift under appends.
 """
 
 from __future__ import annotations
@@ -108,6 +112,81 @@ def probe_lsh_index(
     return (
         cands.withColumn("cos_sim", r4(cosine_sim(F.col("q_emb"), F.col("n_emb"))))
         .drop("q_emb", "n_emb")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _ivf_centroids(e: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic medoid centroids, identical to similarity.ann_ivf:
+    per cell (xxhash64(vec_id) mod n_cells), the lowest-vec_id member."""
+    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    return (
+        e.withColumn("cell", cell_of)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cell", F.col("embedding").alias("centroid"))
+    )
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast of the tiny centroid
+    table — one narrow pass, no corpus shuffle."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, index_dir: str, n_cells: int = 16
+) -> None:
+    """IVF index build: centroids persisted under <dir>/centroids, cell
+    assignments under <dir>/cells PARTITIONED BY cell — probes read one
+    cell's files, pruned at the source. (Unlike LSH, IVF appends must
+    reuse the SAVED centroids or cell boundaries shift — probe-side code
+    reads them back for exactly that reason.)"""
+    cents = _ivf_centroids(embeddings, n_cells)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark = embeddings.sparkSession
+    saved = spark.read.parquet(f"{index_dir}/centroids")
+    _assign_cells(embeddings, saved).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/cells")
+
+
+def probe_ivf_index(
+    spark: SparkSession, index_dir: str, probes: DataFrame, k: int = 5
+) -> DataFrame:
+    """Top-k ANN against a prebuilt IVF index: probes route through the
+    SAVED centroids (broadcast), candidates equi-join on the cell
+    partition column, exact cosine re-ranks. Identical semantics to the
+    inline similarity.ann_ivf."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = _assign_cells(probes, cents).alias("q")
+    n = spark.read.parquet(f"{index_dir}/cells").alias("n")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        q.join(
+            n,
+            (F.col("q.cell") == F.col("n.cell"))
+            & (F.col("q.vec_id") != F.col("n.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            F.col("q.cell").alias("cell"),
+            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+                "cos_sim"
+            ),
+        )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )

@@ -60,3 +60,18 @@ def test_incremental_append(spark, tmp_path):
     # full index after append == single-shot build == inline pipeline
     assert after == want
     assert len(after) >= n_before
+
+
+def test_ivf_probe_matches_inline_pipeline(spark, tmp_path):
+    from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+    from entangledb_spark.operators.similarity import N_IVF_CELLS, ann_ivf
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(_emb(spark), idx, n_cells=N_IVF_CELLS)
+    probes = _emb(spark).filter(F.col("vec_id") < 20)
+    got = sorted(tuple(r) for r in probe_ivf_index(spark, idx, probes).collect())
+    want = sorted(tuple(r) for r in ann_ivf(spark, SF).collect())
+    assert got == want and len(got) > 0
+    # cell-partitioned layout on disk
+    cells = [d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("cell=")]
+    assert len(cells) > 1
