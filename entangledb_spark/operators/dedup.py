@@ -65,6 +65,24 @@ def q60_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor set of exact dedup: keep the lowest-id row per normalized-
+    content fingerprint, preserving the input schema. One skew-free
+    shuffle on the uniform 128-bit fingerprint + a left-semi join back on
+    the id (co-partitioned; the keep-set side is one row per distinct
+    content). The gate form emitting (keep_id, n_copies) is
+    q60_dedup_exact."""
+    keep = (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def word_tokens(col):
     """Lowercased word tokens — shared tokenizer for all near-dup ops."""
     return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)

@@ -1,0 +1,81 @@
+"""End-to-end training-data pipeline over the documents fixture — the
+operators composed the way a real corpus-preparation job chains them:
+
+  text metrics → quality gates (length/repetition/LM-perplexity) →
+  exact dedup → span dedup → stratified sample → sequence packing →
+  vocabulary induction
+
+Each stage consumes the previous stage's DataFrame (single lazy plan per
+stage boundary, no driver round-trips besides the assertions), and the
+invariants checked here are the ones a pipeline owner would monitor:
+monotone row counts, survivor quality, packing budget compliance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.dedup import exact_dedup
+from entangledb_spark.operators.packing import (
+    SEQ_BUDGET,
+    dedup_spans,
+    pack_contiguous,
+    vocabulary,
+)
+from entangledb_spark.operators.quality import ngram_lm_score, repetition_metrics
+from entangledb_spark.registry import QUERIES, load_all, table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_end_to_end(spark):
+    load_all()
+    docs = table(spark, SF, "documents")
+    n0 = docs.count()
+
+    # 1. quality gates: length + repetition + LM perplexity
+    rep = repetition_metrics(docs).select("doc_id", "repetition_flagged")
+    lm = ngram_lm_score(docs).select("doc_id", "ppl")
+    ppl_cut = lm.approxQuantile("ppl", [0.95], 0.01)[0]  # drop worst 5%
+    gated = (
+        docs.join(rep, "doc_id")
+        .join(lm, "doc_id", "left")
+        .filter(
+            (F.length("text") >= 50)
+            & ~F.col("repetition_flagged")
+            & (F.coalesce(F.col("ppl"), F.lit(0.0)) <= ppl_cut)
+        )
+        .select("doc_id", "text", "lang")
+    )
+    n1 = gated.count()
+    assert 0 < n1 <= n0
+
+    # 2. exact dedup on normalized-content fingerprint
+    deduped = exact_dedup(gated)
+    n2 = deduped.count()
+    assert 0 < n2 <= n1
+
+    # 3. corpus-level span dedup (keep-first) rewrites the text
+    cleaned = dedup_spans(deduped).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    n3 = cleaned.count()
+    assert n3 == deduped.filter(F.length("text") > 0).count()
+
+    # 4. pack into fixed token budgets
+    packed = pack_contiguous(cleaned)
+    rows = packed.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.offset_in_seq < SEQ_BUDGET
+    # every surviving non-empty document is packed exactly once
+    assert len({(r.shard, r.doc_id) for r in rows}) == len(rows)
+
+    # 5. vocabulary over the final corpus: coverage is a CDF
+    vocab = vocabulary(cleaned, top_k=100).collect()
+    assert len(vocab) > 0
+    cov = [v.coverage for v in sorted(vocab, key=lambda v: v.rank)]
+    assert all(0 < a <= b <= 1.0 + 1e-12 for a, b in zip(cov, cov[1:]))
+
+    # the pipeline actually filtered something (fixture contains dups/noise)
+    assert n2 < n0
