@@ -242,7 +242,9 @@ _MINHASH_AB = [
 ]
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", keep_shingles: bool = False
+) -> DataFrame:
     """doc_id → MinHash signature (array of MINHASH_PERMS minima).
 
     Word shingles of width SHINGLE_N are hashed once (xxhash64 over the
@@ -275,12 +277,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
             for a, b in _MINHASH_AB
         ]
     )
-    return (
+    out = (
         df.withColumn("_toks", toks)
         .withColumn("_base", base)
         .withColumn("minhash", sig)
-        .drop("_toks", "_base")
     )
+    if keep_shingles:
+        # the distinct shingle-hash set IS the ground-truth universe the
+        # signature estimates over — exposing it costs nothing extra here
+        # and saves the exact-Jaccard consumer a full re-tokenization pass
+        out = out.withColumn("shingles", F.array_distinct(F.col("_base")))
+    return out.drop("_toks", "_base")
 
 
 def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -326,8 +333,8 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     sig = (
-        minhash_signature(d)
-        .select("doc_id", "minhash")
+        minhash_signature(d, keep_shingles=True)
+        .select("doc_id", "minhash", "shingles")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
@@ -379,31 +386,12 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact token-set Jaccard on the candidate set only (quality signal in
-    # the gate output; VERDICT r2 ask #4). Shingle sets mirror the signature
-    # input exactly: width-SHINGLE_N xxhash64 shingles, short docs falling
-    # back to the whole-text hash — so exact_jaccard is the true value of
-    # the quantity MinHash estimates.
-    toks = word_tokens(F.col("text"))
-    shingles = F.array_distinct(
-        F.when(
-            F.size(F.col("_toks")) >= SHINGLE_N,
-            F.transform(
-                F.sequence(F.lit(0), F.size(F.col("_toks")) - SHINGLE_N),
-                lambda i: F.xxhash64(
-                    F.element_at(F.col("_toks"), i + 1),
-                    F.element_at(F.col("_toks"), i + 2),
-                    F.element_at(F.col("_toks"), i + 3),
-                ).bitwiseAND(F.lit(0x3FFFFFFF)),
-            ),
-        ).otherwise(
-            F.array(F.xxhash64(F.concat_ws(" ", F.col("_toks"))).bitwiseAND(F.lit(0x3FFFFFFF)))
-        )
-    )
-    sets = (
-        d.withColumn("_toks", toks)
-        .select("doc_id", shingles.alias("shingles"))
-    )
+    # Exact shingle-set Jaccard on the candidate set only (quality signal
+    # in the gate output; VERDICT r2 ask #4). The sets come from the SAME
+    # persisted signature relation (keep_shingles=True) — the distinct
+    # shingle-hash set is exactly the universe MinHash estimates over, and
+    # reusing it avoids a second full tokenize/shingle pass of the corpus.
+    sets = sig.select("doc_id", "shingles")
     exact = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("ta.shingles"), F.col("tb.shingles")))
