@@ -22,9 +22,22 @@ existing partitions — no global rebuild, no RNG state to version.
 The IVF variant (build_ivf_index / probe_ivf_index) persists BOTH the
 centroid table and the cell-partitioned assignments; probes route through
 the saved centroids so cell boundaries never shift under appends.
+
+Hash-family parameters are PERSISTED in `_index_meta.json` at build time
+and are authoritative at probe/append time: a probe computed with a
+different table/plane count would silently match nothing (different hash
+family), so callers cannot supply parameters that disagree with the
+index — appends with mismatched parameters are rejected outright.
+
+All bucket/centroid/assignment math lives in similarity.py
+(lsh_bucket_codes / ivf_centroids / ivf_assign) and is SHARED with the
+inline ANN paths, so index and inline semantics cannot diverge.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,28 +47,31 @@ from entangledb_spark.operators.similarity import (
     N_HYPERPLANES,
     N_LSH_TABLES,
     cosine_sim,
-    srp_bucket,
+    ivf_assign,
+    ivf_centroids,
+    lsh_bucket_codes,
 )
 
+_META_FILE = "_index_meta.json"
 
-def _with_buckets(
-    df: DataFrame, n_tables: int, n_planes: int
-) -> DataFrame:
-    """(vec_id, embedding) → one row per (vec_id, tbl, bucket)."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_bucket(F.col("embedding"), n_planes=n_planes, table_seed=t).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return df.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
-        "vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, _META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(index_dir: str, kind: str) -> dict:
+    path = os.path.join(index_dir, _META_FILE)
+    if not os.path.exists(path):
+        raise ValueError(f"{index_dir} is not a built index ({_META_FILE} missing)")
+    with open(path) as f:
+        meta = json.load(f)
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index at {index_dir} is kind={meta.get('kind')!r}, expected {kind!r}"
+        )
+    return meta
 
 
 def build_lsh_index(
@@ -68,10 +84,24 @@ def build_lsh_index(
     """One distributed pass: codegen'd bucket computation (no shuffle for
     the codes — the only exchange is the partitioned write's file routing),
     then parquet partitioned by (tbl, bucket). Pass mode='append' to add
-    new vectors incrementally — deterministic seeds keep codes stable."""
-    _with_buckets(embeddings, n_tables, n_planes).write.mode(mode).partitionBy(
+    new vectors incrementally — deterministic seeds keep codes stable, and
+    the saved hash-family parameters must match or the append is refused
+    (mismatched codes would corrupt the index silently)."""
+    if mode == "append":
+        meta = _read_meta(index_dir, "lsh")
+        if (meta["n_tables"], meta["n_planes"]) != (n_tables, n_planes):
+            raise ValueError(
+                f"append with (n_tables={n_tables}, n_planes={n_planes}) against "
+                f"an index built with (n_tables={meta['n_tables']}, "
+                f"n_planes={meta['n_planes']})"
+            )
+    lsh_bucket_codes(embeddings, n_tables, n_planes).write.mode(mode).partitionBy(
         "tbl", "bucket"
-    ).parquet(index_dir)
+    ).parquet(os.path.join(index_dir, "buckets"))
+    if mode != "append":
+        _write_meta(
+            index_dir, {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
+        )
 
 
 def probe_lsh_index(
@@ -79,18 +109,18 @@ def probe_lsh_index(
     index_dir: str,
     probes: DataFrame,
     k: int = 5,
-    n_tables: int = N_LSH_TABLES,
-    n_planes: int = N_HYPERPLANES,
 ) -> DataFrame:
     """Top-k ANN for each probe against a prebuilt index.
 
-    Probe-side codes are recomputed (tiny); the join on the index's
-    PARTITION columns (tbl, bucket) lets the source prune to the touched
-    buckets. Candidates sharing a bucket in ANY table are deduped, then
-    exact cosine re-ranks — identical semantics (and results) to the
-    inline ann_lsh_bucketed, at probe-proportional cost."""
-    idx = spark.read.parquet(index_dir).alias("n")
-    q = _with_buckets(probes, n_tables, n_planes).alias("q")
+    Probe-side codes are recomputed (tiny) with the SAVED hash-family
+    parameters; the join on the index's PARTITION columns (tbl, bucket)
+    lets the source prune to the touched buckets. Candidates sharing a
+    bucket in ANY table are deduped, then exact cosine re-ranks —
+    identical semantics (and results) to the inline ann_lsh_bucketed, at
+    probe-proportional cost."""
+    meta = _read_meta(index_dir, "lsh")
+    idx = spark.read.parquet(os.path.join(index_dir, "buckets")).alias("n")
+    q = lsh_bucket_codes(probes, meta["n_tables"], meta["n_planes"]).alias("q")
     cands = (
         q.join(
             idx,
@@ -117,32 +147,6 @@ def probe_lsh_index(
     )
 
 
-def _ivf_centroids(e: DataFrame, n_cells: int) -> DataFrame:
-    """Deterministic medoid centroids, identical to similarity.ann_ivf:
-    per cell (xxhash64(vec_id) mod n_cells), the lowest-vec_id member."""
-    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
-    w = Window.partitionBy("cell").orderBy("vec_id")
-    return (
-        e.withColumn("cell", cell_of)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("cell", F.col("embedding").alias("centroid"))
-    )
-
-
-def _assign_cells(df: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via a broadcast of the tiny centroid
-    table — one narrow pass, no corpus shuffle."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-
-
 def build_ivf_index(
     embeddings: DataFrame, index_dir: str, n_cells: int = 16
 ) -> None:
@@ -151,13 +155,14 @@ def build_ivf_index(
     cell's files, pruned at the source. (Unlike LSH, IVF appends must
     reuse the SAVED centroids or cell boundaries shift — probe-side code
     reads them back for exactly that reason.)"""
-    cents = _ivf_centroids(embeddings, n_cells)
+    cents = ivf_centroids(embeddings, n_cells)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     spark = embeddings.sparkSession
     saved = spark.read.parquet(f"{index_dir}/centroids")
-    _assign_cells(embeddings, saved).write.mode("overwrite").partitionBy(
+    ivf_assign(embeddings, saved).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{index_dir}/cells")
+    _write_meta(index_dir, {"kind": "ivf", "n_cells": n_cells})
 
 
 def probe_ivf_index(
@@ -167,8 +172,9 @@ def probe_ivf_index(
     SAVED centroids (broadcast), candidates equi-join on the cell
     partition column, exact cosine re-ranks. Identical semantics to the
     inline similarity.ann_ivf."""
+    _read_meta(index_dir, "ivf")
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    q = _assign_cells(probes, cents).alias("q")
+    q = ivf_assign(probes, cents).alias("q")
     n = spark.read.parquet(f"{index_dir}/cells").alias("n")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -84,11 +84,16 @@ def dedup_spans(
          uniform md5 key and, unlike the groupBy+self-join formulation,
          the windows relation is scanned and exploded ONCE (the join
          version recomputes the full shingle pipeline on both branches;
-         measured 40% slower at sf0.1). A pathological mega-hot span
-         ("accept cookies" × 1e8) makes one straggler task — the same
-         rows would land on one reducer under the equi-join too; if that
-         key class dominates a corpus, pre-filter spans by a document-
-         frequency cap as q61 does for tokens.
+         measured 40% slower at sf0.1).
+         Skew tradeoff, stated honestly: the old groupBy side collapsed a
+         mega-hot span ("accept cookies" × 1e8) map-side before its
+         exchange, and its probe join was AQE-skew-splittable; the window
+         co-locates all occurrences of a span hash in one task. That task
+         spills (UnsafeExternalSorter) rather than OOMs, but it IS a
+         straggler. For corpora where boilerplate dominates, pre-filter
+         spans with a document-frequency cap (the q61 hot-token pattern)
+         before this operator — capped spans are all-duplicates anyway,
+         so dropping them from stats changes nothing they'd survive.
       2. groupBy(doc_id) re-assembly — sort_array over collected
          (idx, chunk) structs restores document order without a sort.
 

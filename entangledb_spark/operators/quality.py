@@ -77,13 +77,18 @@ def repetition_metrics(
     - dup_trigram_char_frac: characters covered by word 3-grams occurring
       more than once / total 3-gram characters.
     """
+    # NULL text behaves as the empty document: without the coalesce the
+    # tagged-array concat below is NULL and explode(NULL) emits no rows,
+    # silently dropping the doc from the output (and from the oracle
+    # comparison).
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
-            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            F.transform(F.split(txt, "\n"), lambda l: F.trim(l)),
             lambda l: l != "",
         ).alias("lines"),
-        _words(F.col(text_col)).alias("words"),
+        _words(txt).alias("words"),
     )
 
     # ONE text scan → ONE tagged explode. The naive formulation (separate
@@ -241,9 +246,10 @@ def contamination(
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)),
+             list_filter(list_transform(str_split(coalesce(text, ''), chr(10)),
+                                        l -> trim(l)),
                          l -> l <> '') AS lines,
-             regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
       FROM documents
     ),
     base AS (

@@ -133,6 +133,30 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) 
     )
 
 
+def lsh_bucket_codes(
+    df: DataFrame, n_tables: int = N_LSH_TABLES, n_planes: int = N_HYPERPLANES
+) -> DataFrame:
+    """(vec_id, embedding) → one row per (vec_id, tbl, bucket): each
+    vector's sign-LSH bucket id in every hash table, as a codegen'd narrow
+    map + explode. Shared by the inline ANN path and the persistent index
+    builder (operators/ann_index.py) so the hash family can never diverge
+    between them."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket(F.col("embedding"), n_planes=n_planes, table_seed=t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
+        "vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN: each vector gets N_LSH_TABLES independent
     sign-LSH bucket ids (exploded to one row per table); candidates are
@@ -148,18 +172,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_bucket(F.col("embedding"), table_seed=t).alias("bucket"),
-            )
-            for t in range(N_LSH_TABLES)
-        ]
-    )
-    with_b = e.select(
-        "vec_id", "embedding", F.explode(buckets).alias("tb")
-    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    with_b = lsh_bucket_codes(e)
     q = with_b.filter(F.col("vec_id") < 20).alias("q")
     n = with_b.alias("n")
     cands = (
@@ -186,6 +199,34 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_centroids(e: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+    """Deterministic medoid centroids: per cell (xxhash64(vec_id) mod
+    n_cells), the lowest-vec_id member — reproducible without k-means
+    iterations or RNG state. Shared by the inline path and the persistent
+    index builder."""
+    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    w_med = Window.partitionBy("cell").orderBy("vec_id")
+    return (
+        e.withColumn("cell", cell_of)
+        .withColumn("rk", F.row_number().over(w_med))
+        .filter(F.col("rk") == 1)
+        .select(F.col("cell"), F.col("embedding").alias("centroid"))
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via a broadcast of the tiny centroid
+    table — one narrow pass, no corpus shuffle."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: N_IVF_CELLS deterministic seed vectors act as coarse
     centroids (medoid = the vector whose xxhash64(vec_id) mod cells == cell
@@ -201,26 +242,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_IVF_CELLS))
-    w_med = Window.partitionBy("cell").orderBy("vec_id")
-    centroids = (
-        e.withColumn("cell", cell_of)
-        .withColumn("rk", F.row_number().over(w_med))
-        .filter(F.col("rk") == 1)
-        .select(F.col("cell"), F.col("embedding").alias("centroid"))
-    )
-    # assign every vector to nearest centroid (broadcast the tiny centroid set)
-    cent = F.broadcast(centroids)
-    assigned = (
-        e.crossJoin(cent)
-        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))),
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
+    assigned = ivf_assign(e, ivf_centroids(e))
     q = assigned.filter(F.col("vec_id") < 20).alias("q")
     n = assigned.alias("n")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

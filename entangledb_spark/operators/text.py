@@ -32,11 +32,17 @@ TOKEN_RE = r"\S+"
 WORD_RE = r"[a-zA-Z]+"
 # GPT-2-style pre-tokenizer (contraction suffixes, space-prefixed letter/
 # digit/punct runs, whitespace runs) WITHOUT the trailing-space lookahead —
-# lookahead isn't RE2-expressible, and this variant means the same thing in
-# Java regex (Spark) and RE2 (DuckDB oracle). Counts approximate LLM token
-# counts far better than whitespace splitting (punctuation and contractions
-# tokenize separately).
-BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# lookahead isn't RE2-expressible. Whitespace is the EXPLICIT class
+# [ \t\n\x0B\f\r] rather than \s: Java's \s includes \x0B (vertical tab)
+# but RE2's does not, so \s would tokenize \x0B-containing text differently
+# in Spark vs the DuckDB oracle. Counts approximate LLM token counts far
+# better than whitespace splitting (punctuation and contractions tokenize
+# separately).
+_BPE_WS = r" \t\n\x0B\f\r"
+BPE_TOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_BPE_WS}\p{{L}}\p{{N}}]+|[{_BPE_WS}]+"
+)
 
 
 def normalize_text(col: Column) -> Column:
@@ -81,7 +87,7 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
            CAST(length(text) AS BIGINT)                               AS n_char,
            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)       AS n_tokens,
            CAST(len(regexp_extract_all(text,
-                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'))
                 AS BIGINT)                                            AS n_bpe_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_words,
            CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)

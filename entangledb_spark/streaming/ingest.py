@@ -67,17 +67,33 @@ def commit_stream_batch(
         m = catalog.manifest(v0)
         if batch_id <= m.get("streams", {}).get(stream_id, -1):
             return None  # lost to another attempt of this same batch
-        meta = m["tables"][table_name]
+        meta = m["tables"].get(table_name)
+        if meta is None:  # table dropped between retries
+            raise ConflictError(f"ingest target table {table_name} does not exist")
         meta.setdefault("deltas", []).append(delta)
         m.setdefault("streams", {})[stream_id] = batch_id
-        if len(meta["deltas"]) >= catalog.COMPACT_AFTER:
-            # same read-amplification bound as SQL DML; on a lost CAS the
-            # loop re-reads and re-decides against the fresh manifest
-            catalog.compact(m, table_name)
         try:
-            return catalog.publish(m, expected_version=v0)
+            v = catalog.publish(m, expected_version=v0)
+            break
         except ConflictError:
             time.sleep(random.random() * 0.02)  # backoff, re-read, retry
+    # Compaction runs AFTER the batch is durably published, as its own
+    # best-effort CAS — inside the retry loop a lost CAS would discard a
+    # full O(table) rewrite and redo it every iteration (conflict storm =
+    # N full-table rewrites for one micro-batch). A lost compaction CAS is
+    # simply skipped: the delta chain is still bounded because whichever
+    # writer lands next re-checks the same threshold.
+    if len(meta["deltas"]) >= catalog.COMPACT_AFTER:
+        v1 = catalog.current_version()
+        m1 = catalog.manifest(v1)
+        meta1 = m1["tables"].get(table_name)
+        if meta1 is not None and len(meta1.get("deltas", [])) >= catalog.COMPACT_AFTER:
+            catalog.compact(m1, table_name)
+            try:
+                catalog.publish(m1, expected_version=v1)
+            except ConflictError:
+                pass  # someone else won; they (or the next writer) compact
+    return v
 
 
 def stream_upsert_writer(

@@ -34,14 +34,15 @@ def test_probe_matches_inline_pipeline(spark, tmp_path):
 def test_index_layout_is_partition_pruned(spark, tmp_path):
     idx = str(tmp_path / "lsh_index")
     build_lsh_index(_emb(spark), idx)
-    tbl_dirs = [d for d in os.listdir(idx) if d.startswith("tbl=")]
+    bdir = os.path.join(idx, "buckets")
+    tbl_dirs = [d for d in os.listdir(bdir) if d.startswith("tbl=")]
     assert len(tbl_dirs) > 1
     buckets = [
-        d for d in os.listdir(os.path.join(idx, tbl_dirs[0])) if d.startswith("bucket=")
+        d for d in os.listdir(os.path.join(bdir, tbl_dirs[0])) if d.startswith("bucket=")
     ]
     assert len(buckets) > 1
     # a single-bucket probe plan reads only that bucket's partition
-    one = spark.read.parquet(idx).filter((F.col("tbl") == 0) & (F.col("bucket") == int(buckets[0].split("=")[1])))
+    one = spark.read.parquet(bdir).filter((F.col("tbl") == 0) & (F.col("bucket") == int(buckets[0].split("=")[1])))
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
 
@@ -75,3 +76,24 @@ def test_ivf_probe_matches_inline_pipeline(spark, tmp_path):
     # cell-partitioned layout on disk
     cells = [d for d in os.listdir(os.path.join(idx, "cells")) if d.startswith("cell=")]
     assert len(cells) > 1
+
+
+def test_index_params_are_persisted_and_enforced(spark, tmp_path):
+    import pytest
+
+    from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+
+    idx = str(tmp_path / "lsh_small")
+    e = _emb(spark).filter(F.col("vec_id") < 60)
+    build_lsh_index(e, idx, n_tables=2, n_planes=3)
+    probes = e.filter(F.col("vec_id") < 5)
+    # probe uses the SAVED params — no way to pass mismatched ones
+    assert probe_lsh_index(spark, idx, probes).count() >= 0
+    # append with a different hash family is refused outright
+    with pytest.raises(ValueError, match="n_planes=4"):
+        build_lsh_index(e, idx, n_tables=2, n_planes=4, mode="append")
+    # probing an LSH dir as IVF (or a non-index dir) fails loudly
+    with pytest.raises(ValueError, match="kind"):
+        probe_ivf_index(spark, idx, probes)
+    with pytest.raises(ValueError, match="not a built index"):
+        probe_lsh_index(spark, str(tmp_path / "nope"), probes)

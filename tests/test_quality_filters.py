@@ -163,3 +163,24 @@ def test_contamination_plan_broadcasts_benchmark(spark):
         contamination(docs, bench).explain()
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_metrics_null_and_empty_text(spark):
+    """NULL/empty text must survive to the output as an empty document
+    (n_lines=0, all fractions 0, unflagged) — a tagged-explode
+    formulation without the coalesce guard silently DROPS the row
+    (explode(NULL) emits nothing), diverging from the q81 oracle."""
+    from entangledb_spark.operators.quality import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "real text here with words"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for did in (2, 3):
+        r = rows[did]
+        assert r.n_lines == 0
+        assert r.dup_line_frac == 0.0 and r.dup_line_char_frac == 0.0
+        assert r.top_bigram_char_frac == 0.0 and r.dup_trigram_char_frac == 0.0
+        assert r.repetition_flagged is False
