@@ -109,6 +109,7 @@ def probe_lsh_index(
     index_dir: str,
     probes: DataFrame,
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k ANN for each probe against a prebuilt index.
 
@@ -117,17 +118,22 @@ def probe_lsh_index(
     lets the source prune to the touched buckets. Candidates sharing a
     bucket in ANY table are deduped, then exact cosine re-ranks —
     identical semantics (and results) to the inline ann_lsh_bucketed, at
-    probe-proportional cost."""
+    probe-proportional cost.
+
+    ``exclude_self`` (default True) assumes probe ids and index ids share
+    ONE id space and drops candidates with q.vec_id == n.vec_id — right
+    when probing the corpus against itself (the inline-path semantics).
+    Pass False for an EXTERNAL probe set whose ids are unrelated to the
+    corpus ids: a coincidental id collision would otherwise silently drop
+    a true nearest neighbor."""
     meta = _read_meta(index_dir, "lsh")
     idx = spark.read.parquet(os.path.join(index_dir, "buckets")).alias("n")
     q = lsh_bucket_codes(probes, meta["n_tables"], meta["n_planes"]).alias("q")
+    cond = (F.col("q.tbl") == F.col("n.tbl")) & (F.col("q.bucket") == F.col("n.bucket"))
+    if exclude_self:
+        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
     cands = (
-        q.join(
-            idx,
-            (F.col("q.tbl") == F.col("n.tbl"))
-            & (F.col("q.bucket") == F.col("n.bucket"))
-            & (F.col("q.vec_id") != F.col("n.vec_id")),
-        )
+        q.join(idx, cond)
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
@@ -166,12 +172,20 @@ def build_ivf_index(
 
 
 def probe_ivf_index(
-    spark: SparkSession, index_dir: str, probes: DataFrame, k: int = 5
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k ANN against a prebuilt IVF index: probes route through the
     SAVED centroids (broadcast), candidates equi-join on the cell
     partition column, exact cosine re-ranks. Identical semantics to the
-    inline similarity.ann_ivf."""
+    inline similarity.ann_ivf.
+
+    ``exclude_self`` carries the same shared-id-space assumption as
+    probe_lsh_index — pass False for external probe sets whose ids are
+    unrelated to the indexed corpus ids."""
     _read_meta(index_dir, "ivf")
     cents = spark.read.parquet(f"{index_dir}/centroids")
     q = ivf_assign(probes, cents).alias("q")
@@ -179,12 +193,11 @@ def probe_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    cond = F.col("q.cell") == F.col("n.cell")
+    if exclude_self:
+        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
     return (
-        q.join(
-            n,
-            (F.col("q.cell") == F.col("n.cell"))
-            & (F.col("q.vec_id") != F.col("n.vec_id")),
-        )
+        q.join(n, cond)
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),

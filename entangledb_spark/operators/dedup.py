@@ -283,9 +283,15 @@ def minhash_signature(
         .withColumn("minhash", sig)
     )
     if keep_shingles:
-        # the distinct shingle-hash set IS the ground-truth universe the
-        # signature estimates over — exposing it costs nothing extra here
-        # and saves the exact-Jaccard consumer a full re-tokenization pass
+        # The distinct shingle-hash set IS the ground-truth universe the
+        # signature estimates over; exposing it saves the exact-Jaccard
+        # consumer a full re-tokenization pass. It is NOT free, though:
+        # the persisted relation grows from ~130 B/doc (signature only)
+        # to O(doc tokens) — roughly 8 B per distinct shingle, i.e. the
+        # cache footprint becomes a sizable fraction of the corpus. At
+        # 100 TB request shingles only when the exact-score join is
+        # actually wanted (the default False keeps signatures cheap), or
+        # checkpoint the relation to durable storage instead of caching.
         out = out.withColumn("shingles", F.array_distinct(F.col("_base")))
     return out.drop("_toks", "_base")
 
@@ -314,18 +320,23 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path for near-dup at 100 TB: cost is O(corpus) for
     signatures plus O(collisions) for pairs — never O(n²). Emits candidate
     pairs with their estimated Jaccard (fraction of matching signature
-    components) AND the exact token-set Jaccard per pair, so every gate row
-    carries its own quality signal: |est − exact| is inspectable directly
-    in the output. Exact scores are joined back onto the CANDIDATE set only
+    components) AND the exact Jaccard over the 30-bit-truncated distinct
+    SHINGLE-HASH sets per pair — the precise universe the MinHash
+    signature estimates over (an ~exact proxy for token-shingle Jaccard;
+    hash collisions at 2^30 are negligible here). Every gate row carries
+    its own quality signal: |est − exact| is inspectable directly in the
+    output. Exact scores are joined back onto the CANDIDATE set only
     (O(collisions) rows, array_intersect/array_union built-ins) — the
     all-pairs exact computation is never performed.
 
     The signature table is persisted before the self-join: without it the
     two join branches each recompute the full shingle→minhash pipeline
     (no ReusedExchange forms across the differing aliases), doubling the
-    dominant CPU cost. Signatures are ~130 B/doc — at corpus scale this
-    survives as MEMORY_AND_DISK or a checkpoint to durable storage; the
-    raw text is never read twice either way.
+    dominant CPU cost. With keep_shingles=True the persisted relation is
+    O(corpus tokens), NOT the ~130 B/doc of signatures alone (see
+    minhash_signature) — fine for this gate query since the exact-score
+    join needs the sets anyway; at corpus scale run keep_shingles=False
+    unless exact scores are requested, or checkpoint to durable storage.
     """
     from pyspark import StorageLevel
 

@@ -307,8 +307,8 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     "q93_span_dedup",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
-      WHERE len(regexp_extract_all(text, '\S+')) > 0
+      SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks FROM documents
+      WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
     ),
     w AS (
       SELECT doc_id, toks,

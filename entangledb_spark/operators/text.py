@@ -28,7 +28,12 @@ LANG_MARKERS: dict[str, str] = {
     "es": r"\b(el|los|las|es|una|que)\b",
 }
 
-TOKEN_RE = r"\S+"
+# Whitespace-token regex with an EXPLICIT negated class (≡ Java's \S):
+# Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB's) \s omits \x0B, so a
+# bare \S+ tokenizes \x0B-containing text differently in Spark vs the
+# oracle — same divergence class BPE_TOKEN_RE already guards against.
+# Every oracle SQL string spells out the same class.
+TOKEN_RE = r"[^ \t\n\x0B\f\r]+"
 WORD_RE = r"[a-zA-Z]+"
 # GPT-2-style pre-tokenizer (contraction suffixes, space-prefixed letter/
 # digit/punct runs, whitespace runs) WITHOUT the trailing-space lookahead —
@@ -85,7 +90,7 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
     )
     SELECT doc_id,
            CAST(length(text) AS BIGINT)                               AS n_char,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)       AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT)       AS n_tokens,
            CAST(len(regexp_extract_all(text,
                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'))
                 AS BIGINT)                                            AS n_bpe_tokens,
@@ -97,11 +102,11 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
            r4(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                  / greatest(length(text), 1))                         AS digit_ratio,
            r4(CAST(en_score AS DOUBLE)
-                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS stopword_ratio,
+                 / greatest(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 1)) AS stopword_ratio,
            r4(CAST(length(text) AS DOUBLE)
-                 / greatest(len(regexp_extract_all(text, '\S+')), 1)) AS avg_token_len,
+                 / greatest(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 1)) AS avg_token_len,
            (length(text) >= 50 AND length(text) <= 10000
-            AND len(regexp_extract_all(text, '\S+')) >= 10)           AS passes_length_gate,
+            AND len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) >= 10)           AS passes_length_gate,
            en_score, de_score, fr_score, es_score,
            CASE
              WHEN greatest(en_score, de_score, fr_score, es_score) = 0 THEN 'und'
@@ -205,7 +210,7 @@ CHUNK_TOKENS = 50
     "q55_text_chunking",
     oracle=r"""
     WITH t AS (
-      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+      SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks FROM documents
     ),
     ch AS (
       SELECT doc_id, toks,
@@ -254,7 +259,7 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_text_entropy_udf",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
     cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),

@@ -36,6 +36,11 @@ from pyspark.sql import DataFrame
 
 from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog
 
+# CAS publish attempts per micro-batch before failing the stream loudly.
+# 50 attempts ≈ tens of seconds of capped-backoff contention — far beyond
+# any sane writer mix; hitting it means something is genuinely wedged.
+MAX_CAS_ATTEMPTS = 50
+
 
 def commit_stream_batch(
     catalog: SnapshotCatalog,
@@ -62,7 +67,15 @@ def commit_stream_batch(
     cols = [c["name"] for c in meta["columns"]]
     rel = catalog.write_snapshot(table_name, batch_df.select(*cols))
     delta = {"upserts": rel}
-    while True:
+    # Bounded CAS retry: each attempt is cheap (manifest re-read + one
+    # publish), but an UNBOUNDED loop under sustained writer contention
+    # would spin a micro-batch forever and stall the stream with nothing
+    # surfaced. Exponential backoff with full jitter (capped) de-correlates
+    # contending writers; after MAX_CAS_ATTEMPTS the stream fails LOUDLY
+    # with ConflictError — foreachBatch propagates it, the query dies, and
+    # the replayed batch is still exactly-once on restart (its data files
+    # are unreferenced orphans reclaimed by vacuum).
+    for attempt in range(MAX_CAS_ATTEMPTS):
         v0 = catalog.current_version()
         m = catalog.manifest(v0)
         if batch_id <= m.get("streams", {}).get(stream_id, -1):
@@ -76,7 +89,15 @@ def commit_stream_batch(
             v = catalog.publish(m, expected_version=v0)
             break
         except ConflictError:
-            time.sleep(random.random() * 0.02)  # backoff, re-read, retry
+            # full-jitter exponential backoff: U(0, base·2^attempt), capped
+            time.sleep(random.random() * min(0.01 * (2**attempt), 1.0))
+    else:
+        raise ConflictError(
+            f"stream {stream_id} batch {batch_id}: lost the manifest CAS "
+            f"{MAX_CAS_ATTEMPTS} times in a row — giving up so the stream "
+            "fails loudly instead of spinning (safe to restart: the batch "
+            "will be replayed and committed exactly once)"
+        )
     # Compaction runs AFTER the batch is durably published, as its own
     # best-effort CAS — inside the retry loop a lost CAS would discard a
     # full O(table) rewrite and redo it every iteration (conflict storm =

@@ -41,8 +41,8 @@ def _compare(sdf, sql, sf_dir=SF):
 
 DEDUP_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
-  WHERE len(regexp_extract_all(text, '\S+')) > 0
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') AS toks FROM documents
+  WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
 ),
 w AS (
   SELECT doc_id, toks,
@@ -96,9 +96,9 @@ def test_dedup_spans_keep_first(spark):
 PACK_ORACLE = f"""
 WITH d AS (
   SELECT (doc_id * 2654435761) % 64 AS shard, doc_id,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM documents
-  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+  WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
 ),
 c AS (
   SELECT shard, doc_id, n_tokens,
@@ -156,7 +156,7 @@ def test_pack_greedy_matches_reference_and_invariants(spark):
     df = pack_greedy(spark, _docs(spark))
     rows = df.collect()
     n_docs = _docs(spark).selectExpr(
-        "count_if(size(regexp_extract_all(text, '\\\\S+', 0)) > 0) AS n"
+        "count_if(size(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+', 0)) > 0) AS n"
     ).collect()[0]["n"]
     assert len(rows) == n_docs  # every non-empty doc assigned exactly once
     by_shard: dict[int, list] = {}
