@@ -460,14 +460,25 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 8
+    vertices: DataFrame, edges: DataFrame, max_iter: int | None = None
 ) -> DataFrame:
     """Label-propagation connected components over a candidate-pair graph:
     every vertex starts as its own label; each round adopts the minimum
     label among itself and its neighbors. Pure joins/aggregations — the
-    hand-rolled version of Pregel/GraphFrames CC, adequate because near-dup
-    components have tiny diameters (a cluster of copies is almost a clique,
-    so labels converge in 2-3 rounds; max_iter bounds pathological chains).
+    hand-rolled version of Pregel/GraphFrames CC.
+
+    CONVERGENCE-CHECKED: the loop stops as soon as a round changes zero
+    labels (one cheap count per round, evaluated on the already-
+    checkpointed relation). Near-dup components are almost-cliques, so
+    this typically means 2-3 rounds instead of a fixed budget of wasted
+    join rounds — and, unlike a fixed iteration count, a long chain
+    (diameter > budget) converges CORRECTLY rather than silently
+    returning partially-propagated labels. Labels propagate one hop per
+    round, so the round count is bounded by the largest component
+    diameter ≤ |V|; termination is guaranteed because labels are
+    monotonically non-increasing over a finite set. ``max_iter`` remains
+    available as an explicit bound for callers that want bounded latency
+    over exactness (None = run to convergence).
 
     vertices: (id); edges: (a, b). Returns (id, component) where component
     is the minimum vertex id in the connected component.
@@ -484,16 +495,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
-    for _ in range(max_iter):
+    rounds = 0
+    while max_iter is None or rounds < max_iter:
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.a == labels.id)
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("component").alias("ncomp"))
         )
-        labels = (
+        updated = (
             labels.join(neighbor_min, labels.id == F.col("nid"), "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
                 ).alias("component"),
@@ -501,6 +515,10 @@ def connected_components(
             # truncate lineage each round (iterative plans grow exponentially)
             .localCheckpoint(eager=True)
         )
+        n_changed = updated.filter(F.col("component") != F.col("_prev")).count()
+        labels = updated.drop("_prev")
+        if n_changed == 0:
+            break
     return labels
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from entangledb_spark.operators.text import SAMPLE_K, TOKEN_RE
+from entangledb_spark.operators.text import TOKEN_RE, knuth_bucket
 from entangledb_spark.registry import query, table
 
 # Span-dedup parameters: 10-token windows, drop when seen >= 2 times.
@@ -143,8 +143,10 @@ def pack_contiguous(
 
     Zero data movement beyond ONE shuffle on the shard key; the running
     cumulative sum is a window aggregate inside each shard partition. Shards
-    are the Knuth multiplicative hash of doc_id mod n_shards (pure BIGINT
-    arithmetic — bit-reproducible here AND in the DuckDB test oracle), so
+    are the overflow-safe modular Knuth hash of doc_id mod n_shards
+    (text.knuth_bucket — pure BIGINT arithmetic that cannot overflow for
+    any nonnegative doc_id, bit-reproducible here AND in the DuckDB test
+    oracle), so
     shard sizes are uniform and the layout is identical run-to-run (no RNG,
     no partition-count dependence). At 100 TB raise n_shards so one shard's
     token tape fits an executor core's share (~corpus_tokens / n_shards);
@@ -155,7 +157,7 @@ def pack_contiguous(
     """
     ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     d = docs.select(
-        ((F.col("doc_id") * SAMPLE_K) % n_shards).alias("shard"),
+        knuth_bucket(F.col("doc_id"), n_shards).alias("shard"),
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
@@ -252,7 +254,7 @@ def pack_greedy(
     ensure_shipped(spark)
     ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     d = docs.select(
-        ((F.col("doc_id") * SAMPLE_K) % n_shards).cast("int").alias("shard"),
+        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)

@@ -320,9 +320,34 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic pseudo-random for sampling: Knuth multiplicative hash on the
 # document id — pure BIGINT arithmetic, so Spark and DuckDB agree bit-for-bit
-# and a re-run (or a different cluster) draws the same sample. doc_id·K stays
-# far below 2^63 for any realistic id space.
+# and a re-run (or a different cluster) draws the same sample.
+#
+# The hash is computed in MODULAR space: a direct doc_id·K product exceeds
+# 2^63 for doc_id ≳ 3.5e9, and a 100 TB corpus at ~10 KB/doc has ~1e10
+# documents — under ANSI mode the job would fail (loudly, but still fail).
+# Reducing both operands mod the Mersenne prime M = 2^31−1 first keeps the
+# product < 2^62 in BIGINT for ANY nonnegative doc_id while preserving the
+# multiplicative mixing ((a mod M)·(b mod M) mod M ≡ a·b mod M). Both
+# knuth_bucket (Spark Column) and knuth_bucket_sql (oracle SQL fragment)
+# spell out the same arithmetic so the engines stay bit-identical.
 SAMPLE_K = 2654435761
+HASH_M = (1 << 31) - 1
+
+
+def knuth_bucket(col: Column, n: int) -> Column:
+    """Overflow-safe Knuth-hash bucket of a nonnegative BIGINT id: value in
+    [0, n). Pure BIGINT arithmetic, identical to knuth_bucket_sql."""
+    return ((col % HASH_M) * (SAMPLE_K % HASH_M)) % HASH_M % n
+
+
+def knuth_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB oracle fragment computing exactly knuth_bucket(expr, n).
+    Operands are cast to BIGINT explicitly — DuckDB types bare integer
+    literals INT32 and the multiplication would overflow in 32 bits."""
+    return (
+        f"((CAST({expr} AS BIGINT) % {HASH_M}) * CAST({SAMPLE_K % HASH_M} AS BIGINT))"
+        f" % {HASH_M} % {n}"
+    )
 
 
 @query(
@@ -330,7 +355,7 @@ SAMPLE_K = 2654435761
     oracle=f"""
     WITH h AS (
       SELECT doc_id, lang, n_chars,
-             (doc_id * {SAMPLE_K}) % 1000 AS bucket
+             {knuth_bucket_sql("doc_id", 1000)} AS bucket
       FROM documents
     ),
     ranked AS (
@@ -350,7 +375,7 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * SAMPLE_K) % 1000
+    bucket = knuth_bucket(F.col("doc_id"), 1000)
     w = Window.partitionBy("lang").orderBy(bucket.asc(), F.col("doc_id").asc())
     return (
         d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
@@ -364,7 +389,7 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tagged AS (
       SELECT doc_id, source,
-             (doc_id * {SAMPLE_K}) % 100 AS bucket,
+             {knuth_bucket_sql("doc_id", 100)} AS bucket,
              CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 20 END AS rate
       FROM documents
     )
@@ -379,7 +404,7 @@ def q92_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     source proportions in a training mix. Pure narrow filter + one tiny
     aggregation; rates change without reshuffling anything."""
     d = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * SAMPLE_K) % 100
+    bucket = knuth_bucket(F.col("doc_id"), 100)
     rate = (
         F.when(F.col("source") == "src0", 80)
         .when(F.col("source") == "src1", 50)

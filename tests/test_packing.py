@@ -17,6 +17,7 @@ from entangledb_spark.operators.packing import (
     pack_greedy,
     vocabulary,
 )
+from entangledb_spark.operators.text import knuth_bucket_sql
 from entangledb_spark.registry import table
 from tests.oracle import canonical, duck_connect
 
@@ -95,7 +96,7 @@ def test_dedup_spans_keep_first(spark):
 
 PACK_ORACLE = f"""
 WITH d AS (
-  SELECT (doc_id * 2654435761) % 64 AS shard, doc_id,
+  SELECT {knuth_bucket_sql("doc_id", 64)} AS shard, doc_id,
          CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM documents
   WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
@@ -208,6 +209,29 @@ FROM top, tot
 
 def test_vocabulary_oracle(spark):
     _compare(vocabulary(_docs(spark), top_k=200), VOCAB_ORACLE)
+
+
+def test_knuth_bucket_no_overflow_at_extreme_doc_ids(spark):
+    """doc_id near 2^63: the old direct doc_id·2654435761 product overflows
+    BIGINT for doc_id ≳ 3.5e9 (a 100 TB corpus has ~1e10 docs) and the
+    ANSI-mode job dies. The modular-space knuth_bucket must run clean under
+    ANSI for the FULL nonnegative BIGINT range AND agree bit-for-bit with
+    its DuckDB oracle fragment on the same extreme ids."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    ids = [
+        0, 1, 12345, 2**31 - 1, 2**31, 3_500_000_000, 10**10,
+        2**62 - 1, 2**62, 2**63 - 1,
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"tok one two three four five six seven eight {i}") for i in ids],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["shard"] for r in pack_contiguous(docs).collect()}
+    assert len(out) == len(ids)
+    con = duck_connect(SF)
+    for i in ids:
+        expected = con.execute(f"SELECT {knuth_bucket_sql(str(i), 64)}").fetchone()[0]
+        assert out[i] == expected, (i, out[i], expected)
 
 
 def test_vocabulary_coverage_monotone(spark):

@@ -155,3 +155,24 @@ def test_connected_components(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == 20
+
+
+def test_connected_components_long_chain(spark):
+    """20-hop chain (diameter 20 > the old fixed 8-round budget): labels
+    propagate one hop per round, so the pre-r4 fixed-8-iteration version
+    left the far end at label 12 — silently unconverged. The convergence-
+    checked loop must collapse the whole chain to component 0; and an
+    explicit max_iter=3 bound must demonstrably stop early (far end still
+    unlabeled-0), proving the bound parameter still bounds."""
+    from entangledb_spark.operators.dedup import connected_components
+
+    n = 20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    vertices = spark.createDataFrame([(i,) for i in range(n + 1)], "id long")
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert set(comp.values()) == {0}, comp
+    bounded = {
+        r.id: r.component
+        for r in connected_components(vertices, edges, max_iter=3).collect()
+    }
+    assert bounded[n] == n - 3  # 3 rounds = 3 hops of propagation, no more
