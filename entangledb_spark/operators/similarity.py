@@ -199,6 +199,37 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-process cache of built LSH index dirs, keyed by sf_dir: the gate
+# query may be invoked several times in one session (plan-invariant
+# fixtures, driver re-runs) — the index builds once and every later call
+# goes straight to the probe.
+_LSH_INDEX_CACHE: dict[str, str] = {}
+
+
+def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN routed through the PERSISTENT index (operators/ann_index):
+    build_lsh_index writes bucket codes as parquet PARTITIONED BY
+    (tbl, bucket) into a per-run tmp dir, then probe_lsh_index joins the
+    probe set against it with file-level partition pruning. Row-identical
+    to the inline ann_lsh_bucketed (asserted in tests/test_ann_index.py) —
+    this is the build-once/probe-many serving shape, and routing the gate
+    query through it keeps the index machinery on the driver gate."""
+    import tempfile
+
+    from entangledb_spark.operators.ann_index import build_lsh_index, probe_lsh_index
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    e = repartition_for_cpu(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    idx = _LSH_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="entangledb-lsh-index-")
+        build_lsh_index(e, idx)
+        _LSH_INDEX_CACHE[sf_dir] = idx
+    return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+
+
 def ivf_centroids(e: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
     """Deterministic medoid centroids: per cell (xxhash64(vec_id) mod
     n_cells), the lowest-vec_id member — reproducible without k-means
@@ -265,14 +296,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q71_ann_scalable")  # seeded-hash bucketing/medoids → rows-only check
 def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both scale-path ANN strategies in one tagged result (was q71+q72):
-    'lsh' rows from the multi-table sign-LSH candidate join, 'ivf' rows
-    from the centroid-routed cell search — each re-ranked by exact cosine
-    to top-5 per probe query. The union is a no-shuffle concatenation of
-    the two plans; each branch keeps its own documented scale shape.
-    Recall of both branches against the exact q70 top-k is additionally
-    asserted quantitatively in tests/test_skew_bucketing.py
+    'lsh' rows from the PERSISTENT LSH index (build_lsh_index +
+    probe_lsh_index over a per-run tmp dir — row-identical to the inline
+    ann_lsh_bucketed, asserted in tests/test_ann_index.py, so the index
+    build/probe/partition-pruning machinery carries driver-gate evidence),
+    'ivf' rows from the centroid-routed cell search — each re-ranked by
+    exact cosine to top-5 per probe query. The union is a no-shuffle
+    concatenation of the two plans; each branch keeps its own documented
+    scale shape. Recall of both branches against the exact q70 top-k is
+    additionally asserted quantitatively in tests/test_skew_bucketing.py
     (test_lsh_recall_vs_bruteforce / test_ivf_recall_vs_bruteforce)."""
-    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+    lsh = ann_lsh_indexed(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
     ivf = ann_ivf(spark, sf_dir).select(

@@ -66,12 +66,14 @@ def test_ann_lsh_branch_has_no_bnlj(spark):
     on (table, bucket) — if a regression degraded it to a
     BroadcastNestedLoopJoin (O(n²) at scale), the union-level whitelist
     would mask it; check the branch plan in isolation."""
-    from entangledb_spark.operators.similarity import ann_lsh_bucketed
+    from entangledb_spark.operators.similarity import ann_lsh_bucketed, ann_lsh_indexed
 
-    df = ann_lsh_bucketed(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    # both the inline path and the persistent-index probe path (the one q71
+    # actually routes through since round 4) must keep the equi-join shape
+    for df in (ann_lsh_bucketed(spark, SF), ann_lsh_indexed(spark, SF)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
 
 
 def test_filter_queries_push_predicates(plans):
