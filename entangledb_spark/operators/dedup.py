@@ -96,6 +96,67 @@ def word_tokens(col):
 DOC_FREQ_CAP = 0.5
 
 
+def near_dup_jaccard_pairs(
+    docs: DataFrame,
+    doc_freq_cap: float = DOC_FREQ_CAP,
+    sample_mod: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs over (doc_id, lang, text) rows —
+    the extracted core of q61 so the DOC_FREQ_CAP boundary is directly
+    testable on synthetic corpora (tests/test_skew_stress.py).
+
+    Tokens present in STRICTLY MORE than ``doc_freq_cap`` × |docs|
+    documents are dropped before the self-join (hot-key/skew guard: the
+    dropped set is tiny, so it ships as a broadcast anti-join; a token at
+    exactly the cap is KEPT). Self-join on (token, lang) counts |A∩B|;
+    |A∪B| = |A|+|B|-|A∩B|; the probe side is sampled
+    (doc_id % sample_mod == 0) to bound pair count. Returns
+    (method='jaccard', id_a, id_b, score) for pairs scoring >= threshold.
+    """
+    tok_all = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("w")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    hot = (
+        tok_all.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > doc_freq_cap * F.col("n_total"))
+        .select("w")
+    )
+    tok = tok_all.join(F.broadcast(hot), "w", "left_anti")
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.filter(F.col("doc_id") % sample_mod == 0).alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac_score = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac_score >= threshold)
+        .select(
+            F.lit("jaccard").alias("method"),
+            F.col("doc_a").cast("long").alias("id_a"),
+            F.col("doc_b").cast("long").alias("id_b"),
+            r4(jac_score).alias("score"),
+        )
+    )
+
+
 @query(
     "q61_dedup_near_pairs",
     oracle=rf"""
@@ -148,60 +209,21 @@ DOC_FREQ_CAP = 0.5
 def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pair finders with exact scores, tagged:
 
-    'jaccard': token-set Jaccard — explode distinct tokens, drop tokens in
-    more than DOC_FREQ_CAP of all documents (hot-key/skew guard: the
-    dropped set is tiny, so it ships as a broadcast anti-join), self-join
-    on (token, lang) to count |A∩B|, then |A∪B| = |A|+|B|-|A∩B|. The probe
-    side is sampled (doc_id % 10 = 0) to bound pair count; the lang key
-    acts as a blocking key — the same role LSH bands play at full scale
-    (the banded production path is q62).
+    'jaccard': token-set Jaccard via near_dup_jaccard_pairs — explode
+    distinct tokens, drop tokens in more than DOC_FREQ_CAP of all
+    documents (hot-key/skew guard: the dropped set is tiny, so it ships
+    as a broadcast anti-join), self-join on (token, lang) to count |A∩B|,
+    then |A∪B| = |A|+|B|-|A∩B|. The probe side is sampled
+    (doc_id % 10 = 0) to bound pair count; the lang key acts as a
+    blocking key — the same role LSH bands play at full scale (the banded
+    production path is q62).
 
     'cosine': embedding near-dup at cosine ≥ 0.99 — dot products and norms
     via zip_with/aggregate, JVM-side, no UDF; probe side sampled the same
     way. The production path replaces the pair join with the LSH bucketing
     in similarity.py."""
     d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
-    tok_all = d.select(
-        "doc_id", "lang", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("w")
-    )
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_total"))
-    hot = (
-        tok_all.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") > DOC_FREQ_CAP * F.col("n_total"))
-        .select("w")
-    )
-    tok = tok_all.join(F.broadcast(hot), "w", "left_anti")
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.filter(F.col("doc_id") % 10 == 0).alias("a")
-    b = tok.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac_score = F.col("shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("shared")
-    )
-    jac = (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac_score >= 0.5)
-        .select(
-            F.lit("jaccard").alias("method"),
-            F.col("doc_a").cast("long").alias("id_a"),
-            F.col("doc_b").cast("long").alias("id_b"),
-            r4(jac_score).alias("score"),
-        )
-    )
+    jac = near_dup_jaccard_pairs(d)
 
     from entangledb_spark.operators.similarity import cosine_sim
 

@@ -68,6 +68,7 @@ def dedup_spans(
     docs: DataFrame,
     span_tokens: int = SPAN_TOKENS,
     min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
 ) -> DataFrame:
     """Corpus-level duplicate-span removal, keep-first policy.
 
@@ -90,30 +91,66 @@ def dedup_spans(
          exchange, and its probe join was AQE-skew-splittable; the window
          co-locates all occurrences of a span hash in one task. That task
          spills (UnsafeExternalSorter) rather than OOMs, but it IS a
-         straggler. For corpora where boilerplate dominates, pre-filter
-         spans with a document-frequency cap (the q61 hot-token pattern)
-         before this operator — capped spans are all-duplicates anyway,
-         so dropping them from stats changes nothing they'd survive.
+         straggler — for boilerplate-dominated corpora set
+         ``hot_span_cap``.
       2. groupBy(doc_id) re-assembly — sort_array over collected
          (idx, chunk) structs restores document order without a sort.
+
+    ``hot_span_cap`` (opt-in straggler guard): hashes occurring >= cap
+    times are resolved OUTSIDE the window — their per-hash stats come
+    from a groupBy aggregation (partial aggregation collapses the hot key
+    map-side BEFORE its exchange, so no reducer sees the full occurrence
+    list) whose >=cap survivors are tiny by definition and broadcast back;
+    only sub-cap hashes flow through the window partition, bounding any
+    window task at cap rows per hash. SURVIVORS ARE IDENTICAL to the
+    uncapped run (same keep-first tie-break either route — asserted in
+    tests/test_skew_stress.py); the price is one extra scan+explode of
+    the corpus for the hot-stats pass, the right trade once a boilerplate
+    span would otherwise pin a multi-hour straggler at 100 TB.
 
     Returns one row per non-empty document:
       (doc_id, n_spans, n_removed, cleaned_text).
     """
     w = _windows(docs, span_tokens)
-    ws = Window.partitionBy("h")
-    marked = (
-        w.withColumn("occ", F.count(F.lit(1)).over(ws))
-        .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
-        .withColumn(
-            "keep",
-            (F.col("occ") < min_count)
-            | (
-                (F.col("first_occ.doc_id") == F.col("doc_id"))
-                & (F.col("first_occ.idx") == F.col("idx"))
-            ),
-        )
+    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
+        F.col("first_occ.idx") == F.col("idx")
     )
+    keep_rule = (F.col("occ") < min_count) | is_first
+    if hot_span_cap is not None:
+        hot_stats = (
+            w.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.min(F.struct("doc_id", "idx")).alias("first_occ"),
+            )
+            .filter(F.col("occ") >= hot_span_cap)
+        )
+        tagged = w.join(
+            F.broadcast(hot_stats.withColumnRenamed("occ", "hot_occ").withColumnRenamed("first_occ", "hot_first")),
+            "h",
+            "left",
+        )
+        cold = tagged.filter(F.col("hot_occ").isNull()).drop("hot_occ", "hot_first")
+        ws = Window.partitionBy("h")
+        cold_marked = (
+            cold.withColumn("occ", F.count(F.lit(1)).over(ws))
+            .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
+            .withColumn("keep", keep_rule)
+        )
+        hot_marked = (
+            tagged.filter(F.col("hot_occ").isNotNull())
+            .withColumnRenamed("hot_occ", "occ")
+            .withColumnRenamed("hot_first", "first_occ")
+            .withColumn("keep", keep_rule)
+        )
+        marked = cold_marked.unionByName(hot_marked)
+    else:
+        ws = Window.partitionBy("h")
+        marked = (
+            w.withColumn("occ", F.count(F.lit(1)).over(ws))
+            .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
+            .withColumn("keep", keep_rule)
+        )
     kept = F.filter(
         F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
         lambda s: s["keep"],
