@@ -108,6 +108,86 @@ def test_stream_interleaves_with_sql_writers(spark, engine, tmp_path):
     assert _rows(engine) == [(1, 10), (2, 20), (3, 30), (100, 2)]
 
 
+def test_crash_between_snapshot_and_publish_is_exactly_once(
+    spark, engine, tmp_path, monkeypatch
+):
+    """Crash injection at the worst moment: the writer dies AFTER the
+    batch's parquet snapshot is written but BEFORE the manifest CAS that
+    would make it visible. Requirements proven here:
+      - the crashed attempt publishes NOTHING (atomicity: data+position
+        move only together);
+      - the restarted stream replays the batch and commits it exactly
+        once (no duplicate rows, no skipped batch);
+      - the crashed attempt's snapshot dir is an unreferenced orphan —
+        invisible to every reader — and vacuum reclaims it while leaving
+        every referenced snapshot intact."""
+    import os
+
+    _mk_table(engine)
+    cat = engine.catalog
+    data_dir = os.path.join(cat.base, "data", "ev")
+
+    def _snaps():
+        return set(os.listdir(data_dir)) if os.path.isdir(data_dir) else set()
+
+    before = _snaps()
+    batch = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    monkeypatch.setattr(
+        cat,
+        "publish",
+        lambda manifest, expected_version=None: (_ for _ in ()).throw(
+            RuntimeError("simulated crash before manifest publish")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        commit_stream_batch(cat, "ev", "s1", batch, 0)
+    monkeypatch.undo()
+
+    # nothing became visible; the crashed attempt left exactly one orphan
+    assert _rows(engine) == []
+    assert cat.manifest().get("streams", {}).get("s1", -1) == -1
+    orphans = _snaps() - before
+    assert len(orphans) == 1
+
+    # restart: the replayed batch (same id — replayable-source contract)
+    # commits exactly once
+    v = commit_stream_batch(cat, "ev", "s1", batch, 0)
+    assert v is not None
+    assert _rows(engine) == [(1, 10), (2, 20)]
+    # a second replay is still a no-op
+    assert commit_stream_batch(cat, "ev", "s1", batch, 0) is None
+    assert _rows(engine) == [(1, 10), (2, 20)]
+
+    # vacuum reclaims the orphan (referenced by NO manifest version) and
+    # keeps every referenced snapshot readable
+    stats = cat.vacuum(keep_last=8)
+    assert stats["removed_data_dirs"] >= 1
+    assert orphans.isdisjoint(_snaps())
+    assert _rows(engine) == [(1, 10), (2, 20)]
+
+
+def test_cas_retry_is_bounded(spark, engine, tmp_path, monkeypatch):
+    """A wedged manifest (every CAS attempt loses) must fail the stream
+    LOUDLY after MAX_CAS_ATTEMPTS instead of spinning forever."""
+    from entangledb_spark.sources.catalog import ConflictError
+    import entangledb_spark.streaming.ingest as ingest_mod
+
+    _mk_table(engine)
+    cat = engine.catalog
+    monkeypatch.setattr(ingest_mod, "MAX_CAS_ATTEMPTS", 3)
+    monkeypatch.setattr(
+        cat,
+        "publish",
+        lambda manifest, expected_version=None: (_ for _ in ()).throw(
+            ConflictError("always loses")
+        ),
+    )
+    batch = spark.createDataFrame([(1, 10)], "id long, v long")
+    monkeypatch.setattr(ingest_mod.time, "sleep", lambda s: None)
+    with pytest.raises(ConflictError, match="3 times in a row"):
+        commit_stream_batch(cat, "ev", "s1", batch, 0)
+
+
 def test_many_batches_trigger_compaction(spark, engine, tmp_path):
     """COMPACT_AFTER micro-batches fold into a fresh base so read
     amplification stays bounded under a long-running stream."""
