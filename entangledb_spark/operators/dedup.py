@@ -481,6 +481,52 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate near-dup pairs from SimHash fingerprints, completing the
+    q63 path (which emits fingerprints + 16-bit bands but stopped short
+    of pair-finding).
+
+    By pigeonhole, two 64-bit fingerprints within hamming distance <= 3
+    must agree EXACTLY on at least one of the four 16-bit bands — so
+    candidates come from an equi-join per band (union of four hash joins,
+    never all-pairs), then bit_count(xor) filters to the true distance.
+    That equi-join shape is the 100 TB property: cost is O(band
+    collisions), and each band key is near-uniform for non-pathological
+    corpora (identical-fingerprint floods collapse into the exact-dedup
+    path first). max_hamming > 4·16-band guarantee holds up to 3; the
+    parameter is validated against the pigeonhole bound.
+
+    sim: output of q63-shaped relation (doc_id, simhash, band_a..band_d).
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, deduped across
+    bands."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4 bands of 16 bits only guarantee "
+            "candidate recall for hamming <= 3 (pigeonhole); re-band first"
+        )
+    a, b = sim.alias("a"), sim.alias("b")
+    per_band = [
+        a.join(
+            b,
+            (F.col(f"a.band_{x}") == F.col(f"b.band_{x}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        for x in ("a", "b", "c", "d")
+    ]
+    out = per_band[0]
+    for p in per_band[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int | None = None
 ) -> DataFrame:

@@ -281,10 +281,15 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     token frequency distribution is a standard gibberish/boilerplate signal
     (low entropy = repetitive text).
 
-    Oracle-matched despite the numpy path: Python's `str.split()` is the
-    `\\S+` token regex, and the entropy sum is rounded to 4 decimals on
-    both sides (summation-order float noise is ~1e-12, far below the
-    rounding grain)."""
+    Oracle-matched despite the numpy path: tokenization is re.findall of
+    the SAME explicit whitespace class as TOKEN_RE (Python's str.split()
+    would split on Unicode whitespace — \\x1c-\\x1f, \\x85, NBSP — that
+    neither Java's \\s nor the oracle's class treats as separators), and
+    the entropy sum is rounded to 4 decimals on both sides
+    (summation-order float noise is ~1e-12, far below the rounding
+    grain)."""
+    import re
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -292,6 +297,7 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entangledb_spark.deploy import ensure_shipped
 
     ensure_shipped(spark)
+    token_re = re.compile(TOKEN_RE)
 
     # no type hints: `from __future__ import annotations` stringifies them,
     # which pandas_udf's hint parser can't resolve for locally-imported pd
@@ -299,7 +305,7 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def token_entropy(texts):
         out = []
         for t in texts:
-            toks = t.lower().split()
+            toks = token_re.findall(t.lower())
             if not toks:
                 out.append(0.0)
                 continue

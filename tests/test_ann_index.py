@@ -56,6 +56,23 @@ def test_q71_lsh_branch_routes_through_index(spark):
     assert _LSH_INDEX_CACHE[SF] == first_dir
 
 
+def test_probe_external_id_space_exclude_self_flag(spark, tmp_path):
+    """exclude_self (default True) assumes probe and index share one id
+    space. For an EXTERNAL probe set, a coincidental id collision must
+    not drop the true nearest neighbor: probing with vec_id=0 carrying
+    corpus-vector-0's own embedding, exclude_self=False must return
+    neighbor 0 at cos≈1.0 rank 1, while the default excludes it."""
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(_emb(spark), idx)
+    v0 = _emb(spark).filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probe = spark.createDataFrame([(0, v0)], "vec_id long, embedding array<double>")
+    incl = probe_lsh_index(spark, idx, probe, exclude_self=False).collect()
+    top = [r for r in incl if r["rk"] == 1][0]
+    assert top["neighbor_id"] == 0 and top["cos_sim"] >= 0.9999
+    excl = probe_lsh_index(spark, idx, probe).collect()
+    assert all(r["neighbor_id"] != 0 for r in excl)
+
+
 def test_index_layout_is_partition_pruned(spark, tmp_path):
     idx = str(tmp_path / "lsh_index")
     build_lsh_index(_emb(spark), idx)

@@ -74,3 +74,55 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert recall >= MIN_RECALL, (
         f"LSH banding recall {recall:.2f} < {MIN_RECALL} ({len(truth)} true pairs)"
     )
+
+
+def _bands(h: int) -> tuple[int, int, int, int]:
+    return ((h >> 48) & 0xFFFF, (h >> 32) & 0xFFFF, (h >> 16) & 0xFFFF, h & 0xFFFF)
+
+
+def test_simhash_near_pairs_banded(spark):
+    """simhash_near_pairs: pigeonhole-banded candidate generation finds
+    exactly the fingerprint pairs within hamming <= 3 — built from known
+    synthetic fingerprints so the expected pair set is provable by hand."""
+    import pytest
+
+    from entangledb_spark.operators.dedup import simhash_near_pairs
+
+    base = 0x0123456789ABCDEF
+    fps = {
+        1: base,
+        2: base ^ 0b101,            # 2 flips, both in band_d -> hamming 2
+        3: base ^ ((1 << 63) | (1 << 40) | (1 << 20) | 1),  # 4 flips, one per band
+        4: 0x7EDCBA9876543210,      # far away
+        5: base ^ (1 << 17),        # 1 flip in band_c -> hamming 1 (pairs w/ 1 AND 2)
+    }
+    rows = [(d, _to_i64(h), *(_to_i64(b) for b in _bands(h))) for d, h in fps.items()]
+    sim = spark.createDataFrame(
+        rows, "doc_id long, simhash long, band_a long, band_b long, band_c long, band_d long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(sim).collect()
+    }
+    assert got == {(1, 2): 2, (1, 5): 1, (2, 5): 3}, got
+    # doc 3 (hamming 4 from doc 1) excluded even though it shares no full
+    # band; doc 4 shares nothing. The pigeonhole bound is enforced:
+    with pytest.raises(ValueError, match="hamming <= 3"):
+        simhash_near_pairs(sim, max_hamming=4)
+
+
+def _to_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_near_pairs_on_fixture(spark):
+    """End-to-end over q63's output on the fixture corpus: structural
+    invariants (ordering, distance bound, exact duplicates at hamming 0
+    — the fixture contains exact-copy documents)."""
+    from entangledb_spark.operators.dedup import simhash_near_pairs
+
+    load_all()
+    sim = QUERIES["q63_dedup_simhash"](spark, SF)
+    pairs = simhash_near_pairs(sim, max_hamming=3).collect()
+    assert all(r["doc_a"] < r["doc_b"] and 0 <= r["hamming"] <= 3 for r in pairs)
+    assert any(r["hamming"] == 0 for r in pairs)  # exact copies exist in fixture
