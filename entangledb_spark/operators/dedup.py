@@ -617,3 +617,40 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("keep_doc").cast("long").alias("keep_doc"),
         )
     )
+
+
+def near_dup_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    min_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The operator a curation pipeline actually runs: the cleaned corpus
+    after near-duplicate removal. Composes the full scale path — MinHash
+    signatures → LSH banding → candidate pairs (filtered to
+    est_jaccard >= ``min_est_jaccard``) → connected components → keep the
+    minimum doc_id per cluster — and anti-joins the losers back against
+    the documents table, preserving the input schema.
+
+    Every stage is the documented shuffle-minimal shape (see
+    q62/q67/connected_components); the final step is one left-anti join
+    on the id (the loser set is |cluster members| - |clusters| rows,
+    tiny relative to the corpus). Counterpart of ``exact_dedup`` for the
+    near-dup regime."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = (
+        q62_dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    vertices = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, pairs)
+    keep = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    losers = comp.join(
+        keep, (comp.component == keep.component) & (comp.id == keep.keep_id), "left_anti"
+    ).select(F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
