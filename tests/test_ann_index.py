@@ -89,6 +89,27 @@ def test_index_layout_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
 
 
+def test_probe_join_dynamic_partition_pruning(spark, tmp_path):
+    """The probe join itself must prune index partitions at the source:
+    the tiny probe side broadcasts, and Spark injects a
+    dynamicpruningexpression on the index scan's (tbl, bucket) partition
+    columns — probes read only the files of buckets they actually touch,
+    the property that makes probe cost corpus-size-independent. A
+    regression to a full index scan would still return correct rows, so
+    only this plan assertion catches it."""
+    idx = str(tmp_path / "lsh_index")
+    build_lsh_index(_emb(spark), idx)
+    probes = _emb(spark).filter(F.col("vec_id") < 20)
+    plan = (
+        probe_lsh_index(spark, idx, probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_incremental_append(spark, tmp_path):
     idx = str(tmp_path / "lsh_index")
     e = _emb(spark)
