@@ -27,7 +27,13 @@ from entangledb_spark.session import get_spark  # noqa: E402
 registry.load_all()
 
 # Headline set: one per operator family — scan/agg, joins (hash + star),
-# top-k, window, streaming-window, text, dedup (exact + MinHash-LSH), ANN.
+# top-k, window, streaming-window, text, dedup (exact + MinHash-LSH),
+# ANN (brute-force + indexed-LSH/IVF: q71's first rep builds the
+# persistent index, later reps hit the per-process cache, so best-of-N
+# reports the build-once/probe-many serving cost). q61 stays out: it is
+# the deliberately brute-force sampled VALIDATOR whose production
+# replacement is q62 — benchmarking it as a headline would advertise a
+# plan shape the engine exists to avoid.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_scan_filter_project",
@@ -47,6 +53,7 @@ HEADLINE = [
     "q60_dedup_exact",
     "q62_dedup_minhash_lsh",
     "q70_ann_bruteforce_topk",
+    "q71_ann_scalable",
     "q81_quality_repetition",
     "q93_span_dedup",
     "q94_asof_join",
