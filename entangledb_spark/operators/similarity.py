@@ -165,14 +165,21 @@ def expand_multiprobe(
     ``n_flips`` of its code (n_flips=1 → the n_planes single-bit flips —
     the standard multi-probe LSH trick: a vector near a hyperplane falls
     on the wrong side of exactly that one sign bit, so its true neighbors
-    sit one bit away). Probe cost grows ×(1+n_planes) on the TINY probe
-    side only; the corpus/index side is untouched — recall rises without
-    re-hashing or growing the index."""
+    sit one bit away; n_flips=2 adds all two-bit flips for another recall
+    step at C(n_planes,2) more probe buckets). Probe cost grows
+    ×Σ C(n_planes, r) on the TINY probe side only; the corpus/index side
+    is untouched — recall rises without re-hashing or growing the
+    index."""
     if n_flips <= 0:
         return codes
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, n_flips + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
     flips = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
     )
     return codes.withColumn("bucket", F.explode(flips))
 

@@ -108,6 +108,19 @@ def test_probe_join_dynamic_partition_pruning(spark, tmp_path):
     )
     assert "dynamicpruning" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+    # IVF probes get the same treatment on their cell partition column
+    from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+    from entangledb_spark.operators.similarity import N_IVF_CELLS
+
+    ividx = str(tmp_path / "ivf_index")
+    build_ivf_index(_emb(spark), ividx, n_cells=N_IVF_CELLS)
+    iplan = (
+        probe_ivf_index(spark, ividx, probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in iplan, iplan
 
 
 def test_incremental_append(spark, tmp_path):

@@ -166,6 +166,43 @@ def test_crash_between_snapshot_and_publish_is_exactly_once(
     assert _rows(engine) == [(1, 10), (2, 20)]
 
 
+def test_stream_query_crash_and_restart_exactly_once(
+    spark, engine, tmp_path, monkeypatch
+):
+    """E2E through the real writeStream machinery: the streaming QUERY
+    dies when its sink crashes on the second micro-batch; a restarted
+    query with the same checkpoint replays that batch (same batch_id —
+    the replayable-source contract) and the table converges with every
+    row exactly once."""
+    import entangledb_spark.streaming.ingest as ingest_mod
+
+    _mk_table(engine)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_files(spark, src, [range(0, 5), range(5, 10)])
+
+    real = ingest_mod.commit_stream_batch
+    crashed = {"n": 0}
+
+    def flaky(cat, tbl, sid, df, bid):
+        if bid == 1 and crashed["n"] == 0:
+            crashed["n"] += 1
+            raise RuntimeError("injected sink crash")
+        return real(cat, tbl, sid, df, bid)
+
+    monkeypatch.setattr(ingest_mod, "commit_stream_batch", flaky)
+    w = stream_upsert_writer(engine.catalog, "ev", _stream(spark, src), "s1", ckpt)
+    with pytest.raises(Exception, match="injected sink crash"):
+        w.trigger(availableNow=True).start().awaitTermination()
+    assert crashed["n"] == 1
+    assert _rows(engine) == [(i, i * 10) for i in range(5)]  # batch 0 only
+
+    w2 = stream_upsert_writer(engine.catalog, "ev", _stream(spark, src), "s1", ckpt)
+    w2.trigger(availableNow=True).start().awaitTermination()
+    assert _rows(engine) == [(i, i * 10) for i in range(10)]
+    assert engine.catalog.manifest()["streams"]["s1"] == 1
+
+
 def test_cas_retry_is_bounded(spark, engine, tmp_path, monkeypatch):
     """A wedged manifest (every CAS attempt loses) must fail the stream
     LOUDLY after MAX_CAS_ATTEMPTS instead of spinning forever."""
