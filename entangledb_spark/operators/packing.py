@@ -413,3 +413,77 @@ def q96_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     share — the tokenizer-training / stopword-list input. Coverage is an
     exact-integer ratio, so the doubles agree bit-for-bit with DuckDB."""
     return vocabulary(table(spark, sf_dir, "documents"), top_k=200)
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 50, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training over the corpus — the step that
+    turns vocabulary statistics into an actual tokenizer (Sennrich et al.
+    2016). Returns the learned merge list [(left, right, pair_count),
+    ...] in merge order, greedy-highest-count with lexicographic
+    tie-break (deterministic across runs and cluster sizes).
+
+    Scale shape — the classic BPE trick, distributed:
+      1. ONE corpus pass builds the distinct-word frequency table
+         (groupBy(word) with map-side partial aggregation; Zipf-safe for
+         the same reason as vocabulary()).
+      2. Every merge round then operates on the VOCAB relation only
+         (|distinct words| rows — millions, not the corpus' trillions of
+         tokens): explode adjacent symbol pairs weighted by word count,
+         aggregate, take the global argmax (a ONE-ROW driver probe — the
+         same bounded-collect class as the compiler's constant folds),
+         and rewrite each word's symbol array with a left-to-right fold
+         (F.aggregate — codegen'd, handles overlapping pairs like 'aaa'
+         exactly like reference BPE).
+      3. localCheckpoint per round keeps the iterative lineage flat
+         (same discipline as connected_components).
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = words.select(
+        F.split(F.col("w"), "").alias("syms"), F.col("c")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b")).limit(1).collect()
+        if not best or best[0]["n"] < 2:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        merged = a + b
+        # left-to-right fold: append each symbol, or fuse it with the
+        # accumulator's tail when (tail, current) == (a, b). Overlapping
+        # runs behave like reference BPE ('aaa' + (a,a) -> ['aa','a']).
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
+                "ELSE concat(acc, array(x)) END)"
+            ).alias("syms"),
+            "c",
+        ).localCheckpoint(eager=True)
+    return merges

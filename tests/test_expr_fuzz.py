@@ -15,6 +15,8 @@ Mod denominators are generated nonzero so a batch never aborts on one term.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -78,7 +80,7 @@ exprs_batch = st.lists(
 
 
 @settings(
-    max_examples=30,
+    max_examples=int(os.environ.get("ENTANGLE_FUZZ_EXAMPLES", "30")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )

@@ -240,3 +240,72 @@ def test_vocabulary_coverage_monotone(spark):
     assert all(0 < a <= b <= 1.0 for a, b in zip(cov, cov[1:]))
     freqs = [r["term_freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def _ref_bpe(word_counts: dict, n_merges: int):
+    """Independent reference BPE trainer (Sennrich-style greedy merges,
+    highest count first, lexicographically smallest pair on ties)."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), n = best
+        merges.append((a, b, n))
+        new_vocab: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train's distributed merge loop must reproduce the reference
+    BPE trainer merge-for-merge, including overlapping-pair folds
+    ('aaa' + (a,a) -> ['aa','a']) and count-weighted ties."""
+    from collections import Counter
+
+    from entangledb_spark.operators.packing import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaa aaa banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    word_counts = Counter(w for t in texts for w in t.split())
+    want = _ref_bpe(dict(word_counts), 12)
+    got = bpe_train(docs, n_merges=12)
+    assert got == want, (got, want)
+    assert len(got) >= 8  # the corpus supports a real merge sequence
+
+
+def test_bpe_train_on_fixture_prefix(spark):
+    """Smoke at fixture scale: merges are deterministic across runs and
+    counts are non-increasing (greedy argmax invariant)."""
+    from entangledb_spark.operators.packing import bpe_train
+
+    docs = table(spark, SF, "documents").limit(100)
+    a = bpe_train(docs, n_merges=6)
+    b = bpe_train(docs, n_merges=6)
+    assert a == b and len(a) == 6
+    counts = [n for _, _, n in a]
+    assert counts == sorted(counts, reverse=True)

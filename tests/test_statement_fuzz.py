@@ -18,6 +18,8 @@ Shared-semantics constraints baked into the generators:
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -124,7 +126,7 @@ def _run_both(spark, sql):
 
 
 @settings(
-    max_examples=25,
+    max_examples=int(os.environ.get("ENTANGLE_FUZZ_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -134,7 +136,7 @@ def test_grouped_selects_match_duckdb(spark, sql):
 
 
 @settings(
-    max_examples=25,
+    max_examples=int(os.environ.get("ENTANGLE_FUZZ_EXAMPLES", "25")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
