@@ -1,6 +1,7 @@
-"""Corpus-level span dedup, sequence packing, and vocabulary induction.
+"""Corpus-level span dedup, sequence packing, vocabulary induction, and
+BPE merge training.
 
-The three remaining training-data preparation steps between "scored, deduped
+The remaining training-data preparation steps between "scored, deduped
 documents" and "token batches on the trainer":
 
 - **Span dedup** (C4-style): remove text spans duplicated across the corpus
@@ -14,6 +15,11 @@ documents" and "token batches on the trainer":
   first-fit packing (applyInPandas over bounded shards).
 - **Vocabulary induction**: corpus-wide term and document frequencies with
   cumulative coverage — the input to tokenizer training and stopword lists.
+- **BPE merge training + encoding** (bpe_train / bpe_encode): the
+  tokenizer-training step itself — greedy pair merges learned over the
+  distinct-word frequency table (one corpus pass; merge rounds touch only
+  the vocab relation) — and the corpus encoder applying the learned merge
+  ranks per document in an Arrow-batched pandas UDF (the q66 shape).
 
 Span dedup and vocabulary induction are driver-gate entries (q93, q96)
 with full DuckDB oracles; the packers stay pytest-covered (DuckDB-mirror
@@ -487,3 +493,61 @@ def bpe_train(
             "c",
         ).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge list (bpe_train output):
+    each [a-z]+ word is split to characters, then adjacent pairs are
+    merged repeatedly, LOWEST merge-rank first — exactly the standard BPE
+    encoder, so a word frequent at train time collapses back to few
+    symbols.
+
+    The merge-rank table ships inside the Arrow-batched pandas UDF's
+    closure (KBs for realistic merge counts; use a Spark broadcast
+    variable beyond ~1M merges). Per-row Python is the honest cost here
+    — rank-ordered pair folding is data-dependent control flow Catalyst
+    can't express — and the batch shape is the same documented q66 class:
+    one narrow pass, no shuffle, scales with partitions.
+
+    Returns (id_col, bpe_tokens array<string>, n_bpe_tokens).
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    word_re = re.compile(r"[a-z]+")
+
+    @pandas_udf("array<string>")
+    def encode(texts):
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in word_re.findall(t.lower()):
+                syms = list(w)
+                while len(syms) > 1:
+                    best_i, best_r = -1, None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_r is None or r < best_r):
+                            best_i, best_r = i, r
+                    if best_r is None:
+                        break
+                    syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+                toks.extend(syms)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))

@@ -309,3 +309,32 @@ def test_bpe_train_on_fixture_prefix(spark):
     assert a == b and len(a) == 6
     counts = [n for _, _, n in a]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """bpe_encode round-trip: concatenating a word's BPE symbols must
+    reconstruct the word, and words frequent at train time must collapse
+    to a single symbol while unseen words stay character-split."""
+    from entangledb_spark.operators.packing import bpe_encode, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=30)
+    probe = spark.createDataFrame(
+        [(100, "newest low zzqq")], "doc_id long, text string"
+    )
+    row = bpe_encode(spark, probe, merges).collect()[0]
+    toks = row["bpe_tokens"]
+    assert "".join(toks) == "newestlowzzqq"
+    assert row["n_bpe_tokens"] == len(toks)
+    # 'newest' (6 occurrences at train time) fully merged; 'zzqq' unseen
+    assert "newest" in toks
+    assert "low" in toks
+    i = toks.index("low")
+    assert toks[i + 1 :] == ["z", "z", "q", "q"]
