@@ -1,0 +1,196 @@
+"""Winnowing document fingerprints (rolling k-gram hashes + min-in-window
+selection) and fingerprint-overlap containment detection.
+
+Whole-document near-dup (MinHash/SimHash Jaccard, operators/dedup.py) misses
+PARTIAL overlap: a document that embeds one paragraph of another shares few
+whole-doc shingles. Winnowing (Schleimer, Wilkerson & Aiken, "Winnowing:
+Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+algorithm) selects a sparse, position-robust subset of k-gram hashes with a
+coverage GUARANTEE: any shared substring of at least k + window - 1
+characters contributes at least one shared fingerprint. That makes
+fingerprint overlap a containment detector — licence headers, boilerplate,
+quoted passages — at a storage density of ~2/(window+1) fingerprints per
+character.
+
+Spark shape: everything per-document is ONE narrow codegen'd map built from
+higher-order functions (sequence → transform → slice → array_min); no
+explode happens until the (doc_id, fp) relation, which is already winnowed-
+sparse. The overlap join is an equi-join on the fingerprint hash with the
+same doc-frequency hot-key cap as the Jaccard path (dedup.py:DOC_FREQ_CAP
+rationale) — never all-pairs. Hashes are md5 hex STRINGS compared
+lexicographically, which Spark and DuckDB order identically (the
+established parity trick from span dedup, packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.text import normalize_text
+
+# k must be large enough that a matching k-gram means COPIED TEXT, not
+# shared vocabulary: at k=8 ("the quic") template-generated corpora share
+# most grams and the overlap join degenerates toward all-pairs (measured
+# at sf0.01: 88k of 125k possible pairs, ~8 min); at k=24 a collision is
+# a genuinely duplicated 24-char run. MOSS itself uses k~50 for prose
+# (Schleimer et al. SIGMOD'03 §5). Noise threshold k=24, guarantee
+# threshold t=k+window-1=31: any shared run >= 31 chars is always caught.
+K_GRAM = 24  # rolling k-gram width (characters, post-normalization)
+WINDOW = 8  # winnowing window (consecutive k-gram hashes per min-pick)
+# Fingerprints present in more than this fraction of documents are dropped
+# before the overlap self-join: a fingerprint in d docs generates C(d,2)
+# candidate rows, so corpus-frequent boilerplate prints are quadratically
+# expensive AND carry no containment signal (same rationale as the Jaccard
+# DOC_FREQ_CAP, tighter because the cost is per-fingerprint-quadratic).
+FP_DOC_FREQ_CAP = 0.1
+
+
+def _let(bound: Column, body) -> Column:
+    """Let-bind ``bound`` as a lambda variable for ``body``.
+
+    Higher-order lambdas re-evaluate any CAPTURED expression tree once per
+    array element — so ``slice(grams, j, w)`` inside a transform recomputes
+    the whole grams pipeline (every md5 + the normalize regexp) at every
+    window position, turning winnowing quadratic in document length
+    (measured: sf0.01's 500 ~300-char docs took >5 min). Wrapping the
+    expression in a single-element array and transforming binds it to a
+    lambda VARIABLE, which is evaluated once per row and merely referenced
+    per element."""
+    return F.transform(F.array(bound), body)[0]
+
+
+def winnow_expr(text: Column, k: int = K_GRAM, window: int = WINDOW) -> Column:
+    """DISTINCT winnowed fingerprints of ``text`` as an array<string>
+    column — one narrow expression, no shuffle, no UDF.
+
+    Grams are md5(hex) of the k-char substrings of the normalized text;
+    each length-``window`` run of consecutive gram hashes contributes its
+    minimum (robust winnowing's guarantee needs any-min; taking the
+    lexicographic min of hex strings keeps both engines identical).
+    Documents shorter than k + window - 1 chars but at least k chars
+    contribute the single global min; shorter still → empty array."""
+
+    def with_grams(grams: Column) -> Column:
+        n_wins = F.size(grams) - F.lit(window - 1)
+        wins = F.when(
+            n_wins >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                lambda j: F.array_min(F.slice(grams, j, window)),
+            ),
+        ).otherwise(
+            F.when(F.size(grams) >= 1, F.array(F.array_min(grams))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        return F.array_distinct(wins)
+
+    def with_text(s: Column) -> Column:
+        n_grams = F.length(s) - F.lit(k - 1)
+        # guard: Spark's sequence(1, n) with n < 1 is a DESCENDING
+        # sequence, not empty — short docs must short-circuit to an
+        # empty gram list
+        grams = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.md5(s.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return _let(grams, with_grams)
+
+    return _let(normalize_text(text), with_text)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document winnowing summary:
+    (id, n_grams, n_fps, fps) — ``fps`` the distinct fingerprint set.
+
+    n_fps/n_grams ≈ 2/(window+1) for non-repetitive text; highly
+    self-repetitive documents winnow to far fewer distinct prints (the
+    same few hashes win every window), so the ratio itself is a cheap
+    repetitiveness signal alongside operators/quality.py."""
+    s = normalize_text(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.greatest(F.length(s) - F.lit(k - 1), F.lit(0)).cast("long").alias("n_grams"),
+        winnow_expr(F.col(text_col), k, window).alias("fps"),
+    ).withColumn("n_fps", F.size("fps").cast("long"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    min_shared: int = 2,
+    doc_freq_cap: float = FP_DOC_FREQ_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Containment-style overlap pairs: documents sharing >= ``min_shared``
+    winnowed fingerprints, with ``containment`` = shared / min(|fps|) —
+    near 1.0 when the smaller document is mostly contained in the larger,
+    regardless of how big the larger one is (exactly the case whole-doc
+    Jaccard scores near 0).
+
+    Plan: fingerprint relation (narrow map + one explode) → hot-fingerprint
+    drop via broadcast anti-join (fps in > cap × |docs| documents) →
+    self-equi-join on the fingerprint hash → pair groupBy. Both shuffles
+    key on uniform md5-derived values; the candidate count is bounded by
+    Σ per-fp doc-frequency², which the cap bounds corpus-relative.
+
+    Returns (doc_a, doc_b, n_shared, containment) with doc_a < doc_b."""
+    from pyspark import StorageLevel
+
+    # Materialize the fingerprint relation ONCE. It is referenced by four
+    # plan branches (sizes, hot-fp stats, both sides of the self-join);
+    # left lazy, each branch re-inlines the winnowing expression tree —
+    # whose nested higher-order functions also blow up optimizer time
+    # super-linearly when duplicated into a self-join (measured: minutes
+    # of driver-side planning at sf0.01 vs seconds once persisted).
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = fps.select(F.col(id_col), "n_fps").filter(F.col("n_fps") > 0)
+    posting = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    n_docs = docs.count()
+    hot = (
+        posting.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > doc_freq_cap * n_docs)
+        .select("fp")
+    )
+    cold = posting.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("_nb"))
+    from entangledb_spark.functions.numeric import r4
+
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            r4(F.col("n_shared") / F.least("_na", "_nb")).alias("containment"),
+        )
+    )

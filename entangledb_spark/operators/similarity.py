@@ -450,3 +450,97 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_sum"),
         )
     )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the fifth dedup strategy
+    from the suite in operators/dedup.py, for the regime where semantic
+    duplicates (translations, paraphrases, re-encodings) share an
+    embedding but not a token set.
+
+    Candidate generation is the multi-table sign-LSH shape from
+    ann_lsh_bucketed, run SYMMETRICALLY: every vector is indexed into
+    N_LSH_TABLES (tbl, bucket) cells; candidate pairs are (a, b) with
+    a.id < b.id sharing a cell in ANY table, with the left side
+    multi-probe-expanded (``n_flips`` bucket-bit flips — one flipped side
+    is sufficient for pair recall because the flip relation is symmetric:
+    if code(a) and code(b) differ in bit i, flipping bit i of a's code
+    reaches b). Exact cosine then keeps pairs >= ``threshold``.
+
+    Precision is exact by construction (every emitted pair really has
+    cos >= threshold — the LSH stage only generates candidates); recall
+    is the LSH collision probability, which is high precisely in the
+    near-dup regime this operator targets (cos -> 1 means the pair
+    disagrees on each hyperplane sign with probability theta/pi -> 0),
+    and is measured against brute-force ground truth in
+    tests/test_embedding_dedup.py.
+
+    100 TB shape: candidates come from an equi-join on (tbl, bucket) —
+    hash-partitioned, cost O(bucket collisions), never all-pairs; the
+    exact-cosine filter is a narrow codegen'd map over candidate rows.
+
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    codes = lsh_bucket_codes(e)
+    left = expand_multiprobe(codes, n_flips=n_flips).alias("a")
+    right = codes.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("_ea"),
+            F.col("b.embedding").alias("_eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos_sim", r4(cosine_sim(F.col("_ea"), F.col("_eb"))))
+        .filter(F.col("cos_sim") >= threshold)
+        .drop("_ea", "_eb")
+    )
+
+
+def embedding_near_dup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Survivor set of embedding-cosine near-dup: connected components
+    over the >= ``threshold`` pair graph, keep the minimum id per
+    component, anti-join the losers back — the embedding-space
+    counterpart of dedup.exact_dedup / dedup.near_dup_survivors,
+    preserving the input schema.
+
+    The pair graph at a high threshold is tiny relative to the corpus,
+    so the component step runs on a relation many orders of magnitude
+    smaller than the input; the final anti-join is the only corpus-wide
+    operation after candidate generation."""
+    from entangledb_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=threshold, n_flips=n_flips, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    vertices = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, pairs)
+    keep = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    losers = comp.join(
+        keep, (comp.component == keep.component) & (comp.id == keep.keep_id), "left_anti"
+    ).select(F.col("id").alias(id_col))
+    return emb.join(losers, id_col, "left_anti")

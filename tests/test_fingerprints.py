@@ -1,0 +1,122 @@
+"""Winnowing fingerprints: the SIGMOD'03 coverage guarantee on planted
+overlaps, containment-pair detection, and a full DuckDB mirror of the
+fingerprint relation on the real documents table."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.fingerprints import (
+    K_GRAM,
+    WINDOW,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from tests.oracle import duck_connect
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Any shared substring of >= k + window - 1 chars must yield at least
+    one shared fingerprint (the winnowing guarantee)."""
+    rng = random.Random(11)
+    a = _rand_text(rng, 400)
+    # the guarantee-minimum shared run, placed mid-document in b
+    shared = a[100 : 100 + K_GRAM + WINDOW - 1]
+    b = _rand_text(rng, 150) + shared + _rand_text(rng, 150)
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df).collect()}
+    assert fps[0] & fps[1], "guarantee violated: no shared fingerprint"
+
+
+def test_winnow_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "x" * K_GRAM), (3, "y" * (K_GRAM + WINDOW + 5))],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in winnow_fingerprints(df).collect()}
+    assert rows[0].n_fps == 0 and rows[0].n_grams == 0
+    assert rows[1].n_fps == 0  # shorter than one k-gram
+    assert rows[2].n_fps == 1  # one gram, below window -> global min
+    assert rows[3].n_fps == 1  # repetitive: every window picks the same hash
+
+
+def test_overlap_pairs_detect_containment(spark):
+    """A 250-char passage of A embedded in B is found as an overlap pair
+    with high containment even though B is mostly unrelated text; the
+    unrelated doc C pairs with neither."""
+    rng = random.Random(23)
+    a = _rand_text(rng, 600)
+    passage = a[50:300]
+    b = _rand_text(rng, 500) + passage + _rand_text(rng, 500)
+    c = _rand_text(rng, 800)
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    # doc_freq_cap is corpus-relative: with a 3-doc fixture the default 0.5
+    # cap (> 1.5 docs) would drop exactly the planted shared fingerprints,
+    # so disable it here — the cap's boundary behavior has its own test in
+    # the Jaccard suite it mirrors (tests/test_skew_stress.py).
+    pairs = {
+        (r.doc_a, r.doc_b): r
+        for r in winnow_overlap_pairs(df, min_shared=3, doc_freq_cap=1.0).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)].containment > 0.2
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnow_duckdb_mirror(spark, sf_dir):
+    """Full-engine parity of (n_grams, n_fps, sorted-fps digest) per
+    document on the real corpus — same md5-hex/lexicographic-min recipe
+    expressed in DuckDB list functions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sdf = (
+        winnow_fingerprints(docs)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_fps",
+            F.md5(F.concat_ws(",", F.array_sort("fps"))).alias("digest"),
+        )
+    )
+    got = {r.doc_id: (r.n_grams, r.n_fps, r.digest) for r in sdf.collect()}
+    k, w = K_GRAM, WINDOW
+    con = duck_connect(sf_dir)
+    sql = f"""
+    WITH s AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             greatest(length(t) - {k - 1}, 0) AS n_grams,
+             list_transform(range(1, greatest(length(t) - {k - 1}, 0) + 1),
+                            i -> md5(substring(t, CAST(i AS INTEGER), {k}))) AS grams
+      FROM s
+    ),
+    wn AS (
+      SELECT doc_id, n_grams,
+             CASE
+               WHEN len(grams) - {w - 1} >= 1 THEN
+                 list_distinct(list_transform(
+                   range(1, len(grams) - {w - 1} + 1),
+                   j -> list_aggregate(
+                     grams[CAST(j AS INTEGER):CAST(j + {w - 1} AS INTEGER)], 'min')))
+               WHEN len(grams) >= 1 THEN [list_aggregate(grams, 'min')]
+               ELSE CAST([] AS VARCHAR[])
+             END AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_sort(fps), ',')) AS digest
+    FROM wn
+    """
+    truth = {d: (g, n, dg) for d, g, n, dg in con.execute(sql).fetchall()}
+    assert got == truth
