@@ -34,6 +34,15 @@ registry.load_all()
 # the deliberately brute-force sampled VALIDATOR whose production
 # replacement is q62 — benchmarking it as a headline would advertise a
 # plan shape the engine exists to avoid.
+# Known, deliberate cost changes this round: a query listed here is
+# reported under "expected_regressions" (with its reason) instead of
+# "regressions_gt_15pct" — the slowdown is a scope change, not a plan
+# regression. Prune entries once a round's BENCH_r*.json reflects them.
+EXPECTED_REGRESSIONS = {
+    "q50_text_suite": "gained winnowing fingerprint density+digest columns"
+    " (operators/fingerprints.py joined the oracle gate; ~+0.8s at sf0.1)",
+}
+
 HEADLINE = [
     "q01_pricing_summary",
     "q02_scan_filter_project",
@@ -114,8 +123,15 @@ def main() -> None:
         }
         out["delta_vs_prev"] = delta
         out["regressions_gt_15pct"] = sorted(
-            q for q, d in delta.items() if d > 0.15
+            q for q, d in delta.items() if d > 0.15 and q not in EXPECTED_REGRESSIONS
         )
+        expected = {
+            q: EXPECTED_REGRESSIONS[q]
+            for q, d in delta.items()
+            if d > 0.15 and q in EXPECTED_REGRESSIONS
+        }
+        if expected:
+            out["expected_regressions"] = expected
     print(json.dumps(out))
 
 

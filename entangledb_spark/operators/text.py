@@ -87,6 +87,29 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
              CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS BIGINT)  AS fr_score,
              CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|que)\b')) AS BIGINT) AS es_score
       FROM documents
+    ),
+    -- winnowing fingerprints (operators/fingerprints.py): k=24, window=8
+    -- (K_GRAM/WINDOW constants; hardcoded because the literal is not an
+    -- f-string — regex braces would collide)
+    fpg AS (
+      SELECT doc_id,
+             greatest(length(t) - 23, 0) AS n_fp_grams,
+             list_transform(range(1, greatest(length(t) - 23, 0) + 1),
+                            i -> md5(substring(t, CAST(i AS INTEGER), 24))) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents)
+    ),
+    wn AS (
+      SELECT doc_id, n_fp_grams,
+             CASE
+               WHEN len(g) - 7 >= 1 THEN
+                 list_distinct(list_transform(
+                   range(1, len(g) - 7 + 1),
+                   j -> list_aggregate(g[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], 'min')))
+               WHEN len(g) >= 1 THEN [list_aggregate(g, 'min')]
+               ELSE CAST([] AS VARCHAR[])
+             END AS fps
+      FROM fpg
     )
     SELECT doc_id,
            CAST(length(text) AS BIGINT)                               AS n_char,
@@ -123,8 +146,11 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
            CAST(len(regexp_extract_all(text,
                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
            CAST(len(regexp_extract_all(text,
-                '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phones
-    FROM scores
+                '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(wn.n_fp_grams AS BIGINT) AS n_fp_grams,
+           CAST(len(wn.fps) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_sort(wn.fps), ',')) AS fp_digest
+    FROM scores JOIN wn USING (doc_id)
     """,
 )
 def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +169,12 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     - content fingerprint: md5 over normalized text — the exact-dedup key
       (grouped form lives in q60_dedup_exact).
     - PII redaction: e-mail/phone regex scrub with match counts.
+    - winnowing fingerprint density + digest (operators/fingerprints.py):
+      n_fp_grams / n_fps / md5-of-sorted-prints — puts the winnowing
+      relation itself on the driver's DuckDB oracle gate (the overlap
+      JOIN stays pytest-verified); the n_fps/n_fp_grams ratio vs the
+      ~2/(window+1) expectation is also a cheap self-repetitiveness
+      signal.
 
     Everything is built-in JVM regexp/hash expressions in whole-stage
     codegen: a pure narrow map, zero shuffles, one pass over text — at
@@ -151,7 +183,12 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread across cores first (no-op when the input already has ≥cores
     partitions)."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
+    from entangledb_spark.operators.fingerprints import (
+        K_GRAM as _K_GRAM,
+        winnow_expr,
+    )
 
+    _winnow_fps = winnow_expr(F.col("text"))
     d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     n_char = F.length("text")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
@@ -200,6 +237,13 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         count_re(F.col("text"), _EMAIL_RE).cast("long").alias("n_emails"),
         count_re(F.col("text"), _PHONE_RE).cast("long").alias("n_phones"),
+        F.greatest(
+            F.length(normalize_text(F.col("text"))) - F.lit(_K_GRAM - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_fp_grams"),
+        F.size(_winnow_fps).cast("long").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.array_sort(_winnow_fps))).alias("fp_digest"),
     )
 
 
