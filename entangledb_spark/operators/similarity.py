@@ -278,12 +278,14 @@ def ivf_centroids(
     relative) cannot make re-runs diverge. Cells that lose every member
     simply disappear (fewer, denser cells)."""
     cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
-    w_med = Window.partitionBy("cell").orderBy("vec_id")
+    # min_by, not a row_number window: the medoid pick is a declarative
+    # aggregate with MAP-SIDE partial combine — each input partition
+    # reduces to ≤ n_cells rows before the (tiny) shuffle, where the
+    # window form sort-shuffles the whole corpus by cell first.
     cents = (
         e.withColumn("cell", cell_of)
-        .withColumn("rk", F.row_number().over(w_med))
-        .filter(F.col("rk") == 1)
-        .select(F.col("cell"), F.col("embedding").alias("centroid"))
+        .groupBy("cell")
+        .agg(F.min_by("embedding", "vec_id").alias("centroid"))
     )
     for _ in range(refine):
         assigned = ivf_assign(e, cents)
@@ -302,21 +304,57 @@ def ivf_centroids(
     return cents
 
 
-def ivf_assign(df: DataFrame, centroids: DataFrame, nprobe: int = 1) -> DataFrame:
-    """Nearest-centroid assignment via a broadcast of the tiny centroid
-    table — one narrow pass, no corpus shuffle. ``nprobe`` > 1 (probe side
-    only — corpus vectors always live in exactly their top-1 cell) emits
-    the ``nprobe`` nearest cells per vector: the standard IVF recall
-    lever — a query near a cell boundary also searches the adjacent
-    cells, at nprobe× the (probe-proportional) search cost."""
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist"), F.col("cell"))
-    return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("dist", -cosine_sim(F.col("embedding"), F.col("centroid")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= nprobe)
-        .select("vec_id", "embedding", "cell")
+def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
+    """Nearest-centroid assignment as ONE narrow codegen'd map: the ≤
+    n_cells centroid rows are constant-folded into a literal struct-array
+    expression (the same bounded-collect pattern the plan compiler uses
+    for scalar subqueries), per-row distances are sorted with array_sort
+    — dist then cell, the exact (dist, cell) ordering the previous
+    window form used — and the top ``nprobe`` cells keep the row.
+
+    The earlier shape (broadcast crossJoin + row_number window) expanded
+    the corpus ×n_cells and then SHUFFLED the expansion by vec_id to
+    rank it — at 100 TB that's a full-corpus sort exchange for what is
+    an O(n_cells) per-row argmin. Now there is no exchange at all:
+    corpus assignment is embarrassingly parallel, and ``nprobe`` > 1
+    (probe side only — corpus vectors always live in exactly their
+    top-1 cell) costs only the slice width.
+
+    Distances are NEGATIVE DOT PRODUCTS against UNIT-NORMALIZED
+    centroids — the row's own norm is a positive per-row constant, so
+    the (dist, cell) ordering is exactly the cosine ordering while the
+    centroid norms fold into the literals (the standard FAISS
+    inner-product trick); per row that halves the array passes AND the
+    expression is assembled as ONE SQL string (hundreds of nested
+    Column-API calls cost ~3 s of driver round-trips per plan).
+
+    ``centroids`` may be the centroid DataFrame or an already-collected
+    row list — callers assigning BOTH a corpus and a probe side against
+    the same centroids should collect once and pass the rows to both
+    calls (a DataFrame is lazily recomputed per collect)."""
+    import math
+
+    if isinstance(centroids, DataFrame):
+        centroids = centroids.select("cell", "centroid").collect()
+    rows = sorted(centroids, key=lambda r: r.cell)
+
+    def unit_lit(vec) -> str:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+        return "array(" + ",".join(
+            f"CAST('{float(x) / n!r}' AS DOUBLE)" for x in vec
+        ) + ")"
+
+    structs = ",".join(
+        "struct(-aggregate(zip_with(embedding, "
+        f"{unit_lit(r.centroid)}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v) AS dist, "
+        f"CAST({int(r.cell)} AS BIGINT) AS cell)"
+        for r in rows
     )
+    top = F.expr(f"slice(array_sort(array({structs})), 1, {int(nprobe)})")
+    return df.select(
+        "vec_id", "embedding", F.explode(top).alias("tc")
+    ).select("vec_id", "embedding", F.col("tc.cell").alias("cell"))
 
 
 def ann_ivf(
@@ -346,10 +384,10 @@ def ann_ivf(
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    cents = ivf_centroids(e, refine=refine)
-    assigned = ivf_assign(e, cents)
+    cent_rows = ivf_centroids(e, refine=refine).select("cell", "centroid").collect()
+    assigned = ivf_assign(e, cent_rows)
     q = ivf_assign(
-        e.filter(F.col("vec_id") < 20), cents, nprobe=nprobe
+        e.filter(F.col("vec_id") < 20), cent_rows, nprobe=nprobe
     ).alias("q")
     n = assigned.alias("n")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
