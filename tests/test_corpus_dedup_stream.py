@@ -1,0 +1,157 @@
+"""Cross-batch streaming corpus dedup (streaming/corpus_dedup.py):
+content seen in ANY earlier batch — or earlier in the same batch — never
+lands twice; redelivery is a no-op; a lost manifest CAS re-derives the
+dedup decision against the winner's state."""
+
+from __future__ import annotations
+
+import pytest
+
+from entangledb_spark.engine import Engine
+from entangledb_spark.sources.catalog import ConflictError
+from entangledb_spark.streaming.corpus_dedup import (
+    commit_dedup_batch,
+    stream_dedup_writer,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.execute("CREATE TABLE corpus (doc_id INTEGER PRIMARY KEY, body STRING)")
+    e.execute("CREATE TABLE corpus_fp (fp STRING PRIMARY KEY, doc_id INTEGER)")
+    return e
+
+
+def _docs(engine):
+    rows, _ = engine.execute("SELECT doc_id, body FROM corpus ORDER BY doc_id").fetch(
+        10_000
+    )
+    return [tuple(t) for t in rows]
+
+
+def _fps(engine):
+    rows, _ = engine.execute("SELECT fp, doc_id FROM corpus_fp ORDER BY doc_id").fetch(
+        10_000
+    )
+    return [tuple(t) for t in rows]
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, body string")
+
+
+def test_within_batch_dedup_keeps_lowest_pk(spark, engine):
+    out = commit_dedup_batch(
+        engine.catalog,
+        "corpus",
+        "corpus_fp",
+        "s1",
+        _batch(spark, [(3, "same text"), (1, "same text"), (2, "other")]),
+        0,
+    )
+    assert out is not None and out["n_new"] == 2
+    assert _docs(engine) == [(1, "same text"), (2, "other")]
+    assert len(_fps(engine)) == 2
+
+
+def test_cross_batch_dedup_and_normalization(spark, engine):
+    commit_dedup_batch(
+        engine.catalog, "corpus", "corpus_fp", "s1", _batch(spark, [(1, "Hello  World")]), 0
+    )
+    # same content later: different id, different whitespace/case — the
+    # normalized fingerprint matches and the doc is dropped
+    out = commit_dedup_batch(
+        engine.catalog,
+        "corpus",
+        "corpus_fp",
+        "s1",
+        _batch(spark, [(2, "hello world"), (3, "brand new")]),
+        1,
+    )
+    assert out["n_new"] == 1
+    assert _docs(engine) == [(1, "Hello  World"), (3, "brand new")]
+
+
+def test_redelivery_is_noop(spark, engine):
+    b = _batch(spark, [(1, "a"), (2, "b")])
+    v = commit_dedup_batch(engine.catalog, "corpus", "corpus_fp", "s1", b, 0)
+    assert v is not None
+    assert commit_dedup_batch(engine.catalog, "corpus", "corpus_fp", "s1", b, 0) is None
+    assert engine.catalog.current_version() == v["version"]
+    assert len(_docs(engine)) == 2
+
+
+def test_lost_cas_rederives_dedup_against_winner(spark, engine, monkeypatch):
+    """A concurrent writer lands the same content between this batch's
+    read and its publish: the first CAS must fail, and the retry must
+    DROP the now-duplicate doc instead of replaying its stale decision."""
+    cat = engine.catalog
+    real_publish = type(cat).publish
+    calls = {"n": 0}
+
+    def racing_publish(self, manifest, expected_version=None):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # sneak a writer in: doc 100 with the contended content wins
+            engine.execute("INSERT INTO corpus VALUES (100, 'contended')")
+            ok = commit_dedup_batch(
+                cat, "corpus", "corpus_fp", "other", _batch(spark, [(100, "contended")]), 0
+            )
+            assert ok is None or ok  # other stream committed (or deduped)
+            # now the original publish must lose its CAS
+            return real_publish(self, manifest, expected_version=expected_version)
+        return real_publish(self, manifest, expected_version=expected_version)
+
+    monkeypatch.setattr(type(cat), "publish", racing_publish)
+    out = commit_dedup_batch(
+        cat,
+        "corpus",
+        "corpus_fp",
+        "s1",
+        _batch(spark, [(1, "contended"), (2, "fresh")]),
+        0,
+    )
+    monkeypatch.undo()
+    assert out is not None and out["n_new"] == 1
+    docs = _docs(engine)
+    assert (2, "fresh") in docs
+    # exactly ONE row holds the contended content — the racing winner's
+    texts = [t for _, t in docs if t == "contended"]
+    assert len(texts) == 1
+    fps = _fps(engine)
+    assert len(fps) == len(docs)
+
+
+def test_end_to_end_file_stream(spark, engine, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # file 1: docs 0-4; file 2 repeats two texts under new ids + one new
+    _batch(spark, [(i, f"doc number {i}") for i in range(5)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _batch(
+        spark, [(10, "doc number 1"), (11, "doc number 3"), (12, "genuinely new")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, body string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    w = stream_dedup_writer(engine.catalog, "corpus", "corpus_fp", stream, "s1", ckpt)
+    w.trigger(availableNow=True).start().awaitTermination()
+    docs = _docs(engine)
+    assert [d for d, _ in docs] == [0, 1, 2, 3, 4, 12]
+    assert len(_fps(engine)) == 6
+    # restart with the same checkpoint: nothing replays
+    v = engine.catalog.current_version()
+    w2 = stream_dedup_writer(engine.catalog, "corpus", "corpus_fp", stream, "s1", ckpt)
+    w2.trigger(availableNow=True).start().awaitTermination()
+    assert engine.catalog.current_version() == v
+
+
+def test_missing_fp_table_fails_loudly(spark, engine):
+    with pytest.raises(ConflictError):
+        commit_dedup_batch(
+            engine.catalog, "corpus", "nope", "s1", _batch(spark, [(1, "x")]), 0
+        )
