@@ -155,3 +155,33 @@ def test_missing_fp_table_fails_loudly(spark, engine):
         commit_dedup_batch(
             engine.catalog, "corpus", "nope", "s1", _batch(spark, [(1, "x")]), 0
         )
+
+
+def test_lost_cas_orphans_are_vacuumed(spark, engine, monkeypatch):
+    """A lost CAS abandons the attempt's freshly written doc + fp
+    snapshots (they are never referenced by any manifest); vacuum must
+    reclaim exactly those files while the committed state survives."""
+    cat = engine.catalog
+    commit_dedup_batch(
+        engine.catalog, "corpus", "corpus_fp", "s1", _batch(spark, [(1, "a")]), 0
+    )
+    real_publish = type(cat).publish
+    fails = {"left": 1}
+
+    def flaky_publish(self, manifest, expected_version=None):
+        if fails["left"]:
+            fails["left"] -= 1
+            raise ConflictError("injected lost CAS")
+        return real_publish(self, manifest, expected_version=expected_version)
+
+    monkeypatch.setattr(type(cat), "publish", flaky_publish)
+    out = commit_dedup_batch(
+        cat, "corpus", "corpus_fp", "s1", _batch(spark, [(2, "b")]), 1
+    )
+    monkeypatch.undo()
+    assert out is not None and out["n_new"] == 1
+    # keep ALL manifests: removed dirs are purely the unreferenced orphans
+    stats = cat.vacuum(keep_last=1000)
+    assert stats["removed_data_dirs"] == 2, stats  # docs + fp attempt files
+    assert _docs(engine) == [(1, "a"), (2, "b")]
+    assert len(_fps(engine)) == 2

@@ -120,3 +120,33 @@ def test_winnow_duckdb_mirror(spark, sf_dir):
     """
     truth = {d: (g, n, dg) for d, g, n, dg in con.execute(sql).fetchall()}
     assert got == truth
+
+
+def test_fp_doc_freq_cap_boundary(spark):
+    """Strict-> boundary of the hot-fingerprint guard, mirroring the q61
+    token-cap test (tests/test_skew_stress.py): with 4 docs and cap=0.5
+    the threshold is 2.0 fingerprints-per-doc-frequency — a passage
+    shared by exactly 2 docs survives (its prints have df=2), a passage
+    shared by 3 docs is dropped entirely (df=3 > 2), so the pairs that
+    exist ONLY through the 3-doc boilerplate must vanish while the
+    2-doc containment pair stays."""
+    rng = random.Random(97)
+    passage_a = _rand_text(rng, 80)   # in docs 0,1  -> df=2, kept
+    passage_b = _rand_text(rng, 80)   # in docs 0,1,2 -> df=3, dropped
+    docs = spark.createDataFrame(
+        [
+            (0, passage_a + _rand_text(rng, 120) + passage_b),
+            (1, _rand_text(rng, 120) + passage_a + passage_b),
+            (2, passage_b + _rand_text(rng, 200)),
+            (3, _rand_text(rng, 300)),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnow_overlap_pairs(docs, min_shared=1, doc_freq_cap=0.5).collect()
+    }
+    assert (0, 1) in pairs, "df=2 passage must survive the cap"
+    assert (0, 2) not in pairs and (1, 2) not in pairs, (
+        "pairs owed solely to the df=3 boilerplate must be dropped"
+    )
