@@ -1,0 +1,182 @@
+"""Corpus-trained character-n-gram Naive Bayes language identification.
+
+q50's stopword-marker language ID is a fixed heuristic: four European
+languages, hand-picked markers, no zh coverage. This module is the
+production variant that q50's docstring promises — the model is TRAINED
+from the corpus's own labels (the same corpus-self-training recipe as
+ngram_lm_score in operators/quality.py), covers any language present in
+the training labels, and scores with smoothed log-likelihoods instead
+of marker hit counts.
+
+Spark shape, deliberately asymmetric:
+
+- **Training** is a corpus aggregation: explode char n-grams, count per
+  (lang, gram) with map-side combine on a uniform composite key, keep
+  the top-K grams per language (TakeOrdered on the already-aggregated
+  relation), and collect the model — a BOUNDED driver-side object
+  (≤ langs × top_grams rows, a few KB).
+- **Scoring** folds the collected model into ONE literal map expression:
+  per row, aggregate the document's n-grams accumulating a per-language
+  log-likelihood array, then argmax. Zero shuffles, zero joins, no
+  Python — the classic "broadcast the tiny model" pattern taken one
+  step further (the model rides inside the plan itself, so there is
+  nothing to co-schedule at 100 TB; scoring is embarrassingly
+  parallel).
+
+Cost note, stated honestly: Catalyst evaluates ``element_at`` on a
+literal map by LINEAR scan, so each gram lookup costs O(model size)
+short-string compares. With the default 64 grams × ~5 languages that is
+~300 fast compares per gram — fine for corpus scoring; for thousand-
+language models swap the literal map for a hashed lookup structure.
+
+Smoothing: add-one over the restricted vocabulary. For language l with
+total kept-gram count T_l over V kept grams, a kept gram g scores
+log((c_{l,g} + 1) / (T_l + V + 1)) and any unseen gram scores the floor
+log(1 / (T_l + V + 1)) — proper probabilities, and every language pays
+the SAME per-gram floor shape so document length cancels in the argmax.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.text import normalize_text
+
+N_GRAM = 3
+TOP_GRAMS = 64  # kept grams per language
+
+
+def char_ngram_expr(text: Column, n: int = N_GRAM) -> Column:
+    """Array of overlapping character n-grams of the normalized text —
+    one narrow expression (the winnowing gram recipe without the md5;
+    the normalized string is let-bound so the per-element substr does
+    not re-run the normalization regexp, see fingerprints._let)."""
+    from entangledb_spark.operators.fingerprints import _let
+
+    def with_text(s: Column) -> Column:
+        n_grams = F.length(s) - F.lit(n - 1)
+        return F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: s.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(normalize_text(text), with_text)
+
+
+def train_langid_model(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = N_GRAM,
+    top_grams: int = TOP_GRAMS,
+) -> dict:
+    """Train the NB model; returns a plain-dict model:
+    {"n", "langs": [...], "floors": [logp...], "grams": {gram: [logp...]}}.
+
+    One corpus scan: explode grams → count per (lang, gram) — the
+    composite key is uniform (no Zipf hazard: even 'the'-grade grams are
+    split across languages and the count relation is already tiny) —
+    then top-K per language and a bounded collect."""
+    counts = (
+        docs.select(F.col(lang_col).alias("lang"), char_ngram_expr(F.col(text_col), n).alias("g"))
+        .select("lang", F.explode("g").alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rows = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("gram"))
+            ),
+        )
+        .filter(F.col("rk") <= top_grams)
+        .select("lang", "gram", "c")
+        .collect()
+    )
+    langs = sorted({r.lang for r in w_rows})
+    by_lang = {l: {r.gram: r.c for r in w_rows if r.lang == l} for l in langs}
+    totals = {l: sum(by_lang[l].values()) for l in langs}
+    vocab = {l: len(by_lang[l]) for l in langs}
+    floors = [
+        math.log(1.0 / (totals[l] + vocab[l] + 1)) for l in langs
+    ]
+    grams: dict[str, list[float]] = {}
+    for g in sorted({r.gram for r in w_rows}):
+        grams[g] = [
+            math.log(
+                (by_lang[l].get(g, 0) + 1.0) / (totals[l] + vocab[l] + 1)
+            )
+            for l in langs
+        ]
+    return {"n": n, "langs": langs, "floors": floors, "grams": grams}
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_darr(xs) -> str:
+    return "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs) + ")"
+
+
+def langid_score_expr(text: Column, model: dict) -> Column:
+    """Per-language log-likelihood array for ``text`` under ``model`` —
+    one narrow expression with the model as a LITERAL map (assembled as
+    a SQL string: thousands of nested Column calls would cost seconds of
+    driver round-trips per plan, the ivf_assign lesson)."""
+    entries = ",".join(
+        f"{_sql_str(g)},{_sql_darr(lps)}" for g, lps in sorted(model["grams"].items())
+    )
+    m = f"map({entries})" if entries else "map()"
+    floors = _sql_darr(model["floors"])
+    # the bulky literals (map + floors) are each ONE F.expr; the thin
+    # aggregation shell around them uses the Column HOF API
+    mcol = F.expr(m)
+    floors_col = F.expr(floors)
+    from entangledb_spark.operators.fingerprints import _let
+
+    def with_grams(grams: Column) -> Column:
+        return F.aggregate(
+            grams,
+            floors_col,
+            lambda acc, g: F.zip_with(
+                acc,
+                F.coalesce(F.element_at(mcol, g), floors_col),
+                lambda a, b: a + b,
+            ),
+        )
+
+    return _let(char_ngram_expr(text, model["n"]), with_grams)
+
+
+def classify_langs(
+    docs: DataFrame, model: dict, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, scores per language, predicted_lang) for every document —
+    a pure narrow map; ties break to the alphabetically-first language
+    (array_position finds the first maximum; langs are sorted)."""
+    langs_arr = F.array(*[F.lit(l) for l in model["langs"]])
+    scores = langid_score_expr(F.col(text_col), model)
+    from entangledb_spark.operators.fingerprints import _let
+
+    def with_scores(s: Column) -> Column:
+        return F.struct(
+            s.alias("scores"),
+            F.element_at(
+                langs_arr, F.array_position(s, F.array_max(s)).cast("int")
+            ).alias("predicted_lang"),
+        )
+
+    packed = _let(scores, with_scores)
+    return docs.select(
+        F.col(id_col),
+        packed["scores"].alias("scores"),
+        packed["predicted_lang"].alias("predicted_lang"),
+    )
