@@ -94,3 +94,34 @@ def test_topk_fuses_to_take_ordered(plans):
 def test_star_join_broadcasts_dims(plans):
     p, _ = plans["q17_join_star"]
     assert "BroadcastHashJoin" in p  # nation/region dims must broadcast
+
+
+def test_round4_operators_plan_shapes(spark):
+    """The round-4 operators are pytest-only (registry full at 50), so
+    their scale invariants are asserted here directly: winnowing overlap,
+    embedding near-dup, and trained-langid scoring must never plan a
+    CartesianProduct or row-at-a-time Python, and langid scoring — a
+    pure narrow map — must not even exchange."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators.fingerprints import winnow_overlap_pairs
+    from entangledb_spark.operators.langid import classify_langs, train_langid_model
+    from entangledb_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    model = train_langid_model(
+        spark.read.parquet(f"{SF}/documents.parquet"), top_grams=16
+    )
+    cases = {
+        "winnow_overlap": winnow_overlap_pairs(docs),
+        "embed_near_dup": embedding_near_dup_pairs(emb, threshold=0.5),
+        "langid_classify": classify_langs(docs, model),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    langid_plan = cases["langid_classify"]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in langid_plan, langid_plan
