@@ -430,3 +430,68 @@ def ngram_lm_score(
             r4(F.exp(-F.avg(logprob))).alias("ppl"),
         )
     )
+
+
+# --- C4-style line-level cleaning -------------------------------------------
+# (Raffel et al., "Exploring the Limits of Transfer Learning with a
+# Unified Text-to-Text Transformer", JMLR 2020 §2.2 — the C4 heuristics.)
+C4_MIN_LINE_WORDS = 3
+C4_BAD_MARKERS = ["lorem ipsum", "javascript", "cookie policy", "all rights reserved"]
+C4_TERMINALS = (".", "!", "?", '"', "'")
+
+
+def clean_lines_c4(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    require_terminal: bool = True,
+    bad_markers: list[str] | None = None,
+) -> DataFrame:
+    """C4-style LINE-level cleaning as one narrow codegen'd map — the
+    filters C4 applies before any document-level scoring:
+
+    - drop lines with fewer than ``min_line_words`` words;
+    - drop lines not ending in terminal punctuation (``require_terminal``);
+    - drop lines containing any ``bad_markers`` substring (boilerplate:
+      'lorem ipsum', cookie/JS notices, rights reserved);
+    - drop the whole document if nothing survives.
+
+    Everything is filter/transform over split(text, '\\n') — per-row
+    array surgery, no explode, no shuffle, no Python; the kept text plus
+    per-document accounting (lines/chars kept vs seen) comes out of the
+    single pass, so at 100 TB this composes with q50's fused projection
+    as the same one corpus scan. Returns
+    (id, clean_text, n_lines, n_lines_kept, n_chars, n_chars_kept).
+
+    Curly-brace pages (C4 drops documents containing '{') are LEFT to
+    the caller: this fixture's corpus is prose, and the doc-level gate
+    is one extra `~contains` filter where wanted."""
+    markers = [m.lower() for m in (C4_BAD_MARKERS if bad_markers is None else bad_markers)]
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.size(F.regexp_extract_all(t, F.lit(r"[^ \t\x0B\f\r]+"), 0))
+        ok = words >= F.lit(min_line_words)
+        if require_terminal:
+            terminal = F.lit(False)
+            for term in C4_TERMINALS:
+                terminal = terminal | t.endswith(F.lit(term))
+            ok = ok & terminal
+        low = F.lower(t)
+        for mk in markers:
+            ok = ok & ~low.contains(F.lit(mk))
+        return ok
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, line_ok)
+    joined = F.array_join(F.transform(kept, F.trim), "\n")
+    out = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.length(joined).cast("long").alias("n_chars_kept"),
+        joined.alias("clean_text"),
+    )
+    return out.filter(F.col("n_lines_kept") > 0)
