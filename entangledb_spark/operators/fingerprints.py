@@ -145,7 +145,9 @@ def winnow_overlap_pairs(
     key on uniform md5-derived values; the candidate count is bounded by
     Σ per-fp doc-frequency², which the cap bounds corpus-relative.
 
-    Returns (doc_a, doc_b, n_shared, containment) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, n_shared, containment, n_fps_a, n_fps_b) with
+    doc_a < doc_b — the per-side fingerprint-set sizes ride along so
+    downstream consumers (containment survivors) need no re-join."""
     from pyspark import StorageLevel
 
     # Materialize the fingerprint relation ONCE. It is referenced by four
@@ -192,5 +194,43 @@ def winnow_overlap_pairs(
             "doc_b",
             "n_shared",
             r4(F.col("n_shared") / F.least("_na", "_nb")).alias("containment"),
+            F.col("_na").alias("n_fps_a"),
+            F.col("_nb").alias("n_fps_b"),
         )
     )
+
+
+def winnow_containment_survivors(
+    docs: DataFrame,
+    containment_threshold: float = 0.8,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    min_shared: int = 2,
+    doc_freq_cap: float = FP_DOC_FREQ_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents mostly CONTAINED in another document — the curation
+    step winnowing exists for: quoted reposts, pages embedding a licence
+    + another page's body, expanded-with-ads copies. For each overlap
+    pair at containment >= ``containment_threshold`` the SMALLER
+    fingerprint set (the contained side; ties to the higher id) loses;
+    losers are removed by one corpus anti-join, preserving the input
+    schema.
+
+    Distinct from near-dup survivors (dedup.py): Jaccard survivors keep
+    one representative of a clique of near-copies; containment survivors
+    keep the SUPERSET document and drop its fragments, so a corpus of
+    article + article-with-header keeps the article-with-header.
+    100 TB shape: the pair relation is already capped (doc-frequency
+    guard) and tiny at a high threshold; only the final anti-join
+    touches the corpus."""
+    pa = winnow_overlap_pairs(
+        docs, k, window, min_shared, doc_freq_cap, text_col, id_col
+    ).filter(F.col("containment") >= containment_threshold)
+    sizes_a, sizes_b = F.col("n_fps_a"), F.col("n_fps_b")
+    loser = F.when(sizes_a < sizes_b, F.col("doc_a")).when(
+        sizes_b < sizes_a, F.col("doc_b")
+    ).otherwise(F.greatest("doc_a", "doc_b"))
+    losers = pa.select(loser.alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

@@ -150,3 +150,29 @@ def test_fp_doc_freq_cap_boundary(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs, (
         "pairs owed solely to the df=3 boilerplate must be dropped"
     )
+
+
+def test_containment_survivors_keep_superset_doc(spark):
+    """article (doc 0) fully contained in article+header (doc 1): the
+    contained side loses regardless of id order; an unrelated doc and a
+    BELOW-threshold partial overlap both survive."""
+    from entangledb_spark.operators.fingerprints import winnow_containment_survivors
+
+    rng = random.Random(41)
+    article = _rand_text(rng, 500)
+    wrapped = "all rights reserved header text " + article + " footer navigation links"
+    partial = article[:140] + _rand_text(rng, 600)  # small shared prefix only
+    other = _rand_text(rng, 400)
+    df = spark.createDataFrame(
+        [(0, article), (1, wrapped), (2, partial), (3, other)],
+        "doc_id long, text string",
+    )
+    surv = {
+        r.doc_id
+        for r in winnow_containment_survivors(
+            df, containment_threshold=0.8, doc_freq_cap=1.0
+        ).collect()
+    }
+    assert surv == {1, 2, 3}, surv
+    # and schema is preserved
+    assert winnow_containment_survivors(df).columns == df.columns
