@@ -260,6 +260,34 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN routed through the PERSISTENT index (operators/ann_index):
+    build_ivf_index saves centroids + cell-partitioned assignments to a
+    per-run tmp dir once per process; probes route through the SAVED
+    centroids into pruned cell partitions. Row-identical to the inline
+    ann_ivf (tests/test_ann_index.py::test_ivf_probe_matches_inline_
+    pipeline), so routing q71's IVF branch through it — symmetric with
+    the round-4 LSH routing — keeps BOTH persistent-index paths on the
+    driver gate."""
+    import tempfile
+
+    from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    e = repartition_for_cpu(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="entangledb-ivf-index-")
+        build_ivf_index(e, idx, n_cells=N_IVF_CELLS)
+        _IVF_INDEX_CACHE[sf_dir] = idx
+    return probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+
+
 def ivf_centroids(
     e: DataFrame, n_cells: int = N_IVF_CELLS, refine: int = 0
 ) -> DataFrame:
@@ -414,16 +442,17 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_lsh_index over a per-run tmp dir — row-identical to the inline
     ann_lsh_bucketed, asserted in tests/test_ann_index.py, so the index
     build/probe/partition-pruning machinery carries driver-gate evidence),
-    'ivf' rows from the centroid-routed cell search — each re-ranked by
-    exact cosine to top-5 per probe query. The union is a no-shuffle
-    concatenation of the two plans; each branch keeps its own documented
-    scale shape. Recall of both branches against the exact q70 top-k is
+    'ivf' rows from the persistent IVF index (saved centroids + cell-
+    partitioned assignments, probe ≡ inline asserted likewise) — each
+    re-ranked by exact cosine to top-5 per probe query. The union is a
+    no-shuffle concatenation of the two plans; each branch keeps its own
+    documented scale shape. Recall of both branches against the exact q70 top-k is
     additionally asserted quantitatively in tests/test_skew_bucketing.py
     (test_lsh_recall_vs_bruteforce / test_ivf_recall_vs_bruteforce)."""
     lsh = ann_lsh_indexed(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    ivf = ann_ivf(spark, sf_dir).select(
+    ivf = ann_ivf_indexed(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
     return lsh.unionByName(ivf)
