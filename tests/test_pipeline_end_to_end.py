@@ -1,9 +1,11 @@
 """End-to-end training-data pipeline over the documents fixture — the
-operators composed the way a real corpus-preparation job chains them:
+operators composed the way a real corpus-preparation job chains them
+(the composition order documented in docs/DEDUP.md):
 
-  text metrics → quality gates (length/repetition/LM-perplexity) →
-  exact dedup → span dedup → stratified sample → sequence packing →
-  vocabulary induction
+  C4 line cleaning → text metrics → quality gates (length/repetition/
+  LM-perplexity) → exact dedup → containment survivors (winnowing) →
+  span dedup → semantic dedup (embedding near-dup survivors) →
+  sequence packing → vocabulary induction
 
 Each stage consumes the previous stage's DataFrame (single lazy plan per
 stage boundary, no driver round-trips besides the assertions), and the
@@ -29,9 +31,21 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_pipeline_end_to_end(spark):
+    from entangledb_spark.operators.quality import clean_lines_c4
+
     load_all()
-    docs = table(spark, SF, "documents")
+    raw = table(spark, SF, "documents")
+    n_raw = raw.count()
+
+    # 0. C4 line-level cleaning (no terminal requirement: the fixture is
+    # single-line prose without punctuation guarantees)
+    docs = (
+        clean_lines_c4(raw, require_terminal=False)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .join(raw.select("doc_id", "lang"), "doc_id")
+    )
     n0 = docs.count()
+    assert 0 < n0 <= n_raw
 
     # 1. quality gates: length + repetition + LM perplexity
     rep = repetition_metrics(docs).select("doc_id", "repetition_flagged")
@@ -55,12 +69,31 @@ def test_pipeline_end_to_end(spark):
     n2 = deduped.count()
     assert 0 < n2 <= n1
 
+    # 2b. containment survivors: drop docs mostly contained in another
+    from entangledb_spark.operators.fingerprints import winnow_containment_survivors
+
+    contained_free = winnow_containment_survivors(deduped)
+    n2b = contained_free.count()
+    assert 0 < n2b <= n2
+
     # 3. corpus-level span dedup (keep-first) rewrites the text
-    cleaned = dedup_spans(deduped).select(
+    cleaned = dedup_spans(contained_free).select(
         "doc_id", F.col("cleaned_text").alias("text")
     )
     n3 = cleaned.count()
-    assert n3 == deduped.filter(F.length("text") > 0).count()
+    assert n3 == contained_free.filter(F.length("text") > 0).count()
+
+    # 3b. semantic dedup: embedding near-dup survivors (vec_id ≡ doc_id
+    # in the fixture), applied as a semi-join on the surviving ids
+    from entangledb_spark.operators.similarity import embedding_near_dup_survivors
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    sem_keep = embedding_near_dup_survivors(emb, threshold=0.95).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    cleaned = cleaned.join(sem_keep, "doc_id", "left_semi")
+    n3b = cleaned.count()
+    assert 0 < n3b <= n3
 
     # 4. pack into fixed token budgets
     packed = pack_contiguous(cleaned)
