@@ -228,3 +228,101 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return videos.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize for image rows — the thumbnail/normalize step before
+    feature extraction. Same honest split as every decode path here: the
+    pixel work is a deterministic STUB (no codecs in this container — a
+    production swap is PIL `Image.open(payload).resize((w, h))` inside
+    the same batch loop), while the Spark side is real: Arrow-batched
+    mapInPandas, bounded per-batch memory, output schema carrying the new
+    dimensions, one row in → one row out (no expansion, no skew)."""
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    images = df.filter(F.col("kind") == "image")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out_payload.append(None)
+                    continue
+                # stub "resize": deterministic truncation/padding to w*h/16
+                # bytes so output size tracks the requested dimensions
+                data = p.encode() if isinstance(p, str) else bytes(p)
+                target = max(1, width * height // 16)
+                resized = (data * (target // max(1, len(data)) + 1))[:target]
+                out_payload.append(resized.decode("latin-1"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [None if p is None else width for p in pdf["payload"]],
+                    "height": [None if p is None else height for p in pdf["payload"]],
+                    "payload": out_payload,
+                    "n_bytes": [
+                        None if p is None else len(p) for p in out_payload
+                    ],
+                }
+            )
+
+    return images.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_MS = 500
+
+
+def sample_audio_windows(
+    df: DataFrame,
+    window_ms: int = AUDIO_WINDOW_MS,
+    dim: int = 8,
+    max_windows: int = 64,
+) -> DataFrame:
+    """Audio window sampling — the audio analog of sample_frames: each
+    audio row expands to min(duration/window, max_windows) rows with a
+    per-window feature vector (production: mel-spectrogram slices).
+    Identical Arrow flatMap shape and the same ``max_windows`` skew cap
+    (a 10-hour recording cannot explode one task); reuses FRAME_SCHEMA
+    with frame_* columns meaning window index / start ms."""
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    audio = df.filter(F.col("kind") == "audio")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_ts_ms": [],
+                "frame_features": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                dur = _duration_ms_stub(payload)
+                n = min(dur // window_ms, max_windows)
+                for i in range(int(n)):
+                    ts = i * window_ms
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_features"].append(
+                        _decode_stub(f"a{ts}:{payload}", "audio", dim)
+                    )
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(batches, FRAME_SCHEMA)

@@ -65,3 +65,41 @@ def test_sample_frames_plumbing(spark, sf_dir):
         assert r0.frame_features == _decode_stub(
             f"0:{videos[mid].payload}", "video"
         )
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from entangledb_spark.operators.multimodal import media_from_documents, resize_images
+
+    media = media_from_documents(spark, sf_dir)
+    out = resize_images(media, width=32, height=32).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images > 0
+    target = 32 * 32 // 16
+    for r in out:
+        assert (r.width, r.height) == (32, 32)
+        assert r.n_bytes == target and len(r.payload) == target
+    # determinism
+    again = resize_images(media, width=32, height=32).collect()
+    assert sorted(r.media_id for r in again) == sorted(r.media_id for r in out)
+
+
+def test_sample_audio_windows_plumbing(spark, sf_dir):
+    from entangledb_spark.operators.multimodal import (
+        AUDIO_WINDOW_MS,
+        media_from_documents,
+        sample_audio_windows,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    rows = sample_audio_windows(media, max_windows=7).collect()
+    assert rows
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rs in by_media.items():
+        idxs = sorted(r.frame_idx for r in rs)
+        assert idxs == list(range(len(idxs)))  # dense window indexes
+        assert len(rs) <= 7  # skew cap
+        for r in rs:
+            assert r.frame_ts_ms == r.frame_idx * AUDIO_WINDOW_MS
+            assert len(r.frame_features) == 8
