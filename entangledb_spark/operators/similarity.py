@@ -568,13 +568,17 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("_ea"),
-            F.col("b.embedding").alias("_eb"),
+            # cosine + threshold BEFORE the pair dedup: a pair colliding
+            # in several tables re-computes the (cheap, narrow) cosine,
+            # but the dedup exchange then carries only (id, id, double)
+            # instead of two full embedding arrays per candidate — at
+            # corpus scale shuffle bytes dominate re-computed CPU
+            r4(cosine_sim(F.col("a.embedding"), F.col("b.embedding"))).alias(
+                "cos_sim"
+            ),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-        .withColumn("cos_sim", r4(cosine_sim(F.col("_ea"), F.col("_eb"))))
         .filter(F.col("cos_sim") >= threshold)
-        .drop("_ea", "_eb")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 
