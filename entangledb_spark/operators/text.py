@@ -468,3 +468,61 @@ def q92_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+KEYWORD_DOC_FREQ_CAP = 0.5  # tokens in > cap×N docs can never be keywords
+KEYWORD_TOP_K = 5
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = KEYWORD_TOP_K,
+    doc_freq_cap: float = KEYWORD_DOC_FREQ_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic keyword/topic
+    signal a curation pipeline attaches before mixing or routing.
+
+    score = tf · (ln((N+1)/(df+1)) + 1), smoothed so df=N stays finite;
+    ties break lexicographically so both engines rank identically.
+
+    Plan and the Zipf hazard: the (token → df) relation joins back to
+    per-doc term frequencies ON THE TOKEN — and the join-key frequency
+    IS document frequency, so 'the' would hot-spot the shuffle exactly
+    like the LM score's C(w1) join (quality.py). Here the fix is
+    semantic instead of a split-join: tokens in more than cap×N
+    documents get a near-floor idf and can never be keywords, so they
+    are dropped by broadcast anti-join BEFORE the df join (the
+    dedup.py DOC_FREQ_CAP pattern) — the surviving join keys are
+    capped-frequency by construction. Two shuffles total: the (doc,
+    token) tf aggregation and the per-doc top-k window.
+
+    Returns (id, token, tf, df, score, rank), rank 1..top_k."""
+    from pyspark.sql import Window
+
+    from entangledb_spark.functions.numeric import r4
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    hot = df_rel.filter(F.col("df") > doc_freq_cap * n_docs).select("token")
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(F.broadcast(hot), "token", "left_anti")
+        .join(df_rel, "token")
+        .withColumn("score", r4(F.col("tf") * idf))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
