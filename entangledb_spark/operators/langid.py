@@ -86,6 +86,12 @@ def train_langid_model(
     counts = (
         docs.select(F.col(lang_col).alias("lang"), char_ngram_expr(F.col(text_col), n).alias("g"))
         .select("lang", F.explode("g").alias("gram"))
+        # normalize_text collapses only WHITESPACE; other control chars
+        # (\x00-\x1f, \x7f) pass through and would land verbatim inside
+        # the scoring map's SQL string literals — drop grams containing
+        # any (they carry no language signal; scoring treats them as
+        # unseen → floor, consistent on both sides)
+        .filter(~F.col("gram").rlike(r"[\x00-\x1f\x7f]"))
         .groupBy("lang", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

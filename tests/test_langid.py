@@ -176,3 +176,19 @@ def test_real_corpus_shape_and_determinism(spark, sf_dir):
     a = {(r.doc_id, r.predicted_lang) for r in out.collect()}
     b = {(r.doc_id, r.predicted_lang) for r in classify_langs(docs, model).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_control_chars_in_corpus_do_not_break_scoring(spark):
+    """Raw control bytes in training text must neither crash model
+    training nor corrupt the scoring expression's SQL literals."""
+    df = _corpus(spark)
+    dirty = spark.createDataFrame(
+        [(100, "en", "the quick\x00brown fox \x01and the lazy dog's quote ' here")],
+        "doc_id long, lang string, text string",
+    )
+    model = train_langid_model(df.union(dirty), top_grams=64)
+    assert all(
+        all(ord(c) >= 0x20 and ord(c) != 0x7F for c in g) for g in model["grams"]
+    )
+    out = classify_langs(df.union(dirty), model).collect()
+    assert len(out) == df.count() + 1  # scoring runs on the dirty doc too
