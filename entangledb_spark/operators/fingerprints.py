@@ -161,11 +161,20 @@ def winnow_overlap_pairs(
     )
     sizes = fps.select(F.col(id_col), "n_fps").filter(F.col("n_fps") > 0)
     posting = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
-    n_docs = docs.count()
+    # count from the PERSISTED relation (one row per doc): materializes
+    # the cache the later branches reuse, instead of paying a second
+    # full scan of the source for a number fps already carries
+    n_docs = fps.count()
+    # Floor the hot threshold at 2: with a small corpus (< 1/cap docs)
+    # cap×n drops below 2 and every shared print (df >= 2 by definition
+    # of sharing) would be classified hot — overlap detection would
+    # silently return zero pairs. df = 2 is the minimal overlap signal
+    # and is always kept; the corpus-relative cap takes over beyond
+    # 2/cap documents.
     hot = (
         posting.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > doc_freq_cap * n_docs)
+        .filter(F.col("df") > F.greatest(F.lit(doc_freq_cap * n_docs), F.lit(2.0)))
         .select("fp")
     )
     cold = posting.join(F.broadcast(hot), "fp", "left_anti")

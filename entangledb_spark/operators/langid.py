@@ -84,7 +84,8 @@ def train_langid_model(
     split across languages and the count relation is already tiny) —
     then top-K per language and a bounded collect."""
     counts = (
-        docs.select(F.col(lang_col).alias("lang"), char_ngram_expr(F.col(text_col), n).alias("g"))
+        docs.filter(F.col(lang_col).isNotNull())  # unlabeled rows train nothing
+        .select(F.col(lang_col).alias("lang"), char_ngram_expr(F.col(text_col), n).alias("g"))
         .select("lang", F.explode("g").alias("gram"))
         # normalize_text collapses only WHITESPACE; other control chars
         # (\x00-\x1f, \x7f) pass through and would land verbatim inside
@@ -180,9 +181,15 @@ def classify_langs(
             ).alias("predicted_lang"),
         )
 
-    packed = _let(scores, with_scores)
-    return docs.select(
-        F.col(id_col),
-        packed["scores"].alias("scores"),
-        packed["predicted_lang"].alias("predicted_lang"),
+    # project the packed struct ONCE and unpack from the column alias in
+    # a second select — referencing `packed` twice would embed the bulky
+    # literal-map scoring expression twice in the plan (double the
+    # parse/analyze cost the SQL-string assembly exists to avoid)
+    return (
+        docs.select(F.col(id_col), _let(scores, with_scores).alias("_p"))
+        .select(
+            F.col(id_col),
+            F.col("_p.scores").alias("scores"),
+            F.col("_p.predicted_lang").alias("predicted_lang"),
+        )
     )

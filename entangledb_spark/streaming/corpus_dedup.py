@@ -47,15 +47,22 @@ from pyspark.sql import DataFrame, functions as F
 
 from entangledb_spark.operators.text import fingerprint
 from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog, schema_of
-from entangledb_spark.streaming.ingest import MAX_CAS_ATTEMPTS
+from entangledb_spark.streaming.ingest import MAX_CAS_ATTEMPTS, maybe_compact
 
 
 def _dedup_within_batch(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
     """Lowest-pk row per content fingerprint inside one micro-batch —
-    min_by aggregation (map-side combinable), no window sort."""
+    min_by aggregation (map-side combinable), no window sort.
+
+    NULL text gets a sentinel fingerprint instead of NULL: a NULL fp
+    would compare null in the cross-batch anti-join (always surviving —
+    every batch would re-ingest its null-text docs forever) while the
+    within-batch groupBy treats NULLs as equal; the sentinel makes both
+    stages agree that all null-text docs are one content class."""
     cols = batch_df.columns
+    fp = F.coalesce(fingerprint(F.col(text_col)), F.lit("__fp_null_text__"))
     return (
-        batch_df.withColumn("__fp", fingerprint(F.col(text_col)))
+        batch_df.withColumn("__fp", fp)
         .groupBy("__fp")
         .agg(F.min_by(F.struct(*cols), F.col(pk)).alias("__row"))
         .select("__fp", *[F.col(f"__row.{c}").alias(c) for c in cols])
@@ -133,6 +140,11 @@ def commit_dedup_batch(
         m.setdefault("streams", {})[stream_id] = batch_id
         try:
             v = catalog.publish(m, expected_version=v0)
+            # bound BOTH delta chains (per-batch fp reads degrade
+            # linearly with chain length otherwise) — best-effort CAS
+            # after the durable publish, exactly like append-only ingest
+            for name in (docs_table, fp_table):
+                maybe_compact(catalog, name)
             return {"version": v, "n_new": catalog.count_rows(docs_rel)}
         except ConflictError:
             time.sleep(random.random() * min(0.01 * (2**attempt), 1.0))

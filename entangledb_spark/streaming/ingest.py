@@ -98,23 +98,30 @@ def commit_stream_batch(
             "fails loudly instead of spinning (safe to restart: the batch "
             "will be replayed and committed exactly once)"
         )
-    # Compaction runs AFTER the batch is durably published, as its own
-    # best-effort CAS — inside the retry loop a lost CAS would discard a
-    # full O(table) rewrite and redo it every iteration (conflict storm =
-    # N full-table rewrites for one micro-batch). A lost compaction CAS is
-    # simply skipped: the delta chain is still bounded because whichever
-    # writer lands next re-checks the same threshold.
+    # Compaction runs AFTER the batch is durably published (see
+    # maybe_compact for why it must not sit inside the retry loop).
     if len(meta["deltas"]) >= catalog.COMPACT_AFTER:
-        v1 = catalog.current_version()
-        m1 = catalog.manifest(v1)
-        meta1 = m1["tables"].get(table_name)
-        if meta1 is not None and len(meta1.get("deltas", [])) >= catalog.COMPACT_AFTER:
-            catalog.compact(m1, table_name)
-            try:
-                catalog.publish(m1, expected_version=v1)
-            except ConflictError:
-                pass  # someone else won; they (or the next writer) compact
+        maybe_compact(catalog, table_name)
     return v
+
+
+def maybe_compact(catalog: SnapshotCatalog, table_name: str) -> None:
+    """Best-effort post-publish compaction, shared by the streaming
+    commit paths (ingest + corpus_dedup): runs as its OWN CAS after the
+    batch is durable — inside a retry loop a lost CAS would discard a
+    full O(table) rewrite and redo it every iteration (conflict storm =
+    N full-table rewrites for one micro-batch). A lost compaction CAS is
+    simply skipped: the delta chain is still bounded because whichever
+    writer lands next re-checks the same threshold."""
+    v1 = catalog.current_version()
+    m1 = catalog.manifest(v1)
+    meta1 = m1["tables"].get(table_name)
+    if meta1 is not None and len(meta1.get("deltas", [])) >= catalog.COMPACT_AFTER:
+        catalog.compact(m1, table_name)
+        try:
+            catalog.publish(m1, expected_version=v1)
+        except ConflictError:
+            pass  # someone else won; they (or the next writer) compact
 
 
 def stream_upsert_writer(

@@ -185,3 +185,38 @@ def test_lost_cas_orphans_are_vacuumed(spark, engine, monkeypatch):
     assert stats["removed_data_dirs"] == 2, stats  # docs + fp attempt files
     assert _docs(engine) == [(1, "a"), (2, "b")]
     assert len(_fps(engine)) == 2
+
+
+def test_null_text_docs_dedup_as_one_class(spark, engine):
+    """NULL text must not bypass cross-batch dedup: the sentinel
+    fingerprint makes all null-text docs one content class — the first
+    lands, every later one (same or later batch) is dropped."""
+    out = commit_dedup_batch(
+        engine.catalog,
+        "corpus",
+        "corpus_fp",
+        "s1",
+        _batch(spark, [(1, None), (2, None), (3, "real")]),
+        0,
+    )
+    assert out["n_new"] == 2  # one null-class representative + "real"
+    out2 = commit_dedup_batch(
+        engine.catalog, "corpus", "corpus_fp", "s1", _batch(spark, [(9, None)]), 1
+    )
+    assert out2["n_new"] == 0  # later batches never re-ingest null text
+    assert [d for d, _ in _docs(engine)] == [1, 3]
+
+
+def test_delta_chains_are_compacted(spark, engine):
+    """Per-batch deltas on BOTH tables must not grow unboundedly — the
+    shared post-publish compaction bounds the chains at COMPACT_AFTER."""
+    cat = engine.catalog
+    for b in range(cat.COMPACT_AFTER + 3):
+        commit_dedup_batch(
+            cat, "corpus", "corpus_fp", "s1", _batch(spark, [(b, f"text {b}")]), b
+        )
+    m = cat.manifest()
+    for t in ("corpus", "corpus_fp"):
+        assert len(m["tables"][t].get("deltas", [])) < cat.COMPACT_AFTER, t
+    # all rows intact after compaction
+    assert len(_docs(engine)) == cat.COMPACT_AFTER + 3

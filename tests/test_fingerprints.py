@@ -58,13 +58,12 @@ def test_overlap_pairs_detect_containment(spark):
     df = spark.createDataFrame(
         [(0, a), (1, b), (2, c)], "doc_id long, text string"
     )
-    # doc_freq_cap is corpus-relative: with a 3-doc fixture the default 0.5
-    # cap (> 1.5 docs) would drop exactly the planted shared fingerprints,
-    # so disable it here — the cap's boundary behavior has its own test in
-    # the Jaccard suite it mirrors (tests/test_skew_stress.py).
+    # Default cap: the df-floor (hot threshold >= 2) keeps the planted
+    # df=2 fingerprints even though cap×3 docs < 1 — exactly the
+    # small-corpus case the floor exists for.
     pairs = {
         (r.doc_a, r.doc_b): r
-        for r in winnow_overlap_pairs(df, min_shared=3, doc_freq_cap=1.0).collect()
+        for r in winnow_overlap_pairs(df, min_shared=3).collect()
     }
     assert (0, 1) in pairs
     assert pairs[(0, 1)].containment > 0.2

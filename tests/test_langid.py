@@ -192,3 +192,14 @@ def test_control_chars_in_corpus_do_not_break_scoring(spark):
     )
     out = classify_langs(df.union(dirty), model).collect()
     assert len(out) == df.count() + 1  # scoring runs on the dirty doc too
+
+
+def test_null_language_labels_are_ignored(spark):
+    df = _corpus(spark)
+    unlabeled = spark.createDataFrame(
+        [(200, None, "totally unlabeled text that should train nothing")],
+        "doc_id long, lang string, text string",
+    )
+    model = train_langid_model(df.union(unlabeled), top_grams=32)
+    assert model["langs"] == ["de", "en", "fr"]  # no None group, no crash
+    assert model == train_langid_model(df, top_grams=32)  # identical to clean train
