@@ -148,16 +148,23 @@ def winnow_overlap_pairs(
     Returns (doc_a, doc_b, n_shared, containment, n_fps_a, n_fps_b) with
     doc_a < doc_b — the per-side fingerprint-set sizes ride along so
     downstream consumers (containment survivors) need no re-join."""
-    from pyspark import StorageLevel
-
     # Materialize the fingerprint relation ONCE. It is referenced by four
     # plan branches (sizes, hot-fp stats, both sides of the self-join);
     # left lazy, each branch re-inlines the winnowing expression tree —
     # whose nested higher-order functions also blow up optimizer time
     # super-linearly when duplicated into a self-join (measured: minutes
     # of driver-side planning at sf0.01 vs seconds once persisted).
-    fps = winnow_fingerprints(docs, k, window, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # localCheckpoint, NOT persist: a persist() here had no matching
+    # unpersist (the pair relation is lazy, so there is no safe point
+    # inside this function), leaking executor cache for the process
+    # lifetime under repeated calls. A lazy local checkpoint gives the
+    # same single-materialization + plan-truncation behavior, and its
+    # blocks are reclaimed by the ContextCleaner once the returned
+    # DataFrame is unreferenced — caller-transparent lifetime. (Trade-off,
+    # documented: locally-checkpointed blocks don't survive executor
+    # loss; the job retries from the source in that case.)
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col).localCheckpoint(
+        eager=False
     )
     sizes = fps.select(F.col(id_col), "n_fps").filter(F.col("n_fps") > 0)
     posting = fps.select(F.col(id_col), F.explode("fps").alias("fp"))

@@ -108,6 +108,15 @@ def train_langid_model(
         .collect()
     )
     langs = sorted({r.lang for r in w_rows})
+    if not langs:
+        # An empty model would otherwise surface much later as an opaque
+        # AnalysisException (empty map()/array() literals typed STRING
+        # meet the DOUBLE accumulator in langid_score_expr).
+        raise ValueError(
+            f"train_langid_model: no labeled training rows — every row has "
+            f"NULL {lang_col!r} (or no text survived gram extraction); "
+            f"check the {lang_col!r} column"
+        )
     by_lang = {l: {r.gram: r.c for r in w_rows if r.lang == l} for l in langs}
     totals = {l: sum(by_lang[l].values()) for l in langs}
     vocab = {l: len(by_lang[l]) for l in langs}

@@ -98,10 +98,18 @@ def commit_dedup_batch(
     doc_cols = [c["name"] for c in m["tables"][docs_table]["columns"]]
     if text_col is None:
         text_col = next(
-            c["name"]
-            for c in m["tables"][docs_table]["columns"]
-            if not c["primary_key"] and c["datatype"] == "STRING"
+            (
+                c["name"]
+                for c in m["tables"][docs_table]["columns"]
+                if not c["primary_key"] and c["datatype"] == "STRING"
+            ),
+            None,
         )
+        if text_col is None:
+            raise ConflictError(
+                f"dedup ingest table {docs_table} has no non-pk STRING column "
+                f"to dedup on — pass text_col explicitly"
+            )
     deduped = _dedup_within_batch(batch_df.select(*doc_cols), pk, text_col)
 
     # The write lives INSIDE the retry loop (unlike append-only ingest):

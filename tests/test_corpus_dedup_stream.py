@@ -220,3 +220,19 @@ def test_delta_chains_are_compacted(spark, engine):
         assert len(m["tables"][t].get("deltas", [])) < cat.COMPACT_AFTER, t
     # all rows intact after compaction
     assert len(_docs(engine)) == cat.COMPACT_AFTER + 3
+
+
+def test_no_string_column_raises_descriptive_error(spark, engine):
+    """A docs table with no non-pk STRING column must fail with a clear
+    ConflictError, not a bare StopIteration from text_col auto-detect."""
+    engine.execute("CREATE TABLE nums (k INTEGER PRIMARY KEY, v INTEGER)")
+    engine.execute("CREATE TABLE nums_fp (fp STRING PRIMARY KEY, k INTEGER)")
+    with pytest.raises(ConflictError, match="no non-pk STRING column"):
+        commit_dedup_batch(
+            engine.catalog,
+            "nums",
+            "nums_fp",
+            "s1",
+            spark.createDataFrame([(1, 2)], "k long, v long"),
+            0,
+        )

@@ -203,3 +203,16 @@ def test_null_language_labels_are_ignored(spark):
     model = train_langid_model(df.union(unlabeled), top_grams=32)
     assert model["langs"] == ["de", "en", "fr"]  # no None group, no crash
     assert model == train_langid_model(df, top_grams=32)  # identical to clean train
+
+
+def test_all_null_labels_raise_value_error(spark):
+    """Zero labeled rows must raise a descriptive ValueError at train
+    time, not an opaque AnalysisException at scoring-plan time."""
+    import pytest
+
+    unlabeled = spark.createDataFrame(
+        [(0, None, "text one"), (1, None, "text two")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(ValueError, match="no labeled training rows"):
+        train_langid_model(unlabeled)
