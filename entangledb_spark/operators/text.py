@@ -481,12 +481,29 @@ def tfidf_keywords(
     doc_freq_cap: float = KEYWORD_DOC_FREQ_CAP,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF keywords per document — the classic keyword/topic
     signal a curation pipeline attaches before mixing or routing.
 
     score = tf · (ln((N+1)/(df+1)) + 1), smoothed so df=N stays finite;
     ties break lexicographically so both engines rank identically.
+
+    N is the count of documents with ≥1 token. When ``n_docs`` is not
+    supplied it is NOT a separate ``docs.count()`` action (that paid a
+    second full corpus scan for one scalar — real money at 100 TB):
+    it is a 1-row distinct-id aggregate over the tf relation, folded
+    into the SAME query as a broadcast. The tf relation itself is
+    lazily localCheckpoint-ed because THREE plan branches consume it
+    (tf rows, df, N) and Catalyst's exchange reuse cannot unify them
+    (the count_distinct branch canonicalizes to a different aggregate
+    shape — measured: 3 source scans without the checkpoint, 1 with);
+    the checkpoint blocks are ContextCleaner-reclaimed, the
+    fingerprints.py lifetime recipe. Token-less documents never appear
+    in tf, can't affect df, and can't have keywords, so excluding them
+    from N only drops noise rows from the idf denominator; callers who
+    need the raw-corpus N (e.g. to match an external idf table) pass
+    ``n_docs`` explicitly.
 
     Plan and the Zipf hazard: the (token → df) relation joins back to
     per-doc term frequencies ON THE TOKEN — and the join-key frequency
@@ -504,7 +521,6 @@ def tfidf_keywords(
 
     from entangledb_spark.functions.numeric import r4
 
-    n_docs = docs.count()
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -512,12 +528,25 @@ def tfidf_keywords(
         ).alias("token"),
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    if n_docs is None:
+        tf = tf.localCheckpoint(eager=False)
     df_rel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    hot = df_rel.filter(F.col("df") > doc_freq_cap * n_docs).select("token")
-    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+        with_n = lambda rel: rel  # noqa: E731
+    else:
+        # 1-row broadcast (BNLJ with a single-row build side — the q96
+        # corpus-total recipe); stays inside one query execution so the
+        # tf exchange is planned once and reused, not recomputed.
+        nd = F.broadcast(
+            tf.groupBy().agg(F.count_distinct(F.col(id_col)).alias("_n_docs"))
+        )
+        n_col = F.col("_n_docs").cast("double")
+        with_n = lambda rel: rel.join(nd)  # noqa: E731
+    hot = with_n(df_rel).filter(F.col("df") > doc_freq_cap * n_col).select("token")
+    idf = F.log((n_col + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = (
-        tf.join(F.broadcast(hot), "token", "left_anti")
-        .join(df_rel, "token")
+        with_n(tf.join(F.broadcast(hot), "token", "left_anti").join(df_rel, "token"))
         .withColumn("score", r4(F.col("tf") * idf))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))

@@ -78,3 +78,19 @@ def test_stopword_cap_drops_ubiquitous_tokens(spark):
     r0 = sorted(by_doc[0], key=lambda r: r.rank)
     assert [r.rank for r in r0] == [1, 2]
     assert [r.token for r in r0] == ["alpha", "beta"]
+
+
+def test_single_source_scan(spark, sf_dir):
+    """The n_docs scalar must not cost an extra corpus scan: tf is
+    checkpointed once and all three consumer branches (tf rows, df, N)
+    read the checkpoint — the executed plan contains zero parquet scans
+    (the one real scan happens inside the checkpoint materialization)."""
+    from entangledb_spark.operators.text import tfidf_keywords
+
+    df = tfidf_keywords(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final.count("Scan parquet") == 0, final
+    assert final.count("ExistingRDD") >= 2, final
