@@ -172,6 +172,22 @@ def langid_score_expr(text: Column, model: dict) -> Column:
     return _let(char_ngram_expr(text, model["n"]), with_grams)
 
 
+def langid_argmax_expr(text: Column, model: dict) -> Column:
+    """Predicted language for ``text`` as ONE narrow expression — the
+    argmax of langid_score_expr with ties to the alphabetically-first
+    language (langs are sorted; array_position finds the first max).
+    For composing the prediction into a wider projection/aggregation
+    without classify_langs' fixed output schema."""
+    from entangledb_spark.operators.fingerprints import _let
+
+    langs_arr = F.array(*[F.lit(l) for l in model["langs"]])
+
+    def with_scores(s: Column) -> Column:
+        return F.element_at(langs_arr, F.array_position(s, F.array_max(s)).cast("int"))
+
+    return _let(langid_score_expr(text, model), with_scores)
+
+
 def classify_langs(
     docs: DataFrame, model: dict, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -440,6 +440,37 @@ C4_BAD_MARKERS = ["lorem ipsum", "javascript", "cookie policy", "all rights rese
 C4_TERMINALS = (".", "!", "?", '"', "'")
 
 
+def c4_kept_lines_expr(
+    text: Column,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    require_terminal: bool = True,
+    bad_markers: list[str] | None = None,
+) -> Column:
+    """Array of the RAW (untrimmed) lines of ``text`` surviving the C4
+    line heuristics — the shared expression under both clean_lines_c4
+    and q91's gate columns (operators/text.py). One narrow codegen'd
+    filter over split(text, '\\n'); no explode, no shuffle."""
+    markers = [
+        m.lower() for m in (C4_BAD_MARKERS if bad_markers is None else bad_markers)
+    ]
+
+    def line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.size(F.regexp_extract_all(t, F.lit(r"[^ \t\x0B\f\r]+"), 0))
+        ok = words >= F.lit(min_line_words)
+        if require_terminal:
+            terminal = F.lit(False)
+            for term in C4_TERMINALS:
+                terminal = terminal | t.endswith(F.lit(term))
+            ok = ok & terminal
+        low = F.lower(t)
+        for mk in markers:
+            ok = ok & ~low.contains(F.lit(mk))
+        return ok
+
+    return F.filter(F.split(text, "\n"), line_ok)
+
+
 def clean_lines_c4(
     docs: DataFrame,
     text_col: str = "text",
@@ -467,24 +498,10 @@ def clean_lines_c4(
     Curly-brace pages (C4 drops documents containing '{') are LEFT to
     the caller: this fixture's corpus is prose, and the doc-level gate
     is one extra `~contains` filter where wanted."""
-    markers = [m.lower() for m in (C4_BAD_MARKERS if bad_markers is None else bad_markers)]
-
-    def line_ok(ln: Column) -> Column:
-        t = F.trim(ln)
-        words = F.size(F.regexp_extract_all(t, F.lit(r"[^ \t\x0B\f\r]+"), 0))
-        ok = words >= F.lit(min_line_words)
-        if require_terminal:
-            terminal = F.lit(False)
-            for term in C4_TERMINALS:
-                terminal = terminal | t.endswith(F.lit(term))
-            ok = ok & terminal
-        low = F.lower(t)
-        for mk in markers:
-            ok = ok & ~low.contains(F.lit(mk))
-        return ok
-
     lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(lines, line_ok)
+    kept = c4_kept_lines_expr(
+        F.col(text_col), min_line_words, require_terminal, bad_markers
+    )
     joined = F.array_join(F.transform(kept, F.trim), "\n")
     out = docs.select(
         F.col(id_col),

@@ -312,9 +312,34 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cnt.doc_id,
              -sum((c / n) * log2(c / n)) AS e
       FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+    ),
+    -- TF-IDF top-1 keyword (operators/text.py tfidf_keywords, the
+    -- test_tfidf_keywords mirror lifted onto the gate): N = docs with
+    -- >=1 token, cap drops tokens in > 0.5*N docs before ranking
+    kt AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM kt GROUP BY 1, 2),
+    nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             r4(tf.tf * (ln((nn.n_docs + 1.0) / (dfr.df + 1.0)) + 1.0)) AS score
+      FROM tf JOIN dfr USING (token) CROSS JOIN nn
+      WHERE dfr.df <= 0.5 * nn.n_docs
+    ),
+    top1 AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM scored
     )
-    SELECT d.doc_id, r4(coalesce(ent.e, 0.0)) AS entropy_bits
-    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    SELECT d.doc_id, r4(coalesce(ent.e, 0.0)) AS entropy_bits,
+           t.token AS top_keyword, t.score AS top_kw_score
+    FROM documents d
+    LEFT JOIN ent ON d.doc_id = ent.doc_id
+    LEFT JOIN (SELECT * FROM top1 WHERE rk = 1) t ON d.doc_id = t.doc_id
     """,
 )
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,10 +387,20 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
     d = repartition_for_cpu(d.select("doc_id", "text"), spark)
-    return d.select(
+    ent = d.select(
         "doc_id",
         r4(token_entropy(F.col("text"))).alias("entropy_bits"),
     )
+    # TF-IDF top-1 keyword per doc — puts tfidf_keywords on the driver's
+    # DuckDB oracle gate (the full top-k relation stays pytest-mirrored in
+    # test_tfidf_keywords). Left join: a doc whose every token is
+    # cap-dropped has no keyword.
+    kw = tfidf_keywords(table(spark, sf_dir, "documents"), top_k=1).select(
+        "doc_id",
+        F.col("token").alias("top_keyword"),
+        F.col("score").alias("top_kw_score"),
+    )
+    return ent.join(kw, "doc_id", "left")
 
 
 # Deterministic pseudo-random for sampling: Knuth multiplicative hash on the
@@ -404,68 +439,200 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
     "q91_stratified_sample",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang, n_chars,
+      SELECT doc_id, lang, n_chars, text,
              {knuth_bucket_sql("doc_id", 1000)} AS bucket
       FROM documents
     ),
     ranked AS (
-      SELECT doc_id, lang, n_chars,
+      SELECT doc_id, lang, n_chars, text,
              row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rk
       FROM h
+    ),
+    samp AS (SELECT * FROM ranked WHERE rk <= 20),
+    -- C4 line cleaning (operators/quality.py clean_lines_c4, the
+    -- test_c4_cleaning mirror lifted onto the gate) applied to the
+    -- sampled rows only
+    c4 AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             list_filter(string_split(text, chr(10)), ln ->
+               len(regexp_extract_all(trim(ln), '[^ \t\x0B\f\r]+')) >= 3
+               AND (ends_with(trim(ln), '.') OR ends_with(trim(ln), '!')
+                    OR ends_with(trim(ln), '?') OR ends_with(trim(ln), '"')
+                    OR ends_with(trim(ln), chr(39)))
+               AND NOT contains(lower(trim(ln)), 'lorem ipsum')
+               AND NOT contains(lower(trim(ln)), 'javascript')
+               AND NOT contains(lower(trim(ln)), 'cookie policy')
+               AND NOT contains(lower(trim(ln)), 'all rights reserved')
+             ) AS kept
+      FROM samp
     )
-    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS BIGINT) AS rk
-    FROM ranked WHERE rk <= 20
+    SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars,
+           CAST(s.rk AS BIGINT) AS rk,
+           CAST(len(c4.lines) AS BIGINT) AS n_lines,
+           CAST(len(c4.kept) AS BIGINT) AS n_lines_kept,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — empty kept must digest md5('')
+           md5(coalesce(
+             array_to_string(list_transform(c4.kept, x -> trim(x)), chr(10)), ''))
+             AS c4_digest
+    FROM samp s JOIN c4 USING (doc_id)
     """,
 )
 def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling: exactly 20 documents per language stratum,
     selected by a deterministic hash order — reproducible corpus subsets
     without RNG state. Scale: one shuffle on the stratum key;
-    WindowGroupLimit keeps per-partition top-k before the merge."""
+    WindowGroupLimit keeps per-partition top-k before the merge.
+
+    The sampled rows also carry C4 line-cleaning accounting
+    (n_lines / n_lines_kept / md5 digest of the cleaned text) — the
+    clean-what-you-sampled composition that puts clean_lines_c4
+    (operators/quality.py) on the driver's oracle gate. The C4
+    expression is a narrow map evaluated AFTER the rank filter, so it
+    costs 20 rows per stratum, not a corpus pass; a doc whose lines all
+    drop digests the empty string (the full operator's document-drop
+    semantics stay pytest-verified in test_c4_cleaning)."""
     from pyspark.sql import Window
+
+    from entangledb_spark.operators.quality import c4_kept_lines_expr
 
     d = table(spark, sf_dir, "documents")
     bucket = knuth_bucket(F.col("doc_id"), 1000)
     w = Window.partitionBy("lang").orderBy(bucket.asc(), F.col("doc_id").asc())
+    kept = c4_kept_lines_expr(F.col("text"))
     return (
-        d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "text")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "rk",
+            F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
+            F.size(kept).cast("long").alias("n_lines_kept"),
+            F.md5(F.array_join(F.transform(kept, F.trim), "\n")).alias("c4_digest"),
+        )
     )
 
 
 @query(
     "q92_dataset_mixture",
-    oracle=f"""
+    oracle=rf"""
     WITH tagged AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, lang, text,
              {knuth_bucket_sql("doc_id", 100)} AS bucket,
              CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 20 END AS rate
       FROM documents
+    ),
+    -- trained char-trigram NB language ID (operators/langid.py), the
+    -- test_langid DuckDB-training mirror lifted onto the gate: train on
+    -- every labeled doc (top-64 grams/lang, control-char grams dropped),
+    -- score the SAMPLED docs, argmax with ties to the first language
+    tr AS (
+      SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents WHERE lang IS NOT NULL
+    ),
+    g AS (
+      SELECT lang, unnest(list_transform(
+               range(1, greatest(length(t) - 2, 0) + 1),
+               i -> substring(t, CAST(i AS INTEGER), 3))) AS gram
+      FROM tr
+    ),
+    c AS (
+      SELECT lang, gram, count(*) AS c FROM g
+      WHERE NOT regexp_matches(gram, '[\x00-\x1f\x7f]')
+      GROUP BY lang, gram
+    ),
+    r AS (
+      SELECT lang, gram, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rk
+      FROM c
+    ),
+    kept AS (SELECT lang, gram, c FROM r WHERE rk <= 64),
+    lstat AS (SELECT lang, sum(c) AS t, count(*) AS v FROM kept GROUP BY lang),
+    samp AS (
+      SELECT doc_id, source, lang AS true_lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM tagged WHERE bucket < rate
+    ),
+    dg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(length(t) - 2, 0) + 1),
+               i -> substring(t, CAST(i AS INTEGER), 3))) AS gram
+      FROM samp
+    ),
+    persum AS (
+      SELECT dg.doc_id, ls.lang,
+             sum(CASE WHEN k.c IS NOT NULL
+                      THEN ln((k.c + 1.0) / (ls.t + ls.v + 1))
+                      ELSE ln(1.0 / (ls.t + ls.v + 1)) END) AS s
+      FROM dg CROSS JOIN lstat ls
+      LEFT JOIN kept k ON k.lang = ls.lang AND k.gram = dg.gram
+      GROUP BY dg.doc_id, ls.lang
+    ),
+    scorefin AS (
+      SELECT sm.doc_id, ls.lang,
+             coalesce(ps.s, 0.0) + ln(1.0 / (ls.t + ls.v + 1)) AS score
+      FROM samp sm CROSS JOIN lstat ls
+      LEFT JOIN persum ps ON ps.doc_id = sm.doc_id AND ps.lang = ls.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS pr
+      FROM scorefin
     )
-    SELECT source, count(*) AS n_sampled,
-           CAST(min(doc_id) AS BIGINT) AS first_doc
-    FROM tagged WHERE bucket < rate GROUP BY source
+    SELECT sm.source, count(*) AS n_sampled,
+           CAST(min(sm.doc_id) AS BIGINT) AS first_doc,
+           CAST(count(*) FILTER (WHERE p.predicted = sm.true_lang) AS BIGINT)
+             AS n_lang_match
+    FROM samp sm
+    JOIN (SELECT doc_id, predicted FROM pred WHERE pr = 1) p USING (doc_id)
+    GROUP BY sm.source
     """,
 )
 def q92_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted dataset mixing: per-source sampling rates (80%/50%/20%)
     applied with the deterministic hash — the standard way to rebalance
     source proportions in a training mix. Pure narrow filter + one tiny
-    aggregation; rates change without reshuffling anything."""
+    aggregation; rates change without reshuffling anything.
+
+    Each source row also reports ``n_lang_match`` — how many sampled
+    docs the corpus-TRAINED char-trigram NB language ID
+    (operators/langid.py) assigns their labeled language — putting the
+    full train+score+argmax pipeline on the driver's oracle gate (the
+    oracle re-trains the identical model in DuckDB SQL). The model is a
+    bounded collect (≤ langs × 64 rows); scoring stays a narrow
+    zero-shuffle expression over only the sampled rows, so the mixing
+    plan shape is unchanged: one filter, one tiny aggregation.
+    Summation-order float noise (~1e-12) is far below typical argmax
+    margins; the count is additionally robust because only flips ACROSS
+    the labeled language would change it."""
+    from entangledb_spark.operators.langid import (
+        langid_argmax_expr,
+        train_langid_model,
+    )
+
     d = table(spark, sf_dir, "documents")
+    model = train_langid_model(d)
     bucket = knuth_bucket(F.col("doc_id"), 100)
     rate = (
         F.when(F.col("source") == "src0", 80)
         .when(F.col("source") == "src1", 50)
         .otherwise(20)
     )
+    pred = langid_argmax_expr(F.col("text"), model)
     return (
         d.filter(bucket < rate)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
             F.min("doc_id").cast("long").alias("first_doc"),
+            F.coalesce(F.sum((pred == F.col("lang")).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("n_lang_match"),
         )
     )
 
