@@ -421,8 +421,122 @@ def q96_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(table(spark, sf_dir, "documents"), top_k=200)
 
 
+# Above this many (multi-symbol) distinct words the merge loop runs
+# distributed; at or below it the word-frequency relation is collected and
+# trained in driver memory. ~60 B/row: 2M words ≈ 120 MB — far under any
+# real driver; raise on a large-memory driver (a 100 TB web corpus has
+# ~30-100M distinct [a-z]+ words ≈ 2-6 GB, still collectable on the
+# 64-256 GB drivers such a cluster runs).
+BPE_DRIVER_VOCAB_CAP = 2_000_000
+BPE_BATCH = 64  # distributed mode: merge candidates fetched per round
+
+
+def _bpe_train_inmem(
+    sym_words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Exact sequential BPE over in-memory (symbols, count) words — the
+    Sennrich et al. 2016 trainer with the standard incremental pair
+    index (pair → containing-word ids), so each merge touches only the
+    words that contain it: O(corpus-chars + merges × touched-words),
+    seconds for a 32k-merge vocabulary. Identical argmax/tie-break/fold
+    semantics to the distributed rounds (count desc, then (a, b)
+    lexicographic; leftmost non-overlapping rewrite)."""
+    from collections import defaultdict
+
+    words = [list(syms) for syms, _ in sym_words]
+    counts = [c for _, c in sym_words]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, c) in enumerate(zip(words, counts)):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(wi)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and pair_counts:
+        (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b, int(n)))
+        for wi in list(pair_words.get((a, b), ())):
+            syms, c = words[wi], counts[wi]
+            new: list[str] = []
+            for x in syms:  # same left-to-right fold as the Spark expr
+                if new and new[-1] == a and x == b:
+                    new[-1] = a + b
+                else:
+                    new.append(x)
+            if new == syms:  # stale index entry — word no longer has (a,b)
+                continue
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= c
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+            words[wi] = new
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += c
+                pair_words[p].add(wi)
+    return merges
+
+
+def _bpe_select_batch(
+    top: list, limit: int
+) -> tuple[list[tuple[str, str, int]], int]:
+    """Longest desc-order prefix of ``top`` (Rows of a, b, n) that is
+    PROVABLY equivalent to sequential merging, capped at ``limit``:
+
+    - footprint-disjoint: a selected pair may not share a symbol — nor
+      its concatenation — with any earlier selected pair, so the merges
+      neither touch each other's counts nor cascade inside one rewrite;
+    - margin over the stop count: unselected pairs have count <= n_stop
+      (the first non-selectable pair), and k-1 preceding merges can grow
+      a pair containing their freshly-merged symbols by at most n_stop
+      each; requiring n_k > (k-1)·n_stop guarantees no grown/created
+      pair can outrank selection k when the merges replay sequentially.
+
+    Returns (selected, n_stop). Conservative by design: in the Zipf head
+    (top pairs share letters) batches shrink toward 1 and the loop
+    degrades gracefully to the exact sequential behavior."""
+    selected: list[tuple[str, str, int]] = []
+    footprints: set[str] = set()
+    n_stop = 0
+    for r in top:
+        a, b, n = r["a"], r["b"], int(r["n"])
+        if len(selected) >= limit or n < 2:
+            n_stop = n if n >= 2 else 0
+            break
+        f = {a, b, a + b}
+        if f & footprints:
+            n_stop = n
+            break
+        selected.append((a, b, n))
+        footprints |= f
+    else:
+        # fetched list exhausted with no stop pair: if the relation had
+        # MORE pairs than we fetched we never see them — the caller
+        # fetches limit+1 rows so this branch means the relation is
+        # exhausted and nothing unselected exists (n_stop stays 0)
+        n_stop = 0
+    # the margin must hold as a PREFIX property (sequential step k), so
+    # cut at the first violation rather than filtering past it
+    exact = selected
+    for k, (a, b, n) in enumerate(selected, start=1):
+        if k > 1 and not n > (k - 1) * n_stop:
+            exact = selected[: k - 1]
+            break
+    else:
+        exact = selected
+    return exact, n_stop
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = 50, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    driver_vocab_cap: int = BPE_DRIVER_VOCAB_CAP,
+    batch: int = BPE_BATCH,
 ) -> list[tuple[str, str, int]]:
     """Byte-pair-encoding merge training over the corpus — the step that
     turns vocabulary statistics into an actual tokenizer (Sennrich et al.
@@ -430,21 +544,33 @@ def bpe_train(
     ...] in merge order, greedy-highest-count with lexicographic
     tie-break (deterministic across runs and cluster sizes).
 
-    Scale shape — the classic BPE trick, distributed:
+    Scale shape — the classic BPE trick, distributed, in two regimes:
+
       1. ONE corpus pass builds the distinct-word frequency table
          (groupBy(word) with map-side partial aggregation; Zipf-safe for
-         the same reason as vocabulary()).
-      2. Every merge round then operates on the VOCAB relation only
-         (|distinct words| rows — millions, not the corpus' trillions of
-         tokens): explode adjacent symbol pairs weighted by word count,
-         aggregate, take the global argmax (a ONE-ROW driver probe — the
-         same bounded-collect class as the compiler's constant folds),
-         and rewrite each word's symbol array with a left-to-right fold
-         (F.aggregate — codegen'd, handles overlapping pairs like 'aaa'
-         exactly like reference BPE).
-      3. localCheckpoint per round keeps the iterative lineage flat
-         (same discipline as connected_components).
-    """
+         the same reason as vocabulary()). This is the only pass over
+         the corpus regardless of merge count.
+      2. If the table holds <= ``driver_vocab_cap`` words it is
+         collected ONCE and trained entirely in driver memory with the
+         incremental-pair-index sequential trainer (_bpe_train_inmem) —
+         zero per-merge Spark jobs, exactly how production tokenizer
+         trainers consume their word-count tables. A realistic 32k-merge
+         vocabulary is seconds of driver CPU instead of 32k serial
+         cluster jobs (the round-4 scale wall).
+      3. Beyond the cap, rounds run distributed over the vocab relation
+         (|distinct words| rows, never the corpus): explode adjacent
+         symbol pairs weighted by word count, aggregate, fetch the top
+         ``batch``+1 candidates, and apply the longest PROVABLY
+         sequential-equivalent prefix (_bpe_select_batch: footprint-
+         disjoint + count margin) in one fold rewrite + localCheckpoint
+         (flat lineage; superseded checkpoints are ContextCleaner-
+         reclaimed). Multi-symbol words that finish merging drop out of
+         the relation, and as soon as the remainder fits the cap the
+         loop COLLAPSES into regime 2 for the remaining merges — the
+         distributed rounds are a bounded prefix, not the whole run.
+
+    ``bpe_train.last_stats`` records {"mode", "rounds"} of the latest
+    call for tests/diagnostics."""
     words = (
         docs.select(
             F.explode(
@@ -459,10 +585,27 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        # collapse to the exact in-driver trainer as soon as the
+        # remaining multi-symbol vocabulary fits the bounded collect
+        live = vocab.filter(F.size("syms") >= 2)
+        if live.count() <= driver_vocab_cap:
+            rows = live.collect()
+            merges.extend(
+                _bpe_train_inmem(
+                    [(list(r["syms"]), int(r["c"])) for r in rows],
+                    n_merges - len(merges),
+                )
+            )
+            bpe_train.last_stats = {
+                "mode": "driver" if rounds == 0 else "hybrid",
+                "rounds": rounds,
+            }
+            return merges
+        rounds += 1
         pairs = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
+            live.select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1), "
@@ -474,24 +617,33 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("c").alias("n"))
         )
-        best = pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b")).limit(1).collect()
-        if not best or best[0]["n"] < 2:
+        limit = min(batch, n_merges - len(merges))
+        top = (
+            pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(limit + 1)
+            .collect()
+        )
+        selected, _ = _bpe_select_batch(top, limit)
+        if not selected:
             break
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        merges.append((a, b, n))
-        merged = a + b
-        # left-to-right fold: append each symbol, or fuse it with the
-        # accumulator's tail when (tail, current) == (a, b). Overlapping
-        # runs behave like reference BPE ('aaa' + (a,a) -> ['aa','a']).
+        merges.extend(selected)
+        # one fold rewrite applies every selected merge: rules are
+        # footprint-disjoint, so at most one WHEN can match a given
+        # (tail, x) and merged tails never re-trigger another rule.
+        # Symbols are [a-z]+ concatenations — no quoting hazards.
+        whens = " ".join(
+            f"WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{a + b}'))"
+            for a, b, _ in selected
+        )
         vocab = vocab.select(
             F.expr(
                 "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{a}' AND x = '{b}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
-                "ELSE concat(acc, array(x)) END)"
+                f"CASE {whens} ELSE concat(acc, array(x)) END)"
             ).alias("syms"),
             "c",
         ).localCheckpoint(eager=True)
+    bpe_train.last_stats = {"mode": "distributed", "rounds": rounds}
     return merges
 
 

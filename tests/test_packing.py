@@ -338,3 +338,60 @@ def test_bpe_encode_applies_learned_merges(spark):
     assert "low" in toks
     i = toks.index("low")
     assert toks[i + 1 :] == ["z", "z", "q", "q"]
+
+
+def test_bpe_train_modes_are_byte_identical(spark):
+    """All three bpe_train regimes — driver-collect, pure distributed
+    batched rounds, and hybrid (distributed then mid-loop collapse) —
+    must reproduce the sequential reference merge list byte-for-byte."""
+    from collections import Counter
+
+    from entangledb_spark.operators.packing import bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "aaa aaa banana the them they there these",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = _ref_bpe(dict(Counter(w for t in texts for w in t.split())), 15)
+    got_driver = bpe_train(docs, n_merges=15)
+    assert bpe_train.last_stats["mode"] == "driver"
+    assert bpe_train.last_stats["rounds"] == 0
+    got_dist = bpe_train(docs, n_merges=15, driver_vocab_cap=0)
+    assert bpe_train.last_stats["mode"] == "distributed"
+    got_hybrid = bpe_train(docs, n_merges=15, driver_vocab_cap=0, batch=2)
+    assert got_driver == want
+    assert got_dist == want
+    assert got_hybrid == want
+
+
+def test_bpe_distributed_batches_disjoint_pairs(spark):
+    """A flat corpus of footprint-disjoint pairs must merge many pairs
+    per distributed round — the O(n_merges) serial-job wall is gone."""
+    from entangledb_spark.operators.packing import bpe_train
+
+    # 12 two-letter words over disjoint alphabets, equal counts
+    ws = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st", "uv", "wx"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws) ) for i in range(3)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=12, driver_vocab_cap=0, batch=16)
+    assert len(merges) == 12
+    assert bpe_train.last_stats["rounds"] == 1, bpe_train.last_stats
+    assert {a + b for a, b, _ in merges} == set(ws)
+
+
+def test_bpe_fixture_uses_driver_mode_single_pass(spark):
+    """At fixture scale the vocab fits the driver cap: training any
+    merge count costs ONE corpus pass + zero per-merge Spark jobs."""
+    from entangledb_spark.operators.packing import bpe_train
+
+    docs = table(spark, SF, "documents")
+    merges = bpe_train(docs, n_merges=256)
+    assert bpe_train.last_stats == {"mode": "driver", "rounds": 0}
+    counts = [n for _, _, n in merges]
+    assert counts == sorted(counts, reverse=True) or len(merges) < 256
