@@ -1,12 +1,22 @@
 """Multimodal column handling (beyond parity): image/audio/video as opaque
 binary columns with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The container has no image/audio codecs, so the decode step is a clearly
-marked stub (deterministic fake features derived from the bytes) — the
-Spark-side plumbing is real and tested: schemas, mapInPandas batch
-iteration, partition sizing, and the metadata projections are exactly what
-a production decode would use; only `_decode_stub` would be swapped for a
-real codec (PIL/torchaudio/ffmpeg).
+Decode honesty, per format:
+
+- **BMP images and PCM WAV audio decode for real** — both formats are
+  codec-free (BMP: struct header + raw pixel rows via numpy; WAV: the
+  stdlib ``wave`` module), so resize/feature/window extraction operate on
+  actual pixels and samples. Payloads are detected by magic bytes
+  (``BM`` / ``RIFF····WAVE``) with strict header validation.
+- **Everything else** (JPEG/PNG/MP3/MP4 …) needs codec libraries this
+  container doesn't ship: `_try_pil()` uses PIL when importable, and
+  otherwise the clearly marked `_decode_stub` produces deterministic fake
+  features from the raw bytes — the documented fallback, NOT real pixels.
+
+The Spark-side plumbing is identical in every case: schemas, mapInPandas
+batch iteration, partition sizing, and the metadata projections are exactly
+what a full-codec deployment uses; swapping in ffmpeg/torchaudio touches
+only the per-payload decode calls.
 
 Scale notes: binary payloads ride in the same Parquet row groups as their
 metadata; mapInPandas streams Arrow batches so peak memory is
@@ -17,8 +27,10 @@ targets payload bytes per task, not row counts.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,6 +83,154 @@ def _decode_stub(payload: bytes | str, kind: str, dim: int = 8) -> list[float]:
     return [v / 10007.0 for v in acc]
 
 
+def _payload_bytes(payload: bytes | str) -> bytes:
+    """Payload columns are STRING in the text-backed fixture and BINARY in
+    production; latin-1 is the lossless byte<->str round-trip."""
+    return payload.encode("latin-1") if isinstance(payload, str) else bytes(payload)
+
+
+def decode_bmp(data: bytes) -> "np.ndarray | None":
+    """REAL image decode for uncompressed 24-bpp BMP (the codec-free
+    format): validates the BITMAPFILEHEADER/BITMAPINFOHEADER, honors
+    4-byte row padding and bottom-up row order, returns an (h, w, 3)
+    uint8 RGB array — or None when the payload is not such a BMP (the
+    caller falls back to `_decode_stub`/PIL)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0 or w > 1 << 16 or abs(h) > 1 << 16:
+        return None
+    bottom_up, h = h > 0, abs(h)
+    row = (w * 3 + 3) & ~3
+    if len(data) < off + row * h:
+        return None
+    arr = (
+        np.frombuffer(data, np.uint8, row * h, off)
+        .reshape(h, row)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[..., ::-1].copy()  # BGR storage -> RGB
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Inverse of decode_bmp: (h, w, 3) uint8 RGB -> 24-bpp BMP bytes."""
+    h, w = arr.shape[:2]
+    row = (w * 3 + 3) & ~3
+    body = np.zeros((h, row), np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    data = body.tobytes()
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def resize_nearest(arr: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample to (height, width) — pure numpy index
+    mapping, the standard thumbnail kernel when no image library exists."""
+    src_h, src_w = arr.shape[:2]
+    ys = np.arange(height) * src_h // height
+    xs = np.arange(width) * src_w // width
+    return arr[ys][:, xs]
+
+
+def decode_wav(data: bytes) -> "tuple[np.ndarray, int] | None":
+    """REAL audio decode for 16-bit PCM WAV via the stdlib ``wave``
+    module: returns (mono float64 samples in [-1, 1], sample_rate), or
+    None when the payload is not such a WAV."""
+    import io
+    import wave
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            if wf.getsampwidth() != 2 or wf.getnframes() == 0:
+                return None
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    samples = np.frombuffer(raw, "<i2").astype(np.float64)
+    if ch > 1:
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples / 32768.0, rate
+
+
+def _try_pil_decode(data: bytes) -> "np.ndarray | None":
+    """Optional-dependency escape hatch: decode JPEG/PNG/... when PIL is
+    importable (it is not in this container); None otherwise."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except Exception:
+        return None
+
+
+def decode_image(payload: bytes | str) -> "np.ndarray | None":
+    """Best-available REAL image decode: codec-free BMP first, then PIL
+    if importable. None means no real decode is possible for this
+    payload in this environment — callers fall back to the stub."""
+    data = _payload_bytes(payload)
+    img = decode_bmp(data)
+    if img is None:
+        img = _try_pil_decode(data)
+    return img
+
+
+def _image_features(img: "np.ndarray", dim: int) -> list[float]:
+    """Deterministic REAL-pixel feature vector: [w, h, mean R/G/B,
+    global std, min, max]/255-normalized shape stats, padded/truncated
+    to ``dim`` — the stand-in for CNN features that still proves the
+    pixels were actually decoded."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64) / 255.0
+    feats = [
+        float(w),
+        float(h),
+        float(f[..., 0].mean()),
+        float(f[..., 1].mean()),
+        float(f[..., 2].mean()),
+        float(f.std()),
+        float(f.min()),
+        float(f.max()),
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _audio_window_features(win: "np.ndarray", rate: int, dim: int) -> list[float]:
+    """Deterministic REAL-sample features per window: rms / mean / absmax
+    / zero-crossing rate / energy / duration — the mel-slice stand-in."""
+    n = len(win)
+    zc = float(np.count_nonzero(np.diff(np.signbit(win)))) / max(n - 1, 1)
+    feats = [
+        float(np.sqrt(np.mean(win**2))),
+        float(win.mean()),
+        float(np.abs(win).max()),
+        zc,
+        float(np.sum(win**2)),
+        float(n) / rate,
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + featurize media rows with mapInPandas (Arrow batching).
 
@@ -83,12 +243,22 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
 
     ensure_shipped(df.sparkSession)
 
+    def _featurize(p, k):
+        if p is None:
+            return None
+        if k == "image":
+            img = decode_image(p)
+            if img is not None:
+                return _image_features(img, dim)  # REAL pixels
+        elif k == "audio":
+            wav = decode_wav(_payload_bytes(p))
+            if wav is not None:
+                return _audio_window_features(wav[0], wav[1], dim)  # REAL samples
+        return _decode_stub(p, k, dim)  # documented fallback
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(p, k, dim) if p is not None else None
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = [_featurize(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -243,12 +413,14 @@ RESIZED_SCHEMA = StructType(
 
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Image resize for image rows — the thumbnail/normalize step before
-    feature extraction. Same honest split as every decode path here: the
-    pixel work is a deterministic STUB (no codecs in this container — a
-    production swap is PIL `Image.open(payload).resize((w, h))` inside
-    the same batch loop), while the Spark side is real: Arrow-batched
-    mapInPandas, bounded per-batch memory, output schema carrying the new
-    dimensions, one row in → one row out (no expansion, no skew)."""
+    feature extraction. BMP payloads (and anything PIL can open, when
+    PIL is importable) take the REAL path: decode to pixels,
+    nearest-neighbor resample to (width, height), re-encode as BMP.
+    Undecodable payloads keep the deterministic byte-truncation STUB so
+    the operator is total. The Spark side is identical either way:
+    Arrow-batched mapInPandas, bounded per-batch memory, output schema
+    carrying the new dimensions, one row in → one row out (no
+    expansion, no skew)."""
     from entangledb_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -261,9 +433,15 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                 if p is None:
                     out_payload.append(None)
                     continue
+                img = decode_image(p)
+                if img is not None:
+                    # REAL path: pixels in, resampled pixels out
+                    resized_bytes = encode_bmp(resize_nearest(img, width, height))
+                    out_payload.append(resized_bytes.decode("latin-1"))
+                    continue
                 # stub "resize": deterministic truncation/padding to w*h/16
                 # bytes so output size tracks the requested dimensions
-                data = p.encode() if isinstance(p, str) else bytes(p)
+                data = _payload_bytes(p)
                 target = max(1, width * height // 16)
                 resized = (data * (target // max(1, len(data)) + 1))[:target]
                 out_payload.append(resized.decode("latin-1"))
@@ -294,9 +472,14 @@ def sample_audio_windows(
     """Audio window sampling — the audio analog of sample_frames: each
     audio row expands to min(duration/window, max_windows) rows with a
     per-window feature vector (production: mel-spectrogram slices).
-    Identical Arrow flatMap shape and the same ``max_windows`` skew cap
-    (a 10-hour recording cannot explode one task); reuses FRAME_SCHEMA
-    with frame_* columns meaning window index / start ms."""
+    16-bit PCM WAV payloads take the REAL path: stdlib-decoded samples,
+    true duration from frame count / sample rate, per-window features
+    (rms/mean/absmax/zero-crossings/energy) computed from the actual
+    slice. Undecodable payloads keep the documented duration/feature
+    stubs. Identical Arrow flatMap shape either way, and the same
+    ``max_windows`` skew cap (a 10-hour recording cannot explode one
+    task); reuses FRAME_SCHEMA with frame_* columns meaning window
+    index / start ms."""
     from entangledb_spark.deploy import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -312,6 +495,22 @@ def sample_audio_windows(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
+                    continue
+                wav = decode_wav(_payload_bytes(payload))
+                if wav is not None:
+                    samples, rate = wav  # REAL path
+                    dur = int(len(samples) * 1000 // rate)
+                    n = min(dur // window_ms, max_windows)
+                    step = rate * window_ms // 1000
+                    for i in range(int(n)):
+                        ts = i * window_ms
+                        win = samples[i * step : (i + 1) * step]
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(i)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame_features"].append(
+                            _audio_window_features(win, rate, dim)
+                        )
                     continue
                 dur = _duration_ms_stub(payload)
                 n = min(dur // window_ms, max_windows)
