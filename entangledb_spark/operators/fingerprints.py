@@ -102,6 +102,144 @@ def winnow_expr(text: Column, k: int = K_GRAM, window: int = WINDOW) -> Column:
     return _let(normalize_text(text), with_text)
 
 
+def winnow_expr_pos(text: Column, k: int = K_GRAM, window: int = WINDOW) -> Column:
+    """Positional winnowing: distinct (fp, pos) structs instead of the
+    bare fingerprint set — ``pos`` is the 1-based char offset of the
+    selected k-gram in the NORMALIZED text, so downstream overlap
+    detection can report matched spans, not just membership (the MOSS
+    use-case the set variant gives up; see winnow_overlap_spans).
+
+    Per window the minimal gram hash is selected with its LEFTMOST
+    position on ties (array_position finds the first match) — a
+    deterministic choice both engines reproduce. Same let-binding
+    discipline as winnow_expr; ~2x the per-window cost (min + position
+    scan), same narrow no-shuffle shape. The set variant stays the
+    cheap default for detection-only pipelines."""
+    empty = F.array().cast("array<struct<fp:string,pos:bigint>>")
+
+    def pick(s: Column, base) -> Column:
+        m = F.array_min(s)
+        return F.struct(
+            m.alias("fp"), (base + F.array_position(s, m)).cast("long").alias("pos")
+        )
+
+    def with_grams(grams: Column) -> Column:
+        n_wins = F.size(grams) - F.lit(window - 1)
+        wins = F.when(
+            n_wins >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+                lambda j: _let(
+                    F.slice(grams, j, window), lambda s: pick(s, j - 1)
+                ),
+            ),
+        ).otherwise(
+            F.when(F.size(grams) >= 1, F.array(pick(grams, F.lit(0)))).otherwise(empty)
+        )
+        return F.array_distinct(wins)
+
+    def with_text(s: Column) -> Column:
+        n_grams = F.length(s) - F.lit(k - 1)
+        grams = F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.md5(s.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return _let(grams, with_grams)
+
+    return _let(normalize_text(text), with_text)
+
+
+def winnow_postings_pos(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded positional posting list: (id, fp, pos) — one narrow map
+    + one explode over the winnowed-sparse struct array."""
+    return docs.select(
+        F.col(id_col), F.explode(winnow_expr_pos(F.col(text_col), k, window)).alias("e")
+    ).select(F.col(id_col), F.col("e.fp").alias("fp"), F.col("e.pos").alias("pos"))
+
+
+def winnow_overlap_spans(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    min_shared: int = 2,
+    doc_freq_cap: float = FP_DOC_FREQ_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level containment: WHERE documents overlap, not just that
+    they do. Every shared fingerprint at (pos_a, pos_b) certifies an
+    identical k-char run at those offsets of the two normalized texts;
+    anchors lying on the same DIAGONAL (pos_b - pos_a constant — the
+    alignment offset of a contiguous shared region) are merged
+    gaps-and-islands style when consecutive anchors are <= t = k +
+    window - 1 apart, which is exactly the winnowing guarantee's anchor
+    spacing inside a genuinely shared run of length >= t.
+
+    Returns (doc_a, doc_b, start_a, start_b, span_len, n_anchors) with
+    doc_a < doc_b, span_len in normalized-text characters
+    (last_anchor - first_anchor + k), keeping spans with >=
+    ``min_shared`` anchors. Offsets are 1-based.
+
+    Plan: positional posting list → hot-fp broadcast anti-join (same
+    cap rationale as winnow_overlap_pairs) → fp equi-join → per
+    (pair, diagonal) ordered island aggregation (one shuffle keyed on
+    the pair+diagonal, uniform) — never all-pairs, no UDFs."""
+    from pyspark.sql import Window as W
+
+    posting = winnow_postings_pos(docs, k, window, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    n_docs = posting.select(id_col).distinct().count()
+    hot = (
+        posting.groupBy("fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") > F.greatest(F.lit(doc_freq_cap * n_docs), F.lit(2.0)))
+        .select("fp")
+    )
+    cold = posting.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    t = k + window - 1
+    anchors = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = anchors.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pos_a") - F.lag("pos_a").over(w) > F.lit(t), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_anchors"),
+        )
+        .filter(F.col("n_anchors") >= min_shared)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_len", "n_anchors")
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = K_GRAM,

@@ -175,3 +175,118 @@ def test_containment_survivors_keep_superset_doc(spark):
     assert surv == {1, 2, 3}, surv
     # and schema is preserved
     assert winnow_containment_survivors(df).columns == df.columns
+
+
+# --- positional winnowing / span-level containment --------------------------
+
+
+def _norm(s):
+    return " ".join(s.lower().split())
+
+
+def test_winnow_pos_duckdb_mirror(spark):
+    """The positional expression must match an independent DuckDB
+    formulation exactly: same selected fingerprints, same 1-based
+    offsets, same leftmost tie-break."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators.fingerprints import winnow_expr_pos
+
+    docs = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today."),
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # repetitive: distinct dedup
+        (2, "short text"),                        # < k chars -> empty
+        (3, "exactly twenty-four chars"),         # 25 chars -> 2 grams < window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, e.fp, e.pos)
+        for r in df.select(
+            "doc_id", winnow_expr_pos(F.col("text")).alias("w")
+        ).collect()
+        for e in r.w
+    }
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    truth = {
+        (d, e["fp"], e["pos"])
+        for d, es in con.execute(
+            r"""
+            WITH fpg AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(length(t) - 23, 0) + 1),
+                                    i -> md5(substring(t, CAST(i AS INTEGER), 24))) AS g
+              FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                    FROM docs)
+            )
+            SELECT doc_id,
+                   CASE
+                     -- no list_distinct: DuckDB can't hash struct lists;
+                     -- the test compares SETS so both sides dedup anyway
+                     WHEN len(g) - 7 >= 1 THEN
+                       (list_transform(
+                         range(1, len(g) - 7 + 1),
+                         j -> struct_pack(
+                           fp := list_aggregate(g[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], 'min'),
+                           pos := CAST(j - 1 + list_position(
+                             g[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)],
+                             list_aggregate(g[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)], 'min')) AS BIGINT))))
+                     WHEN len(g) >= 1 THEN
+                       [struct_pack(fp := list_aggregate(g, 'min'),
+                                    pos := CAST(list_position(g, list_aggregate(g, 'min')) AS BIGINT))]
+                     ELSE CAST([] AS STRUCT(fp VARCHAR, pos BIGINT)[])
+                   END AS w
+            FROM fpg
+            """
+        ).fetchall()
+        for e in es
+    }
+    assert got == truth
+    assert any(d == 1 for d, _, _ in got)  # repetitive doc still fingerprints
+    assert not any(d == 2 for d, _, _ in got)  # sub-k doc is empty
+
+
+def test_overlap_spans_report_correct_offsets(spark):
+    """A planted shared paragraph must surface as ONE span per pair on
+    the correct diagonal, with offsets inside the true shared region
+    and coverage within the winnowing guarantee t = k + window - 1."""
+    from entangledb_spark.operators.fingerprints import (
+        K_GRAM,
+        WINDOW,
+        winnow_overlap_spans,
+    )
+
+    shared = (
+        "the licensing header that both documents carry verbatim and "
+        "which is long enough to anchor several winnowed fingerprints "
+        "across its full width for reliable span detection"
+    )
+    a_text = "Unique preamble for document alpha here. " + shared + " Alpha tail content."
+    b_text = (
+        "Completely different opener text for beta document, longer than alpha's. "
+        + shared
+        + " Beta closes differently."
+    )
+    fill = "totally unrelated filler document about fish and bicycles and weather."
+    df = spark.createDataFrame(
+        [(0, a_text), (1, b_text), (2, fill)], "doc_id long, text string"
+    )
+    spans = winnow_overlap_spans(df).collect()
+    assert {(r.doc_a, r.doc_b) for r in spans} == {(0, 1)}
+    t = K_GRAM + WINDOW - 1
+    na, nb = _norm(a_text), _norm(b_text)
+    sa_true = na.index(_norm(shared)) + 1  # 1-based
+    sb_true = nb.index(_norm(shared)) + 1
+    L = len(_norm(shared))
+    # one merged island on the single alignment diagonal
+    assert len(spans) == 1
+    r = spans[0]
+    assert r.start_b - r.start_a == sb_true - sa_true  # correct diagonal
+    assert sa_true <= r.start_a <= sa_true + t
+    assert sb_true <= r.start_b <= sb_true + t
+    end_a = r.start_a + r.span_len - 1
+    assert end_a <= sa_true + L - 1
+    assert r.span_len >= L - 2 * t  # guarantee-bounded coverage
+    assert r.n_anchors >= 2

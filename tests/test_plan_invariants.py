@@ -104,7 +104,10 @@ def test_round4_operators_plan_shapes(spark):
     pure narrow map — must not even exchange."""
     from pyspark.sql import functions as F
 
-    from entangledb_spark.operators.fingerprints import winnow_overlap_pairs
+    from entangledb_spark.operators.fingerprints import (
+        winnow_overlap_pairs,
+        winnow_overlap_spans,
+    )
     from entangledb_spark.operators.langid import classify_langs, train_langid_model
     from entangledb_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -115,6 +118,7 @@ def test_round4_operators_plan_shapes(spark):
     )
     cases = {
         "winnow_overlap": winnow_overlap_pairs(docs),
+        "winnow_spans": winnow_overlap_spans(docs),
         "embed_near_dup": embedding_near_dup_pairs(emb, threshold=0.5),
         "langid_classify": classify_langs(docs, model),
     }
