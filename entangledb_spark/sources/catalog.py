@@ -268,11 +268,87 @@ class SnapshotCatalog:
             .drop("__rank", "__del", "__rn")
         )
 
-    def write_snapshot(self, name: str, df: DataFrame) -> str:
+    def read_df_pruned(self, manifest: dict, name: str, predicate) -> DataFrame:
+        """Merge-on-read view of ``name`` with ``predicate`` (a Column over
+        the table's partition column(s)) applied to EVERY part — base and
+        each delta — BEFORE the pk-version window, so partition pruning
+        happens at the parquet source instead of being blocked above the
+        window (Catalyst won't push a non-window-key filter through it).
+
+        Sound only when the predicate's columns are functionally
+        determined by the pk and every writer maintains them consistently
+        (all versions of a pk live in the same partition) — exactly the
+        contract of a declared ``partition_by`` column like the
+        fp-prefix bucket in streaming/corpus_dedup.py. Parts that lack
+        the predicate's columns (pk-only tombstones) are left unfiltered:
+        a surviving tombstone for an unprobed pk deletes a row the caller
+        wasn't asking about, which the merge semantics already handle."""
+        t = manifest["tables"].get(name)
+        if t is None:
+            raise CatalogError(f"table {name} does not exist")
+        schema = schema_of(t["columns"])
+        deltas = t.get("deltas", [])
+        if t["data"] is None and not deltas:
+            return self.spark.createDataFrame([], schema)
+        from pyspark.sql import Window, functions as F
+
+        pk = self._pk_of(t)
+        pk_schema = T.StructType([schema[pk]])
+        base = (
+            self._read_path(t["data"], schema).filter(predicate)
+            if t["data"] is not None
+            else self.spark.createDataFrame([], schema)
+        )
+        parts = [base.withColumn("__rank", F.lit(0)).withColumn("__del", F.lit(False))]
+        for i, d in enumerate(deltas, start=1):
+            if d.get("upserts"):
+                parts.append(
+                    self._read_path(d["upserts"], schema)
+                    .filter(predicate)
+                    .withColumn("__rank", F.lit(i))
+                    .withColumn("__del", F.lit(False))
+                )
+            if d.get("deletes"):
+                tomb = self._read_path(d["deletes"], pk_schema)
+                for c in schema.fieldNames():
+                    if c != pk:
+                        tomb = tomb.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                parts.append(
+                    tomb.select(*schema.fieldNames())
+                    .withColumn("__rank", F.lit(i))
+                    .withColumn("__del", F.lit(True))
+                )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        w = Window.partitionBy(pk).orderBy(F.col("__rank").desc(), F.col("__del").asc())
+        return (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (~F.col("__del")))
+            .drop("__rank", "__del", "__rn")
+        )
+
+    def write_snapshot(
+        self, name: str, df: DataFrame, partition_by: Optional[list] = None
+    ) -> str:
         """Write an immutable parquet file set, return its manifest-relative
-        path. Distributed write — no driver materialization."""
+        path. Distributed write — no driver materialization.
+
+        ``partition_by`` encodes those columns in the directory layout
+        (Hive-style) so later reads can prune files by partition value —
+        the ann_index.py recipe generalized to catalog tables. Callers
+        writing a table whose meta declares ``partition_by`` must pass it
+        so every snapshot/delta of the table shares one layout."""
         rel = os.path.join("data", name, uuid.uuid4().hex[:12])
-        df.write.mode("overwrite").parquet(os.path.join(self.base, rel))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # route each partition's rows into one task first: without it
+            # every input partition writes a file per value directory
+            # (tiny-file explosion — same rationale as build_lsh_index)
+            w = df.repartition(*partition_by).write.mode("overwrite").partitionBy(
+                *partition_by
+            )
+        w.parquet(os.path.join(self.base, rel))
         return rel
 
     def stage_delta(
@@ -290,8 +366,11 @@ class SnapshotCatalog:
         meta = manifest["tables"][name]
         delta: dict = {}
         if upserts is not None:
-            delta["upserts"] = self.write_snapshot(name, upserts)
+            delta["upserts"] = self.write_snapshot(
+                name, upserts, meta.get("partition_by")
+            )
         if deletes is not None:
+            # tombstones carry only the pk — never partition-encoded
             delta["deletes"] = self.write_snapshot(name, deletes)
         if not delta:
             return None
@@ -306,9 +385,12 @@ class SnapshotCatalog:
         import pyarrow.parquet as pq
 
         path = os.path.join(self.base, rel)
+        # os.walk, not listdir: partitioned snapshots (partition_by) nest
+        # their files under value directories
         return sum(
-            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            for f in os.listdir(path)
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for d, _, fs in os.walk(path)
+            for f in fs
             if f.endswith(".parquet")
         )
 
@@ -317,7 +399,7 @@ class SnapshotCatalog:
         chain — bounds read amplification; run out-of-band at scale."""
         meta = manifest["tables"][name]
         view = self.read_df(manifest, name)
-        meta["data"] = self.write_snapshot(name, view)
+        meta["data"] = self.write_snapshot(name, view, meta.get("partition_by"))
         meta["deltas"] = []
 
     def vacuum(self, keep_last: int = 8) -> dict:

@@ -35,6 +35,17 @@ relation with a uniform md5 key — broadcastable for small corpora,
 hash-partitioned equi-join beyond), never the historical document
 bodies; per-batch cost is O(batch + fingerprints), and the corpus
 itself is written once and only grows by genuinely new content.
+
+Partition-pruned fingerprint reads: declare an extra non-pk INTEGER
+column named ``bucket`` on the fp table and this module maintains it as
+the fp's leading-hex-byte bucket (0..255), writes every snapshot/delta
+PARTITIONED BY bucket (SnapshotCatalog partition_by), and reads back
+only the buckets the batch's fingerprints hash to
+(catalog.read_df_pruned — partition filters reach the parquet source).
+md5 buckets are uniform, so a batch touching B distinct buckets reads
+~B/256 of the table instead of all of it — the regime that matters is
+small/steady batches against a corpus-lifetime fp table. Without the
+column the table stays unpartitioned (legacy full-read behavior).
 """
 
 from __future__ import annotations
@@ -45,9 +56,19 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from pyspark.sql import Column
+
 from entangledb_spark.operators.text import fingerprint
 from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog, schema_of
 from entangledb_spark.streaming.ingest import MAX_CAS_ATTEMPTS, maybe_compact
+
+FP_N_BUCKETS = 256
+
+
+def fp_bucket(fp: Column) -> Column:
+    """Partition bucket of a fingerprint: its leading hex byte (0..255).
+    Deterministic, layout-stable, uniform for md5 keys."""
+    return F.conv(F.substring(fp, 1, 2), 16, 10).cast("int")
 
 
 def _dedup_within_batch(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
@@ -125,7 +146,26 @@ def commit_dedup_batch(
         fp_meta = m["tables"].get(fp_table)
         if docs_meta is None or fp_meta is None:
             raise ConflictError("dedup ingest table dropped mid-commit")
-        existing = catalog.read_df(m, fp_table).select("fp")
+        bucketed = any(
+            c["name"] == "bucket" and not c["primary_key"]
+            for c in fp_meta["columns"]
+        )
+        if bucketed:
+            fp_meta["partition_by"] = ["bucket"]
+            # only the buckets this batch's fingerprints hash to are read
+            # — the partition filter reaches the parquet source via
+            # read_df_pruned (bucket is pk-functional: bucket = f(fp))
+            batch_buckets = [
+                r["b"]
+                for r in deduped.select(fp_bucket(F.col("__fp")).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            existing = catalog.read_df_pruned(
+                m, fp_table, F.col("bucket").isin(batch_buckets)
+            ).select("fp")
+        else:
+            existing = catalog.read_df(m, fp_table).select("fp")
         survivors = deduped.join(
             existing, deduped["__fp"] == existing["fp"], "left_anti"
         ).select(*doc_cols, "__fp")
@@ -140,9 +180,12 @@ def commit_dedup_batch(
             written.select(pk)
             .join(deduped.select("__fp", pk), pk)
             .select(F.col("__fp").alias("fp"), F.col(pk))
-            .select(*fp_cols)
         )
-        fp_rel = catalog.write_snapshot(fp_table, fp_rows)
+        if bucketed:
+            fp_rows = fp_rows.withColumn("bucket", fp_bucket(F.col("fp")))
+        fp_rel = catalog.write_snapshot(
+            fp_table, fp_rows.select(*fp_cols), fp_meta.get("partition_by")
+        )
         docs_meta.setdefault("deltas", []).append({"upserts": docs_rel})
         fp_meta.setdefault("deltas", []).append({"upserts": fp_rel})
         m.setdefault("streams", {})[stream_id] = batch_id

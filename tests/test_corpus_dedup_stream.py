@@ -236,3 +236,106 @@ def test_no_string_column_raises_descriptive_error(spark, engine):
             spark.createDataFrame([(1, 2)], "k long, v long"),
             0,
         )
+
+
+# --- partition-pruned (bucketed) fingerprint table --------------------------
+
+
+@pytest.fixture()
+def bucketed_engine(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "bdb"))
+    e.execute("CREATE TABLE corpus (doc_id INTEGER PRIMARY KEY, body STRING)")
+    e.execute(
+        "CREATE TABLE corpus_fp (fp STRING PRIMARY KEY, doc_id INTEGER,"
+        " bucket INTEGER)"
+    )
+    return e
+
+
+def test_bucketed_fp_table_dedups_and_partitions(spark, bucketed_engine):
+    """With a declared bucket column the fp table is maintained
+    partitioned-by-bucket on disk and dedup semantics are unchanged."""
+    import os
+
+    cat = bucketed_engine.catalog
+    out = commit_dedup_batch(
+        cat, "corpus", "corpus_fp", "s1",
+        spark.createDataFrame(
+            [(3, "same text"), (1, "same text"), (2, "other")],
+            "doc_id long, body string",
+        ), 0,
+    )
+    assert out["n_new"] == 2
+    out2 = commit_dedup_batch(
+        cat, "corpus", "corpus_fp", "s1",
+        spark.createDataFrame([(9, "SAME  text"), (4, "new")],
+                              "doc_id long, body string"), 1,
+    )
+    assert out2["n_new"] == 1  # normalized dup dropped cross-batch
+    m = cat.manifest()
+    assert m["tables"]["corpus_fp"]["partition_by"] == ["bucket"]
+    # on-disk layout: every fp delta is bucket-partitioned
+    rels = [d["upserts"] for d in m["tables"]["corpus_fp"].get("deltas", [])]
+    if m["tables"]["corpus_fp"]["data"]:
+        rels.append(m["tables"]["corpus_fp"]["data"])
+    assert rels
+    for rel in rels:
+        subdirs = [
+            d for d in os.listdir(os.path.join(cat.base, rel))
+            if d.startswith("bucket=")
+        ]
+        assert subdirs, rel
+    # bucket values consistent with the fp prefix
+    rows, _ = bucketed_engine.execute(
+        "SELECT fp, bucket FROM corpus_fp"
+    ).fetch(100)
+    assert all(int(fp[:2], 16) == b for fp, b in rows)
+
+
+def test_bucketed_read_is_partition_pruned(spark, bucketed_engine):
+    """The per-batch fp read must push a bucket partition filter into the
+    parquet scan — the ann_index-style file-level pruning assertion."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.streaming.corpus_dedup import fp_bucket
+
+    cat = bucketed_engine.catalog
+    for b in range(3):
+        commit_dedup_batch(
+            cat, "corpus", "corpus_fp", "s1",
+            spark.createDataFrame(
+                [(b * 10 + i, f"doc {b} {i}") for i in range(5)],
+                "doc_id long, body string",
+            ), b,
+        )
+    m = cat.manifest()
+    probe = cat.read_df_pruned(m, "corpus_fp", F.col("bucket").isin([7, 9]))
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # every scan of the fp table carries the partition filter (base +
+    # upsert deltas); none scans all buckets
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert scans
+    assert all("PartitionFilters: [" in l for l in scans), plan
+    assert not any("PartitionFilters: []" in l for l in scans), plan
+
+
+def test_bucketed_compaction_preserves_layout_and_rows(spark, bucketed_engine):
+    import os
+
+    cat = bucketed_engine.catalog
+    for b in range(cat.COMPACT_AFTER + 2):
+        commit_dedup_batch(
+            cat, "corpus", "corpus_fp", "s1",
+            spark.createDataFrame([(b, f"text {b}")], "doc_id long, body string"),
+            b,
+        )
+    m = cat.manifest()
+    meta = m["tables"]["corpus_fp"]
+    assert len(meta.get("deltas", [])) < cat.COMPACT_AFTER
+    assert meta["data"] is not None
+    base_dirs = os.listdir(os.path.join(cat.base, meta["data"]))
+    assert any(d.startswith("bucket=") for d in base_dirs)
+    rows, _ = bucketed_engine.execute("SELECT fp FROM corpus_fp").fetch(1000)
+    assert len(rows) == cat.COMPACT_AFTER + 2
