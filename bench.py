@@ -38,9 +38,9 @@ registry.load_all()
 # reported under "expected_regressions" (with its reason) instead of
 # "regressions_gt_15pct" — the slowdown is a scope change, not a plan
 # regression. Prune entries once a round's BENCH_r*.json reflects them.
-EXPECTED_REGRESSIONS = {
-    "q50_text_suite": "gained winnowing fingerprint density+digest columns"
-    " (operators/fingerprints.py joined the oracle gate; ~+0.8s at sf0.1)",
+EXPECTED_REGRESSIONS: dict[str, str] = {
+    # (q50's round-4 winnowing scope growth is reflected in BENCH_r04 —
+    # entry pruned per the policy above)
 }
 
 HEADLINE = [

@@ -95,12 +95,12 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
-def _avg_recall(spark, approx_rows) -> float:
+def _avg_recall(spark, approx_rows, sf="/root/testdata/sf0.001") -> float:
     """Average top-5 recall of an ANN result vs the exact q70 truth set."""
     from entangledb_spark.registry import QUERIES, load_all
 
     load_all()
-    exact = QUERIES["q70_ann_bruteforce_topk"](spark, "/root/testdata/sf0.001").collect()
+    exact = QUERIES["q70_ann_bruteforce_topk"](spark, sf).collect()
     truth = {}
     for r in exact:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -112,28 +112,37 @@ def _avg_recall(spark, approx_rows) -> float:
     return sum(recalls) / len(recalls)
 
 
-def test_lsh_recall_vs_bruteforce(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_lsh_recall_vs_bruteforce(spark, sf):
     """ANN quality gate, LSH branch: with one-bit multi-probe expansion
     (expand_multiprobe, default since round 4) the measured avg top-5
-    recall at sf0.001 is 0.96 (was 0.44 single-probe). Floor 0.8 ≈ 15
-    points below measured: tight enough that a real regression (broken
-    bucketing, lost multi-probe, hash-family drift) fails, loose enough
-    to absorb fixture regeneration."""
+    recall is 0.96 at sf0.001 and 1.00 at sf0.01 (was 0.44
+    single-probe); spot-checked 1.00 at sf0.1's 2000 vectors, so the
+    floor is NOT an artifact of sparse buckets. Floor 0.8 stays ≥ 15
+    points below every measurement: tight enough that a real regression
+    (broken bucketing, lost multi-probe, hash-family drift) fails,
+    loose enough to absorb fixture regeneration."""
     from entangledb_spark.operators.similarity import ann_lsh_bucketed
 
-    avg = _avg_recall(spark, ann_lsh_bucketed(spark, "/root/testdata/sf0.001").collect())
-    assert avg >= 0.8, f"LSH recall regressed: {avg} (measured 0.96 at calibration)"
+    avg = _avg_recall(spark, ann_lsh_bucketed(spark, sf).collect(), sf)
+    assert avg >= 0.8, f"LSH recall regressed at {sf}: {avg}"
 
 
-def test_ivf_recall_vs_bruteforce(spark):
+@_pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_recall_vs_bruteforce(spark, sf):
     """ANN quality gate, IVF branch: with nprobe=2 (default since round 4)
-    the measured avg top-5 recall at sf0.001 is 0.92 (nprobe=1: 0.88,
-    nprobe=3: 0.96). Floor 0.8 ≈ 12 points below measured — guards broken
-    routing/medoids, which the LSH test can't catch and vice versa."""
+    the measured avg top-5 recall is 0.92 at BOTH sf0.001 and sf0.01
+    (sf0.001 single-probe: 0.88, nprobe=3: 0.96); spot-checked 1.00 at
+    sf0.1's 2000 vectors. Floor 0.8 ≈ 12 points below measured — guards
+    broken routing/medoids, which the LSH test can't catch and vice
+    versa."""
     from entangledb_spark.operators.similarity import ann_ivf
 
-    avg = _avg_recall(spark, ann_ivf(spark, "/root/testdata/sf0.001").collect())
-    assert avg >= 0.8, f"IVF recall regressed: {avg} (measured 0.92 at calibration)"
+    avg = _avg_recall(spark, ann_ivf(spark, sf).collect(), sf)
+    assert avg >= 0.8, f"IVF recall regressed at {sf}: {avg}"
 
 
 def test_ivf_lloyd_refinement_measured(spark):
@@ -150,7 +159,7 @@ def test_ivf_lloyd_refinement_measured(spark):
     sf = "/root/testdata/sf0.001"
     refined = ann_ivf(spark, sf, refine=1)
     avg = _avg_recall(spark, refined.collect())
-    assert avg >= 0.6, f"refined-IVF recall collapsed: {avg} (measured 0.80)"
+    assert avg >= 0.6, f"refined-IVF recall collapsed: {avg} (measured 0.80 at sf0.001, 0.88 at sf0.01)"
     # determinism: the 6-decimal rounding of mean centroids makes re-runs
     # bit-identical despite distributed summation order
     a = sorted(tuple(r) for r in ann_ivf(spark, sf, refine=1).collect())
