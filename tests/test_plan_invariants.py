@@ -28,6 +28,8 @@ BNLJ_OK = {
     "q71_ann_scalable",  # IVF branch only — LSH branch checked separately below
     "q61_dedup_near_pairs",
     "q96_vocabulary",  # 1-row corpus-total broadcast × top-k rows
+    "q66_text_entropy_udf",  # tfidf's 1-row n_docs broadcast (text.py) — the
+    # q96 recipe; the entropy/keyword data path itself stays equi-joined
 }
 
 
