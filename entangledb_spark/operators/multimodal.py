@@ -156,7 +156,11 @@ def decode_wav(data: bytes) -> "tuple[np.ndarray, int] | None":
         return None
     try:
         with wave.open(io.BytesIO(data)) as wf:
-            if wf.getsampwidth() != 2 or wf.getnframes() == 0:
+            # wave accepts a fmt chunk with rate 0; letting it through
+            # would divide-by-zero downstream (window durations) and
+            # fail the whole job on one malformed payload — treat it as
+            # undecodable so the stub fallback keeps the operator total
+            if wf.getsampwidth() != 2 or wf.getnframes() == 0 or wf.getframerate() <= 0:
                 return None
             rate = wf.getframerate()
             ch = wf.getnchannels()

@@ -491,10 +491,16 @@ def _bpe_select_batch(
       its concatenation — with any earlier selected pair, so the merges
       neither touch each other's counts nor cascade inside one rewrite;
     - margin over the stop count: unselected pairs have count <= n_stop
-      (the first non-selectable pair), and k-1 preceding merges can grow
-      a pair containing their freshly-merged symbols by at most n_stop
-      each; requiring n_k > (k-1)·n_stop guarantees no grown/created
-      pair can outrank selection k when the merges replay sequentially.
+      (the first non-selectable pair — selection takes a PREFIX of the
+      desc-sorted top list, so everything unselected sorts at or below
+      it), and each of the k-1 merges replaying before selection k can
+      grow a rival by at most n_stop (every new occurrence of a pair
+      touching a fresh symbol a_j+b_j maps to an occurrence of some
+      unselected neighbor pair like (x, a_j), itself <= n_stop). A rival
+      therefore peaks at n_stop + (k-1)·n_stop = k·n_stop — the initial
+      mass counts too — so requiring n_k > k·n_stop guarantees no
+      grown/created pair can outrank selection k on sequential replay
+      (strict, so cross-engine lexicographic tie-breaks never arise).
 
     Returns (selected, n_stop). Conservative by design: in the Zipf head
     (top pairs share letters) batches shrink toward 1 and the loop
@@ -521,9 +527,12 @@ def _bpe_select_batch(
         n_stop = 0
     # the margin must hold as a PREFIX property (sequential step k), so
     # cut at the first violation rather than filtering past it
+    # k=1 needs no margin: a rival starts <= n_stop <= n_1 and a tie at
+    # n_1 is broken lexicographically in selection 1's favor (it is the
+    # lex-smallest pair at the top count by the fetch ordering)
     exact = selected
     for k, (a, b, n) in enumerate(selected, start=1):
-        if k > 1 and not n > (k - 1) * n_stop:
+        if k > 1 and not n > k * n_stop:
             exact = selected[: k - 1]
             break
     else:
@@ -564,10 +573,24 @@ def bpe_train(
          sequential-equivalent prefix (_bpe_select_batch: footprint-
          disjoint + count margin) in one fold rewrite + localCheckpoint
          (flat lineage; superseded checkpoints are ContextCleaner-
-         reclaimed). Multi-symbol words that finish merging drop out of
-         the relation, and as soon as the remainder fits the cap the
-         loop COLLAPSES into regime 2 for the remaining merges — the
+         reclaimed). Each round is ONE Spark job: the candidate fetch
+         unions in the live-word count (no separate count action; the
+         ride-along count is the next round's collapse check), and the
+         rewrite checkpoint is lazy — it materializes inside the next
+         round's fetch, whose aggregate branch scans every partition.
+         Multi-symbol words that finish merging drop out of the
+         relation, and as soon as the remainder fits the cap the loop
+         COLLAPSES into regime 2 for the remaining merges — the
          distributed rounds are a bounded prefix, not the whole run.
+         Batch-size decay under Zipf, MEASURED (test_bpe_zipf_batch_decay:
+         60-word Zipf corpus count=ceil(400/rank), batch=16, cap forced
+         to 0): all 24 rounds selected exactly 1 merge — the head's
+         shared letters conflict every footprint, so the margin degrades
+         the loop to the exact sequential trainer, which is WHY the
+         driver-collapse cap is the documented operating regime (any
+         vocab small enough to reach the head is far below the 2M-word
+         cap and trains in memory instead; merge lists stay
+         byte-identical either way, asserted in the same test).
 
     ``bpe_train.last_stats`` records {"mode", "rounds"} of the latest
     call for tests/diagnostics."""
@@ -586,11 +609,25 @@ def bpe_train(
 
     merges: list[tuple[str, str, int]] = []
     rounds = 0
+    # liveness is measured ONCE up front, then rides along inside each
+    # round's candidate-fetch job as a union branch — distributed rounds
+    # cost exactly ONE job each (the rewrite checkpoint is lazy and
+    # materializes inside the next round's fetch; both union branches
+    # are full scans — a global aggregate and a TakeOrdered — so every
+    # partition of the lazy checkpoint is computed, never left partial).
+    # The ride-along count is pre-rewrite, i.e. an upper bound on the
+    # NEXT round's live vocabulary; live only shrinks, so the collapse
+    # to driver mode can fire at most one round late — the conservative
+    # direction.
+    n_live: int | None = None
+    batch_sizes: list[int] = []  # merges applied per distributed round
     while len(merges) < n_merges:
         # collapse to the exact in-driver trainer as soon as the
         # remaining multi-symbol vocabulary fits the bounded collect
         live = vocab.filter(F.size("syms") >= 2)
-        if live.count() <= driver_vocab_cap:
+        if n_live is None:
+            n_live = live.count()
+        if n_live <= driver_vocab_cap:
             rows = live.collect()
             merges.extend(
                 _bpe_train_inmem(
@@ -601,6 +638,7 @@ def bpe_train(
             bpe_train.last_stats = {
                 "mode": "driver" if rounds == 0 else "hybrid",
                 "rounds": rounds,
+                "batch_sizes": batch_sizes,
             }
             return merges
         rounds += 1
@@ -618,15 +656,27 @@ def bpe_train(
             .agg(F.sum("c").alias("n"))
         )
         limit = min(batch, n_merges - len(merges))
-        top = (
+        topq = (
             pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
             .limit(limit + 1)
-            .collect()
+            .select(
+                F.lit(0).alias("t"), "a", "b", F.col("n").cast("long").alias("n")
+            )
         )
+        cntq = live.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(1).alias("t"), F.lit("").alias("a"), F.lit("").alias("b"), "n"
+        )
+        rows = topq.unionAll(cntq).collect()
+        top = sorted(
+            (r for r in rows if r["t"] == 0),
+            key=lambda r: (-int(r["n"]), r["a"], r["b"]),
+        )
+        n_live = next(int(r["n"]) for r in rows if r["t"] == 1)
         selected, _ = _bpe_select_batch(top, limit)
         if not selected:
             break
         merges.extend(selected)
+        batch_sizes.append(len(selected))
         # one fold rewrite applies every selected merge: rules are
         # footprint-disjoint, so at most one WHEN can match a given
         # (tail, x) and merged tails never re-trigger another rule.
@@ -642,8 +692,12 @@ def bpe_train(
                 f"CASE {whens} ELSE concat(acc, array(x)) END)"
             ).alias("syms"),
             "c",
-        ).localCheckpoint(eager=True)
-    bpe_train.last_stats = {"mode": "distributed", "rounds": rounds}
+        ).localCheckpoint(eager=False)
+    bpe_train.last_stats = {
+        "mode": "distributed",
+        "rounds": rounds,
+        "batch_sizes": batch_sizes,
+    }
     return merges
 
 

@@ -286,6 +286,14 @@ class SnapshotCatalog:
         t = manifest["tables"].get(name)
         if t is None:
             raise CatalogError(f"table {name} does not exist")
+        if t.get("external"):
+            # ATTACHed external parquet has no merge-on-read parts to
+            # prune below a window; the plain scan pushes the predicate
+            # down as an ordinary source filter, which is all "pruned"
+            # can mean for a table we don't partition ourselves.
+            from entangledb_spark.sources.parquet_io import read_parquet_any
+
+            return read_parquet_any(self.spark, t["external"]).filter(predicate)
         schema = schema_of(t["columns"])
         deltas = t.get("deltas", [])
         if t["data"] is None and not deltas:

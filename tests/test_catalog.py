@@ -81,3 +81,22 @@ def test_cli_format_table():
     # empty result keeps the header
     out = format_table(["only"], [])
     assert out.splitlines()[0].strip() == "only"
+
+
+def test_read_df_pruned_external_table(cat):
+    """read_df_pruned on an ATTACHed external table must take the plain
+    external read path (no merge-on-read parts exist to prune) with the
+    predicate applied as an ordinary pushable filter — not KeyError on
+    the missing snapshot-store fields."""
+    from pyspark.sql import functions as F
+
+    m = cat.manifest()
+    m["tables"]["ext_nation"] = {
+        "columns": [],
+        "data": None,
+        "external": "/root/testdata/sf0.001/nation.parquet",
+    }
+    cat.publish(m)
+    df = cat.read_df_pruned(m, "ext_nation", F.col("n_regionkey") == 0)
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["n_regionkey"] == 0 for r in rows)

@@ -158,6 +158,13 @@ def test_bmp_roundtrip_and_wav_decode():
     assert rate == 8000 and len(got_s) == len(samples)
     assert np.allclose(got_s, samples, atol=1e-9)
     assert decode_wav(b"RIFFxxxxWAVEjunk") is None
+    # stdlib wave accepts a fmt chunk with sample rate 0; decode_wav must
+    # reject it (downstream window math divides by the rate) so the row
+    # takes the stub fallback instead of killing the job
+    zero_rate = bytearray(wav)
+    zero_rate[24:28] = b"\x00\x00\x00\x00"  # fmt nSamplesPerSec
+    zero_rate[28:32] = b"\x00\x00\x00\x00"  # fmt nAvgBytesPerSec
+    assert decode_wav(bytes(zero_rate)) is None
 
 
 def test_resize_images_real_pixels(spark):
