@@ -43,7 +43,7 @@ SHINGLE_N = 3  # word-shingle width
     SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
            count(*)                    AS n_copies
     FROM (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
       FROM documents
     ) t
     GROUP BY fp

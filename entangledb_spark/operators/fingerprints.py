@@ -240,6 +240,37 @@ def winnow_overlap_spans(
     )
 
 
+def winnow_span_summary(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    window: int = WINDOW,
+    min_shared: int = 2,
+    doc_freq_cap: float = FP_DOC_FREQ_CAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document rollup of winnow_overlap_spans — the deterministic
+    span-summary shape the driver gate can hash: for every document that
+    participates in at least one qualifying overlap span (either side of
+    a pair), (id, n_overlap_spans, max_span_len) where n_overlap_spans
+    counts the doc's (pair, diagonal, island) spans and max_span_len is
+    the longest such span in normalized-text characters.
+
+    Adds ONE uniform shuffle (the per-doc groupBy) on top of the span
+    pipeline; the spans relation is containment-sparse (capped by the
+    hot-fp guard), so the rollup input is tiny relative to the corpus."""
+    spans = winnow_overlap_spans(
+        docs, k, window, min_shared, doc_freq_cap, text_col, id_col
+    )
+    sides = spans.select(F.col("doc_a").alias(id_col), "span_len").unionAll(
+        spans.select(F.col("doc_b").alias(id_col), "span_len")
+    )
+    return sides.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap_spans"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = K_GRAM,

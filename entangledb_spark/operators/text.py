@@ -51,8 +51,13 @@ BPE_TOKEN_RE = (
 
 
 def normalize_text(col: Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace.
+
+    The whitespace class is EXPLICIT (≡ Java's \\s) rather than \\s so
+    both engines collapse identically: RE2's \\s omits \\x0B, so a bare
+    \\s here vs there would fingerprint vertical-tab text differently —
+    every oracle SQL string spells out the same class."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def fingerprint(col: Column) -> Column:
@@ -96,7 +101,7 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
              greatest(length(t) - 23, 0) AS n_fp_grams,
              list_transform(range(1, greatest(length(t) - 23, 0) + 1),
                             i -> md5(substring(t, CAST(i AS INTEGER), 24))) AS g
-      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
             FROM documents)
     ),
     wn AS (
@@ -138,7 +143,7 @@ _PHONE_RE = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
              WHEN fr_score >= es_score THEN 'fr'
              ELSE 'es'
            END AS predicted_lang,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
            regexp_replace(
              regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
                             '<EMAIL>', 'g'),
@@ -466,6 +471,79 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
                AND NOT contains(lower(trim(ln)), 'all rights reserved')
              ) AS kept
       FROM samp
+    ),
+    -- positional-winnowing span summary over the FULL corpus
+    -- (operators/fingerprints.py winnow_overlap_spans at k=24, window=8,
+    -- min_shared=2, cap=0.1; the pytest DuckDB positional mirror lifted
+    -- to gaps-and-islands): per-window leftmost-min (fp, pos) structs,
+    -- hot-fp doc-frequency guard, fp equi-join with doc_a < doc_b,
+    -- diagonal (pos_b - pos_a) island merge at anchor gap <= t = 31,
+    -- spans with >= 2 anchors, rolled up per participating document
+    wsn AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    -- vectorized winnow: one row per k-gram, then a frame-window MIN of
+    -- (fp, pos) structs — struct comparison is (fp, then pos), i.e. the
+    -- minimal hash with its LEFTMOST position, exactly the Spark side's
+    -- array_min + first array_position tie-break. Start positions run
+    -- 1..n_grams-7 (full windows); a doc with 1..7 grams keeps start 1,
+    -- whose truncated frame covers all grams = the global min.
+    gpos AS (
+      SELECT doc_id, t, greatest(length(t) - 23, 0) AS n_grams,
+             unnest(range(1, greatest(length(t) - 23, 0) + 1)) AS i
+      FROM wsn
+    ),
+    grams AS (
+      SELECT doc_id, n_grams, CAST(i AS BIGINT) AS pos,
+             md5(substring(t, CAST(i AS INTEGER), 24)) AS gram
+      FROM gpos
+    ),
+    wins AS (
+      SELECT doc_id, pos, n_grams,
+             min(struct_pack(fp := gram, pos := pos))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+      FROM grams
+    ),
+    posting AS (
+      SELECT DISTINCT doc_id, sel.fp AS fp, sel.pos AS pos
+      FROM wins WHERE pos <= greatest(n_grams - 7, 1)
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM posting),
+    hot AS (
+      SELECT fp FROM posting, nd GROUP BY fp, n
+      HAVING count(DISTINCT doc_id) > greatest(0.1 * n, 2.0)
+    ),
+    cold AS (SELECT * FROM posting WHERE fp NOT IN (SELECT fp FROM hot)),
+    anch AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos - a.pos AS diag
+      FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    lagd AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
+                                                ORDER BY pos_a) > 31
+                  THEN 1 ELSE 0 END AS brk
+      FROM anch
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+      FROM lagd
+    ),
+    sp AS (
+      SELECT doc_a, doc_b, max(pos_a) - min(pos_a) + 24 AS span_len
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING count(*) >= 2
+    ),
+    pd AS (
+      SELECT doc_id, count(*) AS n_overlap_spans, max(span_len) AS max_span_len
+      FROM (SELECT doc_a AS doc_id, span_len FROM sp
+            UNION ALL SELECT doc_b AS doc_id, span_len FROM sp)
+      GROUP BY doc_id
     )
     SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars,
            CAST(s.rk AS BIGINT) AS rk,
@@ -475,8 +553,10 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
            -- array_join([]) is '' — empty kept must digest md5('')
            md5(coalesce(
              array_to_string(list_transform(c4.kept, x -> trim(x)), chr(10)), ''))
-             AS c4_digest
-    FROM samp s JOIN c4 USING (doc_id)
+             AS c4_digest,
+           CAST(coalesce(pd.n_overlap_spans, 0) AS BIGINT) AS n_overlap_spans,
+           CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len
+    FROM samp s JOIN c4 USING (doc_id) LEFT JOIN pd USING (doc_id)
     """,
 )
 def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,19 +572,38 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is a narrow map evaluated AFTER the rank filter, so it
     costs 20 rows per stratum, not a corpus pass; a doc whose lines all
     drop digests the empty string (the full operator's document-drop
-    semantics stay pytest-verified in test_c4_cleaning)."""
+    semantics stay pytest-verified in test_c4_cleaning).
+
+    Since round 6 each sampled row also reports its corpus-wide
+    duplicate-span exposure — n_overlap_spans / max_span_len from the
+    POSITIONAL-winnowing diagonal island merge
+    (operators/fingerprints.py:winnow_span_summary at module defaults,
+    oracle re-derived in DuckDB SQL) — putting the span-localization
+    operator family on the driver's hash gate (VERDICT r5 #1). The span
+    relation is computed over the full corpus (overlap partners live
+    outside the sample by construction) then left-joined to the 100
+    sampled rows; hosted here rather than on headline q93/q50 so the
+    gate evidence costs no bench time (README registry policy rule 1).
+    Docs with no qualifying span report 0/0."""
     from pyspark.sql import Window
 
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+    from entangledb_spark.operators.fingerprints import winnow_span_summary
     from entangledb_spark.operators.quality import c4_kept_lines_expr
 
     d = table(spark, sf_dir, "documents")
     bucket = knuth_bucket(F.col("doc_id"), 1000)
     w = Window.partitionBy("lang").orderBy(bucket.asc(), F.col("doc_id").asc())
     kept = c4_kept_lines_expr(F.col("text"))
+    # the positional-winnow HOF is CPU-bound per row: spread the
+    # single-file fixture scan across cores (no-op on real multi-file
+    # inputs) before paying ~n_chars md5s per document
+    summ = winnow_span_summary(repartition_for_cpu(d, spark))
     return (
         d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "text")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
+        .join(summ, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -513,6 +612,8 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_lines"),
             F.size(kept).cast("long").alias("n_lines_kept"),
             F.md5(F.array_join(F.transform(kept, F.trim), "\n")).alias("c4_digest"),
+            F.coalesce("n_overlap_spans", F.lit(0)).cast("long").alias("n_overlap_spans"),
+            F.coalesce("max_span_len", F.lit(0)).cast("long").alias("max_span_len"),
         )
     )
 
@@ -531,7 +632,7 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- every labeled doc (top-64 grams/lang, control-char grams dropped),
     -- score the SAMPLED docs, argmax with ties to the first language
     tr AS (
-      SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      SELECT lang, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
       FROM documents WHERE lang IS NOT NULL
     ),
     g AS (
@@ -554,7 +655,7 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     lstat AS (SELECT lang, sum(c) AS t, count(*) AS v FROM kept GROUP BY lang),
     samp AS (
       SELECT doc_id, source, lang AS true_lang,
-             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+             trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
       FROM tagged WHERE bucket < rate
     ),
     dg AS (

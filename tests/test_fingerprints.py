@@ -218,7 +218,7 @@ def test_winnow_pos_duckdb_mirror(spark):
               SELECT doc_id,
                      list_transform(range(1, greatest(length(t) - 23, 0) + 1),
                                     i -> md5(substring(t, CAST(i AS INTEGER), 24))) AS g
-              FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
                     FROM docs)
             )
             SELECT doc_id,
@@ -290,3 +290,32 @@ def test_overlap_spans_report_correct_offsets(spark):
     assert end_a <= sa_true + L - 1
     assert r.span_len >= L - 2 * t  # guarantee-bounded coverage
     assert r.n_anchors >= 2
+
+
+def test_winnow_span_summary_rollup(spark):
+    """The per-doc rollup (q91's gate columns) must report each planted
+    pair participant once with the island's span length, and omit
+    non-participating docs entirely."""
+    from entangledb_spark.operators.fingerprints import (
+        K_GRAM,
+        winnow_span_summary,
+    )
+
+    shared = (
+        "the licensing header that both documents carry verbatim and "
+        "which is long enough to anchor several winnowed fingerprints "
+        "across its full width for reliable span detection"
+    )
+    a_text = "Unique preamble for document alpha here. " + shared + " Alpha tail."
+    b_text = "Completely different beta opener, longer than alpha's. " + shared
+    fill = "totally unrelated filler document about fish and bicycles and weather."
+    df = spark.createDataFrame(
+        [(0, a_text), (1, b_text), (2, fill)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in winnow_span_summary(df).collect()}
+    assert set(rows) == {0, 1}
+    for d in (0, 1):
+        assert rows[d].n_overlap_spans == 1
+        # the merged island must cover a good fraction of the shared run
+        assert K_GRAM <= rows[d].max_span_len <= len(shared) + K_GRAM
+    assert rows[0].max_span_len == rows[1].max_span_len

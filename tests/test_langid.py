@@ -95,7 +95,7 @@ def test_model_parity_vs_duckdb(spark, tmp_path):
     rows = con.execute(
         f"""
         WITH s AS (
-          SELECT lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          SELECT lang, trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
           FROM docs
         ),
         g AS (
