@@ -23,11 +23,14 @@ Spark shape, deliberately asymmetric:
   nothing to co-schedule at 100 TB; scoring is embarrassingly
   parallel).
 
-Cost note, stated honestly: Catalyst evaluates ``element_at`` on a
-literal map by LINEAR scan, so each gram lookup costs O(model size)
-short-string compares. With the default 64 grams × ~5 languages that is
-~300 fast compares per gram — fine for corpus scoring; for thousand-
-language models swap the literal map for a hashed lookup structure.
+Lookup cost: Catalyst evaluates ``element_at`` on a literal map by
+LINEAR scan, so the model ships as an ARRAY of small map literals
+bucketed by ``crc32(gram) % n_buckets`` (~8 entries per bucket; crc32
+because Python's zlib computes the identical value driver-side when
+assigning grams to buckets, unlike Spark's Murmur3). A gram lookup is
+one O(1) array index + one ~8-entry map probe regardless of model size,
+so thousand-language models score at the same per-gram cost as the
+default 5-language one.
 
 Smoothing: add-one over the restricted vocabulary. For language l with
 total kept-gram count T_l over V kept grams, a kept gram g scores
@@ -142,21 +145,43 @@ def _sql_darr(xs) -> str:
     return "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs) + ")"
 
 
+LANGID_BUCKET_TARGET = 8  # aimed-for grams per lookup bucket
+
+
 def langid_score_expr(text: Column, model: dict) -> Column:
     """Per-language log-likelihood array for ``text`` under ``model`` —
-    one narrow expression with the model as a LITERAL map (assembled as
+    one narrow expression with the model as LITERAL maps (assembled as
     a SQL string: thousands of nested Column calls would cost seconds of
-    driver round-trips per plan, the ivf_assign lesson)."""
-    entries = ",".join(
-        f"{_sql_str(g)},{_sql_darr(lps)}" for g, lps in sorted(model["grams"].items())
-    )
-    m = f"map({entries})" if entries else "map()"
+    driver round-trips per plan, the ivf_assign lesson).
+
+    The maps are crc32-bucketed (module docstring): bucket assignment
+    uses zlib.crc32 driver-side and F.crc32 executor-side, which compute
+    the same standard CRC-32 over the utf-8 bytes, so a gram always
+    probes the bucket it was placed in."""
+    import zlib
+
+    grams_sorted = sorted(model["grams"].items())
+    n_buckets = max(1, (len(grams_sorted) + LANGID_BUCKET_TARGET - 1) // LANGID_BUCKET_TARGET)
+    buckets: list[list] = [[] for _ in range(n_buckets)]
+    for g, lps in grams_sorted:
+        buckets[zlib.crc32(g.encode("utf-8")) % n_buckets].append((g, lps))
+    bucket_sqls = []
+    for b in buckets:
+        if b:
+            entries = ",".join(f"{_sql_str(g)},{_sql_darr(lps)}" for g, lps in b)
+            bucket_sqls.append(f"map({entries})")
+        else:
+            bucket_sqls.append("cast(map() as map<string,array<double>>)")
     floors = _sql_darr(model["floors"])
-    # the bulky literals (map + floors) are each ONE F.expr; the thin
-    # aggregation shell around them uses the Column HOF API
-    mcol = F.expr(m)
+    # the bulky literals (bucket array + floors) are each ONE F.expr; the
+    # thin aggregation shell around them uses the Column HOF API
+    bcol = F.expr("array(" + ",".join(bucket_sqls) + ")")
     floors_col = F.expr(floors)
     from entangledb_spark.operators.fingerprints import _let
+
+    def lookup(g: Column) -> Column:
+        idx = (F.pmod(F.crc32(F.encode(g, "utf-8")), F.lit(n_buckets)) + 1).cast("int")
+        return F.element_at(F.element_at(bcol, idx), g)
 
     def with_grams(grams: Column) -> Column:
         return F.aggregate(
@@ -164,7 +189,7 @@ def langid_score_expr(text: Column, model: dict) -> Column:
             floors_col,
             lambda acc, g: F.zip_with(
                 acc,
-                F.coalesce(F.element_at(mcol, g), floors_col),
+                F.coalesce(lookup(g), floors_col),
                 lambda a, b: a + b,
             ),
         )

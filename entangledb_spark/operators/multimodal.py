@@ -291,6 +291,19 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def is_bmp_payload(payload: Column) -> Column:
+    """The same magic-prefix test decode_bmp applies to its byte payload
+    (``data[:2] == b"BM"``), expressed over the string payload column so
+    the driver gate can count decodable-format rows engine-parallel."""
+    return payload.startswith("BM")
+
+
+def is_wav_payload(payload: Column) -> Column:
+    """decode_wav's RIFF/WAVE container test (``data[:4] == b"RIFF" and
+    data[8:12] == b"WAVE"``) over the string payload column."""
+    return (payload.substr(1, 4) == "RIFF") & (payload.substr(9, 4) == "WAVE")
+
+
 @query(
     "q80_multimodal_metadata",
     oracle="""
@@ -298,19 +311,32 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            count(*)                       AS n_media,
            CAST(sum(length(text)) AS BIGINT) AS total_bytes,
-           CAST(max(length(text)) AS BIGINT) AS max_bytes
+           CAST(max(length(text)) AS BIGINT) AS max_bytes,
+           CAST(sum(CASE WHEN text LIKE 'BM%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bmp,
+           CAST(sum(CASE WHEN substring(text, 1, 4) = 'RIFF'
+                          AND substring(text, 9, 4) = 'WAVE'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_wav
     FROM documents
     GROUP BY 1
     """,
 )
 def q80_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed-metadata rollup over the media table (payloads untouched —
-    column pruning means the scan never reads the payload bytes)."""
+    """Typed-metadata rollup over the media table, plus format-detection
+    accounting: n_bmp / n_wav count payloads whose magic prefix the REAL
+    decode paths (decode_bmp / decode_wav) would accept, derived from
+    the same predicates — putting the format detector on the driver's
+    oracle gate (the text-fixture payloads yield zero, which both
+    engines must agree on; real pixel/sample decode evidence stays in
+    tests/test_multimodal.py). The detection reads only payload
+    prefixes; the pure-metadata aggregates still prune to n_bytes."""
     m = media_from_documents(spark, sf_dir)
     return m.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.max("n_bytes").cast("long").alias("max_bytes"),
+        F.sum(is_bmp_payload(F.col("payload")).cast("long")).cast("long").alias("n_bmp"),
+        F.sum(is_wav_payload(F.col("payload")).cast("long")).cast("long").alias("n_wav"),
     )
 
 

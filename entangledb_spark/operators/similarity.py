@@ -472,7 +472,14 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- generates candidates via sign-LSH (n_flips=2) and exact-filters;
     -- this oracle enumerates all pairs, so a hash match certifies both
     -- precision (always exact by construction) and 100% recall at this
-    -- threshold on this corpus (measured 1.0 at sf0.001 AND sf0.01)
+    -- threshold on this corpus (measured 1.0 at sf0.001 AND sf0.01).
+    -- CALIBRATED-CORPUS DEPENDENCY, stated plainly: sign-LSH recall is
+    -- probabilistic, so this equality gate is only valid because the
+    -- fixture's >=0.4-cos pairs all collide within 2 bit-flips (the
+    -- README registry policy records this). If the fixture is ever
+    -- regenerated/densified and this row flakes, the fix is to gate the
+    -- brute-force side's n_dup alone here and keep the LSH-vs-exact
+    -- recall floor in tests/test_embedding_dedup.py — not to widen flips
     pr AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
              r4(list_dot_product(a.emb, b.emb)

@@ -115,14 +115,17 @@ def _avg_recall(spark, approx_rows, sf="/root/testdata/sf0.001") -> float:
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@_pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_lsh_recall_vs_bruteforce(spark, sf):
     """ANN quality gate, LSH branch: with one-bit multi-probe expansion
     (expand_multiprobe, default since round 4) the measured avg top-5
-    recall is 0.96 at sf0.001 and 1.00 at sf0.01 (was 0.44
-    single-probe); spot-checked 1.00 at sf0.1's 2000 vectors, so the
-    floor is NOT an artifact of sparse buckets. Floor 0.8 stays ≥ 15
-    points below every measurement: tight enough that a real regression
+    recall is 0.96 at sf0.001 and 1.00 at sf0.01 AND sf0.1 (was 0.44
+    single-probe) — all three densities now ASSERTED, so the floor is
+    NOT an artifact of sparse buckets. Floor 0.8 stays ≥ 15 points
+    below every measurement: tight enough that a real regression
     (broken bucketing, lost multi-probe, hash-family drift) fails,
     loose enough to absorb fixture regeneration."""
     from entangledb_spark.operators.similarity import ann_lsh_bucketed
@@ -131,14 +134,16 @@ def test_lsh_recall_vs_bruteforce(spark, sf):
     assert avg >= 0.8, f"LSH recall regressed at {sf}: {avg}"
 
 
-@_pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@_pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
 def test_ivf_recall_vs_bruteforce(spark, sf):
     """ANN quality gate, IVF branch: with nprobe=2 (default since round 4)
-    the measured avg top-5 recall is 0.92 at BOTH sf0.001 and sf0.01
-    (sf0.001 single-probe: 0.88, nprobe=3: 0.96); spot-checked 1.00 at
-    sf0.1's 2000 vectors. Floor 0.8 ≈ 12 points below measured — guards
-    broken routing/medoids, which the LSH test can't catch and vice
-    versa."""
+    the measured avg top-5 recall is 0.92 at sf0.001 and sf0.01 and
+    1.00 at sf0.1's 2000 vectors — all three densities ASSERTED. Floor
+    0.8 ≈ 12 points below measured — guards broken routing/medoids,
+    which the LSH test can't catch and vice versa."""
     from entangledb_spark.operators.similarity import ann_ivf
 
     avg = _avg_recall(spark, ann_ivf(spark, sf).collect(), sf)
