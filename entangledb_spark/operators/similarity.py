@@ -332,6 +332,16 @@ def ivf_centroids(
     return cents
 
 
+def _unit_vec_sql(vec) -> str:
+    """SQL literal for the unit-normalized vector — the centroid-folding
+    building block shared by ivf_assign and the semantic-dedup cent_sim
+    lookup (assembled as ONE string; see ivf_assign's driver-cost note)."""
+    import math
+
+    n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+    return "array(" + ",".join(f"CAST('{float(x) / n!r}' AS DOUBLE)" for x in vec) + ")"
+
+
 def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
     """Nearest-centroid assignment as ONE narrow codegen'd map: the ≤
     n_cells centroid rows are constant-folded into a literal struct-array
@@ -360,17 +370,10 @@ def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
     row list — callers assigning BOTH a corpus and a probe side against
     the same centroids should collect once and pass the rows to both
     calls (a DataFrame is lazily recomputed per collect)."""
-    import math
-
     if isinstance(centroids, DataFrame):
         centroids = centroids.select("cell", "centroid").collect()
     rows = sorted(centroids, key=lambda r: r.cell)
-
-    def unit_lit(vec) -> str:
-        n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
-        return "array(" + ",".join(
-            f"CAST('{float(x) / n!r}' AS DOUBLE)" for x in vec
-        ) + ")"
+    unit_lit = _unit_vec_sql
 
     structs = ",".join(
         "struct(-aggregate(zip_with(embedding, "
@@ -673,4 +676,105 @@ def embedding_near_dup_survivors(
     losers = comp.join(
         keep, (comp.component == keep.component) & (comp.id == keep.keep_id), "left_anti"
     ).select(F.col("id").alias(id_col))
+    return emb.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = N_IVF_CELLS,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style CLUSTER-BOUNDED semantic near-dup pairs (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): route every vector to its nearest
+    of ``n_cells`` centroids (ivf_centroids medoids + ``refine`` Lloyd
+    rounds, deterministic), then compare pairs ONLY within a cell.
+
+    The sixth dedup strategy, complementary to the sign-LSH path
+    (embedding_near_dup_pairs): LSH bounds candidates probabilistically
+    by hash collision; SemDeDup bounds them GEOMETRICALLY by cluster
+    membership — candidates = sum over cells of C(cell_size, 2), tuned
+    directly by n_cells (at corpus scale pick n_cells ~ n/target_size so
+    a cell holds ~10-50k vectors — the paper runs 50k clusters over 5B
+    embeddings). Misses only cross-cell pairs, the documented SemDeDup
+    trade; recall vs brute force is measured in test_embedding_dedup.
+
+    Plan: one bounded centroid collect -> zero-exchange assignment
+    (narrow literal-folded argmin, ivf_assign) + per-row cosine to the
+    OWN centroid (literal map lookup) -> one equi-join on cell (AQE
+    skew-splittable) -> narrow exact-cosine filter. No UDFs, never
+    all-pairs.
+
+    Returns (vec_a, vec_b, cos_sim, cell, cent_sim_a, cent_sim_b) with
+    vec_a < vec_b; cent_sim is each side's cosine to the shared cell
+    centroid — the keep-priority signal semantic_dedup_survivors uses.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cents = ivf_centroids(e, n_cells, refine=refine).collect()
+    assigned = ivf_assign(e, cents)
+    # cosine to the assigned centroid: element_at on a <= n_cells literal
+    # map of UNIT centroids (cells can be sparse after refinement, so a
+    # map keyed by cell id, not a positional array)
+    entries = ",".join(
+        f"CAST({int(r.cell)} AS BIGINT), {_unit_vec_sql(r.centroid)}"
+        for r in sorted(cents, key=lambda r: r.cell)
+    )
+    cent_sim = F.expr(
+        "aggregate(zip_with(embedding, element_at(map(" + entries + "), cell), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    ) / norm(F.col("embedding"))
+    tagged = assigned.withColumn("cent_sim", cent_sim)
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            F.col("a.cell").alias("cell"),
+            F.col("a.cent_sim").alias("cent_sim_a"),
+            F.col("b.cent_sim").alias("cent_sim_b"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = N_IVF_CELLS,
+    refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivor set: within every >= ``threshold`` pair the side
+    with the HIGHER cosine to the cell centroid loses (ties to the higher
+    id) — the paper's diversity-keeping policy (keep the example least
+    like the cluster center; prototypical near-copies drop). Losers are
+    removed by one corpus anti-join, preserving the input schema.
+
+    Deterministic: exact duplicate embeddings have IDENTICAL cent_sim,
+    so the tie falls to vec_id. Dominance is PAIRWISE (the paper's
+    operation), not connected-components: in an a~b~c chain where a!~c,
+    b drops and both a and c survive — at the high thresholds SemDeDup
+    runs, chains beyond direct pairs are rare; callers wanting one
+    survivor per component compose embedding_near_dup_survivors'
+    connected_components instead."""
+    pairs = semantic_dedup_pairs(
+        emb, threshold=threshold, n_cells=n_cells, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+    )
+    loser = F.when(
+        F.struct(F.col("cent_sim_a"), F.col("vec_a"))
+        > F.struct(F.col("cent_sim_b"), F.col("vec_b")),
+        F.col("vec_a"),
+    ).otherwise(F.col("vec_b"))
+    losers = pairs.select(loser.alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")

@@ -127,3 +127,126 @@ def test_real_embeddings_vs_duckdb_bruteforce(spark, sf_dir):
     if truth:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.8, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+# --- SemDeDup: cluster-bounded semantic dedup -------------------------------
+
+
+def _semdedup_reference(rows, cents, threshold, n_cells):
+    """Independent recomputation of everything DOWNSTREAM of the centroid
+    pick (the medoid derivation itself is covered by the IVF tests):
+    nearest-unit-centroid assignment with the exact (dist, cell)
+    tie-ordering, in-order fold dot products (Spark's aggregate() rounds
+    identically to a sequential Python loop), pairwise dominance."""
+    import math
+
+    unit = {}
+    for r in cents:
+        n = math.sqrt(sum(float(x) * float(x) for x in r.centroid)) or 1.0
+        unit[int(r.cell)] = [float(x) / n for x in r.centroid]
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    assign, cent_sim = {}, {}
+    for vid, v in rows:
+        best = min((( -dot_seq(v, u), c) for c, u in unit.items()))
+        c = best[1]
+        assign[vid] = c
+        cent_sim[vid] = dot_seq(v, unit[c]) / math.sqrt(dot_seq(v, v))
+    pairs = set()
+    losers = set()
+    for i, (ida, va) in enumerate(rows):
+        for idb, vb in rows[i + 1 :]:
+            if assign[ida] != assign[idb]:
+                continue
+            cos = dot_seq(va, vb) / (
+                math.sqrt(dot_seq(va, va)) * math.sqrt(dot_seq(vb, vb))
+            )
+            if cos >= threshold:
+                pairs.add((ida, idb))
+                # higher (cent_sim, id) loses — the diversity-keeping rule
+                losers.add(
+                    max((ida, idb), key=lambda v: (cent_sim[v], v))
+                )
+    return pairs, losers
+
+
+def test_semdedup_planted_matches_reference(spark):
+    from entangledb_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    rows, df = _planted(spark)
+    n_cells, refine = 4, 1
+    cents = ivf_centroids(df, n_cells, refine=refine).collect()
+    want_pairs, want_losers = _semdedup_reference(rows, cents, THRESH, n_cells)
+    got = semantic_dedup_pairs(df, threshold=THRESH, n_cells=n_cells, refine=refine)
+    got_pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+    assert got_pairs == want_pairs
+    surv = semantic_dedup_survivors(
+        df, threshold=THRESH, n_cells=n_cells, refine=refine
+    )
+    assert surv.columns == df.columns
+    got_surv = {r.vec_id for r in surv.collect()}
+    assert got_surv == {vid for vid, _ in rows} - want_losers
+    # native-regime recall: TRUE near-dups (cos ~0.999 noisy copies)
+    # co-locate in their cell, so cluster bounding misses nothing —
+    # measured 1.0 at n_cells=4 (36/36 true pairs; 0.889 at n_cells=8)
+    assert got_pairs == _truth_pairs(rows)
+
+
+def test_semdedup_real_embeddings_recall_and_precision(spark, sf_dir):
+    """Real embeddings at sf0.001 — the WORST regime for cluster
+    bounding, stated honestly: this fixture holds no true semantic dups
+    (max pairwise cos 0.479), so a 0.4 threshold selects weakly-similar
+    pairs that legitimately straddle cell boundaries. In-cell exactness
+    is asserted against the independent reference; recall vs the
+    brute-force all-pairs truth is the cross-cell miss rate — measured
+    0.50 at n_cells=4 (0.394 at 8, 0.318 at 16), floored at 0.4. The
+    planted test above measures the operator's NATIVE near-dup regime,
+    where recall is 1.0."""
+    from entangledb_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup_pairs,
+    )
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    )
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in df.collect()]
+    thresh, n_cells = 0.4, 4
+    cents = ivf_centroids(df, n_cells, refine=1).collect()
+    want_pairs, _ = _semdedup_reference(rows, cents, thresh, n_cells)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_dedup_pairs(df, threshold=thresh, n_cells=n_cells).collect()
+    }
+    assert got == want_pairs  # in-cell exactness on the real table
+    truth = _truth_pairs(rows, thresh)
+    assert got <= truth  # precision exact by construction
+    recall = len(got & truth) / len(truth) if truth else 1.0
+    assert recall >= 0.4, f"cross-cell miss rate collapsed: recall={recall}"
+
+
+def test_semdedup_plan_shape(spark):
+    """Cluster-bounded means NO cartesian product: the pair join is an
+    equi-join on the cell id, assignment is zero-Exchange narrow math,
+    and nothing falls back to Python."""
+    _, df = _planted(spark)
+    from entangledb_spark.operators.similarity import semantic_dedup_pairs
+
+    plan = (
+        semantic_dedup_pairs(df, threshold=THRESH, n_cells=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
