@@ -289,7 +289,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_centroids(
-    e: DataFrame, n_cells: int = N_IVF_CELLS, refine: int = 0
+    e: DataFrame, n_cells: int = N_IVF_CELLS, refine: int = 0, cell_expr=None
 ) -> DataFrame:
     """Deterministic medoid centroids: per cell (xxhash64(vec_id) mod
     n_cells), the lowest-vec_id member — reproducible without k-means
@@ -304,8 +304,17 @@ def ivf_centroids(
     one tiny aggregation; the refined centroids are rounded to 6 decimals
     so distributed-summation float noise (order-dependent at ~1e-15
     relative) cannot make re-runs diverge. Cells that lose every member
-    simply disappear (fewer, denser cells)."""
-    cell_of = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    simply disappear (fewer, denser cells).
+
+    ``cell_expr`` overrides the seed-bucketing Column (default
+    xxhash64(vec_id) mod n_cells) — pass a knuth_bucket expression when
+    the medoid pick must be re-derivable in DuckDB SQL (xxhash64 is not;
+    the q73 semantic-dedup gate columns use this)."""
+    cell_of = (
+        cell_expr
+        if cell_expr is not None
+        else F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    )
     # min_by, not a row_number window: the medoid pick is a declarative
     # aggregate with MAP-SIDE partial combine — each input partition
     # reduces to ≤ n_cells rows before the (tiny) shuffle, where the
@@ -499,6 +508,55 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT vec_id, count(*) AS n_dup, max(cs) AS max_cs
       FROM part GROUP BY vec_id
+    ),
+    -- SemDeDup cluster-bounded dedup columns (semantic_dedup_pairs with
+    -- DuckDB-re-derivable knuth-bucket medoids, n_cells=8, refine=0):
+    -- per-cell lowest-id medoid, unit-normalize, nearest-centroid
+    -- assignment by (-dot, cell) ordering, in-cell pairs at r4(cos)>=0.4.
+    -- DETERMINISTIC equality (no LSH probability): both engines compute
+    -- the identical cells, so the gate certifies the full route+join
+    -- path, not a calibrated recall
+    kc AS (
+      SELECT cell, emb AS centroid FROM (
+        SELECT ((CAST(vec_id AS BIGINT) % 2147483647) * CAST(2654435761 AS BIGINT))
+                 % 2147483647 % 8 AS cell,
+               vec_id, emb,
+               row_number() OVER (
+                 PARTITION BY ((CAST(vec_id AS BIGINT) % 2147483647)
+                               * CAST(2654435761 AS BIGINT)) % 2147483647 % 8
+                 ORDER BY vec_id) AS rn
+        FROM v) WHERE rn = 1
+    ),
+    uc AS (
+      SELECT cell,
+             list_transform(centroid,
+                            x -> x / sqrt(list_dot_product(centroid, centroid))) AS u
+      FROM kc
+    ),
+    asg AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT v.vec_id, v.emb, u.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY -list_dot_product(v.emb, u.u), u.cell) AS rn
+        FROM v CROSS JOIN uc u) WHERE rn = 1
+    ),
+    semd AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               r4(list_dot_product(a.emb, b.emb)
+                  / (sqrt(list_dot_product(a.emb, a.emb))
+                     * sqrt(list_dot_product(b.emb, b.emb)))) AS cs
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      ) WHERE cs >= 0.4
+    ),
+    sempart AS (
+      SELECT va AS vec_id, cs FROM semd
+      UNION ALL SELECT vb AS vec_id, cs FROM semd
+    ),
+    semagg AS (
+      SELECT vec_id, count(*) AS n_sem, max(cs) AS max_cs
+      FROM sempart GROUP BY vec_id
     )
     SELECT s.vec_id,
            r4(sqrt(list_dot_product(emb, emb))) AS l2_norm,
@@ -511,8 +569,11 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(emb, x -> CAST(floor(x / sc + 0.5) AS BIGINT)),
                'sum') AS BIGINT) AS q_sum,
            CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup_partners,
-           agg.max_cs AS max_dup_cos
+           agg.max_cs AS max_dup_cos,
+           CAST(coalesce(sa.n_sem, 0) AS BIGINT) AS n_sem_dup,
+           sa.max_cs AS max_sem_cos
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
+         LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +597,16 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore certifies precision AND 100% LSH recall at this threshold
     on this corpus (measured: 66 and 59 true pairs at sf0.001/sf0.01,
     recall 1.0 at both); the production recall floor stays separately
-    asserted in test_embedding_dedup."""
+    asserted in test_embedding_dedup.
+
+    Since round 6 each vector ALSO carries the SemDeDup cluster-bounded
+    summary (n_sem_dup / max_sem_cos: in-cell partners at r4(cos) >=
+    0.4, knuth-bucket medoids at n_cells=8 so the oracle re-derives the
+    identical cells in SQL) — a DETERMINISTIC equality, putting
+    semantic_dedup_pairs' route+join path on the hash gate with no
+    calibrated-recall dependency; the nearest-centroid argmin's
+    cross-engine float margin is measured in
+    test_embedding_dedup.py::test_semdedup_gate_assignment_margin."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
@@ -570,13 +640,41 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = partners.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("_n_dup"), F.max("cos_sim").alias("max_dup_cos")
     )
+    # SemDeDup columns (since round 6): cluster-bounded dedup through the
+    # REAL semantic_dedup_pairs path with knuth-bucket medoids so the
+    # oracle can re-derive the identical cells in SQL (xxhash64 can't be).
+    # threshold=-1 disables the operator's raw-cos cut; the gate cut is
+    # r4-then-threshold on BOTH engines (threshold-boundary pairs exist
+    # in this fixture, so raw-vs-rounded cuts would diverge). Unlike the
+    # LSH columns above, this equality is DETERMINISTIC — no calibrated
+    # recall dependency.
+    from entangledb_spark.operators.text import knuth_bucket
+
+    sem_pairs = semantic_dedup_pairs(
+        e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding"),
+        threshold=-1.0,
+        n_cells=8,
+        refine=0,
+        cell_expr=knuth_bucket(F.col("vec_id"), 8),
+    ).select("vec_a", "vec_b", r4(F.col("cos_sim")).alias("cs")).filter(
+        F.col("cs") >= 0.4
+    )
+    sem_part = sem_pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("cs")
+    ).unionByName(sem_pairs.select(F.col("vec_b").alias("vec_id"), F.col("cs")))
+    sem_agg = sem_part.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("_n_sem"), F.max("cs").alias("max_sem_cos")
+    )
     return (
         base.join(agg, "vec_id", "left")
+        .join(sem_agg, "vec_id", "left")
         .withColumn("n_dup_partners", F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long"))
-        .drop("_n_dup")
+        .withColumn("n_sem_dup", F.coalesce(F.col("_n_sem"), F.lit(0)).cast("long"))
+        .drop("_n_dup", "_n_sem")
         .select(
             "vec_id", "l2_norm", "unit_first", "max_abs", "scale",
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
+            "n_sem_dup", "max_sem_cos",
         )
     )
 
@@ -686,6 +784,7 @@ def semantic_dedup_pairs(
     refine: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_expr=None,
 ) -> DataFrame:
     """SemDeDup-style CLUSTER-BOUNDED semantic near-dup pairs (Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -713,7 +812,7 @@ def semantic_dedup_pairs(
     centroid — the keep-priority signal semantic_dedup_survivors uses.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    cents = ivf_centroids(e, n_cells, refine=refine).collect()
+    cents = ivf_centroids(e, n_cells, refine=refine, cell_expr=cell_expr).collect()
     assigned = ivf_assign(e, cents)
     # cosine to the assigned centroid: element_at on a <= n_cells literal
     # map of UNIT centroids (cells can be sparse after refinement, so a
@@ -753,6 +852,7 @@ def semantic_dedup_survivors(
     refine: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_expr=None,
 ) -> DataFrame:
     """SemDeDup survivor set: within every >= ``threshold`` pair the side
     with the HIGHER cosine to the cell centroid loses (ties to the higher
@@ -769,7 +869,7 @@ def semantic_dedup_survivors(
     connected_components instead."""
     pairs = semantic_dedup_pairs(
         emb, threshold=threshold, n_cells=n_cells, refine=refine,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, cell_expr=cell_expr,
     )
     loser = F.when(
         F.struct(F.col("cent_sim_a"), F.col("vec_a"))

@@ -250,3 +250,36 @@ def test_semdedup_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_gate_assignment_margin(spark, sf_dir):
+    """q73's semantic columns hash-gate a cross-engine argmin (nearest
+    unit centroid by (-dot, cell)): measure, don't argue, that the
+    corpus-minimum gap between best and second-best centroid distance
+    dwarfs summation-order float noise (~1e-15). Measured 2026-08 (r6):
+    7.8e-4 at sf0.01 with knuth-bucket medoids, n_cells=8."""
+    import math
+
+    from entangledb_spark.operators.similarity import ivf_centroids
+    from entangledb_spark.operators.text import knuth_bucket
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    )
+    cents = ivf_centroids(
+        df, 8, refine=0, cell_expr=knuth_bucket(F.col("vec_id"), 8)
+    ).collect()
+    unit = {}
+    for r in cents:
+        n = math.sqrt(sum(float(x) * float(x) for x in r.centroid)) or 1.0
+        unit[int(r.cell)] = [float(x) / n for x in r.centroid]
+    min_gap = float("inf")
+    for row in df.collect():
+        v = [float(x) for x in row.embedding]
+        ds = sorted(
+            (-sum(a * b for a, b in zip(v, u)), c) for c, u in unit.items()
+        )
+        min_gap = min(min_gap, ds[1][0] - ds[0][0])
+    assert min_gap > 1e-6, f"assignment margin collapsed to {min_gap}"
