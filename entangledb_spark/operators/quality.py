@@ -60,6 +60,80 @@ def _gram_expr(n: int) -> Column:
     )
 
 
+def _run_dup_chars(sorted_arr: Column, char_len) -> Column:
+    """Sum of cnt x char_len(item) over runs with cnt > 1 of a SORTED
+    string array — the duplicate-character mass of Gopher's line/n-gram
+    metrics, computed per row with ONE fold instead of a corpus-wide
+    (doc, item) count shuffle. The accumulator carries (prev item, run
+    length, closed-run total); the finish lambda closes the last run."""
+    zero = F.expr(
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS dup)"
+    )
+
+    def closed(acc):
+        return acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"] * char_len(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                closed(acc).alias("dup"),
+            )
+        )
+
+    return F.aggregate(sorted_arr, zero, merge, closed)
+
+
+def _run_top(sorted_arr: Column, char_len) -> Column:
+    """Max (cnt, char_len) struct over the runs of a SORTED string array
+    — the single most-frequent n-gram (ties to the longer gram, struct
+    ordering), per row, no shuffle. Empty array -> struct(0, 0)."""
+    zero = F.expr(
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "struct(CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS glen) AS top)"
+    )
+
+    def closed(acc):
+        cand = F.struct(
+            acc["run"].alias("cnt"),
+            F.coalesce(char_len(acc["prev"]), F.lit(0).cast("long")).alias("glen"),
+        )
+        return F.when(acc["prev"].isNull(), acc["top"]).otherwise(
+            F.greatest(acc["top"], cand)
+        )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["top"].alias("top"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                closed(acc).alias("top"),
+            )
+        )
+
+    return F.aggregate(sorted_arr, zero, merge, closed)
+
+
 def repetition_metrics(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -91,62 +165,39 @@ def repetition_metrics(
         _words(txt).alias("words"),
     )
 
-    # ONE text scan → ONE tagged explode. The naive formulation (separate
-    # base/lines/bigram/trigram branches) scans the corpus 4× and shuffles
-    # 3× — at 100 TB the rescans dominate. Here every countable item (line
-    # 'L', bigram 'B', trigram 'T') rides a single exploded relation; the
-    # per-doc sentinel 'D' both keeps empty documents alive (no anchor
-    # join) and CARRIES the array-computable word_chars scalar as its item,
-    # so the word category never explodes (it would double the shuffled
-    # rows for a single per-doc sum). Two shuffles total: (doc, type,
-    # item) counts, then the per-doc rollup.
-    word_chars_str = F.aggregate(
-        "words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    ).cast("string")
-    tagged = F.concat(
-        F.array(F.struct(F.lit("D").alias("t"), word_chars_str.alias("item"))),
-        F.transform(
-            "lines", lambda l: F.struct(F.lit("L").alias("t"), l.alias("item"))
-        ),
-        F.transform(
-            _gram_expr(2), lambda g: F.struct(F.lit("B").alias("t"), g.alias("item"))
-        ),
-        F.transform(
-            _gram_expr(3), lambda g: F.struct(F.lit("T").alias("t"), g.alias("item"))
-        ),
-    )
-    items = d.select("doc_id", F.explode(tagged).alias("it")).select(
-        "doc_id", F.col("it.t").alias("t"), F.col("it.item").alias("item")
-    )
-    counts = items.groupBy("doc_id", "t", "item").agg(F.count(F.lit(1)).alias("cnt"))
-    # the 'D' sentinel contributes one row per doc and nothing else
-    counts = counts.withColumn("cnt", F.when(F.col("t") == "D", 0).otherwise(F.col("cnt")))
+    # ZERO shuffles (since round 6): every Gopher metric is PER-DOCUMENT,
+    # so nothing ever needed a corpus-wide exchange — duplicate counting
+    # is a run-length walk over the doc's own SORTED item array, one
+    # narrow fold per category (_run_dup_chars / _run_top). The round-5
+    # tagged-explode formulation shuffled ~2x corpus-words rows twice
+    # ((doc, item) counts + per-doc rollup); this is embarrassingly
+    # parallel instead — the shape that actually survives 100 TB
+    # (measured at sf0.1: 1.8s -> narrow map, and the exchange bytes go
+    # to zero). Division/count semantics are unchanged, so the q81 gate
+    # hash is identical.
+    def ilen(x: Column) -> Column:
+        return F.length(x).cast("long")
 
-    is_l = F.col("t") == "L"
-    is_d = F.col("t") == "D"
-    is_b = F.col("t") == "B"
-    is_t = F.col("t") == "T"
-    # chars covered by a gram occurrence = its letters (spaces excluded)
-    glen = F.length(F.regexp_replace("item", " ", ""))
-    ilen = F.length("item")
+    def glen(x: Column) -> Column:
+        # chars covered by a gram occurrence = its letters (spaces excluded)
+        return F.length(F.regexp_replace(x, " ", "")).cast("long")
 
-    rolled = counts.groupBy("doc_id").agg(
-        F.sum(F.when(is_l, F.col("cnt")).otherwise(0)).cast("long").alias("n_lines"),
-        F.sum(F.when(is_l, 1).otherwise(0)).cast("long").alias("n_distinct_lines"),
-        F.sum(F.when(is_l & (F.col("cnt") > 1), F.col("cnt") * ilen).otherwise(0))
-        .cast("long")
-        .alias("dup_line_chars"),
-        F.sum(F.when(is_l, F.col("cnt") * ilen).otherwise(0))
-        .cast("long")
-        .alias("line_chars"),
-        F.max(F.when(is_d, F.col("item").cast("long"))).alias("word_chars"),
-        F.max(F.when(is_b, F.struct(F.col("cnt"), glen.alias("glen")))).alias("top"),
-        F.sum(F.when(is_t & (F.col("cnt") > 1), F.col("cnt") * glen).otherwise(0))
-        .cast("long")
-        .alias("dup_trigram_chars"),
-        F.sum(F.when(is_t, F.col("cnt") * glen).otherwise(0))
-        .cast("long")
-        .alias("trigram_chars"),
+    rolled = d.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("long").alias("n_distinct_lines"),
+        _run_dup_chars(F.array_sort("lines"), ilen).alias("dup_line_chars"),
+        F.aggregate(
+            "lines", F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+        ).alias("line_chars"),
+        F.aggregate(
+            "words", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("word_chars"),
+        _run_top(F.array_sort(_gram_expr(2)), glen).alias("top"),
+        _run_dup_chars(F.array_sort(_gram_expr(3)), glen).alias("dup_trigram_chars"),
+        F.aggregate(
+            _gram_expr(3), F.lit(0).cast("long"), lambda a, g: a + glen(g)
+        ).alias("trigram_chars"),
     )
 
     out = rolled.select(
@@ -331,7 +382,12 @@ def q81_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the UNROUNDED doubles on both sides — the ratios are quotients of
     exact integer counts, so the IEEE754 results (and threshold
     comparisons) agree bit-for-bit across engines."""
-    m = repetition_metrics(table(spark, sf_dir, "documents"))
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    # zero-shuffle narrow map: spread the single-file fixture scan
+    # across cores (no-op on real multi-file inputs) or the per-row
+    # folds serialize on one core
+    m = repetition_metrics(repartition_for_cpu(table(spark, sf_dir, "documents"), spark))
     return m.select(
         "doc_id",
         "n_lines",
