@@ -8,11 +8,32 @@ driver-side collect), after a JVM/session warmup query. Each query is run
 $SPARK_GRAFT_BENCH_REPS times (default 3) and the BEST time is reported:
 single-shot timings on ~1s queries drift ±0.2-0.5s with JVM warmup/codegen
 state across sessions, which round 2 showed is indistinguishable from real
-regressions — best-of-N is the stable round-over-round signal. Since round
-6 the artifact also records every rep ("rep_times") and the per-query
-max-min ("spread"): a >15% round-over-round slowdown is reported as a
-regression only when its absolute delta exceeds the measured spread,
-otherwise it lands in "noise_gt_15pct".
+regressions — best-of-N is the stable round-over-round signal.
+
+ARTIFACT-SIZE CONTRACT (round-6 lesson): the round driver captures only the
+last ~2 KB of output, and round 6's line — grown by per-rep detail — overran
+that window, leaving BENCH_r06.json unparseable. The printed line is now
+kept compact by construction:
+  - "spread" and "delta_vs_prev" are ARRAYS aligned with the key order of
+    "queries" (JSON objects preserve insertion order; we emit HEADLINE
+    order), not per-query dicts — half the bytes at equal information;
+  - per-rep timings and every diagnostic live in a SIDECAR file
+    (docs/bench_reps_r{NN}.json, path echoed in the line as "detail");
+  - _render_line() enforces a hard byte budget, degrading gracefully
+    (name lists -> counts, then dropping delta/spread arrays — the sidecar
+    always keeps the full versions) so the line can NEVER outgrow the
+    driver's capture window. tests/test_bench_artifact.py pins the budget.
+
+SENTINEL (round-6 regression diagnosis): round 6 flagged q33/q43 (+19-21%)
+as regressions although no code they execute changed, alongside a block of
+untouched relational queries drifting up 16-35% "in noise" — the artifact
+could not separate machine/JVM-state drift from per-query regressions. The
+suite now times a FIXED-COST engine-independent sentinel (sum over a 200M
+spark.range — no files, no Python, plan identical every round) before and
+after the headline loop. Its best time rides the printed line ("sentinel");
+round-over-round sentinel drift measures session/machine overhead, and a
+>15% query slowdown whose delta disappears after sentinel scaling is
+classified "env_gt_15pct" (environment), not a regression.
 """
 
 from __future__ import annotations
@@ -30,6 +51,10 @@ from entangledb_spark.session import get_spark  # noqa: E402
 
 registry.load_all()
 
+# Printed-line byte budget: the driver keeps the last ~2048 chars of output;
+# stay comfortably inside so the whole line (it is the LAST line) survives.
+LINE_BYTE_BUDGET = 1900
+
 # Headline set: one per operator family — scan/agg, joins (hash + star),
 # top-k, window, streaming-window, text, dedup (exact + MinHash-LSH),
 # ANN (brute-force + indexed-LSH/IVF: q71's first rep builds the
@@ -42,10 +67,7 @@ registry.load_all()
 # reported under "expected_regressions" (with its reason) instead of
 # "regressions_gt_15pct" — the slowdown is a scope change, not a plan
 # regression. Prune entries once a round's BENCH_r*.json reflects them.
-EXPECTED_REGRESSIONS: dict[str, str] = {
-    # (q50's round-4 winnowing scope growth is reflected in BENCH_r04 —
-    # entry pruned per the policy above)
-}
+EXPECTED_REGRESSIONS: dict[str, str] = {}
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -75,6 +97,212 @@ HEADLINE = [
 ]
 
 
+def _time_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _sentinel_df(spark):
+    """Fixed-cost, engine-independent probe: 200M-row range sum, 32-way.
+
+    No file I/O, no Python boundary, no dependence on any operator in this
+    repo — its plan is byte-identical every round, so its timing moves only
+    with JVM/codegen/machine state. That makes it the yardstick separating
+    'the session is slower today' from 'this query's plan regressed'."""
+    return spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id % 7) AS s")
+
+
+def measure(spark, sf_dir: str, reps: int):
+    """Run sentinel + headline suite; return (timings, rep_times, sentinel).
+
+    ``sentinel`` = {"start": [...], "end": [...], "best": min-of-all} —
+    measured immediately before and immediately after the headline loop so
+    in-session drift is visible too."""
+    sent_start = [_time_noop(_sentinel_df(spark)) for _ in range(min(reps, 3))]
+    timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        ts = [
+            _time_noop(registry.QUERIES[name](spark, sf_dir)) for _ in range(reps)
+        ]
+        timings[name] = min(ts)
+        rep_times[name] = ts
+    sent_end = [_time_noop(_sentinel_df(spark)) for _ in range(min(reps, 3))]
+    sentinel = {
+        "start": sent_start,
+        "end": sent_end,
+        "best": min(sent_start + sent_end),
+    }
+    return timings, rep_times, sentinel
+
+
+def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
+    """Assemble (printed-line dict, sidecar dict). Pure — unit-testable.
+
+    Regression taxonomy for a >15% best-of-N slowdown vs the previous
+    artifact (each query lands in exactly one bucket):
+      - expected_regressions: declared scope changes (EXPECTED_REGRESSIONS);
+      - env_gt_15pct: the slowdown vanishes once this round's times are
+        rescaled by the sentinel ratio (session/machine drift, not a plan
+        change) — requires both artifacts to carry a sentinel;
+      - regressions_gt_15pct: absolute delta exceeds the measured rep
+        spread of BOTH runs even after sentinel scaling — treat as real;
+      - noise_gt_15pct: delta within the spread band — rep-to-rep noise.
+    """
+    total = round(sum(timings.values()), 3)
+    spread = {q: round(max(ts) - min(ts), 3) for q, ts in rep_times.items()}
+    out = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # arrays aligned with the key order of "queries" (HEADLINE order);
+        # dict forms live in the sidecar
+        "spread": [spread[q] for q in timings],
+        "sf": sf,
+        "sentinel": sentinel["best"],
+    }
+    sidecar = {
+        "rep_times": rep_times,
+        "spread_by_query": spread,
+        "sentinel": sentinel,
+        "headline_order": list(timings),
+    }
+
+    if prev is not None:
+        prev_q = prev.get("queries", {})
+        prev_spread = _spread_dict(prev)
+        delta = {
+            q: round((t - prev_q[q]) / prev_q[q], 3)
+            for q, t in timings.items()
+            if q in prev_q and prev_q[q] > 0
+        }
+        out["delta_vs_prev"] = [delta.get(q, 0.0) for q in timings]
+        sidecar["delta_by_query"] = delta
+        # sentinel-based environment scaling (both rounds must carry one)
+        env = None
+        if sentinel["best"] > 0 and isinstance(prev.get("sentinel"), (int, float)):
+            if prev["sentinel"] > 0:
+                env = round(sentinel["best"] / prev["sentinel"], 3)
+                out["sentinel_ratio_vs_prev"] = env
+        noise_band = {
+            q: max(spread.get(q, 0.0), prev_spread.get(q, 0.0)) for q in delta
+        }
+        slow = {
+            q: d for q, d in delta.items() if d > 0.15 and q not in EXPECTED_REGRESSIONS
+        }
+        env_cls, real, noise = [], [], []
+        for q in sorted(slow):
+            abs_delta = timings[q] - prev_q[q]
+            if abs_delta <= noise_band[q]:
+                noise.append(q)
+            elif env and env > 1.0 and (timings[q] / env - prev_q[q]) <= noise_band[q]:
+                env_cls.append(q)
+            else:
+                real.append(q)
+        out["regressions_gt_15pct"] = real
+        if env_cls:
+            out["env_gt_15pct"] = env_cls
+        if noise:
+            out["noise_gt_15pct"] = noise
+        expected = {
+            q: EXPECTED_REGRESSIONS[q]
+            for q, d in delta.items()
+            if d > 0.15 and q in EXPECTED_REGRESSIONS
+        }
+        if expected:
+            out["expected_regressions"] = expected
+        sidecar["classification"] = {
+            "regressions_gt_15pct": real,
+            "env_gt_15pct": env_cls,
+            "noise_gt_15pct": noise,
+            "noise_band": noise_band,
+            "sentinel_ratio_vs_prev": env,
+        }
+    if detail_path:
+        out["detail"] = detail_path
+    return out, sidecar
+
+
+def _render_line(out: dict, budget: int = LINE_BYTE_BUDGET) -> str:
+    """Serialize the printed line, degrading gracefully under ``budget``.
+
+    Trim order (information the sidecar always retains in full):
+    name lists -> counts, then drop delta_vs_prev, then spread. The final
+    fallback (never reachable with <=40 headline queries) drops detail."""
+    out = dict(out)
+    line = json.dumps(out)
+    for key in ("noise_gt_15pct", "env_gt_15pct", "regressions_gt_15pct"):
+        if len(line) <= budget:
+            break
+        if isinstance(out.get(key), list):
+            out[key + "_n"] = len(out.pop(key))
+            line = json.dumps(out)
+    for key in ("delta_vs_prev", "spread", "detail"):
+        if len(line) <= budget:
+            break
+        out.pop(key, None)
+        line = json.dumps(out)
+    return line
+
+
+def _spread_dict(prev: dict) -> dict:
+    """Per-query spread from a previous artifact, whichever form it used:
+    round-6 wrote a dict; round-7+ writes an array aligned to "queries"."""
+    s = prev.get("spread")
+    if isinstance(s, dict):
+        return s
+    if isinstance(s, list):
+        return dict(zip(prev.get("queries", {}), s))
+    return {}
+
+
+def _latest_prev_bench() -> dict | None:
+    """Newest readable BENCH_r*.json record next to this script.
+
+    An artifact whose "parsed" is null (round 6's line overran the driver's
+    capture window) is represented by its offline reconstruction
+    (docs/bench_rNN_reconstructed.json, rebuilt from the previous round's
+    record and the intact delta_vs_prev in the truncated tail); artifacts
+    with neither are skipped."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed", d if "queries" in d else None)
+        if parsed is not None:
+            return parsed
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rec = os.path.join(
+                here, "docs", f"bench_r{m.group(1)}_reconstructed.json"
+            )
+            try:
+                with open(rec) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+    return None
+
+
+def _next_round() -> int:
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -93,90 +321,23 @@ def main() -> None:
     ).save()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    rep_times: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        ts: list[float] = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            ts.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(ts)
-        rep_times[name] = ts
-
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_suite_wall_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        # every rep, so a reader can judge dispersion; "spread" is the
-        # per-query max-min of this run's reps — the noise band used to
-        # classify regressions below (VERDICT r5 #2: point estimates made
-        # noise vs. regression formally undecidable from the artifact)
-        "rep_times": rep_times,
-        "spread": {q: round(max(ts) - min(ts), 3) for q, ts in rep_times.items()},
-        "sf": sf,
-    }
-
-    # Round-over-round self-report. A >15% best-of-N slowdown vs the
-    # newest BENCH_r*.json is flagged as a REGRESSION only when the
-    # absolute delta also exceeds the measured rep spread (this run's,
-    # and the previous artifact's when it recorded one) — deltas inside
-    # the noise band land in "noise_gt_15pct" instead, so a 69 ms q40
-    # wobble self-classifies without a human diffing the artifacts.
-    prev = _latest_prev_bench()
-    if prev is not None:
-        prev_q = prev.get("queries", {})
-        prev_spread = prev.get("spread", {})
-        delta = {
-            q: round((t - prev_q[q]) / prev_q[q], 3)
-            for q, t in timings.items()
-            if q in prev_q and prev_q[q] > 0
-        }
-        out["delta_vs_prev"] = delta
-        noise_band = {
-            q: max(out["spread"].get(q, 0.0), prev_spread.get(q, 0.0))
-            for q in delta
-        }
-        slow = {
-            q: d
-            for q, d in delta.items()
-            if d > 0.15 and q not in EXPECTED_REGRESSIONS
-        }
-        out["regressions_gt_15pct"] = sorted(
-            q for q in slow if timings[q] - prev_q[q] > noise_band[q]
-        )
-        noise = sorted(q for q in slow if timings[q] - prev_q[q] <= noise_band[q])
-        if noise:
-            out["noise_gt_15pct"] = noise
-        expected = {
-            q: EXPECTED_REGRESSIONS[q]
-            for q, d in delta.items()
-            if d > 0.15 and q in EXPECTED_REGRESSIONS
-        }
-        if expected:
-            out["expected_regressions"] = expected
-    print(json.dumps(out))
-
-
-def _latest_prev_bench() -> dict | None:
-    """Newest BENCH_r*.json next to this script, if any."""
-    import glob
+    timings, rep_times, sentinel = measure(spark, sf_dir, reps)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not paths:
-        return None
+    detail_rel = f"docs/bench_reps_r{_next_round():02d}.json"
+    out, sidecar = build_output(
+        timings, rep_times, sentinel, _latest_prev_bench(), sf, detail_path=detail_rel
+    )
+    line = _render_line(out)
+    sidecar["printed_line"] = line
+    sidecar["line_bytes"] = len(line)
     try:
-        with open(paths[-1]) as f:
-            d = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    # the round driver wraps the printed JSON line under "parsed"
-    return d.get("parsed", d)
+        os.makedirs(os.path.join(here, "docs"), exist_ok=True)
+        with open(os.path.join(here, detail_rel), "w") as f:
+            json.dump(sidecar, f, indent=1)
+    except OSError:
+        pass  # the printed line must still go out even if docs/ is unwritable
+    print(line)
 
 
 if __name__ == "__main__":

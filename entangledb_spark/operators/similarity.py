@@ -533,9 +533,14 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                             x -> x / sqrt(list_dot_product(centroid, centroid))) AS u
       FROM kc
     ),
+    -- cent_sim = dot(emb, unit_centroid_of_assigned_cell) / ||emb|| — the
+    -- keep-priority signal the survivor policy compares (same formula as
+    -- Spark's literal-folded map lookup in semantic_dedup_pairs)
     asg AS (
-      SELECT vec_id, emb, cell FROM (
+      SELECT vec_id, emb, cell, d / sqrt(list_dot_product(emb, emb)) AS cent_sim
+      FROM (
         SELECT v.vec_id, v.emb, u.cell,
+               list_dot_product(v.emb, u.u) AS d,
                row_number() OVER (
                  PARTITION BY v.vec_id
                  ORDER BY -list_dot_product(v.emb, u.u), u.cell) AS rn
@@ -546,7 +551,8 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS va, b.vec_id AS vb,
                r4(list_dot_product(a.emb, b.emb)
                   / (sqrt(list_dot_product(a.emb, a.emb))
-                     * sqrt(list_dot_product(b.emb, b.emb)))) AS cs
+                     * sqrt(list_dot_product(b.emb, b.emb)))) AS cs,
+               a.cent_sim AS ca, b.cent_sim AS cb
         FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
       ) WHERE cs >= 0.4
     ),
@@ -557,6 +563,16 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     semagg AS (
       SELECT vec_id, count(*) AS n_sem, max(cs) AS max_cs
       FROM sempart GROUP BY vec_id
+    ),
+    -- SemDeDup survivor POLICY (sem_loser_col, round 7): within each gate
+    -- pair the higher-cent_sim side loses, ties (bit-identical embeddings
+    -- => bit-identical cent_sims) to the higher id — the paper's
+    -- keep-least-prototypical rule, the exact expression
+    -- semantic_dedup_survivors drops rows by
+    semlosers AS (
+      SELECT DISTINCT
+             CASE WHEN ca > cb OR (ca = cb AND va > vb) THEN va ELSE vb END AS vec_id
+      FROM semd
     )
     SELECT s.vec_id,
            r4(sqrt(list_dot_product(emb, emb))) AS l2_norm,
@@ -571,9 +587,12 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(agg.n_dup, 0) AS BIGINT) AS n_dup_partners,
            agg.max_cs AS max_dup_cos,
            CAST(coalesce(sa.n_sem, 0) AS BIGINT) AS n_sem_dup,
-           sa.max_cs AS max_sem_cos
+           sa.max_cs AS max_sem_cos,
+           CAST(CASE WHEN sl.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_sem_loser
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
          LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
+         LEFT JOIN semlosers sl ON s.vec_id = sl.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,25 +675,44 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=8,
         refine=0,
         cell_expr=knuth_bucket(F.col("vec_id"), 8),
-    ).select("vec_a", "vec_b", r4(F.col("cos_sim")).alias("cs")).filter(
-        F.col("cs") >= 0.4
-    )
+    ).select(
+        "vec_a",
+        "vec_b",
+        r4(F.col("cos_sim")).alias("cs"),
+        "cent_sim_a",
+        "cent_sim_b",
+    ).filter(F.col("cs") >= 0.4)
     sem_part = sem_pairs.select(
         F.col("vec_a").alias("vec_id"), F.col("cs")
     ).unionByName(sem_pairs.select(F.col("vec_b").alias("vec_id"), F.col("cs")))
     sem_agg = sem_part.groupBy("vec_id").agg(
         F.count(F.lit(1)).alias("_n_sem"), F.max("cs").alias("max_sem_cos")
     )
+    # Survivor POLICY on the gate (round 7): is_sem_loser applies the very
+    # sem_loser_col() expression semantic_dedup_survivors removes rows by —
+    # higher cent_sim loses, ties to the higher id. Cross-engine safe: both
+    # engines compute cent_sim by the same dot/norm formula, pairs with
+    # bit-identical embeddings tie inside each engine and fall to vec_id,
+    # and non-identical pairs' |cent_sim_a - cent_sim_b| margin is measured
+    # (> 1e-6 asserted at every fixture density) in
+    # test_embedding_dedup.py::test_semdedup_gate_loser_margin.
+    sem_losers = (
+        sem_pairs.select(sem_loser_col().alias("vec_id"))
+        .distinct()
+        .withColumn("_loser", F.lit(1).cast("long"))
+    )
     return (
         base.join(agg, "vec_id", "left")
         .join(sem_agg, "vec_id", "left")
+        .join(sem_losers, "vec_id", "left")
         .withColumn("n_dup_partners", F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long"))
         .withColumn("n_sem_dup", F.coalesce(F.col("_n_sem"), F.lit(0)).cast("long"))
-        .drop("_n_dup", "_n_sem")
+        .withColumn("is_sem_loser", F.coalesce(F.col("_loser"), F.lit(0)).cast("long"))
+        .drop("_n_dup", "_n_sem", "_loser")
         .select(
             "vec_id", "l2_norm", "unit_first", "max_abs", "scale",
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
-            "n_sem_dup", "max_sem_cos",
+            "n_sem_dup", "max_sem_cos", "is_sem_loser",
         )
     )
 
@@ -845,6 +883,24 @@ def semantic_dedup_pairs(
     )
 
 
+def sem_loser_col():
+    """The SemDeDup survivor POLICY as one Column over a pair relation
+    carrying (vec_a, vec_b, cent_sim_a, cent_sim_b): within a pair the side
+    with the HIGHER cosine to the cell centroid loses (the paper's
+    diversity-keeping rule — prototypical near-copies drop), ties to the
+    higher id. One struct comparison, so exact duplicate embeddings (whose
+    cent_sims are bit-identical) fall deterministically to vec_id.
+
+    Shared by semantic_dedup_survivors AND the q73 gate's is_sem_loser
+    column, so the DuckDB hash gate certifies the very expression the
+    survivor operator applies."""
+    return F.when(
+        F.struct(F.col("cent_sim_a"), F.col("vec_a"))
+        > F.struct(F.col("cent_sim_b"), F.col("vec_b")),
+        F.col("vec_a"),
+    ).otherwise(F.col("vec_b"))
+
+
 def semantic_dedup_survivors(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -871,10 +927,5 @@ def semantic_dedup_survivors(
         emb, threshold=threshold, n_cells=n_cells, refine=refine,
         id_col=id_col, vec_col=vec_col, cell_expr=cell_expr,
     )
-    loser = F.when(
-        F.struct(F.col("cent_sim_a"), F.col("vec_a"))
-        > F.struct(F.col("cent_sim_b"), F.col("vec_b")),
-        F.col("vec_a"),
-    ).otherwise(F.col("vec_b"))
-    losers = pairs.select(loser.alias(id_col)).distinct()
+    losers = pairs.select(sem_loser_col().alias(id_col)).distinct()
     return emb.join(losers, id_col, "left_anti")

@@ -58,6 +58,10 @@ def get_spark(app_name: str = "entangledb-spark", ansi: bool = True) -> SparkSes
         .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         # Deterministic timestamp behavior for oracle comparison.
         .config("spark.sql.session.timeZone", "UTC")
+        # No console progress bars: they interleave with stdout and eat into
+        # the round driver's ~2 KB output-tail capture window (round 6's
+        # bench line was truncated partly because of this junk).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()

@@ -1,0 +1,120 @@
+"""bench.py artifact-integrity tests — NO Spark session needed.
+
+Round 6's lesson: the printed JSON line is the driver's ONLY per-round perf
+record, and it is captured through a ~2 KB output-tail window. The line
+outgrew the window (per-rep detail), BENCH_r06.json recorded `parsed: null`,
+and the round's 2x perf gate became formally unverifiable from artifacts.
+These tests pin the fix: the line stays under budget by construction for
+realistic payloads, degrades gracefully (never unparseable) for absurd ones,
+and the previous-round fallback chain (reconstruction for null-parsed
+artifacts) keeps round-over-round deltas alive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _fake_run(n_queries: int = len(bench.HEADLINE)):
+    """Synthetic suite results shaped exactly like a real run."""
+    names = bench.HEADLINE[:n_queries]
+    timings = {q: round(1.0 + i * 0.037, 3) for i, q in enumerate(names)}
+    rep_times = {q: [t + 0.4, t + 0.12, t] for q, t in timings.items()}
+    sentinel = {"start": [0.41, 0.33, 0.31], "end": [0.32, 0.3, 0.3], "best": 0.3}
+    return timings, rep_times, sentinel
+
+
+def _prev_from(timings, spread_arr=None, sentinel=None):
+    prev = {"queries": dict(timings), "sf": 0.1}
+    if spread_arr is not None:
+        prev["spread"] = spread_arr
+    if sentinel is not None:
+        prev["sentinel"] = sentinel
+    return prev
+
+
+def test_line_under_budget_with_full_classification():
+    """A realistic worst-ish case — every query >15% slow, split across all
+    three classes — still fits the driver's capture window untouched."""
+    timings, rep_times, sentinel = _fake_run()
+    prev_q = {q: round(t / 1.4, 3) for q, t in timings.items()}  # all +40%
+    prev = _prev_from(prev_q, spread_arr=[0.0] * len(prev_q), sentinel=0.25)
+    out, sidecar = bench.build_output(
+        timings, rep_times, sentinel, prev, 0.1, detail_path="docs/bench_reps_r99.json"
+    )
+    line = bench._render_line(out)
+    assert len(line) <= bench.LINE_BYTE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_wall_time"
+    assert parsed["queries"] == timings
+    assert parsed["sf"] == 0.1
+    # aligned arrays carry the full per-query signal
+    assert len(parsed["spread"]) == len(timings)
+    assert len(parsed["delta_vs_prev"]) == len(timings)
+    # sentinel rides the line; ratio vs prev computed (0.3/0.25)
+    assert parsed["sentinel"] == 0.3
+    assert parsed["sentinel_ratio_vs_prev"] == 1.2
+    # sidecar keeps dict forms + reps
+    assert sidecar["rep_times"] == rep_times
+    assert set(sidecar["delta_by_query"]) == set(timings)
+
+
+def test_render_line_degrades_not_truncates():
+    """Under an absurdly small budget the renderer drops name lists and
+    aligned arrays (sidecar keeps them) but the line STAYS valid JSON with
+    metric/value/queries intact — never a mid-line cut."""
+    timings, rep_times, sentinel = _fake_run()
+    prev_q = {q: round(t / 1.4, 3) for q, t in timings.items()}
+    prev = _prev_from(prev_q, spread_arr=[0.0] * len(prev_q))
+    out, _ = bench.build_output(timings, rep_times, sentinel, prev, 0.1)
+    line = bench._render_line(out, budget=1100)
+    parsed = json.loads(line)
+    assert parsed["queries"] == timings
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    # degraded fields become counts, not silent drops
+    assert "regressions_gt_15pct" in parsed or "regressions_gt_15pct_n" in parsed
+
+
+def test_classification_buckets_are_disjoint_and_sentinel_aware():
+    """+40% across the board with sentinel 1.5x slower: queries whose delta
+    vanishes under sentinel scaling land in env_gt_15pct, not regressions."""
+    timings, rep_times, _ = _fake_run(6)
+    # zero spread this run -> band comes from prev spread (also zero)
+    rep_times = {q: [t, t, t] for q, t in timings.items()}
+    sentinel = {"start": [0.45], "end": [0.45], "best": 0.45}
+    prev_q = {q: round(t / 1.4, 3) for q, t in timings.items()}
+    prev = _prev_from(prev_q, spread_arr=[0.0] * len(prev_q), sentinel=0.3)
+    out, _ = bench.build_output(timings, rep_times, sentinel, prev, 0.01)
+    env = set(out.get("env_gt_15pct", []))
+    real = set(out.get("regressions_gt_15pct", []))
+    noise = set(out.get("noise_gt_15pct", []))
+    assert env, "sentinel-explained slowdowns must be classified env"
+    assert not (env & real) and not (env & noise) and not (real & noise)
+    # 1.4x slowdown under a 1.5x sentinel -> scaled time is FASTER than prev
+    assert env == set(timings) and not real
+
+
+def test_prev_bench_chain_survives_null_parsed():
+    """BENCH_r06.json has parsed:null; _latest_prev_bench must fall through
+    to the offline reconstruction, not return None (which would silently
+    drop round-over-round deltas for round 7)."""
+    prev = bench._latest_prev_bench()
+    assert prev is not None
+    assert "queries" in prev and len(prev["queries"]) >= 20
+    # it must be round 6's record (reconstructed), not a stale round-5 one:
+    # r6's q81 rewrite put it at ~0.65s vs r5's 1.80s
+    assert prev["queries"]["q81_quality_repetition"] < 1.0
+
+
+def test_spread_dict_reads_both_artifact_generations():
+    arr_form = {"queries": {"a": 1.0, "b": 2.0}, "spread": [0.1, 0.2]}
+    dict_form = {"queries": {"a": 1.0}, "spread": {"a": 0.1}}
+    assert bench._spread_dict(arr_form) == {"a": 0.1, "b": 0.2}
+    assert bench._spread_dict(dict_form) == {"a": 0.1}
+    assert bench._spread_dict({"queries": {}}) == {}
