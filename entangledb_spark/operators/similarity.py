@@ -625,7 +625,14 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup_pairs' route+join path on the hash gate with no
     calibrated-recall dependency; the nearest-centroid argmin's
     cross-engine float margin is measured in
-    test_embedding_dedup.py::test_semdedup_gate_assignment_margin."""
+    test_embedding_dedup.py::test_semdedup_gate_assignment_margin.
+
+    Since round 7 the gate also carries is_sem_loser — the survivor
+    POLICY (sem_loser_col: higher cent_sim loses, ties to higher id —
+    the same expression semantic_dedup_survivors drops rows by) checked
+    against a DuckDB CASE over the oracle-re-derived cent_sims; the
+    policy comparison's own float margin is measured in
+    test_semdedup_gate_loser_margin at all three densities."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0

@@ -13,6 +13,7 @@ filter, validated two ways:
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from entangledb_spark.operators.similarity import (
     embedding_near_dup_pairs,
@@ -252,34 +253,84 @@ def test_semdedup_plan_shape(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_semdedup_gate_assignment_margin(spark, sf_dir):
+ALL_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def _gate_embeddings(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
+def test_semdedup_gate_assignment_margin(spark, sf):
     """q73's semantic columns hash-gate a cross-engine argmin (nearest
     unit centroid by (-dot, cell)): measure, don't argue, that the
     corpus-minimum gap between best and second-best centroid distance
-    dwarfs summation-order float noise (~1e-15). Measured 2026-08 (r6):
-    7.8e-4 at sf0.01 with knuth-bucket medoids, n_cells=8."""
+    dwarfs summation-order float noise (~1e-15). Parametrized over every
+    density the gate can run at (advisor r6: pinning sf0.01 alone left
+    regenerated/denser fixtures unguarded). Measured 2026-08 (r7):
+    1.9e-4 / 7.8e-4 / 8.3e-5 at sf0.001/0.01/0.1."""
     import math
 
     from entangledb_spark.operators.similarity import ivf_centroids
     from entangledb_spark.operators.text import knuth_bucket
     from pyspark.sql import functions as F
 
-    df = (
-        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
-    )
+    df = _gate_embeddings(spark, sf)
     cents = ivf_centroids(
         df, 8, refine=0, cell_expr=knuth_bucket(F.col("vec_id"), 8)
     ).collect()
     unit = {}
     for r in cents:
         n = math.sqrt(sum(float(x) * float(x) for x in r.centroid)) or 1.0
-        unit[int(r.cell)] = [float(x) / n for x in r.centroid]
-    min_gap = float("inf")
-    for row in df.collect():
-        v = [float(x) for x in row.embedding]
-        ds = sorted(
-            (-sum(a * b for a, b in zip(v, u)), c) for c, u in unit.items()
+        unit[int(r.cell)] = np.array([float(x) / n for x in r.centroid])
+    cells = sorted(unit)
+    u = np.stack([unit[c] for c in cells])  # (n_cells, d)
+    v = np.array([row.embedding for row in df.collect()])  # (n, d)
+    d = -(v @ u.T)  # distance = -dot against unit centroids
+    d.sort(axis=1)
+    min_gap = float((d[:, 1] - d[:, 0]).min())
+    assert min_gap > 1e-6, f"assignment margin collapsed to {min_gap} at {sf}"
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
+def test_semdedup_gate_loser_margin(spark, sf):
+    """q73's is_sem_loser column (round 7) hash-gates the survivor policy's
+    cent_sim_a vs cent_sim_b comparison across engines. Two safe regimes:
+    bit-identical embeddings give bit-identical cent_sims inside EACH
+    engine (tie falls to vec_id deterministically on both), and distinct
+    embeddings must differ by far more than cross-engine summation-order
+    noise (~1e-15). Asserts the minimum NONZERO |cent_sim_a - cent_sim_b|
+    over the exact gate pair set at every density the gate can run at.
+    Measured 2026-08 (r7): 6.1e-3 / 8.5e-3 / 1.3e-3 at sf0.001/0.01/0.1
+    (18 / 19 / 249 gate pairs)."""
+    from entangledb_spark.functions.numeric import r4
+    from entangledb_spark.operators.similarity import semantic_dedup_pairs
+    from entangledb_spark.operators.text import knuth_bucket
+    from pyspark.sql import functions as F
+
+    pairs = semantic_dedup_pairs(
+        _gate_embeddings(spark, sf),
+        threshold=-1.0,
+        n_cells=8,
+        refine=0,
+        cell_expr=knuth_bucket(F.col("vec_id"), 8),
+    ).filter(r4(F.col("cos_sim")) >= 0.4)
+    gaps = pairs.select(
+        F.abs(F.col("cent_sim_a") - F.col("cent_sim_b")).alias("gap")
+    )
+    row = gaps.agg(
+        F.min(F.when(F.col("gap") > 0, F.col("gap"))).alias("min_pos"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).collect()[0]
+    assert row.n_pairs > 0, f"gate pair set empty at {sf} — margin unmeasurable"
+    if row.min_pos is not None:  # all-tie corpora are trivially safe
+        assert row.min_pos > 1e-6, (
+            f"loser margin collapsed to {row.min_pos} at {sf}; "
+            "r4 the cent_sims on both engines before comparing"
         )
-        min_gap = min(min_gap, ds[1][0] - ds[0][0])
-    assert min_gap > 1e-6, f"assignment margin collapsed to {min_gap}"

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from entangledb_spark.operators.langid import (
@@ -251,17 +252,23 @@ def test_scoring_plan_zero_exchange_and_bucketed_lookup(spark):
     assert all(math.isclose(a, b, rel_tol=0, abs_tol=1e-9) for a, b in zip(got.scores, want))
 
 
-def test_q92_argmax_margin_measured(spark):
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_q92_argmax_margin_measured(spark, sf):
     """Measures (not argues) q92's float-argmax hazard: the gate hash
     counts argmax-vs-label matches, and a top-2 score gap within
     cross-engine summation noise (~1e-12) could flip a prediction
     between Spark and DuckDB. Asserts the corpus-minimum gap on the
-    REAL gate input (documents at sf0.01, the model q92 trains) dwarfs
-    that noise. If this ever fails, switch q92's n_lang_match to a
-    margin-filtered count on BOTH sides (VERDICT r5 what's-wrong #4)."""
+    REAL gate input (documents table, the model q92 trains) dwarfs
+    that noise — at EVERY density the gate can run at (advisor r6:
+    pinning sf0.01 alone left other fixtures unguarded). If this ever
+    fails, switch q92's n_lang_match to a margin-filtered count on
+    BOTH sides (VERDICT r5 what's-wrong #4)."""
     from entangledb_spark.registry import table
 
-    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    docs = table(spark, sf, "documents")
     model = train_langid_model(docs)
     scored = classify_langs(docs.select("doc_id", "text"), model)
     gap = scored.select(
