@@ -28,9 +28,14 @@ LINEAR scan, so the model ships as an ARRAY of small map literals
 bucketed by ``crc32(gram) % n_buckets`` (~8 entries per bucket; crc32
 because Python's zlib computes the identical value driver-side when
 assigning grams to buckets, unlike Spark's Murmur3). A gram lookup is
-one O(1) array index + one ~8-entry map probe regardless of model size,
-so thousand-language models score at the same per-gram cost as the
-default 5-language one.
+one O(1) array index + one ~8-entry map probe regardless of model size
+— PROBE cost only. The literal model itself is still
+O(languages x grams) doubles of PLAN TEXT (a thousand-language,
+64-gram model is tens of MB of SQL), so the literal route is capped at
+LANGID_LITERAL_MAX_CELLS score entries; classify_langs auto-routes
+bigger models to a broadcast-join scoring path (score-equivalent to
+~1e-9, one exchange — see classify_langs). The q92 gate's 5-language
+model stays far below the ceiling, on the zero-shuffle literal route.
 
 Smoothing: add-one over the restricted vocabulary. For language l with
 total kept-gram count T_l over V kept grams, a kept gram g scores
@@ -213,13 +218,93 @@ def langid_argmax_expr(text: Column, model: dict) -> Column:
     return _let(langid_score_expr(text, model), with_scores)
 
 
-def classify_langs(
-    docs: DataFrame, model: dict, text_col: str = "text", id_col: str = "doc_id"
+# Literal-route ceiling in SCORE CELLS (grams x languages): each cell is
+# one ~20-char double literal, so 50k cells ~ 1 MB of plan text — past
+# that, plan transfer/analysis cost grows linearly and Janino method
+# limits loom. The default model (5 langs x 64 grams = 320 cells) is 150x
+# below it; a 1000-language x 64-gram model (4M cells) auto-routes to the
+# broadcast-join path.
+LANGID_LITERAL_MAX_CELLS = 50_000
+
+
+def _langid_scores_join_route(
+    docs: DataFrame, model: dict, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, scores per language, predicted_lang) for every document —
-    a pure narrow map; ties break to the alphabetically-first language
-    (array_position finds the first maximum; langs are sorted)."""
+    """Broadcast-join scoring for models above LANGID_LITERAL_MAX_CELLS:
+    explode the document's grams, broadcast-join the (gram -> logp array)
+    model TABLE (data, not plan text), and fold per document:
+
+        score_j = floors_j * (1 + n_unseen) + sum over seen grams lps_j
+
+    exactly langid_score_expr's semantics (acc starts at floors; every
+    gram adds its logps or the floors). Costs ONE exchange (the per-doc
+    regroup) that the literal route avoids — the documented trade for
+    unbounded model size. Score-equivalent to the literal route within
+    float summation-order noise (~1e-9 abs, asserted in
+    tests/test_langid.py::test_classify_langs_join_route_matches_literal);
+    NOT bit-identical, so hash-gated queries (q92) must stay literal."""
+    spark = docs.sparkSession
+    model_df = spark.createDataFrame(
+        [(g, [float(x) for x in lps]) for g, lps in sorted(model["grams"].items())],
+        "gram string, _lps array<double>",
+    )
+    floors = F.array(*[F.lit(float(x)) for x in model["floors"]])
+    zeros = F.array(*[F.lit(0.0) for _ in model["floors"]])
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode_outer(char_ngram_expr(F.col(text_col), model["n"])).alias("gram"),
+    )
+    per_doc = (
+        exploded.join(F.broadcast(model_df), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("gram").alias("_n"),
+            F.count("_lps").alias("_n_seen"),
+            F.collect_list("_lps").alias("_seen"),
+        )
+    )
+    unseen_weight = F.lit(1).cast("double") + (F.col("_n") - F.col("_n_seen"))
+    seen_sum = F.aggregate(
+        F.col("_seen"), zeros, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    scores = F.zip_with(
+        F.transform(floors, lambda f: f * unseen_weight),
+        seen_sum,
+        lambda a, b: a + b,
+    )
+    return per_doc.select(F.col(id_col), scores.alias("scores"))
+
+
+def classify_langs(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    route: str = "auto",
+) -> DataFrame:
+    """(id, scores per language, predicted_lang) for every document.
+
+    ``route="literal"`` (default while grams x langs <=
+    LANGID_LITERAL_MAX_CELLS): a pure narrow map with the model folded
+    into the plan — zero shuffles. ``route="join"`` (auto above the
+    ceiling): broadcast-join scoring (_langid_scores_join_route) — one
+    exchange, unbounded model size. Ties break to the
+    alphabetically-first language on both routes (array_position finds
+    the first maximum; langs are sorted)."""
+    if route == "auto":
+        n_cells = len(model["grams"]) * len(model["langs"])
+        route = "literal" if n_cells <= LANGID_LITERAL_MAX_CELLS else "join"
     langs_arr = F.array(*[F.lit(l) for l in model["langs"]])
+    if route == "join":
+        scored = _langid_scores_join_route(docs, model, text_col, id_col)
+        return scored.select(
+            F.col(id_col),
+            "scores",
+            F.element_at(
+                langs_arr,
+                F.array_position(F.col("scores"), F.array_max("scores")).cast("int"),
+            ).alias("predicted_lang"),
+        )
     scores = langid_score_expr(F.col(text_col), model)
     from entangledb_spark.operators.fingerprints import _let
 

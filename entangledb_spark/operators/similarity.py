@@ -351,13 +351,38 @@ def _unit_vec_sql(vec) -> str:
     return "array(" + ",".join(f"CAST('{float(x) / n!r}' AS DOUBLE)" for x in vec) + ")"
 
 
-def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
-    """Nearest-centroid assignment as ONE narrow codegen'd map: the ≤
-    n_cells centroid rows are constant-folded into a literal struct-array
-    expression (the same bounded-collect pattern the plan compiler uses
-    for scalar subqueries), per-row distances are sorted with array_sort
-    — dist then cell, the exact (dist, cell) ordering the previous
-    window form used — and the top ``nprobe`` cells keep the row.
+# Literal-folding ceiling for nearest-centroid assignment: each folded
+# centroid costs ~20 chars per dimension of SQL text and O(1) codegen'd
+# work per row, so 256 cells x 1000 dims ~ 5 MB of plan text is the
+# practical edge (Janino method-size limits and plan-transfer cost bite
+# well before correctness does). Above it, ivf_assign auto-routes to the
+# Arrow matmul path (_ivf_assign_arrow) — SemDeDup's own operating point
+# (the paper runs 50k clusters) lives on that route.
+IVF_FOLD_MAX_CELLS = 256
+
+
+def ivf_assign(df: DataFrame, centroids, nprobe: int = 1, route: str = "auto") -> DataFrame:
+    """Nearest-centroid assignment; two physical routes, same semantics.
+
+    ``route="literal"`` (default below IVF_FOLD_MAX_CELLS cells) — ONE
+    narrow codegen'd map: the ≤ n_cells centroid rows are constant-folded
+    into a literal struct-array expression (the same bounded-collect
+    pattern the plan compiler uses for scalar subqueries), per-row
+    distances are sorted with array_sort — dist then cell, the exact
+    (dist, cell) ordering the previous window form used — and the top
+    ``nprobe`` cells keep the row.
+
+    ``route="arrow"`` (auto above the ceiling) — the centroids become a
+    broadcast numpy matrix and assignment is one Arrow-batched mapInPandas
+    matmul (BLAS (batch x d) @ (d x cells), stable argsort with the same
+    (dist, cell) tie order). Still zero Exchange and embarrassingly
+    parallel; the Python boundary costs one Arrow hop, which at 50k cells
+    is orders cheaper than a multi-MB literal plan — and the only
+    built-in-free piece is the argmin itself. Route equivalence is
+    asserted on fixtures in test_embedding_dedup.py::test_ivf_assign_routes
+    (identical cells; float summation order differs between a BLAS matmul
+    and a SQL fold, so equality holds because assignment margins are
+    measured >> 1e-12, see test_semdedup_gate_assignment_margin).
 
     The earlier shape (broadcast crossJoin + row_number window) expanded
     the corpus ×n_cells and then SHUFFLED the expansion by vec_id to
@@ -382,6 +407,10 @@ def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
     if isinstance(centroids, DataFrame):
         centroids = centroids.select("cell", "centroid").collect()
     rows = sorted(centroids, key=lambda r: r.cell)
+    if route == "auto":
+        route = "literal" if len(rows) <= IVF_FOLD_MAX_CELLS else "arrow"
+    if route == "arrow":
+        return _ivf_assign_arrow(df, rows, nprobe)
     unit_lit = _unit_vec_sql
 
     structs = ",".join(
@@ -395,6 +424,59 @@ def ivf_assign(df: DataFrame, centroids, nprobe: int = 1) -> DataFrame:
     return df.select(
         "vec_id", "embedding", F.explode(top).alias("tc")
     ).select("vec_id", "embedding", F.col("tc.cell").alias("cell"))
+
+
+def _ivf_assign_arrow(df: DataFrame, rows, nprobe: int) -> DataFrame:
+    """Large-n_cells assignment route (see ivf_assign): broadcast the
+    unit-centroid matrix once per job, then one Arrow-batched matmul per
+    input batch. Tie order matches the literal route exactly: the matrix
+    columns are sorted by ascending cell id, so a STABLE argsort on
+    distance breaks ties to the lower cell — the literal route's
+    (dist, cell) struct ordering."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from entangledb_spark.deploy import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    cells = np.array([int(r.cell) for r in rows], dtype=np.int64)
+    mats = []
+    for r in rows:
+        v = [float(x) for x in r.centroid]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        mats.append([x / n for x in v])
+    mat = np.array(mats, dtype=np.float64).T  # (d, n_cells), cell-ascending
+    bc = spark.sparkContext.broadcast((cells, mat))
+    p = int(nprobe)
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    schema = T.StructType(
+        [in_fields["vec_id"], in_fields["embedding"], T.StructField("cell", T.LongType())]
+    )
+
+    def assign_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        b_cells, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            dist = -(v @ b_mat)  # (batch, n_cells)
+            order = _np.argsort(dist, axis=1, kind="stable")[:, :p]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(p),
+                    "embedding": pdf["embedding"].to_numpy().repeat(p),
+                    "cell": b_cells[order].ravel(),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(assign_batches, schema)
 
 
 def ann_ivf(
@@ -852,25 +934,48 @@ def semantic_dedup_pairs(
     skew-splittable) -> narrow exact-cosine filter. No UDFs, never
     all-pairs.
 
+    LITERAL-FOLDING CEILING: the argmin and the cent_sim map each embed
+    O(n_cells x dims) doubles in the plan — fine to IVF_FOLD_MAX_CELLS
+    (256), a plan-size hazard at the paper's 50k clusters. Above the
+    ceiling both pieces auto-route: assignment to the Arrow matmul path
+    (ivf_assign route="arrow") and cent_sim to a broadcast equi-join on
+    cell + built-in cosine — same semantics, no multi-MB plan text
+    (route equivalence asserted in test_embedding_dedup.py).
+
     Returns (vec_a, vec_b, cos_sim, cell, cent_sim_a, cent_sim_b) with
     vec_a < vec_b; cent_sim is each side's cosine to the shared cell
     centroid — the keep-priority signal semantic_dedup_survivors uses.
     """
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
     cents = ivf_centroids(e, n_cells, refine=refine, cell_expr=cell_expr).collect()
-    assigned = ivf_assign(e, cents)
-    # cosine to the assigned centroid: element_at on a <= n_cells literal
-    # map of UNIT centroids (cells can be sparse after refinement, so a
-    # map keyed by cell id, not a positional array)
-    entries = ",".join(
-        f"CAST({int(r.cell)} AS BIGINT), {_unit_vec_sql(r.centroid)}"
-        for r in sorted(cents, key=lambda r: r.cell)
-    )
-    cent_sim = F.expr(
-        "aggregate(zip_with(embedding, element_at(map(" + entries + "), cell), "
-        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    ) / norm(F.col("embedding"))
-    tagged = assigned.withColumn("cent_sim", cent_sim)
+    assigned = ivf_assign(e, cents)  # auto-routes above IVF_FOLD_MAX_CELLS
+    if len(cents) <= IVF_FOLD_MAX_CELLS:
+        # cosine to the assigned centroid: element_at on a <= n_cells
+        # literal map of UNIT centroids (cells can be sparse after
+        # refinement, so a map keyed by cell id, not a positional array)
+        entries = ",".join(
+            f"CAST({int(r.cell)} AS BIGINT), {_unit_vec_sql(r.centroid)}"
+            for r in sorted(cents, key=lambda r: r.cell)
+        )
+        cent_sim = F.expr(
+            "aggregate(zip_with(embedding, element_at(map(" + entries + "), cell), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        ) / norm(F.col("embedding"))
+        tagged = assigned.withColumn("cent_sim", cent_sim)
+    else:
+        # above the literal-folding ceiling: tiny broadcast join on cell
+        # (centroids were already a bounded collect) + built-in cosine
+        cent_df = emb.sparkSession.createDataFrame(
+            [(int(r.cell), [float(x) for x in r.centroid]) for r in cents],
+            "cell long, _centroid array<double>",
+        )
+        tagged = (
+            assigned.join(F.broadcast(cent_df), "cell")
+            .withColumn(
+                "cent_sim", cosine_sim(F.col("embedding"), F.col("_centroid"))
+            )
+            .drop("_centroid")
+        )
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(

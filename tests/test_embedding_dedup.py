@@ -253,6 +253,64 @@ def test_semdedup_plan_shape(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivf_assign_routes_identical(spark):
+    """The literal-folded argmin and the Arrow matmul route (used above
+    IVF_FOLD_MAX_CELLS, where 50k-cell SemDeDup lives) must produce
+    identical (vec_id, cell) assignments — incl. multi-probe, where the
+    stable argsort must reproduce the literal route's (dist, cell) tie
+    order. Floats differ in summation order (BLAS vs SQL fold), so this
+    holds because assignment margins are measured >> 1e-12."""
+    from entangledb_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    _, df = _planted(spark)
+    cents = ivf_centroids(df, 4).collect()
+    for nprobe in (1, 2):
+        lit = sorted(
+            (r.vec_id, r.cell)
+            for r in ivf_assign(df, cents, nprobe=nprobe, route="literal").collect()
+        )
+        arw = sorted(
+            (r.vec_id, r.cell)
+            for r in ivf_assign(df, cents, nprobe=nprobe, route="arrow").collect()
+        )
+        assert lit == arw, f"routes diverged at nprobe={nprobe}"
+    # the arrow route preserves the input's embedding values
+    arw_emb = {r.vec_id: list(r.embedding) for r in ivf_assign(df, cents, route="arrow").collect()}
+    src = {r.vec_id: list(r.embedding) for r in df.collect()}
+    assert arw_emb == src
+
+
+def test_semantic_dedup_above_ceiling_route(spark, monkeypatch):
+    """Forcing n_cells above the literal-folding ceiling (monkeypatched to
+    0) must swap in the Arrow assignment + broadcast-join cent_sim and
+    produce the SAME pairs, cent_sims (to float-route tolerance), and
+    survivor set as the literal route."""
+    import entangledb_spark.operators.similarity as sim
+
+    _, df = _planted(spark)
+
+    def snapshot():
+        pairs = {
+            (r.vec_a, r.vec_b): (r.cos_sim, r.cent_sim_a, r.cent_sim_b)
+            for r in sim.semantic_dedup_pairs(df, threshold=THRESH, n_cells=4).collect()
+        }
+        surv = {
+            r.vec_id
+            for r in sim.semantic_dedup_survivors(df, threshold=THRESH, n_cells=4).collect()
+        }
+        return pairs, surv
+
+    lit_pairs, lit_surv = snapshot()
+    monkeypatch.setattr(sim, "IVF_FOLD_MAX_CELLS", 0)
+    arw_pairs, arw_surv = snapshot()
+    assert set(lit_pairs) == set(arw_pairs) and lit_pairs  # same candidate pairs
+    for k, (cos_l, ca_l, cb_l) in lit_pairs.items():
+        cos_a, ca_a, cb_a = arw_pairs[k]
+        assert abs(cos_l - cos_a) < 1e-9
+        assert abs(ca_l - ca_a) < 1e-9 and abs(cb_l - cb_a) < 1e-9
+    assert lit_surv == arw_surv
+
+
 ALL_SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",

@@ -179,6 +179,56 @@ def test_real_corpus_shape_and_determinism(spark, sf_dir):
     assert a == b and len(a) == docs.count()
 
 
+def test_classify_langs_join_route_matches_literal(spark):
+    """The broadcast-join scoring route (auto above LANGID_LITERAL_MAX_CELLS
+    — thousand-language models whose literal form would be tens of MB of
+    plan text) must agree with the zero-shuffle literal route: identical
+    predictions, scores equal to summation-order tolerance. Includes an
+    empty-text doc (explode_outer keeps it; both routes score pure
+    floors)."""
+    df = _corpus(spark).unionByName(
+        spark.createDataFrame(
+            [(900, None, ""), (901, None, None)],
+            "doc_id long, lang string, text string",
+        )
+    )
+    model = train_langid_model(df, top_grams=32)
+    lit = {r.doc_id: r for r in classify_langs(df, model, route="literal").collect()}
+    jnd = {r.doc_id: r for r in classify_langs(df, model, route="join").collect()}
+    assert set(lit) == set(jnd)
+    for did, lr in lit.items():
+        jr = jnd[did]
+        assert jr.predicted_lang == lr.predicted_lang, did
+        assert all(
+            math.isclose(a, b, rel_tol=0, abs_tol=1e-9)
+            for a, b in zip(lr.scores, jr.scores)
+        ), did
+    # empty/null docs score exactly the floors on both routes
+    assert [round(x, 10) for x in lit[900].scores] == [
+        round(x, 10) for x in model["floors"]
+    ]
+    assert lit[901].scores == lit[900].scores
+
+
+def test_classify_langs_auto_routes_big_model(spark, monkeypatch):
+    """Above the ceiling, route='auto' must actually switch: the executed
+    plan gains the broadcast model join + per-doc exchange instead of the
+    folded literal (whose plan has neither join nor exchange)."""
+    import entangledb_spark.operators.langid as L
+
+    df = _corpus(spark)
+    model = train_langid_model(df, top_grams=32)
+    monkeypatch.setattr(L, "LANGID_LITERAL_MAX_CELLS", 0)
+    plan = (
+        L.classify_langs(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_control_chars_in_corpus_do_not_break_scoring(spark):
     """Raw control bytes in training text must neither crash model
     training nor corrupt the scoring expression's SQL literals."""
