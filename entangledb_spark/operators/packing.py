@@ -574,10 +574,14 @@ def bpe_train(
          disjoint + count margin) in one fold rewrite + localCheckpoint
          (flat lineage; superseded checkpoints are ContextCleaner-
          reclaimed). Each round is ONE Spark job: the candidate fetch
-         unions in the live-word count (no separate count action; the
-         ride-along count is the next round's collapse check), and the
-         rewrite checkpoint is lazy — it materializes inside the next
-         round's fetch, whose aggregate branch scans every partition.
+         unions in the live-word count (no separate count action), and
+         since round 7 the collapse check is EXACT post-rewrite — the
+         pair aggregate also counts rows that ARE each pair, which is
+         precisely the set a footprint-disjoint rewrite shrinks to one
+         symbol (timing pinned by test_bpe_collapse_fires_immediately).
+         The rewrite checkpoint is lazy — it materializes inside the
+         next round's fetch, whose aggregate branch scans every
+         partition.
          Multi-symbol words that finish merging drop out of the
          relation, and as soon as the remainder fits the cap the loop
          COLLAPSES into regime 2 for the remaining merges — the
@@ -615,10 +619,14 @@ def bpe_train(
     # materializes inside the next round's fetch; both union branches
     # are full scans — a global aggregate and a TakeOrdered — so every
     # partition of the lazy checkpoint is computed, never left partial).
-    # The ride-along count is pre-rewrite, i.e. an upper bound on the
-    # NEXT round's live vocabulary; live only shrinks, so the collapse
-    # to driver mode can fire at most one round late — the conservative
-    # direction.
+    # The check is EXACT post-rewrite (round 7; was one-round-late): a
+    # word leaves the live relation iff this round's rewrite shrinks it
+    # to one symbol, which under footprint-disjoint batches happens iff
+    # the word IS a selected pair (a 3+-symbol word can lose at most
+    # floor(n/2) symbols, never reach 1). The pair aggregate therefore
+    # also sums, per pair, the number of live rows that are exactly that
+    # pair ("w"), and post-rewrite liveness = fetched count - sum(w of
+    # selected) at zero extra jobs.
     n_live: int | None = None
     batch_sizes: list[int] = []  # merges applied per distributed round
     while len(merges) < n_merges:
@@ -651,30 +659,39 @@ def bpe_train(
                     )
                 ).alias("p"),
                 "c",
+                # a live row that IS this pair (exactly 2 symbols) dies if
+                # the pair is merged — one pair row per 2-symbol word, so
+                # summing the flag counts dying rows exactly
+                (F.size("syms") == 2).cast("long").alias("dies"),
             )
             .groupBy("p.a", "p.b")
-            .agg(F.sum("c").alias("n"))
+            .agg(F.sum("c").alias("n"), F.sum("dies").alias("w"))
         )
         limit = min(batch, n_merges - len(merges))
         topq = (
             pairs.orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
             .limit(limit + 1)
             .select(
-                F.lit(0).alias("t"), "a", "b", F.col("n").cast("long").alias("n")
+                F.lit(0).alias("t"), "a", "b",
+                F.col("n").cast("long").alias("n"),
+                F.col("w").cast("long").alias("w"),
             )
         )
         cntq = live.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit(1).alias("t"), F.lit("").alias("a"), F.lit("").alias("b"), "n"
+            F.lit(1).alias("t"), F.lit("").alias("a"), F.lit("").alias("b"), "n",
+            F.lit(0).cast("long").alias("w"),
         )
         rows = topq.unionAll(cntq).collect()
         top = sorted(
             (r for r in rows if r["t"] == 0),
             key=lambda r: (-int(r["n"]), r["a"], r["b"]),
         )
-        n_live = next(int(r["n"]) for r in rows if r["t"] == 1)
+        n_fetched_live = next(int(r["n"]) for r in rows if r["t"] == 1)
         selected, _ = _bpe_select_batch(top, limit)
         if not selected:
             break
+        dying = {(r["a"], r["b"]): int(r["w"]) for r in top}
+        n_live = n_fetched_live - sum(dying[(a, b)] for a, b, _ in selected)
         merges.extend(selected)
         batch_sizes.append(len(selected))
         # one fold rewrite applies every selected merge: rules are

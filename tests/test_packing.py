@@ -369,6 +369,33 @@ def test_bpe_train_modes_are_byte_identical(spark):
     assert got_hybrid == want
 
 
+def test_bpe_collapse_fires_immediately(spark):
+    """The driver-collapse check must be EXACT post-rewrite (round 7; the
+    pre-rewrite ride-along fired one round late): a corpus engineered so
+    round 1's batch kills exactly the two 2-symbol words that bring the
+    live vocabulary down to the cap must collapse at round-2 entry —
+    ONE distributed round, hybrid mode — with the merge list still
+    byte-identical to the sequential reference."""
+    from collections import Counter
+
+    from entangledb_spark.operators.packing import bpe_train
+
+    # counts tuned so _bpe_select_batch's k*n_stop margin admits exactly
+    # (a,b) and (c,d) in round 1 (n_stop=10: 40 > 20 but 30 <= 30):
+    # live 6 -> 4 post-rewrite, equal to the cap
+    counts = {"ab": 50, "cd": 40, "ef": 30, "gh": 20, "ijk": 10, "lmn": 5}
+    rows = [(i, w) for i, w in enumerate(
+        w for w, c in counts.items() for _ in range(c)
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _ref_bpe(dict(Counter(counts)), 6)
+    merges = bpe_train(docs, n_merges=6, driver_vocab_cap=4, batch=4)
+    assert merges == want
+    assert bpe_train.last_stats["mode"] == "hybrid"
+    assert bpe_train.last_stats["rounds"] == 1, bpe_train.last_stats
+    assert bpe_train.last_stats["batch_sizes"] == [2]
+
+
 def test_bpe_distributed_batches_disjoint_pairs(spark):
     """A flat corpus of footprint-disjoint pairs must merge many pairs
     per distributed round — the O(n_merges) serial-job wall is gone."""
