@@ -292,15 +292,24 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def is_bmp_payload(payload: Column) -> Column:
-    """The same magic-prefix test decode_bmp applies to its byte payload
-    (``data[:2] == b"BM"``), expressed over the string payload column so
-    the driver gate can count decodable-format rows engine-parallel."""
+    """Magic-prefix APPROXIMATION of decode_bmp's acceptance test over the
+    STRING payload column (decode_bmp checks ``data[:2] == b"BM"`` on
+    bytes AND a >= 54-byte header; this checks the 'BM' prefix only, at
+    CHARACTER offsets). The two agree on ASCII payloads longer than the
+    header — like this fixture — but a 'BM' payload under 54 bytes counts
+    here and is rejected by the decoder. Gate consistency is unaffected:
+    the DuckDB oracle applies the identical char-based predicate."""
     return payload.startswith("BM")
 
 
 def is_wav_payload(payload: Column) -> Column:
-    """decode_wav's RIFF/WAVE container test (``data[:4] == b"RIFF" and
-    data[8:12] == b"WAVE"``) over the string payload column."""
+    """Magic-prefix APPROXIMATION of decode_wav's RIFF/WAVE container test
+    over the STRING payload column, at CHARACTER offsets (the decoder
+    checks ``data[:4] == b"RIFF" and data[8:12] == b"WAVE"`` on BYTES —
+    non-ASCII chars among the first 8 positions shift char 9 away from
+    byte 8). Identical to the decoder on ASCII payloads, and identical to
+    the DuckDB oracle's char-based predicate always, which is what the
+    gate certifies."""
     return (payload.substr(1, 4) == "RIFF") & (payload.substr(9, 4) == "WAVE")
 
 
@@ -335,8 +344,17 @@ def q80_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.max("n_bytes").cast("long").alias("max_bytes"),
-        F.sum(is_bmp_payload(F.col("payload")).cast("long")).cast("long").alias("n_bmp"),
-        F.sum(is_wav_payload(F.col("payload")).cast("long")).cast("long").alias("n_wav"),
+        # when/otherwise(0), not a bare boolean cast: a NULL payload's
+        # predicate is NULL, and summing casts over an all-NULL group
+        # would yield NULL where the oracle's CASE...ELSE 0 yields 0
+        # (advisor r6; unreachable on this non-null fixture, but the
+        # expressions should agree by construction, not by luck)
+        F.sum(
+            F.when(is_bmp_payload(F.col("payload")), 1).otherwise(0)
+        ).cast("long").alias("n_bmp"),
+        F.sum(
+            F.when(is_wav_payload(F.col("payload")), 1).otherwise(0)
+        ).cast("long").alias("n_wav"),
     )
 
 
