@@ -98,6 +98,39 @@ def test_star_join_broadcasts_dims(plans):
     assert "BroadcastHashJoin" in p  # nation/region dims must broadcast
 
 
+def test_q91_span_summary_plan_shape(spark):
+    """Pins the q91 span columns' physical shape (VERDICT r6 next-round
+    #7): the positional-winnowing span pipeline joins anchors by an fp
+    EQUI-join (never cartesian/BNLJ — broadcast at fixture size, SMJ on
+    the fp exchanges at scale), no Python on the data path, and the
+    per-doc rollup adds exactly ONE extra shuffle keyed on doc_id
+    alone on top of the span relation."""
+    import re
+
+    from entangledb_spark.operators.fingerprints import (
+        winnow_overlap_spans,
+        winnow_span_summary,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    spans_plan = (
+        winnow_overlap_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    summ_plan = (
+        winnow_span_summary(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    for name, plan in (("spans", spans_plan), ("summary", summ_plan)):
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # the anchor pair join is keyed on fp
+        assert re.search(r"Join \[fp#\d+\], \[fp#\d+\], Inner", plan), name
+    # the rollup's ONLY addition: one exchange keyed on doc_id alone
+    doc_id_only = r"hashpartitioning\(doc_id#\d+L?, \d+\)"
+    assert not re.findall(doc_id_only, spans_plan)
+    assert len(re.findall(doc_id_only, summ_plan)) == 1, summ_plan
+
+
 def test_round4_operators_plan_shapes(spark):
     """The round-4 operators are pytest-only (registry full at 50), so
     their scale invariants are asserted here directly: winnowing overlap,
