@@ -76,9 +76,12 @@ def luhn_valid_expr(digits: Column) -> Column:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    return (
-        digits.rlike(r"^\d{2,}$") & (F.pmod(total, F.lit(10)) == 0)
-    )
+    # when(), not `&`: under ANSI mode the digit casts would error on
+    # non-digit input, and only a conditional guarantees they never run
+    # for rows the rlike guard rejects
+    return F.when(
+        digits.rlike(r"^\d{2,}$"), F.pmod(total, F.lit(10)) == 0
+    ).otherwise(F.lit(False))
 
 
 def detect_pii(

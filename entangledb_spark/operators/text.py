@@ -255,6 +255,27 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 50
 
 
+def _pii_oracle_columns() -> str:
+    """q55's PII gate columns, composed FROM PII_PATTERNS so the oracle
+    regex text can never drift from the operator's (the patterns live in
+    the Java-regex ∩ RE2 subset; DuckDB standard strings pass backslashes
+    through verbatim). n_pii is the raw regex-net count (pre-Luhn — the
+    checksum is pytest-gated, tests/test_pii.py); len_redacted runs the
+    full most-specific-first replacement chain on both engines."""
+    from entangledb_spark.operators.pii import PII_PATTERNS
+
+    def lit(pat: str) -> str:
+        return "'" + pat.replace("'", "''") + "'"
+
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(chunk, {lit(p)}))" for p in PII_PATTERNS.values()
+    )
+    red = "chunk"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, {lit(pat)}, '<{kind.upper()}>', 'g')"
+    return f"CAST({n_pii} AS BIGINT) AS n_pii, CAST(length({red}) AS BIGINT) AS len_redacted"
+
+
 @query(
     "q55_text_chunking",
     oracle=r"""
@@ -265,11 +286,17 @@ CHUNK_TOKENS = 50
       SELECT doc_id, toks,
              unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT))) AS chunk_id
       FROM t
+    ),
+    final AS (
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             array_to_string(toks[(chunk_id*50+1):((chunk_id+1)*50)], ' ') AS chunk,
+             CAST(least(50, len(toks) - chunk_id*50) AS BIGINT) AS n_tokens
+      FROM ch
     )
-    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-           array_to_string(toks[(chunk_id*50+1):((chunk_id+1)*50)], ' ') AS chunk,
-           CAST(least(50, len(toks) - chunk_id*50) AS BIGINT) AS n_tokens
-    FROM ch
+    SELECT doc_id, chunk_id, chunk, n_tokens, """
+    + _pii_oracle_columns()
+    + """
+    FROM final
     """,
 )
 def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,8 +304,18 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — the standard pre-tokenization step of a training pipeline.
     posexplode of row-local token slices: a narrow flatMap, no shuffle,
     output rows ≈ corpus_tokens / CHUNK_TOKENS regardless of document-length
-    skew (one giant doc becomes many rows, not one giant row)."""
+    skew (one giant doc becomes many rows, not one giant row).
+
+    Round 7: each chunk also carries the PII scrub stage's accounting
+    (operators/pii.py) — n_pii (every pattern's regex-net matches) and
+    len_redacted (length after the full placeholder-replacement chain) —
+    hash-gated against a DuckDB oracle built FROM the same PII_PATTERNS
+    dict. The fixture is PII-free, so the gate certifies that both
+    engines' regex/replace machinery agrees on ~all chunks (the q80
+    format-detector precedent); planted-PII exactness, Luhn precision,
+    and DuckDB parity on PII-bearing text live in tests/test_pii.py."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
+    from entangledb_spark.operators.pii import PII_PATTERNS, pii_count_expr, redact_pii
 
     d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
@@ -286,6 +323,9 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    )
+    n_pii = sum(
+        (pii_count_expr(F.col("chunk"), k) for k in PII_PATTERNS), F.lit(0).cast("long")
     )
     return (
         d.withColumn("_toks", toks)
@@ -300,6 +340,8 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_tokens"),
+            n_pii.cast("long").alias("n_pii"),
+            F.length(redact_pii(F.col("chunk"))).cast("long").alias("len_redacted"),
         )
     )
 
