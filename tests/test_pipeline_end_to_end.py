@@ -2,10 +2,10 @@
 operators composed the way a real corpus-preparation job chains them
 (the composition order documented in docs/DEDUP.md):
 
-  C4 line cleaning → text metrics → quality gates (length/repetition/
-  LM-perplexity) → exact dedup → containment survivors (winnowing) →
-  span dedup → semantic dedup (embedding near-dup survivors) →
-  sequence packing → vocabulary induction
+  PII redaction → C4 line cleaning → text metrics → quality gates
+  (length/repetition/LM-perplexity) → exact dedup → containment
+  survivors (winnowing) → span dedup → semantic dedup (embedding
+  near-dup survivors) → sequence packing → vocabulary induction
 
 Each stage consumes the previous stage's DataFrame (single lazy plan per
 stage boundary, no driver round-trips besides the assertions), and the
@@ -33,8 +33,10 @@ SF = "/root/testdata/sf0.001"
 def test_pipeline_end_to_end(spark):
     from entangledb_spark.operators.quality import clean_lines_c4
 
+    from entangledb_spark.operators.pii import redact_documents
+
     load_all()
-    raw = table(spark, SF, "documents")
+    raw = redact_documents(table(spark, SF, "documents"))
     n_raw = raw.count()
 
     # 0. C4 line-level cleaning (no terminal requirement: the fixture is
