@@ -112,6 +112,17 @@ def test_prev_bench_chain_survives_null_parsed():
     assert prev["queries"]["q81_quality_repetition"] < 1.0
 
 
+def test_headline_names_exist_in_registry():
+    """A renamed registry query must not silently kill the driver's perf
+    record — bench.py would KeyError mid-run and the round would record
+    rc!=0 with no queries dict."""
+    from entangledb_spark import registry
+
+    registry.load_all()
+    missing = [q for q in bench.HEADLINE if q not in registry.QUERIES]
+    assert not missing, missing
+
+
 def test_spread_dict_reads_both_artifact_generations():
     arr_form = {"queries": {"a": 1.0, "b": 2.0}, "spread": [0.1, 0.2]}
     dict_form = {"queries": {"a": 1.0}, "spread": {"a": 0.1}}
