@@ -71,7 +71,24 @@ SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
     "year": (1, 1, lambda c: F.year(c).cast("long")),
     "month": (1, 1, lambda c: F.month(c).cast("long")),
     "day": (1, 1, lambda c: F.dayofmonth(c).cast("long")),
+    # training-pipeline scrub surface (extension; operators/pii.py) — the
+    # same zero-shuffle expressions the DataFrame operators use, so SQL
+    # sessions can scrub/audit without leaving the dialect
+    "pii_redact": (1, 1, lambda c: _pii("redact")(c)),
+    "pii_count": (1, 1, lambda c: _pii("count")(c)),
 }
+
+
+def _pii(which: str) -> Callable[[Column], Column]:
+    """Late import: functions/ must not import operators/ at module load
+    (operators import this module for the compiler surface)."""
+    from entangledb_spark.operators.pii import PII_PATTERNS, pii_count_expr, redact_pii
+
+    if which == "redact":
+        return redact_pii
+    return lambda c: sum(
+        (pii_count_expr(c, k) for k in PII_PATTERNS), F.lit(0).cast("long")
+    )
 
 
 def translate_like_pattern(pattern: str) -> str:

@@ -413,6 +413,20 @@ def test_scalar_functions(eng):
         eng.execute("SELECT abs(1, 2)")
 
 
+def test_pii_scalar_functions(eng):
+    """The training-pipeline scrub surface inside the SQL dialect: the
+    SAME expressions operators/pii.py builds (regex nets + placeholder
+    chain), so an engine session can audit/scrub without DataFrame code.
+    NULL passes through redaction; counts are 0 for NULL/clean text."""
+    assert one(
+        eng,
+        "SELECT pii_redact('mail bob@x.io or 10.0.0.1'), "
+        "pii_count('mail bob@x.io or 10.0.0.1'), "
+        "pii_redact('clean text'), pii_count('clean text'), "
+        "pii_redact(NULL), pii_count(NULL)",
+    ) == ("mail <EMAIL> or <IPV4>", 2, "clean text", 0, None, 0)
+
+
 def test_attach_external_parquet(eng):
     r = eng.attach_parquet("li", "/root/testdata/sf0.001/lineitem.parquet")
     assert r.status == "ATTACH li"
