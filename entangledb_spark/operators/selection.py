@@ -1,0 +1,226 @@
+"""DSIR-style data selection via importance resampling (Xie et al.,
+"Data Selection for Language Models via Importance Resampling",
+arXiv:2302.03169): pick raw-corpus documents whose hashed n-gram
+distribution looks like a TARGET corpus — the standard way to tilt a
+web-scale crawl toward a high-quality or in-domain target without
+training a classifier.
+
+Method (the paper's, unchanged): featurize every document as hashed
+unigram+bigram counts over ``n_buckets`` buckets; fit bag-of-buckets
+multinomials p (target) and q (raw) with add-one smoothing; per raw doc
+the importance log-weight is
+
+    log w(doc) = sum over features  log p_bucket - log q_bucket
+
+and the resample draws k docs with probability proportional to w via the
+Gumbel-top-k trick. Determinism: the Gumbel noise is derived from a
+knuth-bucket hash of the doc id (u in (0,1) -> -ln(-ln(u))), so the same
+corpus always selects the same documents — reproducible across runs,
+cluster sizes, AND engines (every piece, including the token hash
+conv(substr(md5(token),1,6),16,10), is re-derivable in DuckDB SQL; the
+q92 gate columns do exactly that).
+
+Spark shape, and why it scales:
+- the two distributions are corpus aggregations with map-side combine
+  whose RESULT is <= n_buckets rows (10k default) — tiny regardless of
+  corpus size, and bucket keys are md5-uniform (no Zipf skew: the
+  hottest token spreads nothing, it IS one bucket among 10k);
+- per-doc weights: one explode + ONE broadcast join against the <=
+  n_buckets diff table + per-doc sum (one exchange keyed by doc id);
+- selection: top-k by (logw + gumbel) fuses to TakeOrderedAndProject for
+  bench-scale k; at production scale select by THRESHOLD instead — take
+  an approxQuantile of the score and filter, which is one narrow pass
+  and no global sort (dsir_select_threshold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DSIR_BUCKETS = 10_000
+GUMBEL_RES = 2**20  # hash-uniform resolution for the deterministic Gumbel
+
+# the corpus token definition shared with operators/text.py (any
+# non-whitespace run, explicit class so both engines agree)
+_TOKEN_RE = r"[^ \t\n\x0B\f\r]+"
+
+
+def token_bucket(tok: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Cross-engine string->bucket hash: the first 6 md5 hex chars as an
+    integer, mod n_buckets. 24 bits >> 10k buckets, and DuckDB re-derives
+    it exactly: ('0x' || substr(md5(t), 1, 6))::BIGINT % n."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def feature_buckets(
+    text: Column, n_buckets: int = DSIR_BUCKETS, bigrams: bool = True
+) -> Column:
+    """Hashed n-gram feature buckets of a document (array<long>):
+    unigrams + (optionally) space-joined bigrams of the lowercased
+    whitespace tokens — the paper's hashed n-gram featurization."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit(_TOKEN_RE), 0)
+    feats = toks
+    if bigrams:
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, bi)
+    return F.transform(feats, lambda t: token_bucket(t, n_buckets))
+
+
+def bucket_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(bucket, cnt) distribution of a corpus — <= n_buckets rows out,
+    map-side combined, hash-uniform keys."""
+    return (
+        docs.select(
+            F.explode(feature_buckets(F.col(text_col), n_buckets, bigrams)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-raw-document importance log-weight under add-one-smoothed
+    bag-of-buckets multinomials:
+
+        logw = sum_features [ln(cp_b + 1) - ln(cq_b + 1)]
+               + n_feats * [ln(Nq + B) - ln(Np + B)]
+
+    (the constant-term factoring keeps the broadcast diff table at only
+    the OBSERVED buckets — unseen buckets contribute ln(1)=0 plus the
+    constant, exactly add-one smoothing). Returns (id, n_feats, logw);
+    docs with zero tokens get logw = 0.
+
+    Plan: two tiny distribution aggregates (bounded <= n_buckets), two
+    scalar totals, then ONE explode + broadcast join + per-doc sum."""
+    tp = bucket_counts(target, text_col, n_buckets, bigrams)
+    tq = bucket_counts(raw, text_col, n_buckets, bigrams)
+    totals_p = tp.agg(F.sum("cnt")).collect()[0][0] or 0
+    totals_q = tq.agg(F.sum("cnt")).collect()[0][0] or 0
+    const = math.log(totals_q + n_buckets) - math.log(totals_p + n_buckets)
+    diff = (
+        tp.select("bucket", F.log(F.col("cnt") + 1).alias("lp"))
+        .join(
+            tq.select("bucket", F.log(F.col("cnt") + 1).alias("lq")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            (F.coalesce("lp", F.lit(0.0)) - F.coalesce("lq", F.lit(0.0))).alias("d"),
+        )
+    )
+    feats = raw.select(
+        F.col(id_col),
+        F.explode_outer(feature_buckets(F.col(text_col), n_buckets, bigrams)).alias(
+            "bucket"
+        ),
+    )
+    return (
+        feats.join(F.broadcast(diff), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("bucket").cast("long").alias("n_feats"),
+            F.sum(F.coalesce("d", F.lit(0.0))).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            (F.coalesce("_s", F.lit(0.0)) + F.col("n_feats") * const).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_expr: Column) -> Column:
+    """Deterministic Gumbel(0,1) noise from a hash of the id: u =
+    (knuth_bucket(id, 2^20) + 0.5) / 2^20 is hash-uniform in (0,1) and
+    -ln(-ln(u)) is its Gumbel transform — reproducible across runs and
+    engines (knuth_bucket is the repo's overflow-safe modular hash,
+    DuckDB-re-derivable)."""
+    from entangledb_spark.operators.text import knuth_bucket
+
+    u = (knuth_bucket(id_expr, GUMBEL_RES) + F.lit(0.5)) / F.lit(float(GUMBEL_RES))
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Gumbel-top-k importance resample: score = logw + Gumbel(id),
+    keep the k highest — distributionally equivalent to sampling k docs
+    without replacement with probability proportional to w (the
+    Gumbel-max trick), but fully deterministic here because the noise is
+    hash-derived. Returns the selected raw rows + (logw, score).
+
+    k is expected SMALL relative to the corpus (top-k fuses to
+    TakeOrderedAndProject); for percentage-scale selection use
+    dsir_select_threshold.
+
+    LENGTH BIAS, stated plainly: logw is a likelihood-ratio SUM over
+    features, so a near-empty document scores ~0 and outranks any long
+    document whose ratio is below 1 — inherent to importance weights,
+    and why the paper scores fixed-size chunks, not raw documents.
+    Compose after chunking (operators/text.py q55 recipe) or after a
+    min-length quality gate so the units are comparable; the planted
+    test corpus in tests/test_selection.py demonstrates both the bias
+    and the length-controlled behavior."""
+    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets, bigrams)
+    scored = raw.join(w, id_col).withColumn(
+        "score", F.col("logw") + gumbel_key(F.col(id_col))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+
+
+def dsir_select_threshold(
+    raw: DataFrame,
+    target: DataFrame,
+    keep_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    bigrams: bool = True,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Production-scale selection: keep ~keep_fraction of the corpus by
+    score THRESHOLD (approxQuantile + filter — one narrow pass over the
+    scored relation, no global sort; the selected count is approximate
+    within the quantile sketch's rel_err, the standard trade at 100 TB)."""
+    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets, bigrams)
+    scored = raw.join(w, id_col).withColumn(
+        "score", F.col("logw") + gumbel_key(F.col(id_col))
+    )
+    cut = scored.approxQuantile("score", [1.0 - keep_fraction], rel_err)[0]
+    return scored.filter(F.col("score") >= cut)

@@ -586,6 +586,48 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
       FROM (SELECT doc_a AS doc_id, span_len FROM sp
             UNION ALL SELECT doc_b AS doc_id, span_len FROM sp)
       GROUP BY doc_id
+    ),
+    -- DSIR importance log-weights (operators/selection.py, arXiv:
+    -- 2302.03169; round 7): hashed unigram+bigram features (token hash
+    -- = first 6 md5 hex chars % 10000 — Spark's conv(substr(md5),16,10)
+    -- exactly), target = the src0 slice, add-one-smoothed
+    -- log-likelihood-ratio sum per document, corpus-wide then joined to
+    -- the sampled rows (same hosting recipe as the span columns)
+    dtoks AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+') AS toks
+      FROM documents
+    ),
+    dfeat AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 6))::BIGINT % 10000 AS bucket
+      FROM (
+        SELECT doc_id, source, unnest(list_concat(toks,
+                 CASE WHEN len(toks) >= 2 THEN list_transform(
+                   range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END)) AS f
+        FROM dtoks)
+    ),
+    dcp AS (SELECT bucket, count(*) AS c FROM dfeat WHERE source = 'src0'
+            GROUP BY bucket),
+    dcq AS (SELECT bucket, count(*) AS c FROM dfeat GROUP BY bucket),
+    dtot AS (SELECT (SELECT count(*) FROM dfeat WHERE source = 'src0') AS np,
+                    (SELECT count(*) FROM dfeat) AS nq),
+    ddiff AS (
+      SELECT coalesce(dcp.bucket, dcq.bucket) AS bucket,
+             ln(coalesce(dcp.c, 0) + 1) - ln(coalesce(dcq.c, 0) + 1) AS d
+      FROM dcp FULL OUTER JOIN dcq ON dcp.bucket = dcq.bucket
+    ),
+    dw AS (
+      SELECT doc.doc_id,
+             CAST(count(rf.bucket) AS BIGINT) AS n_feats,
+             coalesce(sum(dd.d), 0)
+               + count(rf.bucket) * (ln(nq + 10000) - ln(np + 10000)) AS logw
+      FROM documents doc
+      LEFT JOIN dfeat rf ON rf.doc_id = doc.doc_id
+      LEFT JOIN ddiff dd ON dd.bucket = rf.bucket
+      CROSS JOIN dtot
+      GROUP BY doc.doc_id, np, nq
     )
     SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars,
            CAST(s.rk AS BIGINT) AS rk,
@@ -597,8 +639,11 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
              array_to_string(list_transform(c4.kept, x -> trim(x)), chr(10)), ''))
              AS c4_digest,
            CAST(coalesce(pd.n_overlap_spans, 0) AS BIGINT) AS n_overlap_spans,
-           CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len
+           CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len,
+           CAST(dw.n_feats AS BIGINT) AS n_dsir_feats,
+           r4(dw.logw) AS dsir_logw
     FROM samp s JOIN c4 USING (doc_id) LEFT JOIN pd USING (doc_id)
+         LEFT JOIN dw USING (doc_id)
     """,
 )
 def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,12 +671,23 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the sample by construction) then left-joined to the 100
     sampled rows; hosted here rather than on headline q93/q50 so the
     gate evidence costs no bench time (README registry policy rule 1).
-    Docs with no qualifying span report 0/0."""
+    Docs with no qualifying span report 0/0.
+
+    Since round 7 each sampled row ALSO carries its DSIR importance
+    weight (operators/selection.py, arXiv:2302.03169) against the src0
+    slice as the target corpus — n_dsir_feats / r4(dsir_logw) from the
+    hashed unigram+bigram likelihood-ratio sum, distributions computed
+    corpus-wide and re-derived in the oracle's SQL down to the
+    conv(substr(md5(token),1,6)) bucket hash. Same hosting recipe as
+    the span columns; the Gumbel-top-k resample itself stays
+    pytest-gated (tests/test_selection.py, incl. a full DuckDB mirror
+    of the weights)."""
     from pyspark.sql import Window
 
     from entangledb_spark.operators.dedup import repartition_for_cpu
     from entangledb_spark.operators.fingerprints import winnow_span_summary
     from entangledb_spark.operators.quality import c4_kept_lines_expr
+    from entangledb_spark.operators.selection import dsir_log_weights
 
     d = table(spark, sf_dir, "documents")
     bucket = knuth_bucket(F.col("doc_id"), 1000)
@@ -641,11 +697,13 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file fixture scan across cores (no-op on real multi-file
     # inputs) before paying ~n_chars md5s per document
     summ = winnow_span_summary(repartition_for_cpu(d, spark))
+    dsir = dsir_log_weights(d, d.filter(F.col("source") == "src0").select("text"))
     return (
         d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "text")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
         .join(summ, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -656,6 +714,8 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(F.transform(kept, F.trim), "\n")).alias("c4_digest"),
             F.coalesce("n_overlap_spans", F.lit(0)).cast("long").alias("n_overlap_spans"),
             F.coalesce("max_span_len", F.lit(0)).cast("long").alias("max_span_len"),
+            F.col("n_feats").cast("long").alias("n_dsir_feats"),
+            r4(F.col("logw")).alias("dsir_logw"),
         )
     )
 

@@ -1,0 +1,262 @@
+"""DSIR importance resampling (operators/selection.py): exactness vs an
+independent Python reference, cross-engine parity vs a DuckDB SQL
+re-derivation (the q92-gate recipe), target-preference on a planted
+two-vocabulary corpus, deterministic Gumbel resampling, threshold-mode
+selection, and the plan shape (broadcast diff join, no Python)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.selection import (
+    DSIR_BUCKETS,
+    GUMBEL_RES,
+    dsir_log_weights,
+    dsir_resample,
+    dsir_select_threshold,
+    feature_buckets,
+)
+
+B = 1000  # small bucket space for tests — collisions exercised, math same
+
+
+def _py_bucket(tok: str, n_buckets: int = B) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % n_buckets
+
+
+def _py_feats(text: str, n_buckets: int = B, bigrams: bool = True) -> list[int]:
+    toks = text.lower().split()
+    feats = list(toks)
+    if bigrams and len(toks) >= 2:
+        feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [_py_bucket(t, n_buckets) for t in feats]
+
+
+def _py_logw(raw_rows, target_rows, n_buckets: int = B) -> dict[int, float]:
+    from collections import Counter
+
+    cp: Counter = Counter()
+    for _, t in target_rows:
+        cp.update(_py_feats(t, n_buckets))
+    cq: Counter = Counter()
+    for _, t in raw_rows:
+        cq.update(_py_feats(t, n_buckets))
+    np_, nq = sum(cp.values()), sum(cq.values())
+    out = {}
+    for did, t in raw_rows:
+        feats = _py_feats(t, n_buckets)
+        s = sum(
+            math.log(cp.get(b, 0) + 1) - math.log(cq.get(b, 0) + 1) for b in feats
+        )
+        out[did] = s + len(feats) * (
+            math.log(nq + n_buckets) - math.log(np_ + n_buckets)
+        )
+    return out
+
+
+RAW = [
+    (0, "apple banana cherry apple orchard harvest"),
+    (1, "banana cherry plum apple cider press"),
+    (2, "gamma decay neutron flux reactor core shielding"),
+    (3, "neutron capture cross section gamma spectroscopy"),
+    (4, "apple pie with plum jam and cherry glaze"),
+    (5, "reactor coolant loop neutron moderator graphite"),
+    (6, "short"),
+    (7, ""),
+]
+TARGET = [
+    (100, "apple orchard banana plantation cherry grove plum harvest"),
+    (101, "cider press apple jam plum pie cherry tart"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    return raw, target
+
+
+def test_logw_matches_python_reference(spark, corpora):
+    raw, target = corpora
+    got = {
+        r.doc_id: r.logw
+        for r in dsir_log_weights(raw, target, n_buckets=B).collect()
+    }
+    want = _py_logw(RAW, TARGET, B)
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d
+    # empty doc: zero features -> logw exactly 0
+    assert got[7] == 0.0
+
+
+def test_logw_matches_duckdb(spark, corpora):
+    """Full cross-engine re-derivation — the recipe the q92 gate columns
+    use: token hash = ('0x' || substr(md5(tok),1,6))::BIGINT % B, same
+    smoothing algebra, SQL only."""
+    raw, target = corpora
+    con = duckdb.connect()
+    for name, rows in (("raw", RAW), ("target", TARGET)):
+        con.execute(
+            f"CREATE TABLE {name} AS SELECT * FROM (VALUES "
+            + ",".join(f"({i}, {t!r})" for i, t in rows)
+            + ") AS v(doc_id, text)"
+        )
+    feats_sql = """
+        SELECT doc_id, ('0x' || substr(md5(f), 1, 6))::BIGINT % {B} AS bucket
+        FROM (
+          SELECT doc_id, unnest(
+            list_concat(
+              toks,
+              CASE WHEN len(toks) >= 2 THEN list_transform(
+                range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END)) AS f
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
+                FROM {tbl})
+        )
+    """
+    duck = dict(
+        con.execute(
+            f"""
+        WITH tf AS ({feats_sql.format(B=B, tbl='target')}),
+             rf AS ({feats_sql.format(B=B, tbl='raw')}),
+             cp AS (SELECT bucket, count(*) AS c FROM tf GROUP BY bucket),
+             cq AS (SELECT bucket, count(*) AS c FROM rf GROUP BY bucket),
+             tot AS (SELECT (SELECT count(*) FROM tf) AS np,
+                            (SELECT count(*) FROM rf) AS nq),
+             diff AS (
+               SELECT coalesce(cp.bucket, cq.bucket) AS bucket,
+                      ln(coalesce(cp.c, 0) + 1) - ln(coalesce(cq.c, 0) + 1) AS d
+               FROM cp FULL OUTER JOIN cq ON cp.bucket = cq.bucket)
+        SELECT r.doc_id,
+               coalesce(sum(diff.d), 0)
+               + count(rf.bucket) * (ln(tot.nq + {B}) - ln(tot.np + {B}))
+        FROM raw r
+        LEFT JOIN rf ON rf.doc_id = r.doc_id
+        LEFT JOIN diff ON diff.bucket = rf.bucket
+        CROSS JOIN tot
+        GROUP BY r.doc_id, tot.np, tot.nq
+        """
+        ).fetchall()
+    )
+    got = {
+        r.doc_id: r.logw
+        for r in dsir_log_weights(raw, target, n_buckets=B).collect()
+    }
+    assert set(got) == set(duck)
+    for d in got:
+        assert abs(got[d] - duck[d]) < 1e-9, d
+
+
+def test_resample_prefers_target_like_docs(spark, corpora):
+    """On LENGTH-COMPARABLE units (the paper scores fixed-size chunks;
+    the operator docstring documents the length bias), fruit-vocabulary
+    docs must outrank nuclear-physics docs under a fruit target, and the
+    Gumbel perturbation must not overturn a vocabulary-scale gap."""
+    raw, target = corpora
+    comparable = raw.filter(F.col("doc_id") <= 5)  # 6-7 word docs each
+    top3 = {
+        r.doc_id for r in dsir_resample(comparable, target, 3, n_buckets=B).collect()
+    }
+    assert top3 == {0, 1, 4}
+
+
+def test_length_bias_is_real_and_documented(spark, corpora):
+    """The documented failure mode, demonstrated: with the near-empty
+    docs kept in, logw ~ 0 beats every long negative-sum doc — which is
+    exactly why selection composes AFTER chunking/min-length gates."""
+    raw, target = corpora
+    w = {r.doc_id: r.logw for r in dsir_log_weights(raw, target, n_buckets=B).collect()}
+    assert w[7] == 0.0
+    assert w[7] > max(w[d] for d in (0, 1, 2, 3, 4, 5))
+
+
+def test_resample_deterministic(spark, corpora):
+    raw, target = corpora
+    a = [r.doc_id for r in dsir_resample(raw, target, 5, n_buckets=B).collect()]
+    b = [r.doc_id for r in dsir_resample(raw, target, 5, n_buckets=B).collect()]
+    assert a == b and len(a) == 5
+
+
+def test_threshold_selection(spark, corpora):
+    raw, target = corpora
+    sel = dsir_select_threshold(raw, target, 0.5, n_buckets=B)
+    rows = sel.collect()
+    assert 3 <= len(rows) <= 5  # ~half of 8, quantile-cut inclusive
+    cut = min(r.score for r in rows)
+    all_scores = {
+        r.doc_id: r.score
+        for r in dsir_select_threshold(raw, target, 1.0, n_buckets=B).collect()
+    }
+    kept = {r.doc_id for r in rows}
+    for did, s in all_scores.items():
+        assert (s >= cut) == (did in kept)
+
+
+def test_plan_shape(spark, corpora):
+    """The per-doc weight join must BROADCAST the <= n_buckets diff table
+    (never shuffle the exploded corpus against it), and nothing falls
+    back to Python or a cartesian product."""
+    raw, target = corpora
+    plan = (
+        dsir_log_weights(raw, target, n_buckets=B)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_q91_dsir_r4_boundary_margin(spark, sf):
+    """q91 gates r4(dsir_logw) — a cross-engine float at |logw| ~ 100,
+    where double noise is ~1e-12 absolute. Measure (don't argue) that no
+    gate row's logw sits within 1e-9 of an r4 rounding boundary at any
+    density the gate can run at (measured over ALL docs, a superset of
+    the 100 gated sample rows — the conservative bound). Measured
+    2026-08 (r7): min boundary distance 9.2e-8 / 6.1e-8 / 8.4e-9 at
+    sf0.001/0.01/0.1 — 4+ orders above the ~1e-12 cross-engine
+    summation noise at |logw| ~ 100."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    w = dsir_log_weights(
+        docs, docs.filter(F.col("source") == "src0").select("text")
+    )
+    rows = w.select("logw").collect()
+    dist = [
+        abs(r.logw * 10000 - round(r.logw * 10000)) / 10000
+        for r in rows
+        if r.logw is not None
+    ]
+    m = min(dist)
+    assert m > 1e-9, f"r4 boundary margin collapsed to {m} at {sf}"
+
+
+def test_gumbel_key_is_proper_and_hash_uniform(spark):
+    """Gumbel keys from sequential ids: all finite, deterministic, and
+    the underlying u-values spread across (0,1) (knuth hash, not the id
+    order)."""
+    from entangledb_spark.operators.selection import gumbel_key
+
+    df = spark.range(1000).select(
+        F.col("id"), gumbel_key(F.col("id")).alias("g")
+    )
+    rows = df.collect()
+    gs = [r.g for r in rows]
+    assert all(math.isfinite(g) for g in gs)
+    # Gumbel(0,1): median ~0.3665, P(g<0) ~ e^-1; loose sanity bands
+    neg = sum(g < 0 for g in gs) / len(gs)
+    assert 0.25 < neg < 0.5, neg
+    assert len(set(gs)) > 900  # GUMBEL_RES >> n, near-no collisions
+    assert GUMBEL_RES >= 2**20
