@@ -1,0 +1,72 @@
+"""MinHash family parameters + the DuckDB gate-oracle builder — a LEAF
+module (imports nothing from this package) so both operators/dedup.py
+(the operators) and operators/text.py (the q66 gate host, whose oracle
+string is composed at import time) can share one source of truth without
+a circular import (dedup imports text for `fingerprint`).
+"""
+
+from __future__ import annotations
+
+MINHASH_PERMS = 16  # number of seeded hash permutations
+LSH_BANDS = 4  # 4 bands × 4 rows — candidates need 1 identical band
+SHINGLE_N = 3  # word-shingle width
+
+# Permutation family (a·x + b) mod P. P MUST exceed the 30-bit hash
+# universe: with P below it the mod never wraps and (a·x+b) is monotonic
+# in x — every "permutation" then selects the same argmin shingle and the
+# signature degenerates to a function of one shingle (observed:
+# est_jaccard=1.0 on pairs with exact≈0.01 before this fix). Mersenne
+# 2^31−1 exceeds the 30-bit shingle universe (hash family stays
+# injective-capable) while a·x+b ≫ P guarantees wraparound.
+MINHASH_P = (1 << 31) - 1
+MINHASH_AB = [
+    ((2654435761 * (k + 1)) & 0x3FFFFFFF | 1, (40503 * (k + 7) ** 2) & 0x3FFFFFFF)
+    for k in range(MINHASH_PERMS)
+]
+
+
+def minhash_gate_oracle_ctes() -> str:
+    """The DuckDB re-derivation of dedup.minhash_gate_summary, composed
+    FROM the same constants so the two engines can never drift. Returns
+    CTE text (no trailing comma) expecting a `documents` relation;
+    yields mhs(doc_id, sig) and mpart(doc_id, n)."""
+    perms = ",\n           ".join(
+        f"list_aggregate(list_transform(B, h -> ({a} * h + {b}) % {MINHASH_P}), 'min')"
+        for a, b in MINHASH_AB
+    )
+    rpb = MINHASH_PERMS // LSH_BANDS
+    bands_vals = ", ".join(f"({i})" for i in range(LSH_BANDS))
+    return f"""
+    mtk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    msh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= {SHINGLE_N} THEN list_transform(
+                    range(1, len(tk) - {SHINGLE_N - 2}),
+                    i -> ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 8))::BIGINT
+                         % {1 << 30})
+                  -- coalesce: DuckDB's array_to_string([]) is NULL,
+                  -- Spark's concat_ws is '' — zero-token docs must hash ''
+                  ELSE [('0x' || substr(md5(coalesce(array_to_string(tk, ' '), '')), 1, 8))::BIGINT
+                        % {1 << 30}] END AS B
+      FROM mtk
+    ),
+    mhs AS (
+      SELECT doc_id,
+             [{perms}] AS sig
+      FROM msh
+    ),
+    mbd AS (
+      SELECT doc_id, bb.b AS band_idx,
+             array_to_string(sig[(bb.b*{rpb}+1):((bb.b+1)*{rpb})], ',') AS band_key
+      FROM mhs CROSS JOIN (VALUES {bands_vals}) AS bb(b)
+    ),
+    mpart AS (
+      SELECT a.doc_id, count(DISTINCT b.doc_id) AS n
+      FROM mbd a JOIN mbd b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id
+    )"""

@@ -32,9 +32,16 @@ from entangledb_spark.operators.text import fingerprint
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
-MINHASH_PERMS = 16  # number of seeded hash permutations
-LSH_BANDS = 4  # 4 bands × 4 rows — candidates need 1 identical band
-SHINGLE_N = 3  # word-shingle width
+# single source of truth shared with the q66 gate-oracle builder
+# (operators/_minhash_params.py — a leaf module, so text.py can compose
+# its oracle SQL from the same constants without a circular import)
+from entangledb_spark.operators._minhash_params import (  # noqa: F401
+    LSH_BANDS,
+    MINHASH_AB as _MINHASH_AB,
+    MINHASH_P as _MINHASH_P,
+    MINHASH_PERMS,
+    SHINGLE_N,
+)
 
 
 @query(
@@ -245,47 +252,63 @@ def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.unionByName(cos)
 
 
-# Deterministic odd multipliers/offsets (30-bit) for the MinHash linear
-# permutations h_k(x) = (a_k·x + b_k) mod P — the classic universal-hash
-# family. One xxhash64 per shingle + 16 multiply-adds replaces 16 string
-# hashes per shingle (~10× cheaper), and 30-bit operands keep a_k·x < 2^61
-# so ANSI overflow checking never trips.
-#
-# P must be SMALLER than the products a_k·x (≈2^60) or the modulo never
-# wraps and (a·x+b) is monotonic in x — every "permutation" then selects
-# the same argmin shingle and the signature degenerates to a function of
-# one shingle (observed: est_jaccard=1.0 on pairs with exact≈0.01 before
-# this fix). Mersenne 2^31−1 exceeds the 30-bit shingle universe (hash
-# family stays injective-capable) while a·x+b ≫ P guarantees wraparound.
-_MINHASH_P = (1 << 31) - 1
-_MINHASH_AB = [
-    ((2654435761 * (k + 1)) & 0x3FFFFFFF | 1, (40503 * (k + 7) ** 2) & 0x3FFFFFFF)
-    for k in range(MINHASH_PERMS)
-]
+# The permutation family h_k(x) = (a_k·x + b_k) mod P lives in
+# operators/_minhash_params.py (imported above as _MINHASH_AB/_MINHASH_P)
+# — see that module for the degenerate-mod pitfall notes. One xxhash64
+# per shingle + 16 multiply-adds replaces 16 string hashes per shingle
+# (~10× cheaper), and 30-bit operands keep a_k·x < 2^61 so ANSI overflow
+# checking never trips.
 
 
-def _shingle_hash_expr():
-    """30-bit shingle-hash array over a `_toks` column: one xxhash64 per
-    SHINGLE_N-token window (hashed over the token columns directly — no
-    concatenated string is materialized), short docs fall back to a
-    single whole-text hash. Shared by minhash_signature and
-    shingle_hash_sets so the estimate and its exact ground truth can
-    never diverge on the universe they measure."""
-    return F.when(
-        F.size(F.col("_toks")) >= SHINGLE_N,
-        F.transform(
+def _md5_30bit(s):
+    """30-bit hash of a string via the first 8 md5 hex chars — slower
+    than xxhash64 but re-derivable in DuckDB SQL as
+    ('0x' || substr(md5(s), 1, 8))::BIGINT % 2^30, which is what lets
+    the q66 gate hash-check the REAL minhash/banding code path."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), F.lit(1 << 30)
+    )
+
+
+def _shingle_hash_expr(base: str = "xxhash64"):
+    """30-bit shingle-hash array over a `_toks` column: one hash per
+    SHINGLE_N-token window, short docs fall back to a single whole-text
+    hash. Shared by minhash_signature and shingle_hash_sets so the
+    estimate and its exact ground truth can never diverge on the
+    universe they measure.
+
+    ``base`` picks the hash primitive: "xxhash64" (production — hashes
+    the token columns directly, no concatenated string materialized) or
+    "md5" (DuckDB-re-derivable twin over the space-joined shingle string
+    — the q66 gate's universe; tokens are [a-z0-9]+ so the space join is
+    injective). Everything downstream — permutations, minima, banding —
+    is shared arithmetic."""
+    if base == "md5":
+        win = F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_toks")) - SHINGLE_N),
+            lambda i: _md5_30bit(
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_toks"), i + 1),
+                    F.element_at(F.col("_toks"), i + 2),
+                    F.element_at(F.col("_toks"), i + 3),
+                )
+            ),
+        )
+        short = F.array(_md5_30bit(F.concat_ws(" ", F.col("_toks"))))
+    else:
+        win = F.transform(
             F.sequence(F.lit(0), F.size(F.col("_toks")) - SHINGLE_N),
             lambda i: F.xxhash64(
                 F.element_at(F.col("_toks"), i + 1),
                 F.element_at(F.col("_toks"), i + 2),
                 F.element_at(F.col("_toks"), i + 3),
             ).bitwiseAND(F.lit(0x3FFFFFFF)),
-        ),
-    ).otherwise(
-        F.array(
+        )
+        short = F.array(
             F.xxhash64(F.concat_ws(" ", F.col("_toks"))).bitwiseAND(F.lit(0x3FFFFFFF))
         )
-    )
+    return F.when(F.size(F.col("_toks")) >= SHINGLE_N, win).otherwise(short)
 
 
 def shingle_hash_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -301,13 +324,17 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", keep_shingles: bool = False
+    df: DataFrame,
+    text_col: str = "text",
+    keep_shingles: bool = False,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """doc_id → MinHash signature (array of MINHASH_PERMS minima).
 
-    Word shingles of width SHINGLE_N are hashed once (xxhash64 over the
-    SHINGLE_N token columns — no concatenated string is materialized),
-    masked to 30 bits, then permuted by MINHASH_PERMS linear hashes; the
+    Word shingles of width SHINGLE_N are hashed once (``base``:
+    production xxhash64 over the SHINGLE_N token columns, or the
+    DuckDB-re-derivable md5 twin — see _shingle_hash_expr), masked to 30
+    bits, then permuted by MINHASH_PERMS linear hashes; the
     per-permutation minimum is the signature component. Built-ins only —
     everything runs in codegen, the arrays stay row-local, no shuffle.
 
@@ -316,7 +343,7 @@ def minhash_signature(
     CPU-bound map on one core.
     """
     toks = word_tokens(F.col(text_col))
-    base = _shingle_hash_expr()
+    base = _shingle_hash_expr(base)
     sig = F.array(
         *[
             F.array_min(
@@ -342,6 +369,78 @@ def minhash_signature(
         # checkpoint the relation to durable storage instead of caching.
         out = out.withColumn("shingles", F.array_distinct(F.col("_base")))
     return out.drop("_toks", "_base")
+
+
+def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document MinHash-LSH gate columns through the REAL
+    minhash_signature + banding code path, md5 base hash (the
+    knuth-medoid trick from the SemDeDup gate, applied to this family:
+    swap only the hash PRIMITIVE for a DuckDB-re-derivable one, share
+    every downstream expression — permutations, minima, band slicing —
+    with production):
+
+      (doc_id, mh0, mh_sum, n_mh_band_partners)
+
+    mh0/mh_sum certify the shingle windowing + all MINHASH_PERMS
+    permutation-minima; n_mh_band_partners counts DISTINCT other docs
+    sharing >= 1 LSH band — the banded candidate-join itself,
+    cross-engine. Band keys here are the RAW comma-joined signature
+    slices (collision-free, SQL-trivial); production q62 hashes them
+    (xxhash64) only to shrink shuffle keys, a pure compression of the
+    same equality. Hosted on q66 (off-headline) per README registry
+    policy rule 1; production q62 keeps its faster xxhash64 base and
+    stays rows-only."""
+    from pyspark import StorageLevel
+
+    sig = (
+        minhash_signature(docs, text_col=text_col, base="md5")
+        .select("doc_id", "minhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rpb = MINHASH_PERMS // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rpb + 1, rpb),
+                            lambda v: v.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    partners = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("_n"))
+    )
+    return (
+        sig.select(
+            "doc_id",
+            F.element_at("minhash", 1).cast("long").alias("mh0"),
+            F.aggregate(
+                F.col("minhash"), F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("mh_sum"),
+        )
+        .join(partners, "doc_id", "left")
+        .withColumn(
+            "n_mh_band_partners", F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        )
+        .drop("_n")
+    )
 
 
 def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entangledb_spark.functions.numeric import r4
+from entangledb_spark.operators._minhash_params import minhash_gate_oracle_ctes
 from entangledb_spark.registry import query, table
 
 # Stopword marker regexes per language — tiny, deterministic heuristic that
@@ -348,8 +349,13 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q66_text_entropy_udf",
-    oracle=r"""
-    WITH toks AS (
+    # minhash CTEs composed from operators/_minhash_params.py — the same
+    # constants the Spark operator uses, so the engines can never drift
+    oracle="""
+    WITH """
+    + minhash_gate_oracle_ctes()
+    + r""",
+    toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
@@ -383,10 +389,15 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT d.doc_id, r4(coalesce(ent.e, 0.0)) AS entropy_bits,
-           t.token AS top_keyword, t.score AS top_kw_score
+           t.token AS top_keyword, t.score AS top_kw_score,
+           CAST(mhs.sig[1] AS BIGINT) AS mh0,
+           CAST(list_aggregate(mhs.sig, 'sum') AS BIGINT) AS mh_sum,
+           CAST(coalesce(mpart.n, 0) AS BIGINT) AS n_mh_band_partners
     FROM documents d
     LEFT JOIN ent ON d.doc_id = ent.doc_id
     LEFT JOIN (SELECT * FROM top1 WHERE rk = 1) t ON d.doc_id = t.doc_id
+    LEFT JOIN mhs ON d.doc_id = mhs.doc_id
+    LEFT JOIN mpart ON d.doc_id = mpart.doc_id
     """,
 )
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,7 +458,15 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("top_keyword"),
         F.col("score").alias("top_kw_score"),
     )
-    return ent.join(kw, "doc_id", "left")
+    # MinHash-LSH gate columns (round 7): the REAL signature + banding
+    # code path with the md5 base hash so the oracle re-derives every
+    # permutation-min and the banded candidate join itself
+    # (dedup.minhash_gate_summary — q62's production xxhash64 variant
+    # stays rows-only; this is its DuckDB-checkable twin).
+    from entangledb_spark.operators.dedup import minhash_gate_summary
+
+    mh = minhash_gate_summary(repartition_for_cpu(table(spark, sf_dir, "documents"), spark))
+    return ent.join(kw, "doc_id", "left").join(mh, "doc_id", "left")
 
 
 # Deterministic pseudo-random for sampling: Knuth multiplicative hash on the

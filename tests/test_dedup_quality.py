@@ -166,3 +166,73 @@ def test_near_dup_survivors_end_to_end(spark):
     assert surv_ids == all_ids - expected_losers
     assert len(expected_losers) > 0  # the fixture really has near-dups
     _ = clusters  # q67 exercised alongside (rows-only sanity)
+
+
+def test_minhash_md5_twin_matches_python_reference(spark):
+    """The q66 gate's md5-base signature (minhash_signature base='md5')
+    recomputed exactly in pure Python — hashlib md5 over the space-joined
+    shingle strings, the same (a·x+b) mod P permutation minima — so the
+    DuckDB oracle, the Spark expression, and an independent
+    implementation all agree on the bits."""
+    import hashlib
+
+    from entangledb_spark.operators._minhash_params import (
+        MINHASH_AB,
+        MINHASH_P,
+        SHINGLE_N as SN,
+    )
+    from entangledb_spark.operators.dedup import minhash_signature
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely unrelated words here 42 numbers too"),
+        (3, "tiny"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.minhash)
+        for r in minhash_signature(df, base="md5").select("doc_id", "minhash").collect()
+    }
+
+    def md5_30(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % (1 << 30)
+
+    import re
+
+    for did, text in texts:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if len(toks) >= SN:
+            base = [md5_30(" ".join(toks[i : i + SN])) for i in range(len(toks) - SN + 1)]
+        else:
+            base = [md5_30(" ".join(toks))]
+        want = [min((a * h + b) % MINHASH_P for h in base) for a, b in MINHASH_AB]
+        assert got[did] == want, did
+
+
+def test_minhash_md5_twin_same_near_dup_behavior(spark):
+    """Behavioral equivalence of the gate twin: on a planted corpus of
+    clear near-dup clusters + singletons, the md5-base banded join finds
+    partners for exactly the clustered docs — the same detection the
+    production xxhash64 base makes (different hash universe, same
+    decisions on non-borderline inputs)."""
+    from entangledb_spark.operators.dedup import minhash_gate_summary
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    base_b = "one two three four five six seven eight nine ten " * 4
+    rows = [
+        (0, base_a),
+        (1, base_a + "lambda"),          # near-dup of 0
+        (2, base_b),
+        (3, base_b + "eleven"),          # near-dup of 2
+        (4, "totally different content with no overlap at all whatsoever"),
+        (5, "another unique document about unrelated various topics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.n_mh_band_partners
+        for r in minhash_gate_summary(df).collect()
+    }
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0 and got[3] > 0
+    assert got[4] == 0 and got[5] == 0
