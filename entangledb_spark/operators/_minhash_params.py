@@ -63,10 +63,25 @@ def minhash_gate_oracle_ctes() -> str:
              array_to_string(sig[(bb.b*{rpb}+1):((bb.b+1)*{rpb})], ',') AS band_key
       FROM mhs CROSS JOIN (VALUES {bands_vals}) AS bb(b)
     ),
-    mpart AS (
-      SELECT a.doc_id, count(DISTINCT b.doc_id) AS n
+    mmatch AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM mbd a JOIN mbd b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id != b.doc_id
-      GROUP BY a.doc_id
+    ),
+    mpart AS (
+      SELECT da AS doc_id, count(DISTINCT db) AS n FROM mmatch GROUP BY da
+    ),
+    -- connected components over the candidate-pair subgraph as recursive
+    -- label propagation: every label a vertex can reach spreads along the
+    -- (symmetric) mmatch edges; UNION dedups so the recursion terminates,
+    -- and min(label) per vertex is exactly the component-minimum id the
+    -- Spark connected_components operator converges to
+    mlab AS (
+      SELECT DISTINCT da AS id, da AS label FROM mmatch
+      UNION
+      SELECT m.db, mlab.label FROM mmatch m JOIN mlab ON mlab.id = m.da
+    ),
+    mcc AS (
+      SELECT id AS doc_id, min(label) AS cc FROM mlab GROUP BY id
     )"""

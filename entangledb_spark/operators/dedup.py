@@ -379,7 +379,7 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     every downstream expression — permutations, minima, band slicing —
     with production):
 
-      (doc_id, mh0, mh_sum, n_mh_band_partners)
+      (doc_id, mh0, mh_sum, n_mh_band_partners, mh_cc)
 
     mh0/mh_sum certify the shingle windowing + all MINHASH_PERMS
     permutation-minima; n_mh_band_partners counts DISTINCT other docs
@@ -389,7 +389,15 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (xxhash64) only to shrink shuffle keys, a pure compression of the
     same equality. Hosted on q66 (off-headline) per README registry
     policy rule 1; production q62 keeps its faster xxhash64 base and
-    stays rows-only."""
+    stays rows-only.
+
+    mh_cc additionally runs the REAL convergence-checked
+    connected_components operator (q67's engine, previously rows-only
+    by seeded-hash dependence) over the twin's candidate-pair graph —
+    component = min doc_id, isolated docs their own id — against a
+    DuckDB RECURSIVE-CTE label propagation in the oracle. CC runs on
+    the partnered SUBGRAPH only (vertices with >= 1 edge), so the
+    iterative join never touches corpus-scale relations."""
     from pyspark import StorageLevel
 
     sig = (
@@ -417,15 +425,25 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
     a, b = bands.alias("a"), bands.alias("b")
-    partners = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.countDistinct(F.col("b.doc_id")).alias("_n"))
+    matched = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    partners = matched.groupBy(F.col("da").alias("doc_id")).agg(
+        F.countDistinct("db").alias("_n")
+    )
+    pairs = matched.filter(F.col("da") < F.col("db")).select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    ).distinct()
+    vertices = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("_cc")
     )
     return (
         sig.select(
@@ -436,10 +454,12 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("mh_sum"),
         )
         .join(partners, "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .withColumn(
             "n_mh_band_partners", F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         )
-        .drop("_n")
+        .withColumn("mh_cc", F.coalesce(F.col("_cc"), F.col("doc_id")).cast("long"))
+        .drop("_n", "_cc")
     )
 
 

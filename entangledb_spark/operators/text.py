@@ -352,7 +352,7 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash CTEs composed from operators/_minhash_params.py — the same
     # constants the Spark operator uses, so the engines can never drift
     oracle="""
-    WITH """
+    WITH RECURSIVE """
     + minhash_gate_oracle_ctes()
     + r""",
     toks AS (
@@ -392,12 +392,14 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.token AS top_keyword, t.score AS top_kw_score,
            CAST(mhs.sig[1] AS BIGINT) AS mh0,
            CAST(list_aggregate(mhs.sig, 'sum') AS BIGINT) AS mh_sum,
-           CAST(coalesce(mpart.n, 0) AS BIGINT) AS n_mh_band_partners
+           CAST(coalesce(mpart.n, 0) AS BIGINT) AS n_mh_band_partners,
+           CAST(coalesce(mcc.cc, d.doc_id) AS BIGINT) AS mh_cc
     FROM documents d
     LEFT JOIN ent ON d.doc_id = ent.doc_id
     LEFT JOIN (SELECT * FROM top1 WHERE rk = 1) t ON d.doc_id = t.doc_id
     LEFT JOIN mhs ON d.doc_id = mhs.doc_id
     LEFT JOIN mpart ON d.doc_id = mpart.doc_id
+    LEFT JOIN mcc ON d.doc_id = mcc.doc_id
     """,
 )
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +464,10 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code path with the md5 base hash so the oracle re-derives every
     # permutation-min and the banded candidate join itself
     # (dedup.minhash_gate_summary — q62's production xxhash64 variant
-    # stays rows-only; this is its DuckDB-checkable twin).
+    # stays rows-only; this is its DuckDB-checkable twin). mh_cc further
+    # runs the real convergence-checked connected_components (q67's
+    # engine) over the twin's pair graph, checked against a recursive-
+    # CTE label propagation in the oracle.
     from entangledb_spark.operators.dedup import minhash_gate_summary
 
     mh = minhash_gate_summary(repartition_for_cpu(table(spark, sf_dir, "documents"), spark))
