@@ -85,3 +85,58 @@ def minhash_gate_oracle_ctes() -> str:
     mcc AS (
       SELECT id AS doc_id, min(label) AS cc FROM mlab GROUP BY id
     )"""
+
+
+SIMHASH_GATE_BITS = 60  # 15 md5 hex chars < 2^60 — BIGINT-safe on both engines
+SIMHASH_GATE_BANDS = 4
+
+
+def simhash_gate_oracle_ctes() -> str:
+    """DuckDB re-derivation of dedup.simhash_gate_summary: per-token
+    60-bit md5 hash, per-bit +-1 votes (one GROUP BY with 60 sum-CASE
+    columns — a single pass over the exploded token hashes), sign bits
+    packed into the fingerprint, 4 x 15-bit band partner counts. Returns
+    CTE text (no trailing comma) yielding sfp(doc_id, fp) and
+    spart(doc_id, n)."""
+    bits = SIMHASH_GATE_BITS
+    width = bits // SIMHASH_GATE_BANDS
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fpsum = "\n               + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    bands_vals = ", ".join(f"({i})" for i in range(SIMHASH_GATE_BANDS))
+    return f"""
+    stk AS (
+      SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+      FROM documents
+    ),
+    sth AS (
+      SELECT doc_id,
+             unnest(list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+      FROM stk
+    ),
+    svt AS (
+      SELECT doc_id,
+             {votes}
+      FROM sth GROUP BY doc_id
+    ),
+    sfp AS (
+      SELECT doc_id,
+             CAST({fpsum} AS BIGINT) AS fp
+      FROM svt
+    ),
+    sbd AS (
+      SELECT doc_id, bb.b AS band_idx,
+             (fp >> ({bits} - {width} * (bb.b + 1))) & {(1 << width) - 1} AS band_key
+      FROM sfp CROSS JOIN (VALUES {bands_vals}) AS bb(b)
+    ),
+    spart AS (
+      SELECT a.doc_id, count(DISTINCT b.doc_id) AS n
+      FROM sbd a JOIN sbd b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id != b.doc_id
+      GROUP BY a.doc_id
+    )"""

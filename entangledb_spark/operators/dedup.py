@@ -41,6 +41,8 @@ from entangledb_spark.operators._minhash_params import (  # noqa: F401
     MINHASH_P as _MINHASH_P,
     MINHASH_PERMS,
     SHINGLE_N,
+    SIMHASH_GATE_BANDS,
+    SIMHASH_GATE_BITS,
 )
 
 
@@ -606,6 +608,87 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_from_hashes(hashes, n_bits: int = 64):
+    """SimHash fingerprint Column from an array<long> of token hashes:
+    vote[i] = Σ tokens (hash>>i & 1 ? +1 : -1); bit i of the result is
+    set iff vote > 0. The bit loop is unrolled in Python (shift amounts
+    must be literals); n_tokens work per bit, all inside codegen. At
+    n_bits=64, bit 63 maps to the long sign bit. Shared by production
+    q63 (xxhash64 hashes, 64 bits) and the q66 gate twin (md5-derived
+    60-bit hashes — see simhash_gate_summary), so the vote/sign math has
+    one definition."""
+
+    def bit_term(i: int):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda a, h: a
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = long sign bit
+        return F.when(vote > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    return sum((bit_term(i) for i in range(1, n_bits)), start=bit_term(0))
+
+
+def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document SimHash gate columns (doc_id, sim60,
+    n_sim_band_partners) — the md5-base twin of q63's family through the
+    SAME simhash_from_hashes vote/sign math: token hash = first 15 md5
+    hex chars as a 60-bit BIGINT (DuckDB re-derives it exactly), 60-bit
+    fingerprint, 4 x 15-bit bands, partner = distinct other docs sharing
+    >= 1 band. Hosted on q66; production q63 keeps xxhash64 and stays
+    rows-only. Zero-token docs fingerprint to 0 on both engines (empty
+    vote array -> every vote 0 -> no bit set)."""
+    h60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+    toks = F.array_distinct(word_tokens(F.col(text_col)))
+    fp = (
+        docs.withColumn("_toks", toks)
+        .withColumn("_hashes", F.transform(F.col("_toks"), h60))
+        .withColumn("sim60", simhash_from_hashes(F.col("_hashes"), SIMHASH_GATE_BITS))
+        .select("doc_id", "sim60")
+    )
+    width = SIMHASH_GATE_BITS // SIMHASH_GATE_BANDS
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftrightunsigned(
+                            F.col("sim60"), SIMHASH_GATE_BITS - width * (j + 1)
+                        )
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_key"),
+                    )
+                    for j in range(SIMHASH_GATE_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    partners = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("_n"))
+    )
+    return (
+        fp.join(partners, "doc_id", "left")
+        .withColumn(
+            "n_sim_band_partners", F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        )
+        .drop("_n")
+    )
+
+
 @query("q63_dedup_simhash")  # seeded-hash internals → no SQL oracle (rows-only)
 def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: 64-bit fingerprint where bit i is the sign of the sum of
@@ -620,26 +703,13 @@ def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     toks = F.array_distinct(word_tokens(F.col("text")))
-    # Hash each token once; vote per bit over the hash array.
+    # Hash each token once; vote per bit over the hash array
+    # (simhash_from_hashes — shared with the q66 gate twin).
     hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
-    # vote[i] = Σ tokens (hash>>i & 1 ? +1 : -1); bit i set iff vote > 0.
-    # The bit loop is unrolled in Python (shift amounts must be literals);
-    # n_tokens work per bit, all inside codegen.
-    def bit_term(i: int):
-        vote = F.aggregate(
-            F.col("_hashes"),
-            F.lit(0).cast("long"),
-            lambda a, h: a
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        mask = (1 << i) if i < 63 else -(1 << 63)  # bit 63 = long sign bit
-        return F.when(vote > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    simhash = sum((bit_term(i) for i in range(1, 64)), start=bit_term(0))
     out = (
         d.withColumn("_toks", toks)
         .withColumn("_hashes", hashes)
-        .withColumn("simhash", simhash)
+        .withColumn("simhash", simhash_from_hashes(F.col("_hashes"), 64))
         .drop("_toks", "_hashes")
     )
     return out.select(

@@ -16,7 +16,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entangledb_spark.functions.numeric import r4
-from entangledb_spark.operators._minhash_params import minhash_gate_oracle_ctes
+from entangledb_spark.operators._minhash_params import (
+    minhash_gate_oracle_ctes,
+    simhash_gate_oracle_ctes,
+)
 from entangledb_spark.registry import query, table
 
 # Stopword marker regexes per language — tiny, deterministic heuristic that
@@ -354,6 +357,8 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE """
     + minhash_gate_oracle_ctes()
+    + ","
+    + simhash_gate_oracle_ctes()
     + r""",
     toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok
@@ -393,13 +398,17 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(mhs.sig[1] AS BIGINT) AS mh0,
            CAST(list_aggregate(mhs.sig, 'sum') AS BIGINT) AS mh_sum,
            CAST(coalesce(mpart.n, 0) AS BIGINT) AS n_mh_band_partners,
-           CAST(coalesce(mcc.cc, d.doc_id) AS BIGINT) AS mh_cc
+           CAST(coalesce(mcc.cc, d.doc_id) AS BIGINT) AS mh_cc,
+           CAST(coalesce(sfp.fp, 0) AS BIGINT) AS sim60,
+           CAST(coalesce(spart.n, 0) AS BIGINT) AS n_sim_band_partners
     FROM documents d
     LEFT JOIN ent ON d.doc_id = ent.doc_id
     LEFT JOIN (SELECT * FROM top1 WHERE rk = 1) t ON d.doc_id = t.doc_id
     LEFT JOIN mhs ON d.doc_id = mhs.doc_id
     LEFT JOIN mpart ON d.doc_id = mpart.doc_id
     LEFT JOIN mcc ON d.doc_id = mcc.doc_id
+    LEFT JOIN sfp ON d.doc_id = sfp.doc_id
+    LEFT JOIN spart ON d.doc_id = spart.doc_id
     """,
 )
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,10 +477,19 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs the real convergence-checked connected_components (q67's
     # engine) over the twin's pair graph, checked against a recursive-
     # CTE label propagation in the oracle.
-    from entangledb_spark.operators.dedup import minhash_gate_summary
+    from entangledb_spark.operators.dedup import (
+        minhash_gate_summary,
+        simhash_gate_summary,
+    )
 
-    mh = minhash_gate_summary(repartition_for_cpu(table(spark, sf_dir, "documents"), spark))
-    return ent.join(kw, "doc_id", "left").join(mh, "doc_id", "left")
+    docs_cpu = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
+    mh = minhash_gate_summary(docs_cpu)
+    sh = simhash_gate_summary(docs_cpu)
+    return (
+        ent.join(kw, "doc_id", "left")
+        .join(mh, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+    )
 
 
 # Deterministic pseudo-random for sampling: Knuth multiplicative hash on the

@@ -236,3 +236,42 @@ def test_minhash_md5_twin_same_near_dup_behavior(spark):
     }
     assert got[0] > 0 and got[1] > 0 and got[2] > 0 and got[3] > 0
     assert got[4] == 0 and got[5] == 0
+
+
+def test_simhash_md5_twin_matches_python_reference(spark):
+    """The q66 gate's 60-bit simhash twin (simhash_gate_summary)
+    recomputed in pure Python — md5-derived 60-bit token hashes, per-bit
+    +-1 votes over DISTINCT tokens, sign bits packed — so the DuckDB
+    oracle, the Spark expression, and an independent implementation all
+    agree on the bits; band partner counts checked on a planted pair."""
+    import hashlib
+    import re
+
+    from entangledb_spark.operators._minhash_params import SIMHASH_GATE_BITS
+    from entangledb_spark.operators.dedup import simhash_gate_summary
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token off
+        (2, "совершенно unrelated 123 numbers and words"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: (r.sim60, r.n_sim_band_partners)
+           for r in simhash_gate_summary(df).collect()}
+
+    def py_sim60(text: str) -> int:
+        toks = set(re.findall(r"[a-z0-9]+", text.lower()))
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        fp = 0
+        for i in range(SIMHASH_GATE_BITS):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if vote > 0:
+                fp |= 1 << i
+        return fp
+
+    for did, text in texts:
+        assert got[did][0] == py_sim60(text), did
+    assert got[3][0] == 0  # zero-token doc fingerprints to 0
+    # docs 0 and 1 differ by one token -> tiny hamming -> share a band
+    assert got[0][1] >= 1 and got[1][1] >= 1
