@@ -102,14 +102,39 @@ def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) -> Column:
+def srp_bucket(
+    vec: Column,
+    n_planes: int = N_HYPERPLANES,
+    table_seed: int = 0,
+    sign: str = "xxhash64",
+) -> Column:
     """Sign-random-projection LSH bucket id for one hash table.
 
-    Hyperplane h's component for dimension i is a deterministic pseudo-random
-    ±1 derived from xxhash64(table_seed, h, i) — reproducible on any
-    cluster, no RNG state to ship. Bucket = integer of sign bits."""
+    Hyperplane h's component for dimension i is a deterministic
+    pseudo-random ±1 — reproducible on any cluster, no RNG state to
+    ship. Bucket = integer of sign bits. ``sign`` picks the derivation:
+    "xxhash64" (production — xxhash64(table_seed, h, i) parity) or "md5"
+    (the q73 gate twin: parity of the first 8 md5 hex chars of
+    '"seed,h,i"', which DuckDB re-derives exactly; the dot product folds
+    left-to-right on BOTH engines over identical ±vec elements, so the
+    sign comparison is bit-deterministic — no float-margin caveat)."""
     dims = F.sequence(F.lit(0), F.size(vec) - 1)
     planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    if sign == "md5":
+        def plane_sign(h, i):
+            key = F.concat_ws(
+                ",", F.lit(str(table_seed)), h.cast("string"), i.cast("string")
+            )
+            parity = F.pmod(
+                F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"), F.lit(2)
+            )
+            return F.when(parity == 0, 1.0).otherwise(-1.0)
+    else:
+        def plane_sign(h, i):
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(table_seed), h, i), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0)
+
     return F.aggregate(
         planes,
         F.lit(0).cast("long"),
@@ -117,12 +142,7 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) 
         + F.when(
             F.aggregate(
                 F.zip_with(
-                    vec,
-                    dims,
-                    lambda x, i: x.cast("double")
-                    * F.when(
-                        F.pmod(F.xxhash64(F.lit(table_seed), h, i), F.lit(2)) == 0, 1.0
-                    ).otherwise(-1.0),
+                    vec, dims, lambda x, i: x.cast("double") * plane_sign(h, i)
                 ),
                 F.lit(0.0),
                 lambda a, v: a + v,
@@ -134,20 +154,24 @@ def srp_bucket(vec: Column, n_planes: int = N_HYPERPLANES, table_seed: int = 0) 
 
 
 def lsh_bucket_codes(
-    df: DataFrame, n_tables: int = N_LSH_TABLES, n_planes: int = N_HYPERPLANES
+    df: DataFrame,
+    n_tables: int = N_LSH_TABLES,
+    n_planes: int = N_HYPERPLANES,
+    sign: str = "xxhash64",
 ) -> DataFrame:
     """(vec_id, embedding) → one row per (vec_id, tbl, bucket): each
     vector's sign-LSH bucket id in every hash table, as a codegen'd narrow
     map + explode. Shared by the inline ANN path and the persistent index
     builder (operators/ann_index.py) so the hash family can never diverge
-    between them."""
+    between them. ``sign`` = "md5" swaps in the DuckDB-derivable plane
+    family for the q73 gate twin (srp_bucket)."""
     buckets = F.array(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                srp_bucket(F.col("embedding"), n_planes=n_planes, table_seed=t).alias(
-                    "bucket"
-                ),
+                srp_bucket(
+                    F.col("embedding"), n_planes=n_planes, table_seed=t, sign=sign
+                ).alias("bucket"),
             )
             for t in range(n_tables)
         ]
@@ -552,6 +576,83 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf)
 
 
+def lsh_gate_summary(emb: DataFrame) -> DataFrame:
+    """Per-vector sign-LSH gate columns (vec_id, lsh0, n_lsh_partners)
+    through the REAL lsh_bucket_codes/srp_bucket path with the md5 plane
+    family (the minhash-twin recipe for q71's last ungated internals):
+    lsh0 = table-0 bucket code, n_lsh_partners = distinct other vectors
+    sharing a (tbl, bucket) cell in ANY of the N_LSH_TABLES tables — the
+    multi-table candidate join itself, cross-engine. Bit-deterministic:
+    both engines fold the projection left-to-right over identical
+    ±element lists, so even the sign comparisons agree exactly."""
+    codes = lsh_bucket_codes(emb.select("vec_id", "embedding"), sign="md5").select(
+        "vec_id", "tbl", "bucket"
+    )
+    a, b = codes.alias("a"), codes.alias("b")
+    partners = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.countDistinct(F.col("b.vec_id")).alias("_n"))
+    )
+    return (
+        codes.filter(F.col("tbl") == 0)
+        .select("vec_id", F.col("bucket").cast("long").alias("lsh0"))
+        .join(partners, "vec_id", "left")
+        .withColumn("n_lsh_partners", F.coalesce(F.col("_n"), F.lit(0)).cast("long"))
+        .drop("_n")
+    )
+
+
+def _lsh_gate_oracle_ctes() -> str:
+    """DuckDB re-derivation of lsh_gate_summary, composed from the same
+    N_LSH_TABLES/N_HYPERPLANES constants and the same '"seed,h,i"' md5
+    plane-parity keys. list_reduce folds left-to-right like Spark's
+    aggregate (0.0 + v1 == v1 in IEEE), so the dots are bit-identical.
+    Returns CTE text (no trailing comma) yielding lcode(vec_id, b0..) and
+    lpart(vec_id, n); expects the `v` CTE (vec_id, emb DOUBLE[])."""
+
+    def dot(t: int, h: int) -> str:
+        sign = (
+            f"CASE WHEN ('0x' || substr(md5('{t},{h},' || CAST(i AS VARCHAR)), 1, 8))"
+            f"::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END"
+        )
+        return (
+            f"list_reduce(list_transform(range(0, len(emb)), i -> emb[i+1] * {sign}), "
+            "(a, b) -> a + b)"
+        )
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN {dot(t, h)} > 0 THEN {1 << (N_HYPERPLANES - 1 - h)} ELSE 0 END"
+            for h in range(N_HYPERPLANES)
+        )
+
+    cols = ",\n             ".join(f"({bucket(t)}) AS b{t}" for t in range(N_LSH_TABLES))
+    whens = " ".join(f"WHEN {t} THEN b{t}" for t in range(N_LSH_TABLES))
+    tbl_vals = ", ".join(f"({t})" for t in range(N_LSH_TABLES))
+    return f"""
+    lcode AS (
+      SELECT vec_id,
+             {cols}
+      FROM v
+    ),
+    lbkt AS (
+      SELECT vec_id, tt.t AS tbl, CASE tt.t {whens} END AS bucket
+      FROM lcode CROSS JOIN (VALUES {tbl_vals}) AS tt(t)
+    ),
+    lpart AS (
+      SELECT a.vec_id, count(DISTINCT b.vec_id) AS n
+      FROM lbkt a JOIN lbkt b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+      GROUP BY a.vec_id
+    )"""
+
+
 @query(
     "q73_embed_transform",
     oracle="""
@@ -655,7 +756,9 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT
              CASE WHEN ca > cb OR (ca = cb AND va > vb) THEN va ELSE vb END AS vec_id
       FROM semd
-    )
+    ),"""
+    + _lsh_gate_oracle_ctes()
+    + """
     SELECT s.vec_id,
            r4(sqrt(list_dot_product(emb, emb))) AS l2_norm,
            r4(emb[1] / sqrt(list_dot_product(emb, emb))) AS unit_first,
@@ -671,10 +774,14 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(sa.n_sem, 0) AS BIGINT) AS n_sem_dup,
            sa.max_cs AS max_sem_cos,
            CAST(CASE WHEN sl.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-             AS is_sem_loser
+             AS is_sem_loser,
+           CAST(lc.b0 AS BIGINT) AS lsh0,
+           CAST(coalesce(lp.n, 0) AS BIGINT) AS n_lsh_partners
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
          LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
          LEFT JOIN semlosers sl ON s.vec_id = sl.vec_id
+         LEFT JOIN lcode lc ON s.vec_id = lc.vec_id
+         LEFT JOIN lpart lp ON s.vec_id = lp.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,10 +897,16 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_loser", F.lit(1).cast("long"))
     )
+    # sign-LSH gate twin (round 7): the real srp_bucket/lsh_bucket_codes
+    # path with md5-parity planes — q71's bucketing math, DuckDB-checked
+    lsh = lsh_gate_summary(
+        e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    )
     return (
         base.join(agg, "vec_id", "left")
         .join(sem_agg, "vec_id", "left")
         .join(sem_losers, "vec_id", "left")
+        .join(lsh, "vec_id", "left")
         .withColumn("n_dup_partners", F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long"))
         .withColumn("n_sem_dup", F.coalesce(F.col("_n_sem"), F.lit(0)).cast("long"))
         .withColumn("is_sem_loser", F.coalesce(F.col("_loser"), F.lit(0)).cast("long"))
@@ -802,6 +915,7 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "l2_norm", "unit_first", "max_abs", "scale",
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
             "n_sem_dup", "max_sem_cos", "is_sem_loser",
+            "lsh0", "n_lsh_partners",
         )
     )
 

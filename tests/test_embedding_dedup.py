@@ -392,3 +392,37 @@ def test_semdedup_gate_loser_margin(spark, sf):
             f"loser margin collapsed to {row.min_pos} at {sf}; "
             "r4 the cent_sims on both engines before comparing"
         )
+
+
+def test_lsh_md5_twin_matches_python_reference(spark):
+    """The q73 gate's md5-plane sign-LSH twin (lsh_gate_summary)
+    recomputed in pure Python: plane sign = parity of the first 8 md5
+    hex chars of '"seed,h,i"', dot folded left-to-right, bucket = sign
+    bits MSB-first — bit-deterministic across Spark, DuckDB, and this
+    reference."""
+    import hashlib
+
+    from entangledb_spark.operators.similarity import (
+        N_HYPERPLANES,
+        N_LSH_TABLES,
+        lsh_gate_summary,
+    )
+
+    rows, df = _planted(spark)
+    got = {r.vec_id: r.lsh0 for r in lsh_gate_summary(
+        df.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    ).collect()}
+
+    def sign(t, h, i):
+        p = int(hashlib.md5(f"{t},{h},{i}".encode()).hexdigest()[:8], 16) % 2
+        return 1.0 if p == 0 else -1.0
+
+    for vid, vec in rows[:10]:
+        b = 0
+        for h in range(N_HYPERPLANES):
+            d = 0.0
+            for i, x in enumerate(vec):
+                d += float(x) * sign(0, h, i)
+            b = b * 2 + (1 if d > 0 else 0)
+        assert got[vid] == b, vid
+    assert N_LSH_TABLES >= 2  # the partner count spans multiple tables
