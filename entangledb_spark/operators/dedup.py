@@ -641,7 +641,14 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint, 4 x 15-bit bands, partner = distinct other docs sharing
     >= 1 band. Hosted on q66; production q63 keeps xxhash64 and stays
     rows-only. Zero-token docs fingerprint to 0 on both engines (empty
-    vote array -> every vote 0 -> no bit set)."""
+    vote array -> every vote 0 -> no bit set).
+
+    fp is persisted before the banded self-join (the q62 lesson: the
+    two join branches would otherwise each recompute the md5+vote
+    fingerprint pipeline; the persisted relation is fingerprints only,
+    ~16 B/doc)."""
+    from pyspark import StorageLevel
+
     h60 = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
     toks = F.array_distinct(word_tokens(F.col(text_col)))
     fp = (
@@ -649,6 +656,7 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("_hashes", F.transform(F.col("_toks"), h60))
         .withColumn("sim60", simhash_from_hashes(F.col("_hashes"), SIMHASH_GATE_BITS))
         .select("doc_id", "sim60")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     width = SIMHASH_GATE_BITS // SIMHASH_GATE_BANDS
     bands = fp.select(

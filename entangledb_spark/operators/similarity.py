@@ -584,9 +584,18 @@ def lsh_gate_summary(emb: DataFrame) -> DataFrame:
     sharing a (tbl, bucket) cell in ANY of the N_LSH_TABLES tables — the
     multi-table candidate join itself, cross-engine. Bit-deterministic:
     both engines fold the projection left-to-right over identical
-    ±element lists, so even the sign comparisons agree exactly."""
-    codes = lsh_bucket_codes(emb.select("vec_id", "embedding"), sign="md5").select(
-        "vec_id", "tbl", "bucket"
+    ±element lists, so even the sign comparisons agree exactly.
+
+    codes is persisted before the self-join (the q62 lesson: the two
+    join branches would otherwise each recompute the 24 md5-plane
+    projections per vector; the persisted relation is
+    (vec_id, tbl, bucket) only — ~24 B/row)."""
+    from pyspark import StorageLevel
+
+    codes = (
+        lsh_bucket_codes(emb.select("vec_id", "embedding"), sign="md5")
+        .select("vec_id", "tbl", "bucket")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = codes.alias("a"), codes.alias("b")
     partners = (
