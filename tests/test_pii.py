@@ -185,3 +185,36 @@ def test_redact_composes_with_dedup(spark):
     )
     survivors = exact_dedup(redact_documents(docs))
     assert survivors.count() == 2  # 0 and 1 collapsed post-redaction
+
+
+def test_redaction_is_streaming_safe(spark, tmp_path, planted):
+    """The scrub is a stateless narrow projection, so the SAME
+    redact_documents/detect_pii calls run unchanged on a readStream —
+    the property that lets a streaming ingest pipeline scrub before its
+    dedup stage (streaming/corpus_dedup.py) with zero new code. One
+    availableNow pass over a file source must produce byte-identical
+    redactions and counts to the batch run."""
+    src = str(tmp_path / "pii_src")
+    out = str(tmp_path / "pii_out")
+    ckpt = str(tmp_path / "pii_ckpt")
+    planted.write.parquet(src)
+    stream = spark.readStream.schema(planted.schema).parquet(src)
+    scrubbed = redact_documents(stream)
+    counts = detect_pii(stream).select("doc_id", "n_pii_total")
+    q = (
+        scrubbed.join(counts, "doc_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.text, r.n_pii_total) for r in spark.read.parquet(out).collect()}
+    batch = {
+        r.doc_id: (r.text, r.n_pii_total)
+        for r in redact_documents(planted)
+        .join(detect_pii(planted).select("doc_id", "n_pii_total"), "doc_id")
+        .collect()
+    }
+    assert got == batch and len(got) == len(PLANTED)
