@@ -99,6 +99,16 @@ def bucket_counts(
     )
 
 
+# Literal-route ceiling: the folded diff ARRAY is one double literal per
+# bucket (~20 chars of plan text), so 20k buckets ~ 400 KB — comfortably
+# inside plan-size limits while keeping lookups O(1) array indexing
+# (integer bucket ids need no crc trick, unlike langid's string grams).
+# Above it the scoring falls back to the explode + broadcast-join +
+# per-doc-regroup shape, which works at any bucket count but pays one
+# corpus-sized exchange.
+DSIR_LITERAL_MAX_BUCKETS = 20_000
+
+
 def dsir_log_weights(
     raw: DataFrame,
     target: DataFrame,
@@ -106,6 +116,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     n_buckets: int = DSIR_BUCKETS,
     bigrams: bool = True,
+    route: str = "auto",
 ) -> DataFrame:
     """Per-raw-document importance log-weight under add-one-smoothed
     bag-of-buckets multinomials:
@@ -113,18 +124,73 @@ def dsir_log_weights(
         logw = sum_features [ln(cp_b + 1) - ln(cq_b + 1)]
                + n_feats * [ln(Nq + B) - ln(Np + B)]
 
-    (the constant-term factoring keeps the broadcast diff table at only
-    the OBSERVED buckets — unseen buckets contribute ln(1)=0 plus the
+    (the constant-term factoring keeps the diff table at only the
+    OBSERVED buckets — unseen buckets contribute ln(1)=0 plus the
     constant, exactly add-one smoothing). Returns (id, n_feats, logw);
     docs with zero tokens get logw = 0.
 
-    Plan: two tiny distribution aggregates (bounded <= n_buckets), two
-    scalar totals, then ONE explode + broadcast join + per-doc sum."""
+    Two physical routes, same addends (summation order differs, ~1e-13;
+    parity asserted in tests/test_selection.py):
+
+    - ``route="literal"`` (auto while n_buckets <=
+      DSIR_LITERAL_MAX_BUCKETS): the two bounded distribution aggregates
+      collect into ONE length-n_buckets double-array literal and scoring
+      is a pure narrow fold with O(1) array indexing — ZERO exchanges on
+      the corpus, embarrassingly parallel, and streaming-safe (a
+      stateless projection; a readStream scores with the same
+      expression).
+    - ``route="join"`` (above the ceiling): explode features, broadcast
+      the diff table, regroup per doc — one corpus-sized exchange, but
+      no plan-size ceiling."""
     tp = bucket_counts(target, text_col, n_buckets, bigrams)
     tq = bucket_counts(raw, text_col, n_buckets, bigrams)
     totals_p = tp.agg(F.sum("cnt")).collect()[0][0] or 0
     totals_q = tq.agg(F.sum("cnt")).collect()[0][0] or 0
     const = math.log(totals_q + n_buckets) - math.log(totals_p + n_buckets)
+    if route == "auto":
+        route = "literal" if n_buckets <= DSIR_LITERAL_MAX_BUCKETS else "join"
+    if route == "literal":
+        lp = {int(r.bucket): float(r.cnt) for r in tp.collect()}
+        lq = {int(r.bucket): float(r.cnt) for r in tq.collect()}
+        diffs = [
+            math.log(lp.get(b, 0.0) + 1.0) - math.log(lq.get(b, 0.0) + 1.0)
+            for b in range(n_buckets)
+        ]
+        # ONE SQL string for the bulky literal (the langid/ivf_assign
+        # lesson: thousands of Column-API calls cost seconds of driver
+        # round-trips per plan)
+        darr = F.expr(
+            "array(" + ",".join(f"CAST('{d!r}' AS DOUBLE)" for d in diffs) + ")"
+        )
+        from entangledb_spark.operators.fingerprints import _let
+
+        def with_feats(feats):
+            n = F.size(feats)
+            s = F.aggregate(
+                feats,
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(darr, (b + 1).cast("int")),
+            )
+            return F.struct(
+                n.cast("long").alias("n_feats"),
+                (s + n * const).alias("logw"),
+            )
+
+        # coalesce: a NULL text yields a NULL feature array, whose
+        # size/aggregate would poison the fold — the join route's
+        # explode_outer treats it as zero features, so must we
+        packed = _let(
+            F.coalesce(
+                feature_buckets(F.col(text_col), n_buckets, bigrams),
+                F.array().cast("array<long>"),
+            ),
+            with_feats,
+        )
+        return raw.select(F.col(id_col), packed.alias("_p")).select(
+            id_col,
+            F.col("_p.n_feats").alias("n_feats"),
+            F.col("_p.logw").alias("logw"),
+        )
     diff = (
         tp.select("bucket", F.log(F.col("cnt") + 1).alias("lp"))
         .join(

@@ -201,19 +201,57 @@ def test_threshold_selection(spark, corpora):
 
 
 def test_plan_shape(spark, corpora):
-    """The per-doc weight join must BROADCAST the <= n_buckets diff table
-    (never shuffle the exploded corpus against it), and nothing falls
-    back to Python or a cartesian product."""
+    """Literal route (the default below DSIR_LITERAL_MAX_BUCKETS):
+    scoring is a PURE NARROW MAP — zero Exchange, zero joins, the diff
+    array folded into the plan. Join route (forced): the per-doc weight
+    join must BROADCAST the <= n_buckets diff table (never shuffle the
+    exploded corpus against it). Neither falls back to Python."""
     raw, target = corpora
-    plan = (
+    lit_plan = (
+        dsir_log_weights(raw, target, n_buckets=B, route="literal")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in lit_plan
+    assert "Join" not in lit_plan
+    assert "BatchEvalPython" not in lit_plan
+    join_plan = (
+        dsir_log_weights(raw, target, n_buckets=B, route="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in join_plan
+    assert "CartesianProduct" not in join_plan
+    assert "BatchEvalPython" not in join_plan
+
+
+def test_routes_agree(spark, corpora):
+    """Same addends, different summation order: the two routes must agree
+    to float tolerance on every doc (incl. the zero-feature doc), and
+    'auto' at the default bucket count must pick the literal route."""
+    raw, target = corpora
+    lit = {
+        r.doc_id: (r.n_feats, r.logw)
+        for r in dsir_log_weights(raw, target, n_buckets=B, route="literal").collect()
+    }
+    jnd = {
+        r.doc_id: (r.n_feats, r.logw)
+        for r in dsir_log_weights(raw, target, n_buckets=B, route="join").collect()
+    }
+    assert set(lit) == set(jnd)
+    for d in lit:
+        assert lit[d][0] == jnd[d][0], d
+        assert abs(lit[d][1] - jnd[d][1]) < 1e-9, d
+    assert lit[7] == (0, 0.0)
+    auto_plan = (
         dsir_log_weights(raw, target, n_buckets=B)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
+    assert "Join" not in auto_plan  # auto == literal at 1000 buckets
 
 
 @pytest.mark.parametrize(
