@@ -97,9 +97,15 @@ HEADLINE = [
 ]
 
 
-def _time_noop(df) -> float:
+def _time_noop(build_df) -> float:
+    """Time BUILD + EXECUTE: ``build_df`` is a thunk so that eager
+    driver-side work inside query construction (q71's centroid
+    fit/index build, DSIR's distribution collects) stays inside the
+    timed window — rounds <= 6 timed construction too, and excluding it
+    would both skew round-over-round deltas and hide regressions in
+    eagerly-collected build work (round-7 review finding)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    build_df().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
 
 
@@ -119,16 +125,15 @@ def measure(spark, sf_dir: str, reps: int):
     ``sentinel`` = {"start": [...], "end": [...], "best": min-of-all} —
     measured immediately before and immediately after the headline loop so
     in-session drift is visible too."""
-    sent_start = [_time_noop(_sentinel_df(spark)) for _ in range(min(reps, 3))]
+    sent_start = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(min(reps, 3))]
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
-        ts = [
-            _time_noop(registry.QUERIES[name](spark, sf_dir)) for _ in range(reps)
-        ]
+        fn = registry.QUERIES[name]
+        ts = [_time_noop(lambda: fn(spark, sf_dir)) for _ in range(reps)]
         timings[name] = min(ts)
         rep_times[name] = ts
-    sent_end = [_time_noop(_sentinel_df(spark)) for _ in range(min(reps, 3))]
+    sent_end = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(min(reps, 3))]
     sentinel = {
         "start": sent_start,
         "end": sent_end,
@@ -178,7 +183,10 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
             for q, t in timings.items()
             if q in prev_q and prev_q[q] > 0
         }
-        out["delta_vs_prev"] = [delta.get(q, 0.0) for q in timings]
+        # null (not 0.0) for queries absent from the previous artifact —
+        # a reader must be able to tell "new query, no baseline" from
+        # "no change" (round-7 review finding)
+        out["delta_vs_prev"] = [delta.get(q) for q in timings]
         sidecar["delta_by_query"] = delta
         # sentinel-based environment scaling (both rounds must carry one)
         env = None

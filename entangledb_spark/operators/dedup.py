@@ -427,12 +427,20 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
     a, b = bands.alias("a"), bands.alias("b")
-    matched = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    # persisted: matched feeds partners, pairs, AND connected_components'
+    # label rounds — without it the band self-join (the expensive step)
+    # re-evaluates once per consumer (round-7 review finding). The
+    # relation is collision pairs only, tiny by construction.
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     partners = matched.groupBy(F.col("da").alias("doc_id")).agg(
         F.countDistinct("db").alias("_n")
     )
@@ -641,7 +649,11 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint, 4 x 15-bit bands, partner = distinct other docs sharing
     >= 1 band. Hosted on q66; production q63 keeps xxhash64 and stays
     rows-only. Zero-token docs fingerprint to 0 on both engines (empty
-    vote array -> every vote 0 -> no bit set).
+    vote array -> every vote 0 -> no bit set) and are EXCLUDED from the
+    band join (no tokens = no fingerprint evidence; a band_key of 0
+    from an all-negative vote doc is not a similarity signal, and the
+    oracle's unnest-of-empty-list naturally omits them — round-7 review
+    caught the Spark side including them).
 
     fp is persisted before the banded self-join (the q62 lesson: the
     two join branches would otherwise each recompute the md5+vote
@@ -655,11 +667,12 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.withColumn("_toks", toks)
         .withColumn("_hashes", F.transform(F.col("_toks"), h60))
         .withColumn("sim60", simhash_from_hashes(F.col("_hashes"), SIMHASH_GATE_BITS))
-        .select("doc_id", "sim60")
+        .withColumn("_has_toks", F.size("_toks") > 0)
+        .select("doc_id", "sim60", "_has_toks")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     width = SIMHASH_GATE_BITS // SIMHASH_GATE_BANDS
-    bands = fp.select(
+    bands = fp.filter(F.col("_has_toks")).select(
         "doc_id",
         F.explode(
             F.array(
@@ -693,7 +706,7 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "n_sim_band_partners", F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         )
-        .drop("_n")
+        .drop("_n", "_has_toks")
     )
 
 

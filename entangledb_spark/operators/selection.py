@@ -144,14 +144,17 @@ def dsir_log_weights(
       no plan-size ceiling."""
     tp = bucket_counts(target, text_col, n_buckets, bigrams)
     tq = bucket_counts(raw, text_col, n_buckets, bigrams)
-    totals_p = tp.agg(F.sum("cnt")).collect()[0][0] or 0
-    totals_q = tq.agg(F.sum("cnt")).collect()[0][0] or 0
-    const = math.log(totals_q + n_buckets) - math.log(totals_p + n_buckets)
     if route == "auto":
         route = "literal" if n_buckets <= DSIR_LITERAL_MAX_BUCKETS else "join"
     if route == "literal":
+        # ONE corpus-scale job per distribution: totals are just the sums
+        # of the collected dicts (a separate agg action would re-run the
+        # whole tokenize+hash+aggregate — round-7 review finding)
         lp = {int(r.bucket): float(r.cnt) for r in tp.collect()}
         lq = {int(r.bucket): float(r.cnt) for r in tq.collect()}
+        const = math.log(sum(lq.values()) + n_buckets) - math.log(
+            sum(lp.values()) + n_buckets
+        )
         diffs = [
             math.log(lp.get(b, 0.0) + 1.0) - math.log(lq.get(b, 0.0) + 1.0)
             for b in range(n_buckets)
@@ -191,6 +194,15 @@ def dsir_log_weights(
             F.col("_p.n_feats").alias("n_feats"),
             F.col("_p.logw").alias("logw"),
         )
+    # join route: persist the bounded distributions so the totals actions
+    # don't re-aggregate the corpus inside the diff-join plan
+    from pyspark import StorageLevel
+
+    tp = tp.persist(StorageLevel.MEMORY_AND_DISK)
+    tq = tq.persist(StorageLevel.MEMORY_AND_DISK)
+    totals_p = tp.agg(F.sum("cnt")).collect()[0][0] or 0
+    totals_q = tq.agg(F.sum("cnt")).collect()[0][0] or 0
+    const = math.log(totals_q + n_buckets) - math.log(totals_p + n_buckets)
     diff = (
         tp.select("bucket", F.log(F.col("cnt") + 1).alias("lp"))
         .join(
@@ -281,12 +293,20 @@ def dsir_select_threshold(
     rel_err: float = 0.01,
 ) -> DataFrame:
     """Production-scale selection: keep ~keep_fraction of the corpus by
-    score THRESHOLD (approxQuantile + filter — one narrow pass over the
-    scored relation, no global sort; the selected count is approximate
-    within the quantile sketch's rel_err, the standard trade at 100 TB)."""
+    score THRESHOLD (approxQuantile + filter, no global sort; the
+    selected count is approximate within the quantile sketch's rel_err,
+    the standard trade at 100 TB).
+
+    ``scored`` is persisted before the quantile action: approxQuantile
+    scans the whole scored relation, and the returned filter would
+    otherwise recompute the full feature-hash scoring a second time
+    (round-7 review finding). At true corpus scale swap the persist for
+    a checkpoint of the (id, score) projection."""
+    from pyspark import StorageLevel
+
     w = dsir_log_weights(raw, target, text_col, id_col, n_buckets, bigrams)
     scored = raw.join(w, id_col).withColumn(
         "score", F.col("logw") + gumbel_key(F.col(id_col))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cut = scored.approxQuantile("score", [1.0 - keep_fraction], rel_err)[0]
     return scored.filter(F.col("score") >= cut)

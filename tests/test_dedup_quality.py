@@ -275,3 +275,12 @@ def test_simhash_md5_twin_matches_python_reference(spark):
     assert got[3][0] == 0  # zero-token doc fingerprints to 0
     # docs 0 and 1 differ by one token -> tiny hamming -> share a band
     assert got[0][1] >= 1 and got[1][1] >= 1
+    # zero-token docs are EXCLUDED from the band join (the oracle's
+    # unnest-of-empty omits them; Spark must agree) — two tokenless docs
+    # must NOT partner each other via the all-zero fingerprint
+    df2 = spark.createDataFrame(
+        texts + [(4, "   "), (5, None)], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.n_sim_band_partners
+            for r in simhash_gate_summary(df2).collect()}
+    assert got2[3] == 0 and got2[4] == 0 and got2[5] == 0
