@@ -20,6 +20,7 @@ from entangledb_spark.operators._minhash_params import (
     minhash_gate_oracle_ctes,
     simhash_gate_oracle_ctes,
 )
+from entangledb_spark.operators.retrieval import bm25_gate_oracle_ctes
 from entangledb_spark.registry import query, table
 
 # Stopword marker regexes per language — tiny, deterministic heuristic that
@@ -359,6 +360,8 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     + minhash_gate_oracle_ctes()
     + ","
     + simhash_gate_oracle_ctes()
+    + ","
+    + bm25_gate_oracle_ctes()
     + r""",
     toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\x0B\f\r]+')) AS tok
@@ -400,7 +403,8 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(mpart.n, 0) AS BIGINT) AS n_mh_band_partners,
            CAST(coalesce(mcc.cc, d.doc_id) AS BIGINT) AS mh_cc,
            CAST(coalesce(sfp.fp, 0) AS BIGINT) AS sim60,
-           CAST(coalesce(spart.n, 0) AS BIGINT) AS n_sim_band_partners
+           CAST(coalesce(spart.n, 0) AS BIGINT) AS n_sim_band_partners,
+           bm.bm25_tf, bm.bm25_q
     FROM documents d
     LEFT JOIN ent ON d.doc_id = ent.doc_id
     LEFT JOIN (SELECT * FROM top1 WHERE rk = 1) t ON d.doc_id = t.doc_id
@@ -409,6 +413,7 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN mcc ON d.doc_id = mcc.doc_id
     LEFT JOIN sfp ON d.doc_id = sfp.doc_id
     LEFT JOIN spart ON d.doc_id = spart.doc_id
+    LEFT JOIN bm ON d.doc_id = bm.doc_id
     """,
 )
 def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,10 +490,18 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_cpu = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     mh = minhash_gate_summary(docs_cpu)
     sh = simhash_gate_summary(docs_cpu)
+    # BM25 gate columns (round 7): the REAL retrieval scoring path
+    # (narrow tf map → bounded stats collect → zero-exchange literal
+    # fold) for the fixed probe query; the oracle re-derives N/avgdl/df
+    # and the identical left-assoc fold in SQL (operators/retrieval.py).
+    from entangledb_spark.operators.retrieval import bm25_gate_summary
+
+    bm = bm25_gate_summary(table(spark, sf_dir, "documents"))
     return (
         ent.join(kw, "doc_id", "left")
         .join(mh, "doc_id", "left")
         .join(sh, "doc_id", "left")
+        .join(bm, "doc_id", "left")
     )
 
 
