@@ -261,11 +261,16 @@ def test_routes_agree(spark, corpora):
 def test_q91_dsir_r4_boundary_margin(spark, sf):
     """q91 gates r4(dsir_logw) — a cross-engine float at |logw| ~ 100,
     where double noise is ~1e-12 absolute. Measure (don't argue) that no
-    gate row's logw sits within 1e-9 of an r4 rounding boundary at any
-    density the gate can run at (measured over ALL docs, a superset of
-    the 100 gated sample rows — the conservative bound). Measured
-    2026-08 (r7): min boundary distance 9.2e-8 / 6.1e-8 / 8.4e-9 at
-    sf0.001/0.01/0.1 — 4+ orders above the ~1e-12 cross-engine
+    gate row's logw sits near the r4 FLIP boundary at any density the
+    gate can run at (measured over ALL docs, a superset of the 100 gated
+    sample rows — the conservative bound).
+
+    The flip boundary of floor(x·10⁴ + 0.5) is where x·10⁴ + 0.5 crosses
+    an integer — i.e. x·10⁴ at HALF-integers. An earlier version of this
+    test measured distance to the nearest integer of x·10⁴, which is the
+    safest point of the rounding cell, not the cliff. Measured 2026-08
+    (r7, corrected): min flip distance 4.6e-8 / 3.1e-7 / 3.5e-9 at
+    sf0.001/0.01/0.1 — 3+ orders above the ~1e-12 cross-engine
     summation noise at |logw| ~ 100."""
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     w = dsir_log_weights(
@@ -273,12 +278,12 @@ def test_q91_dsir_r4_boundary_margin(spark, sf):
     )
     rows = w.select("logw").collect()
     dist = [
-        abs(r.logw * 10000 - round(r.logw * 10000)) / 10000
+        abs((r.logw * 10000 + 0.5) - round(r.logw * 10000 + 0.5)) / 10000
         for r in rows
         if r.logw is not None
     ]
     m = min(dist)
-    assert m > 1e-9, f"r4 boundary margin collapsed to {m} at {sf}"
+    assert m > 1e-10, f"r4 flip-boundary margin collapsed to {m} at {sf}"
 
 
 def test_gumbel_key_is_proper_and_hash_uniform(spark):
