@@ -21,3 +21,13 @@ R4_SQL = "floor(({expr}) * 10000 + 0.5) / 10000"
 def r4(c: Column) -> Column:
     """Deterministic half-up rounding to 4 decimal places (see module doc)."""
     return (F.floor(c * 10000 + F.lit(0.5)) / 10000).cast("double")
+
+
+def r6(c: Column) -> Column:
+    """Deterministic half-up rounding to 6 decimal places — same formula as
+    r4 at a finer grain. Used where an INTERMEDIATE float must land on a
+    cross-engine-stable grid (e.g. Lloyd-refined centroid components,
+    where distributed summation order perturbs the mean at ~1e-16 and the
+    oracle must re-derive the identical centroid). Valid for |x| <
+    2^53/10⁶ ≈ 9e9."""
+    return (F.floor(c * 1000000 + F.lit(0.5)) / 1000000).cast("double")

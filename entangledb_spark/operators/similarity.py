@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from entangledb_spark.functions.numeric import r4
+from entangledb_spark.functions.numeric import r4, r6
 from entangledb_spark.registry import query, table
 
 N_HYPERPLANES = 4  # sign-LSH code width per table → 16 buckets
@@ -326,9 +326,12 @@ def ivf_centroids(
     centroid (broadcast join, one narrow pass) and replace each centroid
     with its cell's component-wise mean. Each round is one corpus pass +
     one tiny aggregation; the refined centroids are rounded to 6 decimals
-    so distributed-summation float noise (order-dependent at ~1e-15
-    relative) cannot make re-runs diverge. Cells that lose every member
-    simply disappear (fewer, denser cells).
+    (the r6 floor formula, NOT engine ROUND — so DuckDB's ``floor(avg(x)
+    * 1e6 + 0.5)/1e6`` re-derives the identical grid double and the
+    refined assignment can sit on a hash gate) so distributed-summation
+    float noise (order-dependent at ~1e-15 relative) cannot make re-runs
+    diverge. Cells that lose every member simply disappear (fewer,
+    denser cells).
 
     ``cell_expr`` overrides the seed-bucketing Column (default
     xxhash64(vec_id) mod n_cells) — pass a knuth_bucket expression when
@@ -353,7 +356,7 @@ def ivf_centroids(
         cents = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .agg(r6(F.avg("v")).alias("m"))
             .groupBy("cell")
             .agg(
                 F.transform(
@@ -765,6 +768,32 @@ def _lsh_gate_oracle_ctes() -> str:
       SELECT DISTINCT
              CASE WHEN ca > cb OR (ca = cb AND va > vb) THEN va ELSE vb END AS vec_id
       FROM semd
+    ),
+    -- k-means Lloyd refinement (round 7): ONE refine round over the same
+    -- knuth-medoid init — per-cell component means on the r6 grid (the
+    -- floor formula, matching Spark's r6(avg); engine ROUND would
+    -- diverge), re-normalize, re-assign by the same (-dot, cell) order.
+    -- Certifies ivf_centroids(refine=1)'s trained clustering step.
+    r1m AS (
+      SELECT cell, pos, floor(avg(x) * 1000000 + 0.5) / 1000000 AS m
+      FROM (SELECT cell, unnest(emb) AS x,
+                   unnest(range(1, len(emb) + 1)) AS pos
+            FROM asg)
+      GROUP BY cell, pos
+    ),
+    uc1 AS (
+      SELECT cell, list_transform(cent,
+                                  x -> x / sqrt(list_dot_product(cent, cent))) AS u
+      FROM (SELECT cell, array_agg(m ORDER BY pos) AS cent
+            FROM r1m GROUP BY cell)
+    ),
+    asg1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, u.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -list_dot_product(v.emb, u.u),
+                                           u.cell) AS rn
+        FROM v CROSS JOIN uc1 u) WHERE rn = 1
     ),"""
     + _lsh_gate_oracle_ctes()
     + """
@@ -785,12 +814,14 @@ def _lsh_gate_oracle_ctes() -> str:
            CAST(CASE WHEN sl.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
              AS is_sem_loser,
            CAST(lc.b0 AS BIGINT) AS lsh0,
-           CAST(coalesce(lp.n, 0) AS BIGINT) AS n_lsh_partners
+           CAST(coalesce(lp.n, 0) AS BIGINT) AS n_lsh_partners,
+           CAST(k1.cell AS BIGINT) AS km_cell_r1
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
          LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
          LEFT JOIN semlosers sl ON s.vec_id = sl.vec_id
          LEFT JOIN lcode lc ON s.vec_id = lc.vec_id
          LEFT JOIN lpart lp ON s.vec_id = lp.vec_id
+         LEFT JOIN asg1 k1 ON s.vec_id = k1.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,11 +942,29 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_gate_summary(
         e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
     )
+    # k-means (Lloyd) refinement on the gate (round 7): ONE refine round
+    # over the same knuth-medoid init the SemDeDup columns use. The
+    # oracle re-derives the r6-rounded per-cell means and the refreshed
+    # argmin in SQL, so the hash match certifies ivf_centroids' trained
+    # clustering step — the SemDeDup paper's actual k-means — not just
+    # the seeded medoids. r6 (floor formula) makes the refined centroids
+    # land on a cross-engine-stable 1e-6 grid despite order-dependent
+    # distributed summation; the residual margins (r6 flip distance of
+    # every cell-pos mean, refined-assignment argmin gap) are measured
+    # in test_embedding_dedup.py::test_kmeans_gate_margins.
+    ed = e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    cents1 = ivf_centroids(
+        ed, 8, refine=1, cell_expr=knuth_bucket(F.col("vec_id"), 8)
+    )
+    km = ivf_assign(ed, cents1).select(
+        "vec_id", F.col("cell").cast("long").alias("km_cell_r1")
+    )
     return (
         base.join(agg, "vec_id", "left")
         .join(sem_agg, "vec_id", "left")
         .join(sem_losers, "vec_id", "left")
         .join(lsh, "vec_id", "left")
+        .join(km, "vec_id", "left")
         .withColumn("n_dup_partners", F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long"))
         .withColumn("n_sem_dup", F.coalesce(F.col("_n_sem"), F.lit(0)).cast("long"))
         .withColumn("is_sem_loser", F.coalesce(F.col("_loser"), F.lit(0)).cast("long"))
@@ -924,7 +973,7 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "l2_norm", "unit_first", "max_abs", "scale",
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
             "n_sem_dup", "max_sem_cos", "is_sem_loser",
-            "lsh0", "n_lsh_partners",
+            "lsh0", "n_lsh_partners", "km_cell_r1",
         )
     )
 

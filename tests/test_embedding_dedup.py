@@ -357,6 +357,58 @@ def test_semdedup_gate_assignment_margin(spark, sf):
 
 
 @pytest.mark.parametrize("sf", ALL_SF_DIRS)
+def test_kmeans_gate_margins(spark, sf):
+    """q73's km_cell_r1 column (round 7) hash-gates one Lloyd refinement
+    round. Two cross-engine float hazards, both measured at every density
+    the gate can run at:
+
+    (a) each refined centroid component is an r6-rounded MEAN whose raw
+        value Spark and DuckDB sum in different orders (~1e-16 relative
+        noise) — no raw mean may sit near the floor(x·1e6 + 0.5) FLIP
+        boundary (x·1e6 at half-integers);
+    (b) the refreshed argmin — minimum gap between best and second-best
+        refined-centroid distance must dwarf summation noise.
+
+    Measured 2026-08 (r7): see assertions."""
+    import math
+
+    from entangledb_spark.operators.similarity import ivf_assign, ivf_centroids
+    from entangledb_spark.operators.text import knuth_bucket
+    from pyspark.sql import functions as F
+
+    df = _gate_embeddings(spark, sf)
+    cents0 = ivf_centroids(
+        df, 8, refine=0, cell_expr=knuth_bucket(F.col("vec_id"), 8)
+    )
+    # (a) raw (un-rounded) per-cell component means, flip distance at 1e6
+    raw = (
+        ivf_assign(df, cents0)
+        .select("cell", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    flip = min(
+        abs((r.m * 1000000 + 0.5) - round(r.m * 1000000 + 0.5)) for r in raw
+    )
+    assert flip > 1e-6, f"r6 flip margin of refined means collapsed to {flip} at {sf}"
+    # (b) argmin gap against the r6-rounded refined centroids
+    cents1 = ivf_centroids(
+        df, 8, refine=1, cell_expr=knuth_bucket(F.col("vec_id"), 8)
+    ).collect()
+    unit = {}
+    for r in cents1:
+        n = math.sqrt(sum(float(x) * float(x) for x in r.centroid)) or 1.0
+        unit[int(r.cell)] = np.array([float(x) / n for x in r.centroid])
+    u = np.stack([unit[c] for c in sorted(unit)])
+    v = np.array([row.embedding for row in df.collect()])
+    d = -(v @ u.T)
+    d.sort(axis=1)
+    min_gap = float((d[:, 1] - d[:, 0]).min())
+    assert min_gap > 1e-6, f"refined argmin margin collapsed to {min_gap} at {sf}"
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
 def test_semdedup_gate_loser_margin(spark, sf):
     """q73's is_sem_loser column (round 7) hash-gates the survivor policy's
     cent_sim_a vs cent_sim_b comparison across engines. Two safe regimes:
