@@ -310,3 +310,53 @@ def dsir_select_threshold(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cut = scored.approxQuantile("score", [1.0 - keep_fraction], rel_err)[0]
     return scored.filter(F.col("score") >= cut)
+
+
+def cluster_rank(assigned: DataFrame, id_col: str = "vec_id") -> Column:
+    """Deterministic within-cell rank: knuth-hash order, ties to the id.
+
+    The key is a pseudo-random bijection of the id (text.knuth_key), so
+    ranking by it is an unbiased per-cell shuffle that every engine,
+    cluster size, and re-run reproduces — the same determinism contract
+    as the stratified sampler and the DSIR Gumbel keys."""
+    from pyspark.sql import Window
+
+    from entangledb_spark.operators.text import knuth_key
+
+    w = Window.partitionBy("cell").orderBy(
+        knuth_key(F.col(id_col)), F.col(id_col)
+    )
+    return F.row_number().over(w).cast("long")
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids,
+    quota: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Diversity-preserving subsample: at most ``quota`` vectors per
+    k-means cell, chosen by deterministic knuth-hash order.
+
+    Uniform sampling over-represents dense embedding modes (boilerplate,
+    templates, near-dup clusters); a per-cell quota flattens cluster
+    mass — the cluster-balancing step the SemDeDup/DoReMi line of work
+    applies before mixing. Pairs with ivf_centroids(refine=N): train
+    cells once, then sample against the collected centroid rows.
+
+    Plan shape: assignment is the zero-exchange ivf_assign map; ranking
+    is ONE shuffle of narrow (id, embedding, cell) rows. The window
+    sorts per cell, so size n_cells to keep cells executor-sized (the
+    SemDeDup paper's 50k cells put a 100 TB corpus at ~2 GB/cell); the
+    quota itself never concentrates rows — every cell's output is
+    bounded by ``quota``.
+
+    Returns the surviving rows of ``df`` plus their ``cell``."""
+    from entangledb_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids)
+    return (
+        assigned.withColumn("_ck_rank", cluster_rank(assigned, id_col))
+        .filter(F.col("_ck_rank") <= quota)
+        .drop("_ck_rank")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from entangledb_spark.functions.numeric import r4, r6
+from entangledb_spark.operators.text import knuth_key_sql as _knuth_key_sql
 from entangledb_spark.registry import query, table
 
 N_HYPERPLANES = 4  # sign-LSH code width per table → 16 buckets
@@ -794,6 +795,20 @@ def _lsh_gate_oracle_ctes() -> str:
                                   ORDER BY -list_dot_product(v.emb, u.u),
                                            u.cell) AS rn
         FROM v CROSS JOIN uc1 u) WHERE rn = 1
+    ),
+    -- cluster-balanced sampling survivor rule (selection.cluster_rank):
+    -- knuth-key order within the refined cell, ties to id, quota 40 —
+    -- pure BIGINT arithmetic, exact on both engines
+    kmrank AS (
+      SELECT vec_id,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY cell
+                    ORDER BY """
+    + _knuth_key_sql("vec_id")
+    + """,
+                             vec_id) <= 40
+                  THEN 1 ELSE 0 END AS keep
+      FROM asg1
     ),"""
     + _lsh_gate_oracle_ctes()
     + """
@@ -815,13 +830,15 @@ def _lsh_gate_oracle_ctes() -> str:
              AS is_sem_loser,
            CAST(lc.b0 AS BIGINT) AS lsh0,
            CAST(coalesce(lp.n, 0) AS BIGINT) AS n_lsh_partners,
-           CAST(k1.cell AS BIGINT) AS km_cell_r1
+           CAST(k1.cell AS BIGINT) AS km_cell_r1,
+           CAST(kr.keep AS BIGINT) AS km_keep
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
          LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
          LEFT JOIN semlosers sl ON s.vec_id = sl.vec_id
          LEFT JOIN lcode lc ON s.vec_id = lc.vec_id
          LEFT JOIN lpart lp ON s.vec_id = lp.vec_id
          LEFT JOIN asg1 k1 ON s.vec_id = k1.vec_id
+         LEFT JOIN kmrank kr ON s.vec_id = kr.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,7 +878,16 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same expression semantic_dedup_survivors drops rows by) checked
     against a DuckDB CASE over the oracle-re-derived cent_sims; the
     policy comparison's own float margin is measured in
-    test_semdedup_gate_loser_margin at all three densities."""
+    test_semdedup_gate_loser_margin at all three densities.
+
+    Round 7 additions: km_cell_r1 — the assignment after ONE k-means
+    Lloyd round over the knuth-medoid init (ivf_centroids refine=1; the
+    oracle re-derives the r6-grid per-cell means, re-normalization, and
+    refreshed argmin in SQL — the trained clustering step itself on the
+    hash gate, margins measured in test_kmeans_gate_margins) — and
+    km_keep, cluster_balanced_sample's per-cell quota survivor rule
+    (selection.cluster_rank: knuth-key order within the refined cell,
+    quota 40; pure BIGINT arithmetic, exact on both engines)."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
@@ -952,12 +978,20 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed summation; the residual margins (r6 flip distance of
     # every cell-pos mean, refined-assignment argmin gap) are measured
     # in test_embedding_dedup.py::test_kmeans_gate_margins.
+    # km_keep additionally gates cluster_balanced_sample's survivor rule
+    # (selection.cluster_rank: knuth-key order within the refined cell,
+    # quota 40) — pure BIGINT arithmetic, so the equality is exact.
+    from entangledb_spark.operators.selection import cluster_rank
+
     ed = e.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
     cents1 = ivf_centroids(
         ed, 8, refine=1, cell_expr=knuth_bucket(F.col("vec_id"), 8)
     )
-    km = ivf_assign(ed, cents1).select(
-        "vec_id", F.col("cell").cast("long").alias("km_cell_r1")
+    assigned1 = ivf_assign(ed, cents1)
+    km = assigned1.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("km_cell_r1"),
+        (cluster_rank(assigned1) <= 40).cast("long").alias("km_keep"),
     )
     return (
         base.join(agg, "vec_id", "left")
@@ -973,7 +1007,7 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "l2_norm", "unit_first", "max_abs", "scale",
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
             "n_sem_dup", "max_sem_cos", "is_sem_loser",
-            "lsh0", "n_lsh_partners", "km_cell_r1",
+            "lsh0", "n_lsh_partners", "km_cell_r1", "km_keep",
         )
     )
 

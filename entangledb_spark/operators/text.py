@@ -430,7 +430,13 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     neither Java's \\s nor the oracle's class treats as separators), and
     the entropy sum is rounded to 4 decimals on both sides
     (summation-order float noise is ~1e-12, far below the rounding
-    grain)."""
+    grain).
+
+    Host for off-headline gate columns: TF-IDF top-1 keyword, the
+    MinHash/SimHash/connected-components md5 twins, and (round 7) the
+    BM25 retrieval score + query-term tf through the REAL
+    operators/retrieval.py scoring path — the oracle re-derives
+    N/avgdl/df and the identical left-assoc float fold in SQL."""
     import re
 
     import numpy as np
@@ -534,6 +540,24 @@ def knuth_bucket_sql(expr: str, n: int) -> str:
     return (
         f"((CAST({expr} AS BIGINT) % {HASH_M}) * CAST({SAMPLE_K % HASH_M} AS BIGINT))"
         f" % {HASH_M} % {n}"
+    )
+
+
+def knuth_key(col: Column) -> Column:
+    """Raw Knuth-hash order key in [0, HASH_M) — the bucket-free form of
+    knuth_bucket, for when a deterministic engine-portable total ORDER
+    over ids is needed (e.g. per-cell quota sampling) rather than a
+    bucket. Distinct ids below HASH_M map to distinct keys (the map is a
+    bijection mod the prime); callers still tie-break on the id itself
+    for ids beyond that range."""
+    return ((col % HASH_M) * (SAMPLE_K % HASH_M)) % HASH_M
+
+
+def knuth_key_sql(expr: str) -> str:
+    """DuckDB fragment computing exactly knuth_key(expr)."""
+    return (
+        f"((CAST({expr} AS BIGINT) % {HASH_M}) * CAST({SAMPLE_K % HASH_M} AS BIGINT))"
+        f" % {HASH_M}"
     )
 
 

@@ -303,3 +303,66 @@ def test_gumbel_key_is_proper_and_hash_uniform(spark):
     assert 0.25 < neg < 0.5, neg
     assert len(set(gs)) > 900  # GUMBEL_RES >> n, near-no collisions
     assert GUMBEL_RES >= 2**20
+
+
+def test_cluster_balanced_sample_matches_reference(spark):
+    """Survivors == pure-Python reference: assign each vector to its
+    nearest refined centroid ((-dot, cell) order), rank within cell by
+    (knuth_key, id), keep rank <= quota. Also pins the quota semantics:
+    every cell's survivor count is min(quota, |cell|)."""
+    import math as _m
+
+    from entangledb_spark.operators.selection import cluster_balanced_sample
+    from entangledb_spark.operators.similarity import ivf_centroids
+    from entangledb_spark.operators.text import HASH_M, SAMPLE_K
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    quota = 40
+    cents = ivf_centroids(df, 8, refine=1).collect()
+    unit = {}
+    for r in cents:
+        n = _m.sqrt(sum(float(x) * float(x) for x in r.centroid)) or 1.0
+        unit[int(r.cell)] = [float(x) / n for x in r.centroid]
+    rows = [(r.vec_id, [float(x) for x in r.embedding]) for r in df.collect()]
+    by_cell: dict[int, list[int]] = {}
+    for vid, v in rows:
+        best = min(
+            (-sum(x * y for x, y in zip(v, u)), c) for c, u in unit.items()
+        )
+        by_cell.setdefault(best[1], []).append(vid)
+    want = set()
+    for c, vids in by_cell.items():
+        key = lambda i: ((i % HASH_M) * (SAMPLE_K % HASH_M) % HASH_M, i)
+        want |= set(sorted(vids, key=key)[:quota])
+    got_rows = cluster_balanced_sample(df, cents, quota).collect()
+    got = {r.vec_id for r in got_rows}
+    assert got == want
+    per_cell = {}
+    for r in got_rows:
+        per_cell[r.cell] = per_cell.get(r.cell, 0) + 1
+    for c, n in per_cell.items():
+        assert n == min(quota, len(by_cell[c]))
+
+
+def test_cluster_balanced_sample_plan_shape(spark):
+    """Assignment stays zero-Exchange narrow math; the only shuffle is
+    the per-cell rank window. Nothing falls back to Python, nothing goes
+    cartesian."""
+    from entangledb_spark.operators.selection import cluster_balanced_sample
+    from entangledb_spark.operators.similarity import ivf_centroids
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    cents = ivf_centroids(df, 8).collect()
+    plan = (
+        cluster_balanced_sample(df, cents, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # hashpartition by cell (+AQE read)
