@@ -332,7 +332,11 @@ def main() -> None:
     timings, rep_times, sentinel = measure(spark, sf_dir, reps)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    detail_rel = f"docs/bench_reps_r{_next_round():02d}.json"
+    # the bare round-numbered sidecar is the DRIVER's artifact (always an
+    # sf0.1 run); ad-hoc runs at another sf get an sf-suffixed name so a
+    # local sf0.01 smoke can never clobber the official record
+    sf_tag = "" if sf == 0.1 else f"_sf{sf:g}"
+    detail_rel = f"docs/bench_reps_r{_next_round():02d}{sf_tag}.json"
     out, sidecar = build_output(
         timings, rep_times, sentinel, _latest_prev_bench(), sf, detail_path=detail_rel
     )
