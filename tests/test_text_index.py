@@ -1,0 +1,100 @@
+"""Persistent inverted text index (operators/text_index.py): probe ==
+inline BM25 route, partition pruning at the source, append + refresh
+parity, parameter-mismatch rejection, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.retrieval import BM25_GATE_TERMS, bm25_topk
+from entangledb_spark.operators.text_index import (
+    bm25_topk_indexed,
+    build_text_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("text_index") / "idx")
+    build_text_index(_docs(spark), d)
+    return d
+
+
+def test_indexed_matches_inline_topk(spark, index_dir):
+    """Same ranking, same tf, same r4 score as the inline corpus-scan
+    route (raw floats differ ~1e-16 from aggregation order vs the fixed
+    fold — the measured flip margins dwarf it)."""
+    k = 15
+    inline = bm25_topk(_docs(spark), BM25_GATE_TERMS, k=k).collect()
+    probe = bm25_topk_indexed(spark, index_dir, BM25_GATE_TERMS, k=k).collect()
+    assert [r.doc_id for r in probe] == [r.doc_id for r in inline]
+    for a, b in zip(probe, inline):
+        assert a.bm25_tf == b.bm25_tf
+        assert abs(a.score - b.score) < 1e-9
+
+
+def test_probe_reads_only_term_buckets(spark, index_dir):
+    """The probe's postings scan must prune to the query terms' bucket
+    directories: every file scan in the probe plan carries a NON-EMPTY
+    PartitionFilters on the bucket column (the corpus_dedup_stream
+    assertion idiom — df.inputFiles() ignores pruning, so the plan is
+    the truth here)."""
+    probe = bm25_topk_indexed(spark, index_dir, ("hash",), k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans, plan
+    assert all("PartitionFilters: [" in l for l in scans), plan
+    assert not any("PartitionFilters: []" in l for l in scans), plan
+    assert "bucket" in plan
+
+
+def test_probe_plan_shape(spark, index_dir):
+    probe = bm25_topk_indexed(spark, index_dir, BM25_GATE_TERMS, k=5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_append_then_refresh_equals_single_build(spark, tmp_path):
+    docs = _docs(spark)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "idx_app")
+    build_text_index(half_a, d)
+    build_text_index(half_b, d, mode="append")
+    got = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
+    d2 = str(tmp_path / "idx_full")
+    build_text_index(docs, d2)
+    want = bm25_topk_indexed(spark, d2, BM25_GATE_TERMS, k=12).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in got] == [
+        (r.doc_id, r.bm25_tf) for r in want
+    ]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-12
+
+
+def test_append_param_mismatch_rejected(spark, index_dir):
+    with pytest.raises(ValueError, match="append with"):
+        build_text_index(
+            _docs(spark).limit(1), index_dir, n_buckets=32, mode="append"
+        )
+
+
+def test_unknown_and_duplicate_terms(spark, index_dir):
+    """An out-of-vocabulary term contributes nothing (df=0 idf priced,
+    no postings); duplicate probe terms are deduped."""
+    base = bm25_topk_indexed(spark, index_dir, ("hash",), k=5).collect()
+    with_junk = bm25_topk_indexed(
+        spark, index_dir, ("hash", "zzzznotindocs", "hash"), k=5
+    ).collect()
+    assert [r.doc_id for r in base] == [r.doc_id for r in with_junk]
+    for a, b in zip(base, with_junk):
+        assert abs(a.score - b.score) < 1e-12
