@@ -228,3 +228,119 @@ def bm25_topk_indexed(
         F.sum(contrib).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def bm25_topk_bulk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k retrieval for MANY queries in ONE distributed join — the
+    decontamination shape: hundreds or thousands of benchmark items at
+    once, where a per-query literal fold would compile a plan per query.
+
+    The query set tokenizes (saved token_re, distinct per query — the
+    same dedup the single-probe path applies) into a tiny (query_id,
+    token) relation that BROADCASTS against the postings on token; idf
+    is priced engine-side from a broadcast of the pruned lexicon plus
+    the stats constants. Partition pruning still applies: the DISTINCT
+    BUCKETS of the query vocabulary are a bounded collect (<= n_buckets
+    values however many queries there are) and become a static bucket
+    filter on the postings scan. Scores reduce per (query_id, doc_id);
+    a per-query window keeps rank <= k.
+
+    Returns (query_id, doc_id, bm25_tf, score, rk), rk 1..k per query —
+    only documents containing >= 1 of that query's terms (the inverted-
+    index semantics, as bm25_topk_indexed)."""
+    from pyspark.sql import Window
+
+    meta = _read_meta(index_dir)
+    n_buckets = meta["n_buckets"]
+    stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+    n_docs, sum_dl = int(stats.n_docs), int(stats.sum_dl)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    k1p1 = k1 + 1.0
+    c0 = k1 * (1.0 - b)
+    c1 = (k1 * b) / avgdl if avgdl else 0.0
+
+    qtok = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(meta["token_re"]), 0
+                )
+            ).alias("token"),
+        )
+        .distinct()
+        .withColumn("bucket", (F.crc32(F.col("token")) % n_buckets).cast("long"))
+    )
+    buckets = [int(r.bucket) for r in qtok.select("bucket").distinct().collect()]
+    lex = F.broadcast(
+        spark.read.parquet(os.path.join(index_dir, "lexicon"))
+        .filter(F.col("bucket").isin(buckets))
+        .select("token", "df")
+    )
+    posts = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .select("token", "doc_id", "tf", "dl")
+    )
+    idf = F.log(
+        1.0 + ((F.lit(n_docs) - F.col("df")) + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1p1))
+        / (F.col("tf") + (F.lit(c0) + F.lit(c1) * F.col("dl")))
+    )
+    scored = (
+        posts.join(F.broadcast(qtok.select("query_id", "token")), "token")
+        .join(lex, "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("bm25_tf"),
+            F.sum(contrib).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )
+
+
+def retrieval_contamination(
+    spark: SparkSession,
+    index_dir: str,
+    benchmark: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval-based decontamination: for every benchmark item, the
+    top-k BM25 corpus documents are contamination SUSPECTS — this finds
+    paraphrased/partial overlap that quality.contamination's exact
+    8-gram matching misses (the two compose: exact n-grams to auto-drop,
+    retrieval hits to audit or threshold).
+
+    Returns one row per suspect document: (doc_id, n_bench_hits — how
+    many benchmark items rank it top-k, best_rank, max_score)."""
+    hits = bm25_topk_bulk(
+        spark,
+        index_dir,
+        benchmark,
+        k=k,
+        query_id_col=query_id_col,
+        text_col=text_col,
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+        F.min("rk").cast("long").alias("best_rank"),
+        F.max("score").alias("max_score"),
+    )

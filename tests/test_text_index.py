@@ -98,3 +98,75 @@ def test_unknown_and_duplicate_terms(spark, index_dir):
     assert [r.doc_id for r in base] == [r.doc_id for r in with_junk]
     for a, b in zip(base, with_junk):
         assert abs(a.score - b.score) < 1e-12
+
+
+def test_bulk_matches_per_query_probes(spark, index_dir):
+    """bm25_topk_bulk == one bm25_topk_indexed per query (same ranking,
+    scores within aggregation-order noise)."""
+    from entangledb_spark.operators.text_index import bm25_topk_bulk
+
+    qs = [
+        (0, "hash join performance"),
+        (1, "stream window watermark"),
+        (2, "vector"),
+    ]
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    bulk = bm25_topk_bulk(spark, index_dir, qdf, k=7).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(bulk, key=lambda r: (r.query_id, r.rk)):
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, text in qs:
+        terms = tuple(text.split())
+        want = bm25_topk_indexed(spark, index_dir, terms, k=7).collect()
+        got = by_q.get(qid, [])
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], qid
+        for a, b in zip(got, want):
+            assert a.bm25_tf == b.bm25_tf
+            assert abs(a.score - b.score) < 1e-9
+
+
+def test_bulk_plan_prunes_and_broadcasts(spark, index_dir):
+    """The bulk join must keep the postings scan partition-pruned (static
+    bucket filter from the bounded bucket collect) and broadcast the tiny
+    query-token and lexicon sides — never shuffle postings by token."""
+    from entangledb_spark.operators.text_index import bm25_topk_bulk
+
+    qdf = spark.createDataFrame(
+        [(0, "hash join"), (1, "stream")], "query_id long, text string"
+    )
+    plan = (
+        bm25_topk_bulk(spark, index_dir, qdf, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    post_scans = [
+        l for l in plan.splitlines() if "PartitionFilters" in l and "postings" in l
+    ]
+    assert post_scans and not any("PartitionFilters: []" in l for l in post_scans), plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_retrieval_contamination_summary(spark, index_dir):
+    """A document ranked top-k by several benchmark items aggregates into
+    one suspect row with the hit count and its best rank."""
+    from entangledb_spark.operators.text_index import (
+        bm25_topk_bulk,
+        retrieval_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "hash join"), (1, "hash table"), (2, "stream window")],
+        "query_id long, text string",
+    )
+    hits = bm25_topk_bulk(spark, index_dir, bench, k=5).collect()
+    want: dict[int, list] = {}
+    for r in hits:
+        want.setdefault(r.doc_id, []).append(r)
+    got = {r.doc_id: r for r in retrieval_contamination(spark, index_dir, bench, k=5).collect()}
+    assert set(got) == set(want)
+    for d, rows in want.items():
+        assert got[d].n_bench_hits == len(rows)
+        assert got[d].best_rank == min(r.rk for r in rows)
+        assert abs(got[d].max_score - max(r.score for r in rows)) < 1e-12
