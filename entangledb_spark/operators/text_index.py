@@ -104,6 +104,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     refresh: bool = True,
+    batch: str | None = None,
 ) -> None:
     """One corpus pass builds postings; lexicon/stats reduce from them.
 
@@ -112,7 +113,27 @@ def build_text_index(
     — postings carry (token, doc_id, tf, dl) and are repartitioned on
     the bucket key before the partitioned write (one compacted file per
     directory, the ann_index build lesson). Token-less documents appear
-    only in stats (their dl=0 still prices avgdl)."""
+    only in stats (their dl=0 still prices avgdl).
+
+    Postings live under a two-level (batch, bucket) partition layout.
+    ``batch`` names the increment; appends write THEIR batch's
+    partition directories with dynamic partition overwrite, so
+    re-running an append with the same batch name REPLACES its own data
+    instead of duplicating it — appends are IDEMPOTENT, which is what
+    makes the streaming writer (stream_index_writer) exactly-once under
+    foreachBatch's at-least-once replay. The meta ledger records each
+    batch's doc count keyed by batch name (replay overwrites the same
+    entry), so n_docs is idempotent too. Batches are assumed
+    id-disjoint and each document whole within one batch (dl is
+    denormalized per batch). Probes filter the bucket level only;
+    pruning is unaffected by the batch level.
+
+    ``batch`` defaults to "base" on build and a UNIQUE name on append —
+    an append aimed at an existing batch name (deliberately, e.g. a
+    streaming replay) replaces that batch's data rather than appending
+    beside it."""
+    if batch is None:
+        batch = "base" if mode != "append" else f"append-{os.urandom(6).hex()}"
     if mode == "append":
         meta = _read_meta(index_dir)
         if (meta["n_buckets"], meta["token_re"]) != (n_buckets, token_re):
@@ -133,27 +154,32 @@ def build_text_index(
     # dl rides the tf relation (sum of tfs per doc) — no second corpus
     # scan, no join against a doc-stats table
     dl_w = Window.partitionBy("doc_id")
-    postings = tf.withColumn("dl", F.sum("tf").over(dl_w).cast("long")).withColumn(
-        "bucket", (F.crc32(F.col("token")) % n_buckets).cast("long")
+    postings = (
+        tf.withColumn("dl", F.sum("tf").over(dl_w).cast("long"))
+        .withColumn("bucket", (F.crc32(F.col("token")) % n_buckets).cast("long"))
+        .withColumn("batch", F.lit(batch))
     )
-    postings.repartition("bucket").write.mode(mode).partitionBy("bucket").parquet(
-        os.path.join(index_dir, "postings")
-    )
+    writer = postings.repartition("bucket").write.partitionBy("batch", "bucket")
+    if mode == "append":
+        # overwrite ONLY this batch's partitions — the idempotence trick
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.mode(mode)
+    writer.parquet(os.path.join(index_dir, "postings"))
     spark = docs.sparkSession
-    # n_docs lives in the meta (token-less docs appear in no posting, so
-    # it cannot be re-derived from the index): set on build, incremented
-    # on append — appended batches are assumed id-disjoint from the
-    # indexed corpus, the standard append contract
+    # n_docs lives in the meta ledger (token-less docs appear in no
+    # posting, so it cannot be re-derived from the index); keyed by
+    # batch name so replays overwrite rather than double-count
     n_new = docs.count()
     if mode == "append":
         meta = _read_meta(index_dir)
-        meta["n_docs"] = int(meta["n_docs"]) + int(n_new)
+        meta["batches"][batch] = int(n_new)
     else:
         meta = {
             "kind": "text",
             "n_buckets": n_buckets,
             "token_re": token_re,
-            "n_docs": int(n_new),
+            "batches": {batch: int(n_new)},
         }
     _write_meta(index_dir, meta)
     if refresh:
@@ -162,9 +188,11 @@ def build_text_index(
 
 def refresh_stats(spark: SparkSession, index_dir: str) -> None:
     """(Re)build lexicon + stats from the postings table — runs at build
-    time and after appends (one aggregation pass over postings; df/avgdl
-    drift between refreshes is the standard serving trade)."""
+    time and after appends (one aggregation pass over postings; callers
+    batching many appends pass refresh=False and run this once at the
+    end — df/avgdl drift until then is the standard serving trade)."""
     meta = _read_meta(index_dir)
+    n_docs = sum(int(v) for v in meta["batches"].values())
     posts = spark.read.parquet(os.path.join(index_dir, "postings"))
     lex = posts.groupBy("bucket", "token").agg(F.count(F.lit(1)).alias("df"))
     lex.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
@@ -172,8 +200,54 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> None:
     )
     row = posts.groupBy().agg(F.sum("tf").alias("sum_dl")).collect()[0]
     spark.createDataFrame(
-        [(int(meta["n_docs"]), int(row.sum_dl or 0))], "n_docs long, sum_dl long"
+        [(n_docs, int(row.sum_dl or 0))], "n_docs long, sum_dl long"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "stats"))
+
+
+def stream_index_writer(
+    index_dir: str,
+    stream_df: DataFrame,
+    stream_id: str,
+    checkpoint_dir: str,
+    refresh: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``writeStream`` builder maintaining the index from a document
+    stream — the corpus_dedup writer pattern:
+
+        q = stream_index_writer(idx, src, "s1", ckpt)
+        q.trigger(availableNow=True).start().awaitTermination()
+
+    EXACTLY-ONCE despite foreachBatch's at-least-once delivery: each
+    micro-batch appends under batch name ``{stream_id}-{batch_id}``,
+    and appends are idempotent by construction (dynamic partition
+    overwrite of the batch's own directories + the batch-keyed doc
+    ledger) — a replayed batch rewrites identical data over itself.
+    The index must already exist (build_text_index the base corpus
+    first); per-batch lexicon/stats refresh is ON by default, pass
+    refresh=False and run refresh_stats on a cadence for high-rate
+    streams (each refresh re-aggregates the postings table)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _read_meta(index_dir)
+        build_text_index(
+            batch_df,
+            index_dir,
+            n_buckets=meta["n_buckets"],
+            token_re=meta["token_re"],
+            mode="append",
+            text_col=text_col,
+            id_col=id_col,
+            refresh=refresh,
+            batch=f"{stream_id}-{batch_id}",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
 
 
 def bm25_topk_indexed(

@@ -170,3 +170,67 @@ def test_retrieval_contamination_summary(spark, index_dir):
         assert got[d].n_bench_hits == len(rows)
         assert got[d].best_rank == min(r.rk for r in rows)
         assert abs(got[d].max_score - max(r.score for r in rows)) < 1e-12
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """Re-running an append with the same batch name must REPLACE its own
+    partitions, not duplicate them — the property that makes the
+    streaming writer exactly-once under foreachBatch replay."""
+    import os
+
+    docs = _docs(spark)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "idx_replay")
+    build_text_index(half_a, d)
+    build_text_index(half_b, d, mode="append", batch="b1")
+    once = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    n_rows_once = spark.read.parquet(os.path.join(d, "postings")).count()
+    build_text_index(half_b, d, mode="append", batch="b1")  # replay
+    again = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    n_rows_again = spark.read.parquet(os.path.join(d, "postings")).count()
+    assert n_rows_again == n_rows_once
+    assert [(r.doc_id, r.bm25_tf) for r in again] == [
+        (r.doc_id, r.bm25_tf) for r in once
+    ]
+    for a, b in zip(again, once):
+        assert abs(a.score - b.score) < 1e-12
+
+
+def test_stream_index_writer_end_to_end(spark, tmp_path):
+    """Stream half the corpus into an index built on the other half; the
+    probes must equal a single-shot build over the whole corpus, and a
+    restart on the same checkpoint must replay nothing."""
+    import os
+
+    from entangledb_spark.operators.text_index import stream_index_writer
+
+    docs = _docs(spark)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half_b.repartition(3).write.parquet(src)
+    d = str(tmp_path / "idx_stream")
+    ckpt = str(tmp_path / "ckpt")
+    build_text_index(half_a, d)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    w = stream_index_writer(d, stream, "s1", ckpt)
+    w.trigger(availableNow=True).start().awaitTermination()
+    got = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
+    d2 = str(tmp_path / "idx_full")
+    build_text_index(docs, d2)
+    want = bm25_topk_indexed(spark, d2, BM25_GATE_TERMS, k=12).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in got] == [
+        (r.doc_id, r.bm25_tf) for r in want
+    ]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-12
+    # restart on the same checkpoint: no new batches, index unchanged
+    n_rows = spark.read.parquet(os.path.join(d, "postings")).count()
+    w2 = stream_index_writer(d, stream, "s1", ckpt)
+    w2.trigger(availableNow=True).start().awaitTermination()
+    assert spark.read.parquet(os.path.join(d, "postings")).count() == n_rows
