@@ -12,10 +12,12 @@ O(sum of the query terms' posting lists), independent of corpus size.
 
 Layout under ``index_dir``:
 
-- ``postings/`` parquet PARTITIONED BY bucket — (token, doc_id, tf, dl):
-  document length is DENORMALIZED into every posting (+8 bytes/row) so
-  scoring never joins a doc-stats table — the probe plan is scan →
-  tiny-map join → one aggregation → top-k.
+- ``postings/`` parquet PARTITIONED BY (batch, bucket) — (token, doc_id,
+  tf, dl): document length is DENORMALIZED into every posting (+8
+  bytes/row) so scoring never joins a doc-stats table — the probe plan
+  is scan → tiny-map join → one aggregation → top-k. The batch level
+  exists for idempotent appends (see build_text_index); probes filter
+  the bucket level only, and compact_index folds batches back into one.
 - ``lexicon/``  parquet PARTITIONED BY bucket — (token, df): document
   frequencies, read pruned at probe time to price each term's idf.
 - ``stats/``    one row — (n_docs, sum_dl): the corpus-level BM25
@@ -418,3 +420,39 @@ def retrieval_contamination(
         F.min("rk").cast("long").alias("best_rank"),
         F.max("score").alias("max_score"),
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold all append batches back into one ``base`` batch — the
+    maintenance pass for long-running streams, whose many small per-batch
+    files otherwise accumulate open-file and listing cost at probe time.
+
+    One read → one partitioned rewrite into a STAGING directory, then an
+    atomic swap (os.replace of the postings dir) and a ledger collapse.
+    Readers racing the swap see either the old layout or the new one,
+    never a mix; a crash before the swap leaves the index untouched
+    (the staging dir is garbage to be re-compacted). Probe results are
+    identical before and after — compaction moves bytes, not data."""
+    posts_dir = os.path.join(index_dir, "postings")
+    staging = os.path.join(index_dir, "postings._compacting")
+    old = os.path.join(index_dir, "postings._old")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    meta = _read_meta(index_dir)
+    n_docs = sum(int(v) for v in meta["batches"].values())
+    (
+        spark.read.parquet(posts_dir)
+        .select("token", "doc_id", "tf", "dl", "bucket")
+        .withColumn("batch", F.lit("base"))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("batch", "bucket")
+        .parquet(staging)
+    )
+    os.replace(posts_dir, old)
+    os.replace(staging, posts_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    meta["batches"] = {"base": n_docs}
+    _write_meta(index_dir, meta)

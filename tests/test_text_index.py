@@ -234,3 +234,36 @@ def test_stream_index_writer_end_to_end(spark, tmp_path):
     w2 = stream_index_writer(d, stream, "s1", ckpt)
     w2.trigger(availableNow=True).start().awaitTermination()
     assert spark.read.parquet(os.path.join(d, "postings")).count() == n_rows
+
+
+def test_compaction_preserves_probes(spark, tmp_path):
+    """After folding stream batches into one base batch, probe results
+    are identical and the ledger collapses to a single entry."""
+    import os
+
+    from entangledb_spark.operators.text_index import (
+        _read_meta,
+        compact_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "idx_compact")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 0), d)
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 1), d, mode="append")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 2), d, mode="append")
+    before = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
+    n_files_before = len(
+        spark.read.parquet(os.path.join(d, "postings")).inputFiles()
+    )
+    compact_index(spark, d)
+    after = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in after] == [
+        (r.doc_id, r.bm25_tf) for r in before
+    ]
+    for a, b in zip(after, before):
+        assert abs(a.score - b.score) < 1e-12
+    assert _read_meta(d)["batches"] == {"base": docs.count()}
+    n_files_after = len(
+        spark.read.parquet(os.path.join(d, "postings")).inputFiles()
+    )
+    assert n_files_after <= n_files_before
