@@ -117,3 +117,38 @@ def test_variance_explained_improves_reconstruction(spark, fixture):
         errs.append(float(((x - recon) ** 2).sum()))
     assert all(a >= b - 1e-9 for a, b in zip(errs, errs[1:]))
     assert errs[-1] < 1e-12  # full basis reconstructs exactly
+
+
+def test_whiten_feeds_ann_pipeline(spark, fixture, tmp_path):
+    """Composition: embedding_whiten output drives the persistent ANN
+    index end-to-end (schema-compatible, deterministic), and the probe's
+    top-1 neighbors agree with numpy brute-force cosine over the SAME
+    whitened vectors."""
+    from entangledb_spark.operators.ann_index import (
+        build_lsh_index,
+        probe_lsh_index,
+    )
+
+    df, _, model = fixture
+    w = embedding_whiten(df, model, k=8)
+    d = str(tmp_path / "ann_white")
+    build_lsh_index(w, d)
+    probes = w.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rk): r.neighbor_id
+        for r in probe_lsh_index(spark, d, probes, k=3).collect()
+    }
+    y = {r.vec_id: np.array(r.embedding) for r in w.collect()}
+    for q in range(5):
+        qv = y[q]
+        sims = sorted(
+            (
+                (float(qv @ v) / (np.linalg.norm(qv) * np.linalg.norm(v)), i)
+                for i, v in y.items()
+                if i != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        # LSH is approximate: assert the exact top-1 is retrieved at rk 1
+        # (whitened sf0.001 corpus: measured recall 1.0 for top-1)
+        assert got.get((q, 1)) == sims[0][1], q
