@@ -110,12 +110,15 @@ def build_text_index(
 ) -> None:
     """One corpus pass builds postings; lexicon/stats reduce from them.
 
-    Shape: explode(tokens) → (doc, token) count with map-side combine
-    (the tf relation), dl as a same-shuffle window sum over the doc key
-    — postings carry (token, doc_id, tf, dl) and are repartitioned on
-    the bucket key before the partitioned write (one compacted file per
-    directory, the ann_index build lesson). Token-less documents appear
-    only in stats (their dl=0 still prices avgdl).
+    Shape: dl = size(tokens) computed NARROWLY per document before the
+    explode and carried through it, so the (doc, token) count with
+    map-side combine is the build's only data shuffle (a window over the
+    doc key would re-exchange: hash partitioning on (doc_id, token) does
+    not colocate doc_id) — postings carry (token, doc_id, tf, dl) and
+    are repartitioned on the bucket key for the partitioned write (one
+    compacted file per directory, the ann_index build lesson).
+    Token-less documents appear only in stats (their dl=0 still prices
+    avgdl).
 
     Postings live under a two-level (batch, bucket) partition layout.
     ``batch`` names the increment; appends write THEIR batch's
@@ -144,22 +147,23 @@ def build_text_index(
                 f"against an index built with (n_buckets={meta['n_buckets']}, "
                 f"token_re={meta['token_re']!r})"
             )
-    from pyspark.sql import Window
-
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0)
-        ).alias("token"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0).alias(
+            "_toks"
+        ),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("token"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # dl rides the tf relation (sum of tfs per doc) — no second corpus
-    # scan, no join against a doc-stats table
-    dl_w = Window.partitionBy("doc_id")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
     postings = (
-        tf.withColumn("dl", F.sum("tf").over(dl_w).cast("long"))
-        .withColumn("bucket", (F.crc32(F.col("token")) % n_buckets).cast("long"))
+        tf.withColumn("bucket", (F.crc32(F.col("token")) % n_buckets).cast("long"))
         .withColumn("batch", F.lit(batch))
+        .select("token", "doc_id", "tf", "dl", "bucket", "batch")
     )
     writer = postings.repartition("bucket").write.partitionBy("batch", "bucket")
     if mode == "append":

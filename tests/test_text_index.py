@@ -267,3 +267,30 @@ def test_compaction_preserves_probes(spark, tmp_path):
         spark.read.parquet(os.path.join(d, "postings")).inputFiles()
     )
     assert n_files_after <= n_files_before
+
+
+def test_build_postings_single_data_shuffle(spark):
+    """dl derives narrowly before the explode, so the postings relation
+    needs exactly ONE data shuffle (the tf aggregation) plus the write's
+    bucket routing — no Window re-exchange on doc_id."""
+    import os
+
+    from entangledb_spark.operators.text_index import N_TOKEN_BUCKETS
+
+    docs = _docs(spark)
+    toks = docs.select(
+        F.col("doc_id"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias(
+            "_toks"
+        ),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.explode("_toks").alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    plan = tf._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
