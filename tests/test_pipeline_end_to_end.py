@@ -5,7 +5,10 @@ operators composed the way a real corpus-preparation job chains them
   PII redaction → C4 line cleaning → text metrics → quality gates
   (length/repetition/LM-perplexity) → exact dedup → containment
   survivors (winnowing) → span dedup → semantic dedup (embedding
-  near-dup survivors) → sequence packing → vocabulary induction
+  near-dup survivors) → retrieval-based decontamination (BM25 index
+  over the survivors, benchmark top-1 hits dropped) → diversity quota
+  (cluster-balanced sampling over k-means cells) → sequence packing →
+  vocabulary induction
 
 Each stage consumes the previous stage's DataFrame (single lazy plan per
 stage boundary, no driver round-trips besides the assertions), and the
@@ -30,7 +33,7 @@ from entangledb_spark.registry import QUERIES, load_all, table
 SF = "/root/testdata/sf0.001"
 
 
-def test_pipeline_end_to_end(spark):
+def test_pipeline_end_to_end(spark, tmp_path):
     from entangledb_spark.operators.quality import clean_lines_c4
 
     from entangledb_spark.operators.pii import redact_documents
@@ -96,6 +99,46 @@ def test_pipeline_end_to_end(spark):
     cleaned = cleaned.join(sem_keep, "doc_id", "left_semi")
     n3b = cleaned.count()
     assert 0 < n3b <= n3
+
+    # 3c. retrieval-based decontamination: BM25-index the survivors,
+    # drop any document a benchmark item ranks FIRST (top-1 = the
+    # strongest paraphrase-overlap suspects; exact 8-gram contamination
+    # is the separate quality.contamination gate)
+    from entangledb_spark.operators.text_index import (
+        build_text_index,
+        retrieval_contamination,
+    )
+
+    idx = str(tmp_path / "pipeline_idx")
+    build_text_index(cleaned, idx)
+    bench = spark.createDataFrame(
+        [(0, "hash join window sort"), (1, "stream batch merge")],
+        "query_id long, text string",
+    )
+    suspects = retrieval_contamination(spark, idx, bench, k=3)
+    drop = suspects.filter(F.col("best_rank") == 1).select("doc_id")
+    cleaned = cleaned.join(drop, "doc_id", "left_anti")
+    n3c = cleaned.count()
+    assert 0 < n3c < n3b  # each benchmark item drops its top hit
+
+    # 3d. diversity quota: at most Q survivors per k-means cell
+    # (cluster-balanced sampling flattens dense embedding modes)
+    from entangledb_spark.operators.selection import cluster_balanced_sample
+    from entangledb_spark.operators.similarity import ivf_centroids
+
+    emb_surv = emb.selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    ).join(cleaned.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    cents = ivf_centroids(emb_surv, 8, refine=1)
+    quota = 40
+    sampled = cluster_balanced_sample(emb_surv, cents, quota)
+    per_cell = sampled.groupBy("cell").count().collect()
+    assert all(r["count"] <= quota for r in per_cell)
+    cleaned = cleaned.join(
+        sampled.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n3d = cleaned.count()
+    assert 0 < n3d <= n3c
 
     # 4. pack into fixed token budgets
     packed = pack_contiguous(cleaned)
