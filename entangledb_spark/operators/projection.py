@@ -134,8 +134,13 @@ def pca_project(
     """Project the embedding column onto the model's top-k components —
     a zero-exchange codegen'd map producing ``out_col`` array<double>.
 
-    ``whiten=True`` scales each component by 1/sqrt(eigval + eps) so the
-    projected space has unit per-component variance."""
+    ``whiten=True`` scales each component by 1/sqrt(max(eigval, 0) + eps)
+    so the projected space has unit per-component variance. The clamp
+    matters: the moments-form covariance (Σxxᵀ/n − μμᵀ) routinely yields
+    numerically NEGATIVE trailing eigenvalues (cancellation noise scales
+    with ‖x‖², and any fit with n < d has exact-zero directions), which
+    would otherwise hit sqrt of a negative number; such directions carry
+    no variance, so whitening them by the eps floor is the right limit."""
     comps = model["components"]
     k = len(comps) if k is None else min(k, len(comps))
     mean = model["mean"]
@@ -143,7 +148,7 @@ def pca_project(
     for i in range(k):
         c = list(comps[i])
         if whiten:
-            scale = 1.0 / math.sqrt(model["eigvals"][i] + eps)
+            scale = 1.0 / math.sqrt(max(model["eigvals"][i], 0.0) + eps)
             c = [x * scale for x in c]
         offset = -sum(m * x for m, x in zip(mean, c))
         exprs.append(_proj_sql(emb_col, c, offset))

@@ -73,6 +73,30 @@ def _tokens(text_col: Column) -> Column:
     return F.regexp_extract_all(F.lower(text_col), F.lit(BM25_TOKEN_RE), 0)
 
 
+def normalize_terms(terms: tuple[str, ...], token_re: str = BM25_TOKEN_RE) -> tuple[str, ...]:
+    """Normalize probe terms through the SAME lens the build side applies
+    to document text: lowercase, then require each term to be a single
+    token of ``token_re``. Corpus tokens are lower()'d at build time, so
+    an un-normalized probe ('Hash') would silently score zero everywhere
+    — and on the partitioned index it would read the WRONG bucket
+    directory (crc32('Hash') ≠ crc32('hash')). A term that cannot
+    tokenize at all (whitespace, punctuation, multiple words) can never
+    match any posting, so it raises instead of silently returning zeros;
+    free-text queries belong on bm25_topk_bulk, which tokenizes them."""
+    import re
+
+    out = []
+    for t in terms:
+        low = t.lower()
+        if re.fullmatch(token_re, low) is None:
+            raise ValueError(
+                f"probe term {t!r} is not a single {token_re!r} token — "
+                "pass free text through bm25_topk_bulk, which tokenizes it"
+            )
+        out.append(low)
+    return tuple(out)
+
+
 def bm25_doc_terms(
     docs: DataFrame,
     terms: tuple[str, ...],
@@ -86,6 +110,7 @@ def bm25_doc_terms(
     the rest of BM25 touches; persist it and the corpus text is scanned
     exactly once end-to-end.
     """
+    terms = normalize_terms(terms)
     toks = _tokens(F.col(text_col))
     cols = [F.col(id_col), F.size(toks).alias("dl")]
 

@@ -312,8 +312,12 @@ def dsir_select_threshold(
     return scored.filter(F.col("score") >= cut)
 
 
-def cluster_rank(assigned: DataFrame, id_col: str = "vec_id") -> Column:
+def cluster_rank(id_col: str = "vec_id") -> Column:
     """Deterministic within-cell rank: knuth-hash order, ties to the id.
+
+    Returns an unbound window Column over (``cell``, ``id_col``) — attach
+    it to any frame carrying those columns (the real contract; an earlier
+    signature took a DataFrame it never used).
 
     The key is a pseudo-random bijection of the id (text.knuth_key), so
     ranking by it is an unbiased per-cell shuffle that every engine,
@@ -334,6 +338,7 @@ def cluster_balanced_sample(
     centroids,
     quota: int,
     id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """Diversity-preserving subsample: at most ``quota`` vectors per
     k-means cell, chosen by deterministic knuth-hash order.
@@ -344,19 +349,20 @@ def cluster_balanced_sample(
     applies before mixing. Pairs with ivf_centroids(refine=N): train
     cells once, then sample against the collected centroid rows.
 
-    Plan shape: assignment is the zero-exchange ivf_assign map; ranking
-    is ONE shuffle of narrow (id, embedding, cell) rows. The window
-    sorts per cell, so size n_cells to keep cells executor-sized (the
-    SemDeDup paper's 50k cells put a 100 TB corpus at ~2 GB/cell); the
-    quota itself never concentrates rows — every cell's output is
-    bounded by ``quota``.
+    Plan shape: assignment is the zero-exchange ivf_assign map
+    (preserving every input column); ranking is ONE shuffle of the
+    assigned rows — pre-project ``df`` to the columns the survivors
+    need so that exchange stays narrow. The window sorts per cell, so
+    size n_cells to keep cells executor-sized (the SemDeDup paper's 50k
+    cells put a 100 TB corpus at ~2 GB/cell); the quota itself never
+    concentrates rows — every cell's output is bounded by ``quota``.
 
-    Returns the surviving rows of ``df`` plus their ``cell``."""
+    Returns the surviving rows of ``df`` (all columns) plus ``cell``."""
     from entangledb_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(df, centroids)
+    assigned = ivf_assign(df, centroids, emb_col=emb_col)
     return (
-        assigned.withColumn("_ck_rank", cluster_rank(assigned, id_col))
+        assigned.withColumn("_ck_rank", cluster_rank(id_col))
         .filter(F.col("_ck_rank") <= quota)
         .drop("_ck_rank")
     )

@@ -389,7 +389,13 @@ def _unit_vec_sql(vec) -> str:
 IVF_FOLD_MAX_CELLS = 256
 
 
-def ivf_assign(df: DataFrame, centroids, nprobe: int = 1, route: str = "auto") -> DataFrame:
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    nprobe: int = 1,
+    route: str = "auto",
+    emb_col: str = "embedding",
+) -> DataFrame:
     """Nearest-centroid assignment; two physical routes, same semantics.
 
     ``route="literal"`` (default below IVF_FOLD_MAX_CELLS cells) — ONE
@@ -431,30 +437,35 @@ def ivf_assign(df: DataFrame, centroids, nprobe: int = 1, route: str = "auto") -
     ``centroids`` may be the centroid DataFrame or an already-collected
     row list — callers assigning BOTH a corpus and a probe side against
     the same centroids should collect once and pass the rows to both
-    calls (a DataFrame is lazily recomputed per collect)."""
+    calls (a DataFrame is lazily recomputed per collect).
+
+    All input columns are PRESERVED (output = df's columns + ``cell``;
+    with nprobe > 1 each row repeats once per probed cell) — callers
+    that shuffle the assignment afterwards should pre-project to the
+    columns they need so the exchange stays narrow."""
     if isinstance(centroids, DataFrame):
         centroids = centroids.select("cell", "centroid").collect()
     rows = sorted(centroids, key=lambda r: r.cell)
     if route == "auto":
         route = "literal" if len(rows) <= IVF_FOLD_MAX_CELLS else "arrow"
     if route == "arrow":
-        return _ivf_assign_arrow(df, rows, nprobe)
+        return _ivf_assign_arrow(df, rows, nprobe, emb_col)
     unit_lit = _unit_vec_sql
 
     structs = ",".join(
-        "struct(-aggregate(zip_with(embedding, "
+        f"struct(-aggregate(zip_with({emb_col}, "
         f"{unit_lit(r.centroid)}, (x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0 AS DOUBLE), (a, v) -> a + v) AS dist, "
         f"CAST({int(r.cell)} AS BIGINT) AS cell)"
         for r in rows
     )
     top = F.expr(f"slice(array_sort(array({structs})), 1, {int(nprobe)})")
-    return df.select(
-        "vec_id", "embedding", F.explode(top).alias("tc")
-    ).select("vec_id", "embedding", F.col("tc.cell").alias("cell"))
+    return df.select("*", F.explode(top).alias("_tc")).select(
+        *df.columns, F.col("_tc.cell").alias("cell")
+    )
 
 
-def _ivf_assign_arrow(df: DataFrame, rows, nprobe: int) -> DataFrame:
+def _ivf_assign_arrow(df: DataFrame, rows, nprobe: int, emb_col: str = "embedding") -> DataFrame:
     """Large-n_cells assignment route (see ivf_assign): broadcast the
     unit-centroid matrix once per job, then one Arrow-batched matmul per
     input batch. Tie order matches the literal route exactly: the matrix
@@ -480,31 +491,25 @@ def _ivf_assign_arrow(df: DataFrame, rows, nprobe: int) -> DataFrame:
     bc = spark.sparkContext.broadcast((cells, mat))
     p = int(nprobe)
 
-    in_fields = {f.name: f for f in df.schema.fields}
     schema = T.StructType(
-        [in_fields["vec_id"], in_fields["embedding"], T.StructField("cell", T.LongType())]
+        list(df.schema.fields) + [T.StructField("cell", T.LongType())]
     )
 
     def assign_batches(batches):
         import numpy as _np
-        import pandas as _pd
 
         b_cells, b_mat = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            v = _np.array(pdf[emb_col].tolist(), dtype=_np.float64)
             dist = -(v @ b_mat)  # (batch, n_cells)
             order = _np.argsort(dist, axis=1, kind="stable")[:, :p]
-            yield _pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(p),
-                    "embedding": pdf["embedding"].to_numpy().repeat(p),
-                    "cell": b_cells[order].ravel(),
-                }
-            )
+            out = pdf.iloc[_np.arange(len(pdf)).repeat(p)].copy()
+            out["cell"] = b_cells[order].ravel()
+            yield out
 
-    return df.select("vec_id", "embedding").mapInPandas(assign_batches, schema)
+    return df.mapInPandas(assign_batches, schema)
 
 
 def ann_ivf(
@@ -991,7 +996,7 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = assigned1.select(
         "vec_id",
         F.col("cell").cast("long").alias("km_cell_r1"),
-        (cluster_rank(assigned1) <= 40).cast("long").alias("km_keep"),
+        (cluster_rank() <= 40).cast("long").alias("km_keep"),
     )
     return (
         base.join(agg, "vec_id", "left")

@@ -502,7 +502,10 @@ def q66_text_entropy_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the identical left-assoc fold in SQL (operators/retrieval.py).
     from entangledb_spark.operators.retrieval import bm25_gate_summary
 
-    bm = bm25_gate_summary(table(spark, sf_dir, "documents"))
+    # reuse the already-repartitioned docs relation (same values, and the
+    # narrow tf map inherits mh/sh's executor parallelism) instead of a
+    # third scan of the raw parquet partitioning
+    bm = bm25_gate_summary(docs_cpu)
     return (
         ent.join(kw, "doc_id", "left")
         .join(mh, "doc_id", "left")

@@ -27,6 +27,10 @@ Layout under ``index_dir``:
   authoritative at probe/append time (a probe hashed with a different
   bucket count would silently read the wrong directories; appends with
   mismatched parameters are rejected outright — the ann_index contract).
+  The meta also carries the ACTIVE postings directory pointer
+  (``postings_dir``; compact_index commits a rewrite by atomically
+  swapping this file) and the ``folded`` batch ledger that keeps
+  streaming replays exactly-once across compactions.
 
 The bucket hash is crc32(token) % n_buckets — computed by F.crc32 on
 the build side and zlib.crc32 on the (driver-side) probe term list;
@@ -66,6 +70,7 @@ from entangledb_spark.operators.retrieval import (
     BM25_K1,
     BM25_TOKEN_RE,
     bm25_idf,
+    normalize_terms,
 )
 
 _META_FILE = "_index_meta.json"
@@ -73,9 +78,14 @@ N_TOKEN_BUCKETS = 64
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
+    """Atomic: a crash mid-write must never leave a torn meta file — the
+    meta is the index's commit pointer (compact_index swaps the postings
+    directory by atomically swapping this file)."""
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, _META_FILE), "w") as f:
+    tmp = os.path.join(index_dir, _META_FILE + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META_FILE))
 
 
 def _read_meta(index_dir: str) -> dict:
@@ -89,6 +99,13 @@ def _read_meta(index_dir: str) -> dict:
             f"index at {index_dir} is kind={meta.get('kind')!r}, expected 'text'"
         )
     return meta
+
+
+def _posts_path(index_dir: str, meta: dict) -> str:
+    """The ACTIVE postings directory. Indirect via the meta pointer so
+    compact_index can swap the whole postings layout with one atomic
+    meta replace instead of two non-atomic directory renames."""
+    return os.path.join(index_dir, meta.get("postings_dir", "postings"))
 
 
 def _term_bucket(term: str, n_buckets: int) -> int:
@@ -136,9 +153,23 @@ def build_text_index(
     ``batch`` defaults to "base" on build and a UNIQUE name on append —
     an append aimed at an existing batch name (deliberately, e.g. a
     streaming replay) replaces that batch's data rather than appending
-    beside it."""
+    beside it: its old partition directories are removed first, so the
+    replacement is complete even when the new data misses buckets the
+    old data touched (dynamic partition overwrite alone would leave
+    those buckets stale). An append whose batch name appears in the
+    FOLDED ledger (compact_index absorbed it into base) is a replay of
+    data the index already holds and is skipped outright — that is what
+    keeps the streaming writer exactly-once ACROSS compactions."""
+    import re as _re
+    import shutil
+
     if batch is None:
         batch = "base" if mode != "append" else f"append-{os.urandom(6).hex()}"
+    if _re.fullmatch(r"[A-Za-z0-9_.\-]+", batch) is None:
+        raise ValueError(
+            f"batch name {batch!r} must be [A-Za-z0-9_.-]+ (it becomes a "
+            "partition directory name)"
+        )
     if mode == "append":
         meta = _read_meta(index_dir)
         if (meta["n_buckets"], meta["token_re"]) != (n_buckets, token_re):
@@ -146,6 +177,22 @@ def build_text_index(
                 f"append with (n_buckets={n_buckets}, token_re={token_re!r}) "
                 f"against an index built with (n_buckets={meta['n_buckets']}, "
                 f"token_re={meta['token_re']!r})"
+            )
+        if batch == "base":
+            raise ValueError(
+                "append may not target the 'base' batch (the built/compacted "
+                "corpus) — pick another batch name"
+            )
+        if batch in meta.get("folded", []):
+            # a replayed stream batch whose data compact_index already
+            # folded into base — writing it again would duplicate postings
+            return
+        if batch in meta.get("batches", {}):
+            # full replacement semantics: drop the old batch's partitions
+            # so buckets absent from the new data don't keep stale rows
+            shutil.rmtree(
+                os.path.join(_posts_path(index_dir, meta), f"batch={batch}"),
+                ignore_errors=True,
             )
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -169,9 +216,11 @@ def build_text_index(
     if mode == "append":
         # overwrite ONLY this batch's partitions — the idempotence trick
         writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        posts_dir = _posts_path(index_dir, meta)
     else:
         writer = writer.mode(mode)
-    writer.parquet(os.path.join(index_dir, "postings"))
+        posts_dir = os.path.join(index_dir, "postings")
+    writer.parquet(posts_dir)
     spark = docs.sparkSession
     # n_docs lives in the meta ledger (token-less docs appear in no
     # posting, so it cannot be re-derived from the index); keyed by
@@ -181,12 +230,23 @@ def build_text_index(
         meta = _read_meta(index_dir)
         meta["batches"][batch] = int(n_new)
     else:
+        # a rebuild over a previously-compacted index resets the pointer
+        # to "postings"; drop the orphaned versioned dir afterwards
+        old_posts = None
+        if os.path.exists(os.path.join(index_dir, _META_FILE)):
+            prev = _read_meta(index_dir)
+            if prev.get("postings_dir", "postings") != "postings":
+                old_posts = _posts_path(index_dir, prev)
         meta = {
             "kind": "text",
             "n_buckets": n_buckets,
             "token_re": token_re,
+            "postings_dir": "postings",
             "batches": {batch: int(n_new)},
+            "folded": [],
         }
+        if old_posts is not None:
+            shutil.rmtree(old_posts, ignore_errors=True)
     _write_meta(index_dir, meta)
     if refresh:
         refresh_stats(spark, index_dir)
@@ -199,7 +259,7 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> None:
     end — df/avgdl drift until then is the standard serving trade)."""
     meta = _read_meta(index_dir)
     n_docs = sum(int(v) for v in meta["batches"].values())
-    posts = spark.read.parquet(os.path.join(index_dir, "postings"))
+    posts = spark.read.parquet(_posts_path(index_dir, meta))
     lex = posts.groupBy("bucket", "token").agg(F.count(F.lit(1)).alias("df"))
     lex.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(index_dir, "lexicon")
@@ -276,6 +336,9 @@ def bm25_topk_indexed(
     containing >= 1 query term."""
     meta = _read_meta(index_dir)
     n_buckets = meta["n_buckets"]
+    # same normalization the build side applies to document text — an
+    # un-normalized term would hash to the WRONG bucket directory
+    terms = normalize_terms(terms, meta["token_re"])
     terms = tuple(dict.fromkeys(terms))  # dedupe, keep order
     buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
     stats = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
@@ -296,7 +359,7 @@ def bm25_topk_indexed(
     c0 = k1 * (1.0 - b)
     c1 = (k1 * b) / avgdl if avgdl else 0.0
     posts = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        spark.read.parquet(_posts_path(index_dir, meta))
         .filter(F.col("bucket").isin(buckets) & F.col("token").isin(list(terms)))
     )
     contrib = idf_map[F.col("token")] * (
@@ -367,7 +430,7 @@ def bm25_topk_bulk(
         .select("token", "df")
     )
     posts = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        spark.read.parquet(_posts_path(index_dir, meta))
         .filter(F.col("bucket").isin(buckets))
         .select("token", "doc_id", "tf", "dl")
     )
@@ -431,23 +494,40 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     maintenance pass for long-running streams, whose many small per-batch
     files otherwise accumulate open-file and listing cost at probe time.
 
-    One read → one partitioned rewrite into a STAGING directory, then an
-    atomic swap (os.replace of the postings dir) and a ledger collapse.
-    Readers racing the swap see either the old layout or the new one,
-    never a mix; a crash before the swap leaves the index untouched
-    (the staging dir is garbage to be re-compacted). Probe results are
-    identical before and after — compaction moves bytes, not data."""
-    posts_dir = os.path.join(index_dir, "postings")
-    staging = os.path.join(index_dir, "postings._compacting")
-    old = os.path.join(index_dir, "postings._old")
+    Commit protocol: one read → one partitioned rewrite into a fresh
+    VERSIONED directory (``postings_v{N}``), then ONE atomic commit —
+    os.replace of the meta file, whose ``postings_dir`` pointer flips
+    every subsequent reader to the new layout. A crash at any point
+    leaves the index fully consistent: before the meta swap the old
+    layout is still pointed to (the half-written new dir is garbage,
+    reclaimed by the next compaction); after it the new layout is live
+    and only the old dir lingers until the best-effort cleanup.
+
+    Exactly-once across streams: the names of the folded batches move to
+    ``meta["folded"]``, and build_text_index SKIPS an append whose batch
+    name is in that ledger — so a foreachBatch replay of a micro-batch
+    that was committed and then compacted does NOT re-duplicate its
+    postings. Serialize compaction against an ACTIVELY COMMITTING
+    trigger, though (run it between triggers or with the stream
+    stopped): a batch that lands after the compaction's read but before
+    its meta swap would be silently dropped. In-flight probes that
+    resolved the OLD pointer may fail once the old dir is removed —
+    retry reads the new pointer (keep a grace copy externally if the
+    serving layer needs zero-error swaps).
+
+    Probe results are identical before and after — compaction moves
+    bytes, not data."""
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     meta = _read_meta(index_dir)
+    cur = _posts_path(index_dir, meta)
+    version = int(meta.get("version", 0)) + 1
+    new_name = f"postings_v{version}"
+    staging = os.path.join(index_dir, new_name)
+    shutil.rmtree(staging, ignore_errors=True)
     n_docs = sum(int(v) for v in meta["batches"].values())
     (
-        spark.read.parquet(posts_dir)
+        spark.read.parquet(cur)
         .select("token", "doc_id", "tf", "dl", "bucket")
         .withColumn("batch", F.lit("base"))
         .repartition("bucket")
@@ -455,8 +535,13 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("batch", "bucket")
         .parquet(staging)
     )
-    os.replace(posts_dir, old)
-    os.replace(staging, posts_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    folded = sorted(
+        set(meta.get("folded", []))
+        | {b for b in meta["batches"] if b != "base"}
+    )
+    meta["postings_dir"] = new_name
+    meta["version"] = version
     meta["batches"] = {"base": n_docs}
-    _write_meta(index_dir, meta)
+    meta["folded"] = folded
+    _write_meta(index_dir, meta)  # THE commit point (atomic os.replace)
+    shutil.rmtree(cur, ignore_errors=True)

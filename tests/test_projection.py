@@ -152,3 +152,18 @@ def test_whiten_feeds_ann_pipeline(spark, fixture, tmp_path):
         # LSH is approximate: assert the exact top-1 is retrieved at rk 1
         # (whitened sf0.001 corpus: measured recall 1.0 for top-1)
         assert got.get((q, 1)) == sims[0][1], q
+
+
+def test_whiten_degenerate_eigvals_no_crash(spark):
+    """A fit with n < d has exact-zero variance directions, and the
+    moments-form covariance routinely reports them as slightly NEGATIVE
+    eigenvalues — whitening with the default k must clamp instead of
+    calling sqrt on a negative (the round-7 review finding)."""
+    df = _emb(spark).limit(4)  # n=4 rows, d=16 dims → >= 12 null directions
+    model = pca_fit(df)
+    assert min(model["eigvals"]) < 1e-8  # the degenerate tail is real
+    out = embedding_whiten(df, model)  # default k = full basis
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert all(np.isfinite(v) for v in r.embedding)

@@ -366,3 +366,30 @@ def test_cluster_balanced_sample_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # hashpartition by cell (+AQE read)
+
+
+def test_cluster_balanced_sample_carries_columns_and_custom_names(spark):
+    """The survivor frame keeps EVERY input column (the curation shape:
+    id + embedding + text + metadata), and custom id/embedding column
+    names route all the way through ivf_assign (the round-7 review
+    finding: both used to be hardcoded to vec_id/embedding)."""
+    from entangledb_spark.operators.selection import cluster_balanced_sample
+    from entangledb_spark.operators.similarity import ivf_centroids
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding")
+    cents = ivf_centroids(base, 8, refine=1).collect()
+    want = {r.vec_id for r in cluster_balanced_sample(base, cents, 40).collect()}
+
+    renamed = base.selectExpr(
+        "vec_id AS doc_id",
+        "embedding AS emb",
+        "vec_id * 10 AS payload",
+    )
+    got_rows = cluster_balanced_sample(
+        renamed, cents, 40, id_col="doc_id", emb_col="emb"
+    ).collect()
+    assert {r.doc_id for r in got_rows} == want  # same survivors, any names
+    assert set(got_rows[0].asDict()) == {"doc_id", "emb", "payload", "cell"}
+    assert all(r.payload == r.doc_id * 10 for r in got_rows)  # columns intact

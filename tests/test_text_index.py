@@ -238,10 +238,14 @@ def test_stream_index_writer_end_to_end(spark, tmp_path):
 
 def test_compaction_preserves_probes(spark, tmp_path):
     """After folding stream batches into one base batch, probe results
-    are identical and the ledger collapses to a single entry."""
+    are identical and the ledger collapses to a single entry. The commit
+    is the atomic meta-pointer swap: the active postings dir moves to
+    ``postings_v1``, the old dir is reclaimed, and the folded batch
+    names are ledgered so their replays are skipped."""
     import os
 
     from entangledb_spark.operators.text_index import (
+        _posts_path,
         _read_meta,
         compact_index,
     )
@@ -249,11 +253,11 @@ def test_compaction_preserves_probes(spark, tmp_path):
     docs = _docs(spark)
     d = str(tmp_path / "idx_compact")
     build_text_index(docs.filter(F.col("doc_id") % 3 == 0), d)
-    build_text_index(docs.filter(F.col("doc_id") % 3 == 1), d, mode="append")
-    build_text_index(docs.filter(F.col("doc_id") % 3 == 2), d, mode="append")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 1), d, mode="append", batch="s1-0")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 2), d, mode="append", batch="s1-1")
     before = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
     n_files_before = len(
-        spark.read.parquet(os.path.join(d, "postings")).inputFiles()
+        spark.read.parquet(_posts_path(d, _read_meta(d))).inputFiles()
     )
     compact_index(spark, d)
     after = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
@@ -262,11 +266,97 @@ def test_compaction_preserves_probes(spark, tmp_path):
     ]
     for a, b in zip(after, before):
         assert abs(a.score - b.score) < 1e-12
-    assert _read_meta(d)["batches"] == {"base": docs.count()}
+    meta = _read_meta(d)
+    assert meta["batches"] == {"base": docs.count()}
+    assert meta["postings_dir"] == "postings_v1"
+    assert not os.path.exists(os.path.join(d, "postings"))  # old dir reclaimed
+    assert meta["folded"] == ["s1-0", "s1-1"]
     n_files_after = len(
-        spark.read.parquet(os.path.join(d, "postings")).inputFiles()
+        spark.read.parquet(_posts_path(d, meta)).inputFiles()
     )
     assert n_files_after <= n_files_before
+
+
+def test_folded_batch_replay_skipped_after_compaction(spark, tmp_path):
+    """foreachBatch may replay a micro-batch whose data compact_index
+    already folded into base — the folded ledger must make that replay a
+    no-op (without it, the replay would re-append every posting of that
+    batch: duplicate scores, double-counted n_docs)."""
+    from entangledb_spark.operators.text_index import (
+        _posts_path,
+        _read_meta,
+        compact_index,
+    )
+
+    docs = _docs(spark)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    d = str(tmp_path / "idx_fold_replay")
+    build_text_index(half_a, d)
+    build_text_index(half_b, d, mode="append", batch="s1-7")
+    compact_index(spark, d)
+    meta = _read_meta(d)
+    n_rows = spark.read.parquet(_posts_path(d, meta)).count()
+    n_docs = sum(meta["batches"].values())
+    probes = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    # the crash-replay: the checkpoint re-delivers batch 7 after compaction
+    build_text_index(half_b, d, mode="append", batch="s1-7")
+    meta2 = _read_meta(d)
+    assert spark.read.parquet(_posts_path(d, meta2)).count() == n_rows
+    assert sum(meta2["batches"].values()) == n_docs
+    again = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in again] == [
+        (r.doc_id, r.bm25_tf) for r in probes
+    ]
+
+
+def test_append_existing_batch_full_replacement(spark, tmp_path):
+    """Re-aiming an append at an existing batch name with DIFFERENT data
+    must fully replace the old batch — including postings in buckets the
+    new data never touches (dynamic partition overwrite alone leaves
+    those stale)."""
+    from entangledb_spark.operators.text_index import refresh_stats
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    big = docs.filter(F.col("doc_id") % 3 > 0)
+    small = big.filter(F.col("doc_id") % 17 == 1)  # touches far fewer buckets
+    d = str(tmp_path / "idx_replace")
+    build_text_index(base, d)
+    build_text_index(big, d, mode="append", batch="b1")
+    build_text_index(small, d, mode="append", batch="b1")  # corrected data
+    refresh_stats(spark, d)
+    got = bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=12).collect()
+    d2 = str(tmp_path / "idx_replace_want")
+    build_text_index(base.unionByName(small), d2)
+    want = bm25_topk_indexed(spark, d2, BM25_GATE_TERMS, k=12).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in got] == [
+        (r.doc_id, r.bm25_tf) for r in want
+    ]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-12
+
+
+def test_append_to_base_rejected(spark, index_dir):
+    with pytest.raises(ValueError, match="base"):
+        build_text_index(_docs(spark), index_dir, mode="append", batch="base")
+
+
+def test_probe_terms_normalized(spark, index_dir):
+    """Corpus tokens are lower()'d at build time; a mixed-case probe term
+    must score like its lowercase form on BOTH probe routes (on the
+    index it would otherwise also read the WRONG bucket directory), and
+    a term that can't tokenize raises instead of silently zeroing."""
+    lo = bm25_topk_indexed(spark, index_dir, ("hash", "join"), k=8).collect()
+    hi = bm25_topk_indexed(spark, index_dir, ("Hash", "JOIN"), k=8).collect()
+    assert [(r.doc_id, r.bm25_tf) for r in hi] == [(r.doc_id, r.bm25_tf) for r in lo]
+    inline_lo = bm25_topk(_docs(spark), ("hash",), k=8).collect()
+    inline_hi = bm25_topk(_docs(spark), ("Hash",), k=8).collect()
+    assert [(r.doc_id, r.score) for r in inline_hi] == [
+        (r.doc_id, r.score) for r in inline_lo
+    ]
+    with pytest.raises(ValueError, match="bm25_topk_bulk"):
+        bm25_topk_indexed(spark, index_dir, ("two words",), k=3)
 
 
 def test_build_postings_single_data_shuffle(spark):
