@@ -1,0 +1,236 @@
+"""Product quantization (operators/pq.py): encode == pure-Python
+reference, Lloyd refinement reduces quantization error, ADC == exact
+distance to the reconstructed vector, recall floors vs brute-force
+cosine, literal/arrow route equivalence, plan shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.pq import (
+    pq_adc_rerank_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, sf=SF):
+    return spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    df = _emb(spark)
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    model = pq_train(df, m=4, ksub=16, refine=2)
+    return df, x, model
+
+
+def _ref_codes(x: np.ndarray, model: dict) -> list[int]:
+    """Pure-Python encode: per subspace, (dist, code)-min over the
+    codebook — the tie order both Spark routes implement."""
+    m, dsub = model["m"], model["dsub"]
+    out = []
+    for j in range(m):
+        xj = x[j * dsub : (j + 1) * dsub]
+        best = min(
+            (float(np.sum((xj - np.array(cent)) ** 2)), code)
+            for code, cent in model["codebooks"][j]
+        )
+        out.append(best[1])
+    return out
+
+
+def _reconstruct(codes: list[int], model: dict) -> np.ndarray:
+    cents = []
+    for j, c in enumerate(codes):
+        cents.append(np.array(dict(model["codebooks"][j])[c]))
+    return np.concatenate(cents)
+
+
+def test_encode_matches_reference(spark, fixture):
+    df, x, model = fixture
+    got = {r.vec_id: list(r.pq_code) for r in pq_encode(df, model).collect()}
+    for vid, vec in x.items():
+        assert got[vid] == _ref_codes(vec, model), vid
+
+
+def test_encode_routes_agree_and_preserve_columns(spark, fixture):
+    df, _, model = fixture
+    wide = df.withColumn("payload", F.col("vec_id") * 10)
+    lit = {r.vec_id: (list(r.pq_code), r.payload) for r in
+           pq_encode(wide, model, route="literal").collect()}
+    arw = {r.vec_id: (list(r.pq_code), r.payload) for r in
+           pq_encode(wide, model, route="arrow").collect()}
+    assert lit == arw
+    assert all(p == vid * 10 for vid, (_, p) in lit.items())
+
+
+def test_refinement_reduces_quantization_error(spark):
+    """Lloyd rounds must not increase the mean squared reconstruction
+    error (k-means' monotonicity, up to the r6 grid's 1e-6 snap)."""
+    df = _emb(spark)
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+
+    def mse(model):
+        got = {r.vec_id: list(r.pq_code) for r in pq_encode(df, model).collect()}
+        return float(
+            np.mean(
+                [np.sum((x[v] - _reconstruct(c, model)) ** 2) for v, c in got.items()]
+            )
+        )
+
+    m0 = mse(pq_train(df, m=4, ksub=16, refine=0))
+    m1 = mse(pq_train(df, m=4, ksub=16, refine=1))
+    m2 = mse(pq_train(df, m=4, ksub=16, refine=2))
+    assert m1 <= m0 + 1e-6
+    assert m2 <= m1 + 1e-6
+    assert m2 < m0  # and the training genuinely moves
+
+
+def test_adc_equals_exact_distance_to_reconstruction(spark, fixture):
+    df, x, model = fixture
+    coded = pq_encode(df, model)
+    probe_rows = df.filter(F.col("vec_id") < 3)
+    got = pq_adc_topk(coded, model, probe_rows, k=5).collect()
+    assert {r.probe_id for r in got} == {0, 1, 2}
+    codes = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    for r in got:
+        want = float(np.sum((x[r.probe_id] - _reconstruct(codes[r.vec_id], model)) ** 2))
+        assert abs(r.adc_dist - want) < 1e-9, (r.probe_id, r.vec_id)
+
+
+def test_adc_topk_is_true_topk_and_deterministic(spark, fixture):
+    df, x, model = fixture
+    coded = pq_encode(df, model)
+    codes = {r.vec_id: list(r.pq_code) for r in coded.collect()}
+    got = pq_adc_topk(coded, model, df.filter(F.col("vec_id") == 1), k=8).collect()
+    assert [r.rk for r in sorted(got, key=lambda r: r.rk)] == list(range(1, 9))
+    # reference ranking: (adc, vec_id) over the whole corpus
+    ref = sorted(
+        (float(np.sum((x[1] - _reconstruct(c, model)) ** 2)), v)
+        for v, c in codes.items()
+    )[:8]
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rk)] == [v for _, v in ref]
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pq_recall_floor_vs_bruteforce(spark, sf):
+    """Recall@10 floors vs exact L2 on unit-normalized embeddings, at
+    both stages: raw ADC >= 0.3 (this synthetic fixture is near-random
+    16-d — quantization error genuinely swamps neighbor margins, so raw
+    ADC recall is structurally low here; measured 0.38/0.44) and the
+    two-stage ADC-shortlist + exact-rerank >= 0.7 (measured 0.82/0.88
+    at shortlist=100 — rerank recall IS shortlist coverage, the
+    production operating point)."""
+    df = _emb(spark, sf)
+    unit = df.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+        ).alias("embedding"),
+    )
+    model = pq_train(unit, m=4, ksub=16, refine=2)
+    coded = pq_encode(unit, model)
+    probes = unit.filter(F.col("vec_id") < 5)
+    x = {r.vec_id: np.array(r.embedding) for r in unit.collect()}
+    want = {
+        pid: {
+            vid
+            for _, vid in sorted(
+                (float(np.sum((x[pid] - v) ** 2)), vid) for vid, v in x.items()
+            )[:10]
+        }
+        for pid in range(5)
+    }
+
+    def mean_recall(result_df):
+        byp = {
+            pid: {r.vec_id for r in rows}
+            for pid, rows in _group(result_df.collect(), "probe_id").items()
+        }
+        return sum(len(byp[p] & want[p]) / 10 for p in range(5)) / 5
+
+    raw = mean_recall(pq_adc_topk(coded, model, probes, k=10))
+    rr = mean_recall(
+        pq_adc_rerank_topk(coded, model, probes, k=10, shortlist=100)
+    )
+    print(f"pq recall@10 {sf}: raw={raw:.2f} rerank={rr:.2f}")
+    assert raw >= 0.3, raw
+    assert rr >= 0.7, rr
+    assert rr >= raw  # rerank can only help
+
+
+def test_rerank_with_full_shortlist_is_exact(spark, fixture):
+    """shortlist = corpus size makes the two-stage search EXACT — the
+    rerank stage degenerates to brute force, pinning its math."""
+    df, x, model = fixture
+    coded = pq_encode(df, model)
+    n = df.count()
+    got = pq_adc_rerank_topk(
+        coded, model, df.filter(F.col("vec_id") == 2), k=6, shortlist=n
+    ).collect()
+    ref = sorted(
+        (float(np.sum((x[2] - v) ** 2)), vid) for vid, v in x.items()
+    )[:6]
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rk)] == [v for _, v in ref]
+    for r in got:
+        want = float(np.sum((x[2] - x[r.vec_id]) ** 2))
+        assert abs(r.exact_dist - want) < 1e-9
+
+
+def _group(rows, key):
+    out: dict = {}
+    for r in rows:
+        out.setdefault(getattr(r, key), []).append(r)
+    return out
+
+
+def test_encode_plan_zero_exchange_no_python(spark, fixture):
+    df, _, model = fixture
+    plan = (
+        pq_encode(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adc_plan_single_window_no_join(spark, fixture):
+    df, _, model = fixture
+    coded = pq_encode(df, model)
+    plan = (
+        pq_adc_topk(coded, model, df.filter(F.col("vec_id") < 3), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan  # LUTs are literals, not a join
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_dim_not_divisible_raises(spark):
+    df = _emb(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=5, ksub=8)
