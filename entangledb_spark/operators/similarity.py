@@ -814,6 +814,53 @@ def _lsh_gate_oracle_ctes() -> str:
                              vec_id) <= 40
                   THEN 1 ELSE 0 END AS keep
       FROM asg1
+    ),
+    -- Product-quantization twin (round 7, operators/pq.py): the m=4
+    -- sub-codebooks are the kc knuth-medoids' centroid slices (ksub=8 —
+    -- the SAME buckets/medoids kc already derives). Per (vector,
+    -- subspace): argmin of ||c_j||²/2 − x_j·c_j with ties to the lower
+    -- cell — the exact expression pq_encode folds into literals. The
+    -- ADC column re-prices each vector's chosen sub-centroids against a
+    -- re-derivable probe (the min-vec_id vector) by squared L2, summed
+    -- in EXPLICIT subspace order (float addition has no order contract;
+    -- conditional-max per j, then a left-assoc chain — the BM25 oracle
+    -- lesson)
+    pqd AS (SELECT len(emb) // 4 AS dsub FROM v ORDER BY vec_id LIMIT 1),
+    pqsub AS (SELECT unnest(range(4)) AS j),
+    pqasg AS (
+      SELECT vec_id, j, cell FROM (
+        SELECT v.vec_id, s.j, k.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, s.j
+                 ORDER BY
+                   list_dot_product(
+                     list_slice(k.centroid, s.j * d.dsub + 1, (s.j + 1) * d.dsub),
+                     list_slice(k.centroid, s.j * d.dsub + 1, (s.j + 1) * d.dsub)) / 2
+                   - list_dot_product(
+                     list_slice(v.emb, s.j * d.dsub + 1, (s.j + 1) * d.dsub),
+                     list_slice(k.centroid, s.j * d.dsub + 1, (s.j + 1) * d.dsub)),
+                   k.cell) AS rn
+        FROM v CROSS JOIN pqsub s CROSS JOIN kc k CROSS JOIN pqd d) WHERE rn = 1
+    ),
+    pqprobe AS (SELECT emb AS pemb FROM v ORDER BY vec_id LIMIT 1),
+    pqterm AS (
+      SELECT a.vec_id, a.j, a.cell,
+             list_sum(list_transform(
+               list_zip(list_slice(p.pemb, a.j * d.dsub + 1, (a.j + 1) * d.dsub),
+                        list_slice(k.centroid, a.j * d.dsub + 1, (a.j + 1) * d.dsub)),
+               s -> (s[1] - s[2]) * (s[1] - s[2]))) AS term
+      FROM pqasg a JOIN kc k ON a.cell = k.cell
+           CROSS JOIN pqprobe p CROSS JOIN pqd d
+    ),
+    pqcols AS (
+      SELECT vec_id,
+             max(CASE WHEN j = 0 THEN cell END) AS code0,
+             sum(cell) AS code_sum,
+             ((max(CASE WHEN j = 0 THEN term END)
+               + max(CASE WHEN j = 1 THEN term END))
+               + max(CASE WHEN j = 2 THEN term END))
+               + max(CASE WHEN j = 3 THEN term END) AS adc
+      FROM pqterm GROUP BY vec_id
     ),"""
     + _lsh_gate_oracle_ctes()
     + """
@@ -836,7 +883,10 @@ def _lsh_gate_oracle_ctes() -> str:
            CAST(lc.b0 AS BIGINT) AS lsh0,
            CAST(coalesce(lp.n, 0) AS BIGINT) AS n_lsh_partners,
            CAST(k1.cell AS BIGINT) AS km_cell_r1,
-           CAST(kr.keep AS BIGINT) AS km_keep
+           CAST(kr.keep AS BIGINT) AS km_keep,
+           CAST(pq.code0 AS BIGINT) AS pq_code0,
+           CAST(pq.code_sum AS BIGINT) AS pq_code_sum,
+           r4(pq.adc) AS pq_adc_q
     FROM s LEFT JOIN agg ON s.vec_id = agg.vec_id
          LEFT JOIN semagg sa ON s.vec_id = sa.vec_id
          LEFT JOIN semlosers sl ON s.vec_id = sl.vec_id
@@ -844,6 +894,7 @@ def _lsh_gate_oracle_ctes() -> str:
          LEFT JOIN lpart lp ON s.vec_id = lp.vec_id
          LEFT JOIN asg1 k1 ON s.vec_id = k1.vec_id
          LEFT JOIN kmrank kr ON s.vec_id = kr.vec_id
+         LEFT JOIN pqcols pq ON s.vec_id = pq.vec_id
     """,
 )
 def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,7 +943,13 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate, margins measured in test_kmeans_gate_margins) — and
     km_keep, cluster_balanced_sample's per-cell quota survivor rule
     (selection.cluster_rank: knuth-key order within the refined cell,
-    quota 40; pure BIGINT arithmetic, exact on both engines)."""
+    quota 40; pure BIGINT arithmetic, exact on both engines).
+
+    pq_code0 / pq_code_sum / pq_adc_q (round 7): product quantization's
+    encode argmins and ADC LUT scoring (operators/pq.py) through the
+    REAL pq_train/pq_encode/_adc_scored path, twinned with knuth-medoid
+    sub-codebooks the oracle re-derives (kc's centroid slices); margins
+    in tests/test_pq.py::test_pq_gate_margins."""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / 127.0
@@ -998,12 +1055,42 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("long").alias("km_cell_r1"),
         (cluster_rank() <= 40).cast("long").alias("km_keep"),
     )
+    # Product-quantization twin (round 7): the REAL pq_train seed +
+    # pq_encode literal-argmin + ADC LUT path, with knuth-bucket medoid
+    # codebooks (ksub=8 over the same buckets as the kc oracle CTE — the
+    # m=4 sub-codebooks are its centroid slices) so DuckDB re-derives
+    # every per-subspace argmin and the ADC distance to a re-derivable
+    # probe (the corpus's min-vec_id vector). pq_code0 pins subspace 0's
+    # code, pq_code_sum covers all four argmins, pq_adc_q the LUT-fold
+    # scoring itself. Cross-engine argmin/boundary margins are measured
+    # in tests/test_pq.py::test_pq_gate_margins at every density.
+    from entangledb_spark.operators.pq import _adc_scored, pq_encode, pq_train
+
+    pq_model = pq_train(
+        ed, m=4, ksub=8, refine=0, bucket_expr=knuth_bucket(F.col("vec_id"), 8)
+    )
+    probe_row = ed.orderBy("vec_id").select("vec_id", "embedding").first()
+    pq = _adc_scored(
+        pq_encode(ed, pq_model, out_col="_pqc"),
+        pq_model,
+        [(int(probe_row.vec_id), [float(x) for x in probe_row.embedding])],
+        "_pqc",
+        ["vec_id", "_pqc"],
+    ).select(
+        "vec_id",
+        F.element_at("_pqc", 1).cast("long").alias("pq_code0"),
+        F.aggregate(
+            "_pqc", F.lit(0).cast("long"), lambda a, v: a + v
+        ).alias("pq_code_sum"),
+        r4(F.col("adc_dist")).alias("pq_adc_q"),
+    )
     return (
         base.join(agg, "vec_id", "left")
         .join(sem_agg, "vec_id", "left")
         .join(sem_losers, "vec_id", "left")
         .join(lsh, "vec_id", "left")
         .join(km, "vec_id", "left")
+        .join(pq, "vec_id", "left")
         .withColumn("n_dup_partners", F.coalesce(F.col("_n_dup"), F.lit(0)).cast("long"))
         .withColumn("n_sem_dup", F.coalesce(F.col("_n_sem"), F.lit(0)).cast("long"))
         .withColumn("is_sem_loser", F.coalesce(F.col("_loser"), F.lit(0)).cast("long"))
@@ -1013,6 +1100,7 @@ def q73_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q0", "q1", "q_sum", "n_dup_partners", "max_dup_cos",
             "n_sem_dup", "max_sem_cos", "is_sem_loser",
             "lsh0", "n_lsh_partners", "km_cell_r1", "km_keep",
+            "pq_code0", "pq_code_sum", "pq_adc_q",
         )
     )
 

@@ -127,7 +127,7 @@ def test_adc_topk_is_true_topk_and_deterministic(spark, fixture):
 def test_pq_recall_floor_vs_bruteforce(spark, sf):
     """Recall@10 floors vs exact L2 on unit-normalized embeddings, at
     both stages: raw ADC >= 0.3 (this synthetic fixture is near-random
-    16-d — quantization error genuinely swamps neighbor margins, so raw
+    64-d — quantization error genuinely swamps neighbor margins, so raw
     ADC recall is structurally low here; measured 0.38/0.44) and the
     two-stage ADC-shortlist + exact-rerank >= 0.7 (measured 0.82/0.88
     at shortlist=100 — rerank recall IS shortlist coverage, the
@@ -234,3 +234,63 @@ def test_dim_not_divisible_raises(spark):
     df = _emb(spark)
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, m=5, ksub=8)
+
+
+ALL_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+@pytest.mark.parametrize("sf", ALL_SF_DIRS)
+def test_pq_gate_margins(spark, sf):
+    """q73's pq_code0/pq_code_sum/pq_adc_q columns hash-gate the PQ twin
+    (knuth-medoid codebooks, ksub=8, m=4). Two cross-engine float
+    hazards, measured at every density the gate can run at:
+
+    (a) the per-(vector, subspace) encode argmin — the gap between the
+        best and second-best sub-centroid distance must dwarf the
+        ~1e-16 noise between Spark's zip_with fold and DuckDB's
+        list_dot_product;
+    (b) the ADC value's r4 FLIP boundary — no adc·1e4 may sit near a
+        half-integer, where the two engines' term summations could
+        round apart."""
+    from entangledb_spark.operators.text import knuth_bucket
+
+    df = spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS embedding"
+    )
+    model = pq_train(
+        df, m=4, ksub=8, refine=0,
+        bucket_expr=knuth_bucket(F.col("vec_id"), 8),
+    )
+    m, dsub = model["m"], model["dsub"]
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    # (a) argmin gap per (vector, subspace), the pq_encode expression
+    gap = float("inf")
+    for vec in x.values():
+        for j in range(m):
+            xj = vec[j * dsub : (j + 1) * dsub]
+            dists = sorted(
+                float(np.dot(c, c) / 2 - np.dot(xj, c))
+                for _, cent in model["codebooks"][j]
+                for c in [np.array(cent)]
+            )
+            gap = min(gap, dists[1] - dists[0])
+    assert gap > 1e-9, f"pq encode argmin gap collapsed to {gap} at {sf}"
+    # (b) adc r4 flip margin for every vector vs the min-id probe
+    probe = x[min(x)]
+    codes = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(df, model).collect()
+    }
+    cb = [dict(c) for c in model["codebooks"]]
+    flip = float("inf")
+    for vid, cs in codes.items():
+        adc = 0.0
+        for j, c in enumerate(cs):
+            pj = probe[j * dsub : (j + 1) * dsub]
+            adc += float(np.sum((pj - np.array(cb[j][c])) ** 2))
+        flip = min(flip, abs((adc * 10000 + 0.5) - round(adc * 10000 + 0.5)))
+    assert flip > 1e-6, f"pq_adc_q r4 flip margin collapsed to {flip} at {sf}"

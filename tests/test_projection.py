@@ -159,7 +159,7 @@ def test_whiten_degenerate_eigvals_no_crash(spark):
     moments-form covariance routinely reports them as slightly NEGATIVE
     eigenvalues — whitening with the default k must clamp instead of
     calling sqrt on a negative (the round-7 review finding)."""
-    df = _emb(spark).limit(4)  # n=4 rows, d=16 dims → >= 12 null directions
+    df = _emb(spark).limit(4)  # n=4 rows, d=64 dims → >= 60 null directions
     model = pca_fit(df)
     assert min(model["eigvals"]) < 1e-8  # the degenerate tail is real
     out = embedding_whiten(df, model)  # default k = full basis
