@@ -229,3 +229,162 @@ def probe_ivf_index(
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    refine: int = 0,
+    m: int = 8,
+    ksub: int = 16,
+    pq_refine: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """IVF-PQ index: the serving architecture vector stores actually run
+    at 100 TB (FAISS's IVFPQ) — IVF cells prune WHICH files a probe
+    reads, PQ codes shrink WHAT the files hold to m small ints per
+    vector (the corpus embeddings themselves never sit in the index).
+
+    Layout: <dir>/centroids (the IVF router), <dir>/codes parquet
+    PARTITIONED BY cell carrying (vec_id, pq_code), and the trained PQ
+    codebooks persisted INSIDE _index_meta.json (m·ksub·dsub doubles —
+    codebooks are model state, the ann_index centroid contract: probes
+    and appends must use the SAVED model or codes/boundaries shift).
+    This is the global-codebook IVFPQ variant (FAISS by_residual=false):
+    one PQ model for the whole corpus, so a probe's ADC tables depend
+    only on the probe — per-cell residual tables are the other variant,
+    traded away here to keep probe scoring one literal fold.
+
+    ``mode="append"`` encodes new vectors with the SAVED centroids +
+    codebooks and adds files to existing cell partitions; parameters
+    live in the meta and appends that disagree are rejected."""
+    from entangledb_spark.operators.pq import pq_encode, pq_train
+
+    spark = embeddings.sparkSession
+    if mode == "append":
+        meta = _read_meta(index_dir, "ivfpq")
+        model = meta["pq_model"]
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+    else:
+        cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
+        cents_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/centroids"
+        )
+        cents = spark.read.parquet(f"{index_dir}/centroids")
+        model = pq_train(embeddings, m=m, ksub=ksub, refine=pq_refine)
+    coded = pq_encode(
+        ivf_assign(embeddings, cents), model, out_col="pq_code"
+    ).select("vec_id", "cell", "pq_code")
+    coded.repartition("cell").write.mode(
+        "append" if mode == "append" else "overwrite"
+    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+    if mode != "append":
+        _write_meta(
+            index_dir,
+            {"kind": "ivfpq", "n_cells": n_cells, "pq_model": model},
+        )
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Top-k ANN against a prebuilt IVF-PQ index, no corpus vectors read:
+
+    1. probes route through the SAVED centroids into their ``nprobe``
+       nearest cells (ivf_assign — the identical router the build used);
+    2. the probed cells' DISTINCT ids become a static partition filter
+       on the codes scan (pruning at the source — a probe reads only
+       its cells' directories, asserted in tests);
+    3. each candidate is ADC-priced by the probes that probed ITS cell:
+       per-(probe, cell) guarded literal branches (CASE cell → LUT
+       fold, adc_score_sql), one explode, no join;
+    4. top-k per probe by (adc_dist, neighbor_id) via the row_number
+       window (WindowGroupLimit).
+
+    ``rerank_with``: the original embeddings relation — when given, the
+    per-probe ADC ``shortlist`` joins back on vec_id (a bounded
+    shortlist-sized shuffle) and EXACT squared L2 reranks to top-k; the
+    recall then equals shortlist coverage (the pq_adc_rerank_topk
+    two-stage contract). Returns (query_id, neighbor_id, adc_dist
+    [, exact_dist], rk)."""
+    from entangledb_spark.operators.pq import _vec_sql, adc_score_sql
+
+    meta = _read_meta(index_dir, "ivfpq")
+    model = meta["pq_model"]
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    q = ivf_assign(probes, cents, nprobe=nprobe).select(
+        F.col("vec_id").alias("pid"), "embedding", "cell"
+    )
+    qrows = q.collect()
+    by_pid: dict = {}
+    for r in qrows:
+        ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
+        ent[1].append(int(r.cell))
+    cells = sorted({int(r.cell) for r in qrows})
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    branches = []
+    for pid, (pvec, pcells) in sorted(by_pid.items()):
+        guard = ",".join(str(c) for c in sorted(set(pcells)))
+        branches.append(
+            f"CASE WHEN cell IN ({guard}) THEN "
+            f"struct(CAST({pid} AS BIGINT) AS probe_id, "
+            f"{adc_score_sql(model, pvec, 'pq_code')} AS adc_dist) END"
+        )
+    scored = (
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.explode(F.expr("array(" + ",".join(branches) + ")")).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select(
+            F.col("_s.probe_id").alias("query_id"),
+            "neighbor_id",
+            F.col("_s.adc_dist"),
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    if rerank_with is None:
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+        )
+    short = scored.withColumn("_ark", F.row_number().over(w)).filter(
+        F.col("_ark") <= shortlist
+    )
+    cases = " ".join(
+        f"WHEN {pid} THEN aggregate(zip_with(embedding, {_vec_sql(pvec)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        for pid, (pvec, _) in sorted(by_pid.items())
+    )
+    exact = (
+        short.join(
+            rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .withColumn("exact_dist", F.expr(f"CASE query_id {cases} END"))
+        .drop("embedding", "_ark")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "exact_dist", "rk")
+    )

@@ -269,6 +269,29 @@ def _probe_rows(probes, probe_id_col: str, probe_emb_col: str) -> list:
     return [(int(p), [float(x) for x in v]) for p, v in probes]
 
 
+def adc_score_sql(model: dict, pvec: list[float], code_col: str) -> str:
+    """ONE probe's ADC scoring expression as a SQL string: the m x ksub
+    squared-L2 lookup tables fold into literal arrays, a candidate costs
+    m element_at + adds. Shared by the inline probes and the IVF-PQ
+    index probe (ann_index.probe_ivfpq_index)."""
+    dsub = model["dsub"]
+    luts = []
+    for j, cb in enumerate(model["codebooks"]):
+        pj = pvec[j * dsub : (j + 1) * dsub]
+        # sparse codes: table indexed by code id; gap codes can never
+        # appear in data encoded by this model, priced 1e308 (not
+        # inf — Spark's string→double cast doesn't parse 'inf')
+        table = {c: sum((a - b) ** 2 for a, b in zip(pj, cent)) for c, cent in cb}
+        width = max(table) + 1
+        lut = [table.get(c, 1e308) for c in range(width)]
+        luts.append(_vec_sql(lut))
+    return (
+        f"aggregate(zip_with({code_col}, array({','.join(luts)}), "
+        "(c, l) -> element_at(l, CAST(c + 1 AS INT))), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
 def _adc_scored(
     coded: DataFrame,
     model: dict,
@@ -277,28 +300,13 @@ def _adc_scored(
     keep_cols: list[str],
 ) -> DataFrame:
     """(keep_cols..., probe_id, adc_dist): the candidate × probe ADC
-    relation — each probe's m x ksub squared-L2 table folds into literal
-    arrays, a candidate costs m element_at + adds, and the probe axis is
+    relation — per-probe LUT literals (adc_score_sql); the probe axis is
     one explode (no join)."""
-    m, dsub = model["m"], model["dsub"]
-    branches = []
-    for pid, pvec in rows:
-        luts = []
-        for j, cb in enumerate(model["codebooks"]):
-            pj = pvec[j * dsub : (j + 1) * dsub]
-            # sparse codes: table indexed by code id; gap codes can never
-            # appear in data encoded by this model, priced 1e308 (not
-            # inf — Spark's string→double cast doesn't parse 'inf')
-            table = {c: sum((a - b) ** 2 for a, b in zip(pj, cent)) for c, cent in cb}
-            width = max(table) + 1
-            lut = [table.get(c, 1e308) for c in range(width)]
-            luts.append(_vec_sql(lut))
-        score = (
-            f"aggregate(zip_with({code_col}, array({','.join(luts)}), "
-            "(c, l) -> element_at(l, CAST(c + 1 AS INT))), "
-            "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        )
-        branches.append(f"struct(CAST({pid} AS BIGINT) AS probe_id, {score} AS adc_dist)")
+    branches = [
+        f"struct(CAST({pid} AS BIGINT) AS probe_id, "
+        f"{adc_score_sql(model, pvec, code_col)} AS adc_dist)"
+        for pid, pvec in rows
+    ]
     return coded.select(
         *keep_cols,
         F.explode(F.expr("array(" + ",".join(branches) + ")")).alias("_s"),

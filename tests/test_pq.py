@@ -294,3 +294,127 @@ def test_pq_gate_margins(spark, sf):
             adc += float(np.sum((pj - np.array(cb[j][c])) ** 2))
         flip = min(flip, abs((adc * 10000 + 0.5) - round(adc * 10000 + 0.5)))
     assert flip > 1e-6, f"pq_adc_q r4 flip margin collapsed to {flip} at {sf}"
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_probe_matches_reference(spark, tmp_path):
+    """probe_ivfpq_index == pure-Python reference: route each probe to
+    its nprobe nearest saved centroids, ADC-price every code in those
+    cells with the saved codebooks, top-k by (adc, id). Pins routing,
+    pruning, the guarded branch scoring, and the tie order at once."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16, pq_refine=1)
+    meta_model = __import__("json").load(
+        open(f"{d}/_index_meta.json")
+    )["pq_model"]
+    cents = {
+        int(r.cell): np.array([float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    }
+    unit = {
+        c: v / (np.linalg.norm(v) or 1.0) for c, v in cents.items()
+    }
+    codes = {
+        (int(r.cell), r.vec_id): list(r.pq_code)
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    nprobe, k = 2, 5
+    got = probe_ivfpq_index(
+        spark, d, df.filter(F.col("vec_id") < 4), k=k, nprobe=nprobe
+    ).collect()
+    byq = {}
+    for r in got:
+        byq.setdefault(r.query_id, []).append(r)
+    cb = [dict(c) for c in meta_model["codebooks"]]
+    dsub = meta_model["dsub"]
+
+    def adc(pvec, code):
+        return sum(
+            float(
+                np.sum(
+                    (pvec[j * dsub : (j + 1) * dsub] - np.array(cb[j][c])) ** 2
+                )
+            )
+            for j, c in enumerate(code)
+        )
+
+    for pid in range(4):
+        pv = x[pid]
+        probed = sorted(
+            ((-float(pv @ u), c) for c, u in unit.items())
+        )[:nprobe]
+        pcells = {c for _, c in probed}
+        ref = sorted(
+            (adc(pv, code), vid)
+            for (cell, vid), code in codes.items()
+            if cell in pcells and vid != pid
+        )[:k]
+        mine = sorted(byq[pid], key=lambda r: r.rk)
+        assert [r.neighbor_id for r in mine] == [v for _, v in ref], pid
+        for r, (want, _) in zip(mine, ref):
+            assert abs(r.adc_dist - want) < 1e-9
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_prune")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=8)
+    probe = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") == 1), k=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans, plan
+    assert not any("PartitionFilters: []" in l for l in scans), plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_append_and_rerank(spark, tmp_path):
+    """Append encodes with the SAVED model (codes for old vectors never
+    shift), and the reranked probe equals exact L2 over the ADC
+    shortlist — recall == shortlist coverage."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    half_a = df.filter(F.col("vec_id") % 2 == 0)
+    half_b = df.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "ivfpq_app")
+    build_ivfpq_index(half_a, d, n_cells=8, m=4, ksub=16, pq_refine=1)
+    codes_before = {
+        r.vec_id: list(r.pq_code)
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    build_ivfpq_index(half_b, d, mode="append")
+    codes_after = {
+        r.vec_id: list(r.pq_code)
+        for r in spark.read.parquet(f"{d}/codes").collect()
+    }
+    assert all(codes_after[v] == c for v, c in codes_before.items())
+    assert len(codes_after) == df.count()
+    # rerank: exact_dist must equal true L2 and be sorted per probe
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    got = probe_ivfpq_index(
+        spark, d, df.filter(F.col("vec_id") == 3), k=5,
+        rerank_with=df, shortlist=60,
+    ).collect()
+    assert len(got) == 5
+    dists = [r.exact_dist for r in sorted(got, key=lambda r: r.rk)]
+    assert dists == sorted(dists)
+    for r in got:
+        want = float(np.sum((x[3] - x[r.neighbor_id]) ** 2))
+        assert abs(r.exact_dist - want) < 1e-9
