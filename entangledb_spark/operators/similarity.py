@@ -313,6 +313,58 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN through the persistent code index (the FAISS serving
+    architecture, operators/ann_index.build/probe_ivfpq_index): the
+    corpus is UNIT-NORMALIZED first (the standard cosine-ANN prep —
+    on unit vectors ‖a−b‖² = 2 − 2·cos, so the ADC/rerank L2 ordering
+    IS the cosine ordering and cos_sim = 1 − d/2 exactly), codes live
+    parquet-partitioned by IVF cell with the trained codebooks persisted
+    as index meta, and probes prune to their nprobe cells then exact-
+    rerank the bounded ADC shortlist. Same (query_id, neighbor_id,
+    cos_sim, rk) shape as the other two strategies."""
+    import tempfile
+
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    e = repartition_for_cpu(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
+    )
+    unit = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = tempfile.mkdtemp(prefix="entangledb-ivfpq-index-")
+        build_ivfpq_index(unit, idx, n_cells=N_IVF_CELLS, m=4, ksub=16, pq_refine=1)
+        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+    hits = probe_ivfpq_index(
+        spark,
+        idx,
+        unit.filter(F.col("vec_id") < 20),
+        k=5,
+        nprobe=2,
+        rerank_with=unit,
+        shortlist=100,
+    )
+    return hits.select(
+        "query_id",
+        "neighbor_id",
+        r4(1.0 - F.col("exact_dist") / 2.0).alias("cos_sim"),
+        "rk",
+    )
+
+
 def ivf_centroids(
     e: DataFrame, n_cells: int = N_IVF_CELLS, refine: int = 0, cell_expr=None
 ) -> DataFrame:
@@ -564,25 +616,32 @@ def ann_ivf(
 
 @query("q71_ann_scalable")  # seeded-hash bucketing/medoids → rows-only check
 def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both scale-path ANN strategies in one tagged result (was q71+q72):
+    """The three scale-path ANN strategies in one tagged result:
     'lsh' rows from the PERSISTENT LSH index (build_lsh_index +
     probe_lsh_index over a per-run tmp dir — row-identical to the inline
     ann_lsh_bucketed, asserted in tests/test_ann_index.py, so the index
     build/probe/partition-pruning machinery carries driver-gate evidence),
     'ivf' rows from the persistent IVF index (saved centroids + cell-
-    partitioned assignments, probe ≡ inline asserted likewise) — each
+    partitioned assignments, probe ≡ inline asserted likewise), and
+    'ivfpq' rows from the persistent IVF-PQ code index (round 7 —
+    unit-normalized corpus, trained codebooks persisted as index meta,
+    guarded-ADC probe + exact rerank; see ann_ivfpq_indexed) — each
     re-ranked by exact cosine to top-5 per probe query. The union is a
-    no-shuffle concatenation of the two plans; each branch keeps its own
-    documented scale shape. Recall of both branches against the exact q70 top-k is
-    additionally asserted quantitatively in tests/test_skew_bucketing.py
-    (test_lsh_recall_vs_bruteforce / test_ivf_recall_vs_bruteforce)."""
+    no-shuffle concatenation of the three plans; each branch keeps its
+    own documented scale shape. Recall of all branches against the exact
+    q70 top-k is additionally asserted quantitatively in
+    tests/test_skew_bucketing.py (test_lsh_recall_vs_bruteforce /
+    test_ivf_recall_vs_bruteforce / test_ivfpq_recall_vs_bruteforce)."""
     lsh = ann_lsh_indexed(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
     ivf = ann_ivf_indexed(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
     )
-    return lsh.unionByName(ivf)
+    ivfpq = ann_ivfpq_indexed(spark, sf_dir).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
 def lsh_gate_summary(emb: DataFrame) -> DataFrame:
