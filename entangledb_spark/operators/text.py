@@ -564,6 +564,12 @@ def knuth_key_sql(expr: str) -> str:
     )
 
 
+from entangledb_spark.operators.classifier import nb_oracle_ctes as _nb_oracle_ctes  # noqa: E402
+
+# q91's NB-classifier gate columns retrain on the lang='en' weak label
+_nb_ctes = _nb_oracle_ctes("lang = 'en'").lstrip()
+
+
 @query(
     "q91_stratified_sample",
     oracle=f"""
@@ -710,7 +716,14 @@ def knuth_key_sql(expr: str) -> str:
       LEFT JOIN ddiff dd ON dd.bucket = rf.bucket
       CROSS JOIN dtot
       GROUP BY doc.doc_id, np, nq
-    )
+    ),
+    -- trained NB quality classifier (operators/classifier.py) retrained
+    -- from scratch in SQL: md5-bucket hashed-token counts per class,
+    -- add-one smoothing, log-odds, doc-count prior — the q92 langid
+    -- training-in-SQL recipe for the binary hashed-feature sibling.
+    -- Weak label: lang = 'en'. Margins (sign + r4 flip) measured in
+    -- tests/test_classifier.py::test_nb_gate_margins at every density.
+    {_nb_ctes}
     SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars,
            CAST(s.rk AS BIGINT) AS rk,
            CAST(len(c4.lines) AS BIGINT) AS n_lines,
@@ -723,9 +736,12 @@ def knuth_key_sql(expr: str) -> str:
            CAST(coalesce(pd.n_overlap_spans, 0) AS BIGINT) AS n_overlap_spans,
            CAST(coalesce(pd.max_span_len, 0) AS BIGINT) AS max_span_len,
            CAST(dw.n_feats AS BIGINT) AS n_dsir_feats,
-           r4(dw.logw) AS dsir_logw
+           r4(dw.logw) AS dsir_logw,
+           CAST(CASE WHEN nb.score > 0 THEN 1 ELSE 0 END AS BIGINT) AS nb_pred,
+           r4(nb.score) AS nbq_q
     FROM samp s JOIN c4 USING (doc_id) LEFT JOIN pd USING (doc_id)
          LEFT JOIN dw USING (doc_id)
+         LEFT JOIN nbscore nb USING (doc_id)
     """,
 )
 def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,7 +779,15 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv(substr(md5(token),1,6)) bucket hash. Same hosting recipe as
     the span columns; the Gumbel-top-k resample itself stays
     pytest-gated (tests/test_selection.py, incl. a full DuckDB mirror
-    of the weights)."""
+    of the weights).
+
+    Round 7: each sampled row also carries the trained NB quality
+    classifier's verdict (nb_pred, r4 score nbq_q —
+    operators/classifier.py, hashed-token features on the md5 twin
+    primitive, lang=='en' weak label): the oracle RETRAINS the model in
+    SQL (the q92 langid recipe), so counting, smoothing, log-odds,
+    prior, and scoring all sit on the hash gate; sign/flip margins
+    measured in tests/test_classifier.py::test_nb_gate_margins."""
     from pyspark.sql import Window
 
     from entangledb_spark.operators.dedup import repartition_for_cpu
@@ -780,6 +804,18 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inputs) before paying ~n_chars md5s per document
     summ = winnow_span_summary(repartition_for_cpu(d, spark))
     dsir = dsir_log_weights(d, d.filter(F.col("source") == "src0").select("text"))
+    # trained NB quality classifier (round 7, operators/classifier.py):
+    # trained corpus-wide on the lang=='en' weak label (one bounded
+    # aggregation), scored on the 100 sampled rows via the literal-array
+    # fold — the oracle retrains the identical model in SQL (md5-bucket
+    # twin primitive), so training AND scoring sit on the hash gate
+    from entangledb_spark.operators.classifier import (
+        nb_score_expr,
+        train_nb_quality,
+    )
+
+    nb_model = train_nb_quality(d, F.col("lang") == "en")
+    nb_score = nb_score_expr(F.col("text"), nb_model)
     return (
         d.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "text")
         .withColumn("rk", F.row_number().over(w).cast("long"))
@@ -798,6 +834,8 @@ def q91_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("max_span_len", F.lit(0)).cast("long").alias("max_span_len"),
             F.col("n_feats").cast("long").alias("n_dsir_feats"),
             r4(F.col("logw")).alias("dsir_logw"),
+            (nb_score > 0).cast("long").alias("nb_pred"),
+            r4(nb_score).alias("nbq_q"),
         )
     )
 
