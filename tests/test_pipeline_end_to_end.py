@@ -3,7 +3,8 @@ operators composed the way a real corpus-preparation job chains them
 (the composition order documented in docs/DEDUP.md):
 
   PII redaction → C4 line cleaning → text metrics → quality gates
-  (length/repetition/LM-perplexity) → exact dedup → containment
+  (length/repetition/LM-perplexity) → trained-classifier audit score
+  (NB over hashed token features) → exact dedup → containment
   survivors (winnowing) → span dedup → semantic dedup (embedding
   near-dup survivors) → retrieval-based decontamination (BM25 index
   over the survivors, benchmark top-1 hits dropped) → diversity quota
@@ -68,6 +69,23 @@ def test_pipeline_end_to_end(spark, tmp_path):
     )
     n1 = gated.count()
     assert 0 < n1 <= n0
+
+    # 1b. trained quality classifier: NB over hashed token features,
+    # trained on a weak label derivable from the corpus itself (here:
+    # the labeled lang column), scored zero-shuffle on the survivors.
+    # The pipeline keeps the score as an audit column rather than
+    # filtering on it — this fixture's label signal is measured too
+    # weak to cut on (test_classifier documents that), which is itself
+    # the realistic calibration step: score first, pick cuts later.
+    from entangledb_spark.operators.classifier import (
+        nb_quality_score,
+        train_nb_quality,
+    )
+
+    nb_model = train_nb_quality(docs, F.col("lang") == "en")
+    audited = nb_quality_score(gated, nb_model)
+    assert audited.filter(F.col("nb_score").isNull()).count() == 0
+    assert audited.count() == n1  # scoring is a projection, never a filter
 
     # 2. exact dedup on normalized-content fingerprint
     deduped = exact_dedup(gated)
