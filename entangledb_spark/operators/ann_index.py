@@ -72,6 +72,12 @@ def _codes_path(index_dir: str, meta: dict) -> str:
     return os.path.join(index_dir, meta.get("codes_dir", "codes"))
 
 
+def _cents_path(index_dir: str, meta: dict) -> str:
+    """The ACTIVE IVF-PQ centroids directory (meta pointer — rebuilds
+    commit new centroids+codes together via one meta swap)."""
+    return os.path.join(index_dir, meta.get("cents_dir", "centroids"))
+
+
 def _read_meta(index_dir: str, kind: str) -> dict:
     path = os.path.join(index_dir, _META_FILE)
     if not os.path.exists(path):
@@ -244,10 +250,10 @@ def probe_ivf_index(
 def build_ivfpq_index(
     embeddings: DataFrame,
     index_dir: str,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     refine: int = 0,
-    m: int = 8,
-    ksub: int = 16,
+    m: int | None = None,
+    ksub: int | None = None,
     pq_refine: int = 1,
     mode: str = "overwrite",
     batch: str | None = None,
@@ -257,21 +263,29 @@ def build_ivfpq_index(
     reads, PQ codes shrink WHAT the files hold to m small ints per
     vector (the corpus embeddings themselves never sit in the index).
 
-    Layout: <dir>/centroids (the IVF router), the ACTIVE codes dir
-    (meta pointer ``codes_dir``, default <dir>/codes) parquet
-    PARTITIONED BY (batch, cell) carrying (vec_id, pq_code), and the
-    trained PQ codebooks persisted INSIDE _index_meta.json
-    (m·ksub·dsub doubles — codebooks are model state, the ann_index
-    centroid contract: probes and appends must use the SAVED model or
-    codes/boundaries shift). This is the global-codebook IVFPQ variant
-    (FAISS by_residual=false): one PQ model for the whole corpus, so a
-    probe's ADC tables depend only on the probe — per-cell residual
-    tables are the other variant, traded away here to keep probe
-    scoring one literal fold.
+    Layout: the ACTIVE centroids and codes dirs (meta pointers
+    ``cents_dir``/``codes_dir``, default <dir>/centroids, <dir>/codes);
+    codes are parquet PARTITIONED BY (batch, cell) carrying
+    (vec_id, pq_code), and the trained PQ codebooks persist INSIDE
+    _index_meta.json (m·ksub·dsub doubles — codebooks are model state,
+    the ann_index centroid contract: probes and appends must use the
+    SAVED model or codes/boundaries shift). This is the global-codebook
+    IVFPQ variant (FAISS by_residual=false): one PQ model for the whole
+    corpus, so a probe's ADC tables depend only on the probe —
+    per-cell residual tables are the other variant, traded away here
+    to keep probe scoring one literal fold.
 
+    Build-parameter defaults: n_cells 16, m 8, ksub 16 when omitted.
     ``mode="append"`` encodes new vectors with the SAVED centroids +
-    codebooks; parameters live in the meta and appends that disagree
-    are rejected. The batch level carries the text_index exactly-once
+    codebooks; parameters are the meta's — omit them (None), or pass
+    values that MATCH the saved ones, anything else is rejected (the
+    build_lsh_index/build_text_index contract). A REBUILD over an
+    existing IVF-PQ index commits like compaction does: new centroids
+    + codes land in fresh VERSIONED directories and the atomic meta
+    replace is the single commit point, so a crash mid-rebuild leaves
+    the OLD index fully live (old centroids and codes untouched,
+    still mutually consistent); the old dirs are reclaimed after the
+    commit. The batch level carries the text_index exactly-once
     contract: appends land under their own batch partitions with
     dynamic partition overwrite (a same-name replay rewrites identical
     data over itself; a same-name append with DIFFERENT data first
@@ -296,6 +310,15 @@ def build_ivfpq_index(
     if mode == "append":
         meta = _read_meta(index_dir, "ivfpq")
         model = meta["pq_model"]
+        saved = (meta["n_cells"], model["m"], model["ksub"])
+        asked = (n_cells, m, ksub)
+        if any(a is not None and a != s for a, s in zip(asked, saved)):
+            raise ValueError(
+                f"append with (n_cells={n_cells}, m={m}, ksub={ksub}) against "
+                f"an index built with (n_cells={saved[0]}, m={saved[1]}, "
+                f"ksub={saved[2]}) — appends always use the saved model; "
+                "omit the parameters or pass matching values"
+            )
         if batch == "base":
             raise ValueError(
                 "append may not target the 'base' batch (the built/compacted "
@@ -310,52 +333,77 @@ def build_ivfpq_index(
                 os.path.join(_codes_path(index_dir, meta), f"batch={batch}"),
                 ignore_errors=True,
             )
-        cents = spark.read.parquet(f"{index_dir}/centroids")
-    else:
-        cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
-        cents_df.coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/centroids"
+        cents = spark.read.parquet(_cents_path(index_dir, meta))
+        coded = (
+            pq_encode(ivf_assign(embeddings, cents), model, out_col="pq_code")
+            .select("vec_id", "cell", "pq_code")
+            .withColumn("batch", F.lit(batch))
         )
-        cents = spark.read.parquet(f"{index_dir}/centroids")
-        model = pq_train(embeddings, m=m, ksub=ksub, refine=pq_refine)
+        (
+            coded.repartition("cell")
+            .write.partitionBy("batch", "cell")
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(_codes_path(index_dir, meta))
+        )
+        n_new = embeddings.count()
+        meta = _read_meta(index_dir, "ivfpq")
+        meta["batches"][batch] = int(n_new)
+        _write_meta(index_dir, meta)
+        return
+    # ---- fresh build / rebuild: versioned-dir commit protocol --------
+    n_cells = 16 if n_cells is None else n_cells
+    m = 8 if m is None else m
+    ksub = 16 if ksub is None else ksub
+    prev = None
+    prev_path = os.path.join(index_dir, _META_FILE)
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            cand = json.load(f)  # tolerant: rebuild over any prior kind
+        if cand.get("kind") == "ivfpq":
+            prev = cand
+    version = int(prev.get("version", 0)) + 1 if prev else 0
+    cents_name = "centroids" if prev is None else f"centroids_v{version}"
+    codes_name = "codes" if prev is None else f"codes_v{version}"
+    cents_dir = os.path.join(index_dir, cents_name)
+    codes_dir = os.path.join(index_dir, codes_name)
+    if prev is not None:  # stale staging from a crashed earlier rebuild
+        shutil.rmtree(cents_dir, ignore_errors=True)
+        shutil.rmtree(codes_dir, ignore_errors=True)
+    cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
+    cents_df.coalesce(1).write.mode("overwrite").parquet(cents_dir)
+    cents = spark.read.parquet(cents_dir)
+    model = pq_train(embeddings, m=m, ksub=ksub, refine=pq_refine)
     coded = (
         pq_encode(ivf_assign(embeddings, cents), model, out_col="pq_code")
         .select("vec_id", "cell", "pq_code")
         .withColumn("batch", F.lit(batch))
     )
-    writer = coded.repartition("cell").write.partitionBy("batch", "cell")
-    if mode == "append":
-        writer = writer.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        )
-        codes_dir = _codes_path(index_dir, meta)
-    else:
-        writer = writer.mode(mode)
-        codes_dir = os.path.join(index_dir, "codes")
-    writer.parquet(codes_dir)
+    (
+        coded.repartition("cell")
+        .write.partitionBy("batch", "cell")
+        .mode("overwrite")
+        # pin static: a session-level dynamic partitionOverwriteMode
+        # would otherwise leave stale partitions from a prior layout
+        .option("partitionOverwriteMode", "static")
+        .parquet(codes_dir)
+    )
     n_new = embeddings.count()
-    if mode == "append":
-        meta = _read_meta(index_dir, "ivfpq")
-        meta["batches"][batch] = int(n_new)
-    else:
-        old_codes = None
-        prev_path = os.path.join(index_dir, _META_FILE)
-        if os.path.exists(prev_path):
-            with open(prev_path) as f:
-                prev = json.load(f)  # tolerant: rebuild over any prior kind
-            if prev.get("kind") == "ivfpq" and prev.get("codes_dir", "codes") != "codes":
-                old_codes = _codes_path(index_dir, prev)
-        meta = {
-            "kind": "ivfpq",
-            "n_cells": n_cells,
-            "pq_model": model,
-            "codes_dir": "codes",
-            "batches": {batch: int(n_new)},
-            "folded": [],
-        }
-        if old_codes is not None:
-            shutil.rmtree(old_codes, ignore_errors=True)
-    _write_meta(index_dir, meta)
+    meta = {
+        "kind": "ivfpq",
+        "n_cells": n_cells,
+        "pq_model": model,
+        "cents_dir": cents_name,
+        "codes_dir": codes_name,
+        "version": version,
+        "batches": {batch: int(n_new)},
+        "folded": [],
+    }
+    _write_meta(index_dir, meta)  # THE commit point (atomic os.replace)
+    if prev is not None:
+        for old in (_cents_path(index_dir, prev), _codes_path(index_dir, prev)):
+            if old not in (cents_dir, codes_dir):
+                shutil.rmtree(old, ignore_errors=True)
 
 
 def probe_ivfpq_index(
@@ -387,15 +435,23 @@ def probe_ivfpq_index(
     recall then equals shortlist coverage (the pq_adc_rerank_topk
     two-stage contract). Returns (query_id, neighbor_id, adc_dist
     [, exact_dist], rk)."""
-    from entangledb_spark.operators.pq import _vec_sql, adc_score_sql
+    from entangledb_spark.operators.pq import adc_score_sql, exact_l2_case_sql
 
     meta = _read_meta(index_dir, "ivfpq")
     model = meta["pq_model"]
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = spark.read.parquet(_cents_path(index_dir, meta))
     q = ivf_assign(probes, cents, nprobe=nprobe).select(
         F.col("vec_id").alias("pid"), "embedding", "cell"
     )
     qrows = q.collect()
+    if not qrows:  # legitimate empty probe set → typed empty result
+        schema = "query_id long, neighbor_id long, adc_dist double, rk long"
+        if rerank_with is not None:
+            schema = (
+                "query_id long, neighbor_id long, adc_dist double, "
+                "exact_dist double, rk long"
+            )
+        return spark.createDataFrame([], schema)
     by_pid: dict = {}
     for r in qrows:
         ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
@@ -438,18 +494,18 @@ def probe_ivfpq_index(
     short = scored.withColumn("_ark", F.row_number().over(w)).filter(
         F.col("_ark") <= shortlist
     )
-    cases = " ".join(
-        f"WHEN {pid} THEN aggregate(zip_with(embedding, {_vec_sql(pvec)}, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        for pid, (pvec, _) in sorted(by_pid.items())
-    )
+    # the SHARED rerank expression (pq.exact_l2_case_sql) — the inline
+    # two-stage search and this index probe cannot diverge on the math
+    rerank_rows = [(pid, pvec) for pid, (pvec, _) in sorted(by_pid.items())]
     exact = (
         short.join(
             rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
             "neighbor_id",
         )
-        .withColumn("exact_dist", F.expr(f"CASE query_id {cases} END"))
+        .withColumn(
+            "exact_dist",
+            F.expr(exact_l2_case_sql(rerank_rows, "embedding", "query_id")),
+        )
         .drop("embedding", "_ark")
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -129,13 +129,22 @@ def nb_score_expr(text_col: Column, model: dict) -> Column:
     """The zero-exchange scoring fold: prior + Σ logodds[bucket(token)],
     accumulated left-to-right in token order (float addition is
     order-sensitive; the oracle mirrors the same per-token relation and
-    the residual cross-engine noise is measured against the r4 grain)."""
+    the residual cross-engine noise is measured against the r4 grain).
+
+    A NULL text scores exactly the prior, like an empty one — the
+    bucket array is coalesced to empty, because aggregate(NULL, ...)
+    would otherwise propagate NULL while the oracle's LEFT JOIN +
+    coalesce path scores the prior (round-7 review finding: one
+    NULL-text row would hash-split the q91 gate)."""
     arr = (
         "array("
         + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in model["logodds"])
         + ")"
     )
-    buckets = token_bucket_expr(text_col, model["n_buckets"])
+    buckets = F.coalesce(
+        token_bucket_expr(text_col, model["n_buckets"]),
+        F.expr("CAST(array() AS ARRAY<BIGINT>)"),
+    )
     return F.aggregate(
         buckets,
         F.lit(float(model["prior"])).cast("double"),

@@ -292,6 +292,21 @@ def adc_score_sql(model: dict, pvec: list[float], code_col: str) -> str:
     )
 
 
+def exact_l2_case_sql(rows: list, emb_col: str, probe_col: str = "probe_id") -> str:
+    """Exact squared-L2 rerank expression: CASE on the probe-id column
+    selecting the matching probe vector's folded distance. Shared by the
+    inline two-stage search (pq_adc_rerank_topk) and the IVF-PQ index
+    probe (ann_index.probe_ivfpq_index) so the rerank math cannot
+    diverge between the two routes."""
+    cases = " ".join(
+        f"WHEN {pid} THEN aggregate(zip_with({emb_col}, {_vec_sql(pvec)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        for pid, pvec in rows
+    )
+    return f"CASE {probe_col} {cases} END"
+
+
 def _adc_scored(
     coded: DataFrame,
     model: dict,
@@ -301,7 +316,15 @@ def _adc_scored(
 ) -> DataFrame:
     """(keep_cols..., probe_id, adc_dist): the candidate × probe ADC
     relation — per-probe LUT literals (adc_score_sql); the probe axis is
-    one explode (no join)."""
+    one explode (no join). An EMPTY probe set returns a typed empty
+    relation (an empty literal array would otherwise fail struct-field
+    extraction at plan time)."""
+    if not rows:
+        return coded.select(
+            *keep_cols,
+            F.lit(None).cast("long").alias("probe_id"),
+            F.lit(None).cast("double").alias("adc_dist"),
+        ).filter(F.lit(False))
     branches = [
         f"struct(CAST({pid} AS BIGINT) AS probe_id, "
         f"{adc_score_sql(model, pvec, code_col)} AS adc_dist)"
@@ -374,13 +397,12 @@ def pq_adc_rerank_topk(
     short = scored.withColumn("_ark", F.row_number().over(w)).filter(
         F.col("_ark") <= shortlist
     )
-    cases = " ".join(
-        f"WHEN {pid} THEN aggregate(zip_with({emb_col}, {_vec_sql(pvec)}, "
-        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-        for pid, pvec in rows
+    exact = short.withColumn(
+        "exact_dist",
+        F.expr(exact_l2_case_sql(rows, emb_col))
+        if rows
+        else F.lit(None).cast("double"),
     )
-    exact = short.withColumn("exact_dist", F.expr(f"CASE probe_id {cases} END"))
     w2 = Window.partitionBy("probe_id").orderBy(
         F.col("exact_dist").asc(), F.col(id_col)
     )

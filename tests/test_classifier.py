@@ -193,3 +193,24 @@ def test_nb_gate_margins(spark, sf):
         abs((s * 10000 + 0.5) - round(s * 10000 + 0.5)) for s in scores
     )
     assert flip > 1e-6, f"nbq_q r4 flip margin collapsed to {flip} at {sf}"
+
+
+def test_null_text_scores_the_prior(spark):
+    """A NULL-text document must score exactly the prior on BOTH
+    engines — Spark's aggregate would otherwise propagate NULL while
+    the oracle's LEFT JOIN path coalesces to the prior (round-7 review
+    finding: one NULL row would hash-split the q91 gate)."""
+    train = spark.createDataFrame(
+        [(0, "careful precise text", True), (1, "spam spam spam", False)],
+        "doc_id long, text string, y boolean",
+    )
+    model = train_nb_quality(train, F.col("y"))
+    scored = nb_quality_score(
+        spark.createDataFrame(
+            [(10, None), (11, "")], "doc_id long, text string"
+        ),
+        model,
+    ).collect()
+    for r in scored:
+        assert r.nb_score == model["prior"], r
+        assert r.nb_pred == (1 if model["prior"] > 0 else 0)

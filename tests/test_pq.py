@@ -486,3 +486,64 @@ def test_ivfpq_stream_writer_exactly_once_and_compaction(spark, tmp_path):
     assert sum(m3["batches"].values()) == df.count()
     assert spark.read.parquet(_codes_path(d, m3)).count() == n_rows
     assert batch_id >= 0
+
+
+def test_ivfpq_append_param_mismatch_rejected(spark, tmp_path):
+    from entangledb_spark.operators.ann_index import build_ivfpq_index
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_params")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16)
+    with pytest.raises(ValueError, match="saved model"):
+        build_ivfpq_index(df, d, mode="append", m=8)
+    # omitted params (None) and matching values both pass
+    build_ivfpq_index(df.limit(5), d, mode="append", batch="ok1")
+    build_ivfpq_index(
+        df.limit(5), d, mode="append", batch="ok2", n_cells=8, m=4, ksub=16
+    )
+
+
+def test_ivfpq_rebuild_commits_versioned_dirs(spark, tmp_path):
+    """A rebuild over a live index lands in fresh versioned dirs and
+    commits via the meta swap — old centroids/codes stay mutually
+    consistent until the commit, then are reclaimed. Probes after the
+    rebuild reflect the new corpus."""
+    import json
+    import os
+
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    half = df.filter(F.col("vec_id") < 250)
+    d = str(tmp_path / "ivfpq_rebuild")
+    build_ivfpq_index(half, d, n_cells=8, m=4, ksub=16)
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16)  # rebuild, full corpus
+    meta = json.load(open(os.path.join(d, "_index_meta.json")))
+    assert meta["codes_dir"] == "codes_v1"
+    assert meta["cents_dir"] == "centroids_v1"
+    assert meta["batches"] == {"base": df.count()}
+    assert not os.path.exists(os.path.join(d, "codes"))
+    assert not os.path.exists(os.path.join(d, "centroids"))
+    got = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") == 400), k=3)
+    assert got.count() == 3  # vec 400 only exists in the rebuilt corpus
+
+
+def test_ivfpq_empty_probe_set(spark, tmp_path):
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_empty")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=8, pq_refine=0)
+    none = df.filter(F.col("vec_id") < 0)
+    assert probe_ivfpq_index(spark, d, none, k=3).count() == 0
+    assert probe_ivfpq_index(spark, d, none, k=3, rerank_with=df).count() == 0
+    model = pq_train(df, m=4, ksub=8)
+    coded = pq_encode(df, model)
+    assert pq_adc_topk(coded, model, none, k=3).count() == 0
+    assert pq_adc_rerank_topk(coded, model, none, k=3).count() == 0
