@@ -547,3 +547,125 @@ def test_ivfpq_empty_probe_set(spark, tmp_path):
     coded = pq_encode(df, model)
     assert pq_adc_topk(coded, model, none, k=3).count() == 0
     assert pq_adc_rerank_topk(coded, model, none, k=3).count() == 0
+
+
+def test_ivfpq_residual_probe_matches_reference(spark, tmp_path):
+    """by_residual=True: codes quantize x − centroid(cell), probes price
+    with per-(probe, cell) LUTs — checked against a pure-Python mirror
+    of the whole route (assign → residual → saved-model ADC)."""
+    import json
+
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_res")
+    build_ivfpq_index(
+        df, d, n_cells=8, refine=1, m=4, ksub=16, pq_refine=1, by_residual=True
+    )
+    meta = json.load(open(f"{d}/_index_meta.json"))
+    assert meta["by_residual"] is True
+    model = meta["pq_model"]
+    dsub = model["dsub"]
+    cb = [dict(c) for c in model["codebooks"]]
+    cents = {
+        int(r.cell): np.array([float(x) for x in r.centroid])
+        for r in spark.read.parquet(f"{d}/{meta['cents_dir']}").collect()
+    }
+    unit = {c: v / (np.linalg.norm(v) or 1.0) for c, v in cents.items()}
+    codes = {
+        (int(r.cell), r.vec_id): list(r.pq_code)
+        for r in spark.read.parquet(f"{d}/{meta['codes_dir']}").collect()
+    }
+    x = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+    nprobe, k = 2, 5
+
+    def adc(pres, code):
+        return sum(
+            float(np.sum((pres[j * dsub : (j + 1) * dsub] - np.array(cb[j][c])) ** 2))
+            for j, c in enumerate(code)
+        )
+
+    got = probe_ivfpq_index(
+        spark, d, df.filter(F.col("vec_id") < 4), k=k, nprobe=nprobe
+    ).collect()
+    byq = {}
+    for r in got:
+        byq.setdefault(r.query_id, []).append(r)
+    for pid in range(4):
+        pv = x[pid]
+        probed = sorted(((-float(pv @ u), c) for c, u in unit.items()))[:nprobe]
+        ref = sorted(
+            (adc(pv - cents[cell], code), vid)
+            for (cell, vid), code in codes.items()
+            if cell in {c for _, c in probed} and vid != pid
+        )[:k]
+        mine = sorted(byq[pid], key=lambda r: r.rk)
+        assert [r.neighbor_id for r in mine] == [v for _, v in ref], pid
+        for r, (want, _) in zip(mine, ref):
+            assert abs(r.adc_dist - want) < 1e-9
+
+
+def test_ivfpq_residual_vs_plain_measured(spark, tmp_path):
+    """The by_residual trade, measured and pinned (everything is
+    deterministic — medoid seeds, r6-grid refinement, no RNG): with
+    refine=2 centroids the residual variant's raw-ADC recall@10 beats
+    plain on the fixture; with refine=0 hash-medoid seeds it is WORSE
+    (the docstring's honest guidance: pair by_residual with refine)."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    unit = df.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x
+            / F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda y: y * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+            ),
+        ).alias("embedding"),
+    )
+    x = {r.vec_id: np.array(r.embedding) for r in unit.collect()}
+    truth = {
+        p: {
+            v
+            for _, v in sorted(
+                (float(np.sum((x[p] - vv) ** 2)), vid) for vid, vv in x.items()
+            )[1:11]
+        }
+        for p in range(5)
+    }
+
+    def recall(by_res, refine, tag):
+        d = str(tmp_path / f"idx_{tag}")
+        build_ivfpq_index(
+            unit, d, n_cells=8, refine=refine, m=4, ksub=16,
+            pq_refine=2, by_residual=by_res,
+        )
+        got = probe_ivfpq_index(
+            spark, d, unit.filter(F.col("vec_id") < 5), k=10, nprobe=2
+        ).collect()
+        byp = {}
+        for r in got:
+            byp.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(byp[p] & truth[p]) / 10 for p in range(5)) / 5
+
+    res_refined = recall(True, 2, "res_r2")
+    plain_refined = recall(False, 2, "plain_r2")
+    res_seed = recall(True, 0, "res_r0")
+    plain_seed = recall(False, 0, "plain_r0")
+    print(
+        f"ivfpq recall@10: refined res={res_refined} plain={plain_refined}; "
+        f"seeded res={res_seed} plain={plain_seed}"
+    )
+    assert res_refined >= plain_refined  # residual wins WITH trained cells
+    assert plain_seed > res_seed  # and loses on raw medoid seeds
