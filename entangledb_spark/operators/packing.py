@@ -304,6 +304,90 @@ def pack_greedy(
     return d.groupBy("shard").applyInPandas(_greedy_pack_shard(budget), _PACK_SCHEMA)
 
 
+def _bfd_pack_shard(budget: int):
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
+        # best-fit DECREASING: big docs first (ties to doc_id for
+        # determinism), each placed in the open sequence with the least
+        # remaining capacity that still fits (ties to the lowest seq id)
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        open_seqs: list[tuple[int, int]] = []  # sorted (remaining, seq_id)
+        counts: dict[int, int] = {}
+        next_seq = 0
+        seq_ids, positions, oversize = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                seq_ids.append(next_seq)
+                positions.append(0)
+                oversize.append(True)
+                next_seq += 1
+                continue
+            # smallest remaining >= n; bisect on (n, -1) finds it, and
+            # equal-remaining entries order by seq_id so ties go LOW
+            i = bisect.bisect_left(open_seqs, (n, -1))
+            if i < len(open_seqs):
+                rem, sid = open_seqs.pop(i)
+                rem -= n
+            else:
+                rem, sid = budget - n, next_seq
+                next_seq += 1
+                counts[sid] = 0
+            seq_ids.append(sid)
+            positions.append(counts.get(sid, 0))
+            oversize.append(False)
+            counts[sid] = counts.get(sid, 0) + 1
+            if rem > 0:
+                bisect.insort(open_seqs, (rem, sid))
+        out = pdf[["shard", "doc_id", "n_tokens"]].copy()
+        out["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        out["pos_in_seq"] = pd.Series(positions, dtype="int32")
+        out["oversize"] = pd.Series(oversize, dtype="bool")
+        return out
+
+    return pack
+
+
+def pack_best_fit(
+    spark: SparkSession,
+    docs: DataFrame,
+    budget: int = SEQ_BUDGET,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Best-fit-decreasing no-split packing — fewer sequences (less pad
+    waste) than pack_greedy's first-fit at the same no-split contract.
+
+    BFD is the classic bin-packing heuristic (≤ 11/9·OPT + 4 bins,
+    Johnson 1973): sort documents by token count DESCENDING, place each
+    into the open sequence with the LEAST remaining capacity that fits,
+    open a new one otherwise. The trade against pack_greedy: sequences
+    mix documents from across the shard (no doc_id-contiguous reading
+    order), which training shuffles anyway; tests measure the fill-ratio
+    improvement on the fixture corpus.
+
+    Same distribution shape as pack_greedy: shard by the overflow-safe
+    Knuth hash, pack each shard independently inside one applyInPandas
+    group (running-reset + best-fit search is not a Catalyst window; the
+    per-shard loop is O(docs·log open_seqs) with a bisect-sorted open
+    list). Deterministic: (n_tokens DESC, doc_id) order, ties on
+    remaining capacity go to the lowest seq id — byte-identical across
+    re-runs and partition counts. Oversize docs (> budget) get their own
+    flagged sequence, as pack_greedy."""
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    d = docs.select(
+        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return d.groupBy("shard").applyInPandas(_bfd_pack_shard(budget), _PACK_SCHEMA)
+
+
 def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     """Corpus vocabulary: term frequency, document frequency, cumulative
     coverage share for the top_k terms by count.

@@ -464,3 +464,85 @@ def test_bpe_zipf_batch_decay(spark):
     # realistic corpora must ride the driver-collapse regime instead
     assert max(sizes) <= 8, sizes
     assert sorted(sizes)[len(sizes) // 2] <= 2, f"median batch grew: {sizes}"
+
+
+def _reference_bfd(pairs, budget):
+    """Pure-Python BFD mirror: (n_tokens DESC, doc_id) order, best fit
+    with ties to the lowest seq id."""
+    import bisect
+
+    out = {}
+    open_seqs = []  # sorted (remaining, seq_id)
+    counts = {}
+    next_seq = 0
+    for doc_id, n in sorted(pairs, key=lambda p: (-p[1], p[0])):
+        if n > budget:
+            out[doc_id] = (next_seq, 0, True)
+            next_seq += 1
+            continue
+        i = bisect.bisect_left(open_seqs, (n, -1))
+        if i < len(open_seqs):
+            rem, sid = open_seqs.pop(i)
+            rem -= n
+        else:
+            rem, sid = budget - n, next_seq
+            next_seq += 1
+            counts[sid] = 0
+        out[doc_id] = (sid, counts.get(sid, 0), False)
+        counts[sid] = counts.get(sid, 0) + 1
+        if rem > 0:
+            bisect.insort(open_seqs, (rem, sid))
+    return out
+
+
+def test_pack_best_fit_reference_invariants_and_waste(spark):
+    """BFD == pure-Python mirror, never violates the budget, uses no
+    MORE sequences per shard than first-fit greedy (the point of the
+    operator), and the fill-ratio improvement is measured/printed."""
+    from entangledb_spark.operators.packing import pack_best_fit
+
+    bfd_rows = pack_best_fit(spark, _docs(spark)).collect()
+    greedy_rows = pack_greedy(spark, _docs(spark)).collect()
+    assert len(bfd_rows) == len(greedy_rows)
+
+    def stats(rows):
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        n_seqs, tokens = 0, 0
+        for shard_rows in by_shard.values():
+            seq_tokens: dict[int, int] = {}
+            for r in shard_rows:
+                seq_tokens[r["seq_id"]] = seq_tokens.get(r["seq_id"], 0) + r["n_tokens"]
+                if not r["oversize"]:
+                    assert seq_tokens[r["seq_id"]] <= SEQ_BUDGET
+            n_seqs += len(seq_tokens)
+            tokens += sum(seq_tokens.values())
+        return by_shard, n_seqs, tokens
+
+    bfd_by_shard, bfd_seqs, tok = stats(bfd_rows)
+    _, greedy_seqs, tok2 = stats(greedy_rows)
+    assert tok == tok2
+    assert bfd_seqs <= greedy_seqs  # BFD never does worse
+    print(
+        f"fill ratio: greedy {tok / (greedy_seqs * SEQ_BUDGET):.3f} "
+        f"→ bfd {tok / (bfd_seqs * SEQ_BUDGET):.3f} "
+        f"({greedy_seqs} → {bfd_seqs} sequences)"
+    )
+    for shard_rows in bfd_by_shard.values():
+        ref = _reference_bfd(
+            [(r["doc_id"], r["n_tokens"]) for r in shard_rows], SEQ_BUDGET
+        )
+        for r in shard_rows:
+            assert ref[r["doc_id"]] == (r["seq_id"], r["pos_in_seq"], r["oversize"])
+
+
+def test_pack_best_fit_deterministic_under_repartition(spark):
+    from entangledb_spark.operators.packing import pack_best_fit
+
+    a = sorted(tuple(r) for r in pack_best_fit(spark, _docs(spark)).collect())
+    b = sorted(
+        tuple(r)
+        for r in pack_best_fit(spark, _docs(spark).repartition(13)).collect()
+    )
+    assert a == b
