@@ -76,7 +76,32 @@ SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
     # sessions can scrub/audit without leaving the dialect
     "pii_redact": (1, 1, lambda c: _pii("redact")(c)),
     "pii_count": (1, 1, lambda c: _pii("count")(c)),
+    # deterministic-sampling surface (extension; operators/text.py): the
+    # overflow-safe modular Knuth hash every sampler/sharder in the
+    # engine uses, exposed so SQL sessions draw the SAME reproducible
+    # samples as the DataFrame operators (`WHERE knuth_bucket(id, 100)
+    # < 5` is a stable 5% sample on any engine, any re-run)
+    # inputs cast to BIGINT first: the dialect types bare integers INT32
+    # and the Knuth multiply would overflow under ANSI (the same reason
+    # knuth_bucket_sql casts in the oracles)
+    "knuth_bucket": (2, 2, lambda c, n: _knuth()(c.cast("long")) % n),
+    "knuth_key": (1, 1, lambda c: _knuth()(c.cast("long"))),
+    # whitespace token count — the packing/budgeting token definition
+    "token_count": (1, 1, lambda c: _token_count(c)),
 }
+
+
+def _knuth() -> Callable[[Column], Column]:
+    """Late import (functions/ must not import operators/ at load)."""
+    from entangledb_spark.operators.text import knuth_key
+
+    return knuth_key
+
+
+def _token_count(c: Column) -> Column:
+    from entangledb_spark.operators.packing import TOKEN_RE
+
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).cast("long")
 
 
 def _pii(which: str) -> Callable[[Column], Column]:

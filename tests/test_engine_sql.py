@@ -427,6 +427,31 @@ def test_pii_scalar_functions(eng):
     ) == ("mail <EMAIL> or <IPV4>", 2, "clean text", 0, None, 0)
 
 
+def test_sampling_scalar_functions(eng):
+    """The deterministic-sampling surface inside the SQL dialect: the
+    SAME modular Knuth hash every sharder/sampler uses, so SQL sessions
+    draw reproducible samples; token_count is the packing/budgeting
+    token definition (whitespace runs)."""
+    from entangledb_spark.operators.text import HASH_M, SAMPLE_K
+
+    def py_key(i):
+        return ((i % HASH_M) * (SAMPLE_K % HASH_M)) % HASH_M
+
+    got = one(
+        eng,
+        "SELECT knuth_key(12345), knuth_bucket(12345, 100), "
+        "token_count('two  words'), token_count(''), token_count(NULL)",
+    )
+    assert got == (py_key(12345), py_key(12345) % 100, 2, 0, None)
+    # a knuth_bucket WHERE-sample is stable and matches the Python model
+    eng.execute("CREATE TABLE ks (id INTEGER PRIMARY KEY)")
+    for i in range(0, 50):
+        eng.execute(f"INSERT INTO ks VALUES ({i})")
+    res = eng.execute("SELECT id FROM ks WHERE knuth_bucket(id, 10) < 2 ORDER BY id")
+    want = [i for i in range(50) if py_key(i) % 10 < 2]
+    assert [r[0] for r in res.rows] == want
+
+
 def test_attach_external_parquet(eng):
     r = eng.attach_parquet("li", "/root/testdata/sf0.001/lineitem.parquet")
     assert r.status == "ATTACH li"
