@@ -92,14 +92,21 @@ SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
 
 
 def _knuth() -> Callable[[Column], Column]:
-    """Late import (functions/ must not import operators/ at load)."""
-    from entangledb_spark.operators.text import knuth_key
+    """Late import (functions/ must not import operators/ at load).
 
-    return knuth_key
+    The input is pmod'ed into [0, M) first: operators.text.knuth_key
+    documents a nonnegative-id precondition, but this SQL surface
+    accepts any BIGINT — Spark's ``%`` keeps the dividend's sign, so a
+    negative id would otherwise produce a NEGATIVE key/bucket and a
+    ``knuth_bucket(id, 100) < 5`` sample would silently admit every
+    negative-id row."""
+    from entangledb_spark.operators.text import HASH_M, knuth_key
+
+    return lambda c: knuth_key(F.pmod(c, F.lit(HASH_M)))
 
 
 def _token_count(c: Column) -> Column:
-    from entangledb_spark.operators.packing import TOKEN_RE
+    from entangledb_spark.operators.text import TOKEN_RE
 
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)).cast("long")
 

@@ -273,7 +273,7 @@ def build_ivfpq_index(
     pq_refine: int = 1,
     mode: str = "overwrite",
     batch: str | None = None,
-    by_residual: bool = False,
+    by_residual: bool | None = None,
 ) -> None:
     """IVF-PQ index: the serving architecture vector stores actually run
     at 100 TB (FAISS's IVFPQ) — IVF cells prune WHICH files a probe
@@ -340,14 +340,20 @@ def build_ivfpq_index(
     if mode == "append":
         meta = _read_meta(index_dir, "ivfpq")
         model = meta["pq_model"]
-        saved = (meta["n_cells"], model["m"], model["ksub"])
-        asked = (n_cells, m, ksub)
+        saved = (
+            meta["n_cells"],
+            model["m"],
+            model["ksub"],
+            meta.get("by_residual", False),
+        )
+        asked = (n_cells, m, ksub, by_residual)
         if any(a is not None and a != s for a, s in zip(asked, saved)):
             raise ValueError(
-                f"append with (n_cells={n_cells}, m={m}, ksub={ksub}) against "
-                f"an index built with (n_cells={saved[0]}, m={saved[1]}, "
-                f"ksub={saved[2]}) — appends always use the saved model; "
-                "omit the parameters or pass matching values"
+                f"append with (n_cells={n_cells}, m={m}, ksub={ksub}, "
+                f"by_residual={by_residual}) against an index built with "
+                f"(n_cells={saved[0]}, m={saved[1]}, ksub={saved[2]}, "
+                f"by_residual={saved[3]}) — appends always use the saved "
+                "model; omit the parameters or pass matching values"
             )
         if batch == "base":
             raise ValueError(
@@ -390,6 +396,7 @@ def build_ivfpq_index(
     n_cells = 16 if n_cells is None else n_cells
     m = 8 if m is None else m
     ksub = 16 if ksub is None else ksub
+    by_residual = False if by_residual is None else by_residual
     prev = None
     prev_path = os.path.join(index_dir, _META_FILE)
     if os.path.exists(prev_path):
@@ -416,12 +423,12 @@ def build_ivfpq_index(
         # budget spends its codewords on a tighter distribution
         assigned = assigned.withColumn("_res", _residual_expr(cent_rows))
         enc_col = "_res"
-    model = pq_train(
-        assigned.select("vec_id", F.col(enc_col).alias("embedding")),
-        m=m,
-        ksub=ksub,
-        refine=pq_refine,
-    )
+        train_input = assigned.select("vec_id", F.col("_res").alias("embedding"))
+    else:
+        # plain codes don't depend on the assignment — train on the raw
+        # relation so pq_train's corpus passes skip the argmin fold
+        train_input = embeddings
+    model = pq_train(train_input, m=m, ksub=ksub, refine=pq_refine)
     coded = (
         pq_encode(assigned, model, emb_col=enc_col, out_col="pq_code")
         .select("vec_id", "cell", "pq_code")

@@ -234,6 +234,24 @@ _PACK_SCHEMA = T.StructType(
 )
 
 
+def _sharded_token_counts(
+    spark: SparkSession, docs: DataFrame, n_shards: int
+) -> DataFrame:
+    """Shared prolog of the no-split packers: (shard, doc_id, n_tokens)
+    for non-empty docs, sharded by the overflow-safe Knuth hash. One
+    definition so the token/shard semantics of pack_greedy and
+    pack_best_fit cannot diverge."""
+    from entangledb_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    return docs.select(
+        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+
 def _greedy_pack_shard(budget: int):
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -292,15 +310,7 @@ def pack_greedy(
     (doc_id) within shard; re-runs and different partition counts produce
     byte-identical assignments.
     """
-    from entangledb_spark.deploy import ensure_shipped
-
-    ensure_shipped(spark)
-    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
-    d = docs.select(
-        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
-        "doc_id",
-        ntok.cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    d = _sharded_token_counts(spark, docs, n_shards)
     return d.groupBy("shard").applyInPandas(_greedy_pack_shard(budget), _PACK_SCHEMA)
 
 
@@ -357,34 +367,31 @@ def pack_best_fit(
     budget: int = SEQ_BUDGET,
     n_shards: int = N_SHARDS,
 ) -> DataFrame:
-    """Best-fit-decreasing no-split packing — fewer sequences (less pad
-    waste) than pack_greedy's first-fit at the same no-split contract.
+    """Best-fit-decreasing no-split packing — typically fewer sequences
+    (less pad waste) than pack_greedy's first-fit at the same no-split
+    contract: measured 154 → 144 sequences (fill 0.709 → 0.758) on the
+    fixture corpus. The classical guarantee is vs the OPTIMUM
+    (≤ 11/9·OPT + 4 bins, Johnson 1973), not vs first-fit — adversarial
+    instances exist where decreasing order loses to arrival order, so
+    the improvement is a measured property of real length
+    distributions, not a theorem.
 
-    BFD is the classic bin-packing heuristic (≤ 11/9·OPT + 4 bins,
-    Johnson 1973): sort documents by token count DESCENDING, place each
-    into the open sequence with the LEAST remaining capacity that fits,
-    open a new one otherwise. The trade against pack_greedy: sequences
-    mix documents from across the shard (no doc_id-contiguous reading
-    order), which training shuffles anyway; tests measure the fill-ratio
-    improvement on the fixture corpus.
+    BFD: sort documents by token count DESCENDING, place each into the
+    open sequence with the LEAST remaining capacity that fits, open a
+    new one otherwise. The trade against pack_greedy: sequences mix
+    documents from across the shard (no doc_id-contiguous reading
+    order), which training shuffles anyway.
 
-    Same distribution shape as pack_greedy: shard by the overflow-safe
-    Knuth hash, pack each shard independently inside one applyInPandas
-    group (running-reset + best-fit search is not a Catalyst window; the
+    Same distribution shape as pack_greedy (shared prolog
+    _sharded_token_counts): shard by the overflow-safe Knuth hash, pack
+    each shard independently inside one applyInPandas group
+    (running-reset + best-fit search is not a Catalyst window; the
     per-shard loop is O(docs·log open_seqs) with a bisect-sorted open
     list). Deterministic: (n_tokens DESC, doc_id) order, ties on
     remaining capacity go to the lowest seq id — byte-identical across
     re-runs and partition counts. Oversize docs (> budget) get their own
     flagged sequence, as pack_greedy."""
-    from entangledb_spark.deploy import ensure_shipped
-
-    ensure_shipped(spark)
-    ntok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
-    d = docs.select(
-        knuth_bucket(F.col("doc_id"), n_shards).cast("int").alias("shard"),
-        "doc_id",
-        ntok.cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    d = _sharded_token_counts(spark, docs, n_shards)
     return d.groupBy("shard").applyInPandas(_bfd_pack_shard(budget), _PACK_SCHEMA)
 
 
