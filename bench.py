@@ -277,7 +277,16 @@ def _latest_prev_bench() -> dict | None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+    # sort by the PARSED round number, not the raw path: lexicographic order
+    # breaks when the round count gains a digit (BENCH_r99 > BENCH_r100)
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: (
+            int(m.group(1)) if (m := re.search(r"BENCH_r(\d+)\.json$", p)) else -1
+        ),
+        reverse=True,
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 d = json.load(f)

@@ -380,6 +380,14 @@ def build_ivfpq_index(
             .select("vec_id", "cell", "pq_code")
             .withColumn("batch", F.lit(batch))
         )
+        # ledger count rides the SAME action as the codes write (one code
+        # row per vector): a separate embeddings.count() would re-evaluate
+        # the input, and a nondeterministic upstream could then record a
+        # ledger count differing from the rows actually written
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        coded = coded.observe(obs, F.count(F.lit(1)).alias("n_vecs"))
         (
             coded.repartition("cell")
             .write.partitionBy("batch", "cell")
@@ -387,7 +395,7 @@ def build_ivfpq_index(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(_codes_path(index_dir, meta))
         )
-        n_new = embeddings.count()
+        n_new = int(obs.get["n_vecs"])
         meta = _read_meta(index_dir, "ivfpq")
         meta["batches"][batch] = int(n_new)
         _write_meta(index_dir, meta)
@@ -434,6 +442,11 @@ def build_ivfpq_index(
         .select("vec_id", "cell", "pq_code")
         .withColumn("batch", F.lit(batch))
     )
+    # same count-once contract as the append path above
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    coded = coded.observe(obs, F.count(F.lit(1)).alias("n_vecs"))
     (
         coded.repartition("cell")
         .write.partitionBy("batch", "cell")
@@ -443,7 +456,7 @@ def build_ivfpq_index(
         .option("partitionOverwriteMode", "static")
         .parquet(codes_dir)
     )
-    n_new = embeddings.count()
+    n_new = int(obs.get["n_vecs"])
     meta = {
         "kind": "ivfpq",
         "n_cells": n_cells,

@@ -172,6 +172,11 @@ def pq_encode(
     (||c||²/2 − x_j·c), sorted as (dist, code) structs so ties break to
     the LOWER code on both routes and in the DuckDB oracle.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"pq_encode appends {out_col!r} but the input already has that "
+            "column — rename or drop it first, or pass a different out_col"
+        )
     m, dsub = model["m"], model["dsub"]
     n_floats = sum(len(cb) * dsub for cb in model["codebooks"])
     if route == "auto":

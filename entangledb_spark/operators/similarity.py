@@ -495,6 +495,12 @@ def ivf_assign(
     with nprobe > 1 each row repeats once per probed cell) — callers
     that shuffle the assignment afterwards should pre-project to the
     columns they need so the exchange stays narrow."""
+    if "cell" in df.columns:
+        raise ValueError(
+            "ivf_assign appends a 'cell' column but the input already has "
+            "one — rename or drop it first (a silent duplicate name would "
+            "break every downstream selection)"
+        )
     if isinstance(centroids, DataFrame):
         centroids = centroids.select("cell", "centroid").collect()
     rows = sorted(centroids, key=lambda r: r.cell)

@@ -194,6 +194,15 @@ def build_text_index(
                 os.path.join(_posts_path(index_dir, meta), f"batch={batch}"),
                 ignore_errors=True,
             )
+    # Ledger count rides the SAME action as the postings write (observe on
+    # the pre-explode node, so token-less docs still count): a separate
+    # docs.count() after the write would re-evaluate the input, and a
+    # nondeterministic upstream could then record a ledger count differing
+    # from the rows actually written.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    docs = docs.observe(obs, F.count(F.lit(1)).alias("n_docs"))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(token_re), 0).alias(
@@ -225,13 +234,16 @@ def build_text_index(
     # n_docs lives in the meta ledger (token-less docs appear in no
     # posting, so it cannot be re-derived from the index); keyed by
     # batch name so replays overwrite rather than double-count
-    n_new = docs.count()
+    n_new = int(obs.get["n_docs"])
     if mode == "append":
         meta = _read_meta(index_dir)
         meta["batches"][batch] = int(n_new)
     else:
         # a rebuild over a previously-compacted index resets the pointer
-        # to "postings"; drop the orphaned versioned dir afterwards
+        # to "postings"; the orphaned versioned dir is reclaimed only
+        # AFTER the meta commit below — reclaiming first would leave a
+        # crashed rebuild's persisted meta pointing at a deleted
+        # directory (the build_ivfpq_index commit ordering)
         old_posts = None
         if os.path.exists(os.path.join(index_dir, _META_FILE)):
             prev = _read_meta(index_dir)
@@ -245,9 +257,9 @@ def build_text_index(
             "batches": {batch: int(n_new)},
             "folded": [],
         }
-        if old_posts is not None:
-            shutil.rmtree(old_posts, ignore_errors=True)
     _write_meta(index_dir, meta)
+    if mode != "append" and old_posts is not None:
+        shutil.rmtree(old_posts, ignore_errors=True)
     if refresh:
         refresh_stats(spark, index_dir)
 

@@ -236,6 +236,22 @@ def test_dim_not_divisible_raises(spark):
         pq_train(df, m=5, ksub=8)
 
 
+def test_output_column_collision_raises(spark, fixture):
+    """pq_encode appends out_col and ivf_assign appends 'cell'; an input
+    already carrying that name must error loudly instead of silently
+    yielding a duplicate column that breaks downstream selections."""
+    from entangledb_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    df, _, model = fixture
+    coded = pq_encode(df, model)
+    with pytest.raises(ValueError, match="already has"):
+        pq_encode(coded, model)  # default out_col='pq_code' twice
+    cents = ivf_centroids(df, 4).collect()
+    assigned = ivf_assign(df, cents)
+    with pytest.raises(ValueError, match="already has"):
+        ivf_assign(assigned, cents)
+
+
 ALL_SF_DIRS = [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
