@@ -23,6 +23,16 @@ The IVF variant (build_ivf_index / probe_ivf_index) persists BOTH the
 centroid table and the cell-partitioned assignments; probes route through
 the saved centroids so cell boundaries never shift under appends.
 
+Probe-scale contract: probe_lsh_index and probe_ivf_index compute probe
+codes/cells as COLUMN expressions and join — their plans are independent
+of the probe count by construction (pinned in tests), so they serve both
+the handful-of-probes and the decontamination-scale regimes with one
+route. The IVF-PQ probe has two routes: a per-probe LITERAL plan (zero
+joins — lowest latency for bounded serving probe sets, guarded by
+PROBE_LITERAL_MAX) and probe_ivfpq_bulk (broadcast-LUT join — plan size
+independent of probe count, the bm25_topk_bulk shape applied to
+vectors); route="auto" picks by a bounded take() of the probe set.
+
 Hash-family parameters are PERSISTED in `_index_meta.json` at build time
 and are authoritative at probe/append time: a probe computed with a
 different table/plane count would silently match nothing (different hash
@@ -54,6 +64,15 @@ from entangledb_spark.operators.similarity import (
 )
 
 _META_FILE = "_index_meta.json"
+
+# Ceiling on the per-probe LITERAL route of probe_ivfpq_index: each probe
+# folds an m x width ADC lookup table (plus, under by_residual, one table
+# per probed cell) into the plan text at ~20 chars per double, so 32
+# probes x 8 subspaces x 16 codes ~ 80 KB of plan is the comfortable
+# edge — past it the plan compiles per probe what the bulk route ships
+# as DATA. route="auto" counts the probe set with a bounded take() and
+# switches to probe_ivfpq_bulk above this (the PQ_FOLD_MAX pattern).
+PROBE_LITERAL_MAX = 32
 
 
 def _write_meta(index_dir: str, meta: dict) -> None:
@@ -484,6 +503,7 @@ def probe_ivfpq_index(
     exclude_self: bool = True,
     rerank_with: DataFrame | None = None,
     shortlist: int = 50,
+    route: str = "auto",
 ) -> DataFrame:
     """Top-k ANN against a prebuilt IVF-PQ index, no corpus vectors read:
 
@@ -498,6 +518,14 @@ def probe_ivfpq_index(
     4. top-k per probe by (adc_dist, neighbor_id) via the row_number
        window (WindowGroupLimit).
 
+    ``route``: "literal" is the per-probe driver-compiled plan above
+    (right for a handful of serving probes — zero joins); "bulk" is
+    probe_ivfpq_bulk's distributed broadcast-join plan (right for
+    decontamination-scale probe sets — plan size independent of the
+    probe count); "auto" (default) counts the probe set with a bounded
+    take(PROBE_LITERAL_MAX + 1) and picks — a large probe DataFrame can
+    never silently compile a multi-MB literal plan.
+
     ``rerank_with``: the original embeddings relation — when given, the
     per-probe ADC ``shortlist`` joins back on vec_id (a bounded
     shortlist-sized shuffle) and EXACT squared L2 reranks to top-k; the
@@ -506,6 +534,22 @@ def probe_ivfpq_index(
     [, exact_dist], rk)."""
     from entangledb_spark.operators.pq import adc_score_sql, exact_l2_case_sql
 
+    if route not in ("auto", "literal", "bulk"):
+        raise ValueError(f"route must be auto|literal|bulk, got {route!r}")
+    if route == "auto":
+        head = probes.select("vec_id").take(PROBE_LITERAL_MAX + 1)
+        route = "literal" if len(head) <= PROBE_LITERAL_MAX else "bulk"
+    if route == "bulk":
+        return probe_ivfpq_bulk(
+            spark,
+            index_dir,
+            probes,
+            k=k,
+            nprobe=nprobe,
+            exclude_self=exclude_self,
+            rerank_with=rerank_with,
+            shortlist=shortlist,
+        )
     meta = _read_meta(index_dir, "ivfpq")
     model = meta["pq_model"]
     by_residual = meta.get("by_residual", False)
@@ -593,6 +637,147 @@ def probe_ivfpq_index(
             F.expr(exact_l2_case_sql(rerank_rows, "embedding", "query_id")),
         )
         .drop("embedding", "_ark")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "exact_dist", "rk")
+    )
+
+
+def probe_ivfpq_bulk(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Bulk-probe route: top-k ANN for MANY probes in one distributed
+    join — the bm25_topk_bulk shape applied to vectors. Same semantics
+    and results as probe_ivfpq_index's literal route (asserted at the r4
+    grain in tests), but the probes stay DATA end to end, so the plan
+    size is independent of the probe count:
+
+    1. probes assign to their ``nprobe`` cells via the SAVED centroids
+       (ivf_assign — literal fold under IVF_FOLD_MAX_CELLS, Arrow matmul
+       above; the probe relation is never collected);
+    2. each (probe, cell) row computes its ADC lookup tables as a COLUMN
+       value (adc_lut_sql — the codebook is the only literal, ONE
+       model-sized fold shared by all probes; Arrow above PQ_FOLD_MAX);
+    3. the probed cells' DISTINCT ids (a bounded collect — at most
+       n_cells ints however many probes there are, the bm25_topk_bulk
+       bucket collect) become a static partition filter on the codes
+       scan, so pruning is identical to the literal route;
+    4. candidates broadcast-join the (query_id, cell, luts) relation on
+       cell — a candidate is priced only by probes that probed ITS cell,
+       exactly the literal route's guarded branches — and the ADC score
+       is m element_at's against the joined LUT column
+       (adc_lut_lookup_sql);
+    5. per-probe top-k via the row_number window; with ``rerank_with``,
+       the ADC ``shortlist`` joins back to the corpus embeddings and to
+       a broadcast of the probe vectors for the EXACT squared-L2 rerank
+       (the same fold the literal route compiles per probe).
+
+    ``by_residual`` indexes work unchanged: the LUT input is the probe's
+    residual against its probed cell's centroid (_residual_expr — the
+    n_cells-bounded CASE), computed per (probe, cell) row.
+
+    Broadcast budget, stated: the probe side ships |probes| x nprobe
+    rows of (LUT = m x ksub doubles + id + cell) — ~1 KB/row at the
+    default model, so ~100k probes x nprobe fit a 256 MB broadcast
+    comfortably. Past that, drop to several bulk calls over probe
+    slices; the per-slice results are independent (per-probe top-k).
+    """
+    from entangledb_spark.operators.pq import (
+        PQ_FOLD_MAX,
+        adc_lut_arrow,
+        adc_lut_lookup_sql,
+        adc_lut_sql,
+    )
+
+    meta = _read_meta(index_dir, "ivfpq")
+    model = meta["pq_model"]
+    by_residual = meta.get("by_residual", False)
+    cent_rows = spark.read.parquet(_cents_path(index_dir, meta)).collect()
+    assigned = ivf_assign(probes, cent_rows, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "embedding", "cell"
+    )
+    # distinct probed cells BEFORE the LUT attach (so this bounded collect
+    # never evaluates LUT math); recomputing the narrow assignment for the
+    # join below is one extra zero-shuffle pass over the probe relation
+    cells = sorted(
+        int(r.cell) for r in assigned.select("cell").distinct().collect()
+    )
+    if not cells:  # legitimate empty probe set → typed empty result
+        schema = "query_id long, neighbor_id long, adc_dist double, rk long"
+        if rerank_with is not None:
+            schema = (
+                "query_id long, neighbor_id long, adc_dist double, "
+                "exact_dist double, rk long"
+            )
+        return spark.createDataFrame([], schema)
+    if by_residual:
+        # the LUT input is the residual vs the probed cell's RAW centroid
+        # — per (probe, cell) row, matching the literal route's
+        # per-(probe, cell) branches
+        q = assigned.withColumn("_pvec", _residual_expr(cent_rows))
+    else:
+        q = assigned.withColumn(
+            "_pvec", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        )
+    dsub = model["dsub"]
+    n_floats = sum(len(cb) * dsub for cb in model["codebooks"])
+    if n_floats <= PQ_FOLD_MAX:
+        q = q.withColumn("_luts", F.expr(adc_lut_sql(model, "_pvec")))
+    else:
+        q = adc_lut_arrow(q, model, "_pvec", "_luts")
+    lutrel = q.select("query_id", "cell", "_luts")
+    codes = spark.read.parquet(_codes_path(index_dir, meta)).filter(
+        F.col("cell").isin(cells)
+    )
+    scored = codes.join(F.broadcast(lutrel), "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(adc_lut_lookup_sql("pq_code", "_luts")).alias("adc_dist"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    if rerank_with is None:
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= k)
+        )
+    short = scored.withColumn("_ark", F.row_number().over(w)).filter(
+        F.col("_ark") <= shortlist
+    )
+    pemb = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("_qemb"),
+    )
+    exact = (
+        short.join(
+            rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(pemb), "query_id")
+        .withColumn(
+            "exact_dist",
+            F.expr(
+                "aggregate(zip_with(embedding, _qemb, "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+            ),
+        )
+        .drop("embedding", "_qemb", "_ark")
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("exact_dist").asc(), F.col("neighbor_id")

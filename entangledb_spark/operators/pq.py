@@ -297,6 +297,111 @@ def adc_score_sql(model: dict, pvec: list[float], code_col: str) -> str:
     )
 
 
+def adc_lut_sql(model: dict, emb_col: str) -> str:
+    """ADC lookup tables for the PROBE IN A COLUMN: the transpose of
+    adc_score_sql. There the probe is a driver-side literal and the LUT
+    folds into the plan per probe (plan size grows with the probe count);
+    here the CODEBOOK is the literal — one model-sized fold shared by
+    every probe row — and each probe row computes its own
+    array<array<double>> LUT value (m sub-tables, entry c = squared L2
+    of the probe's j-th subvector to sub-centroid c, gap codes 1e308
+    exactly as adc_score_sql prices them). This is what makes the bulk
+    probe route's plan size independent of the probe count. Element
+    arithmetic and fold order match adc_score_sql term for term, so the
+    two routes' distances are bit-identical."""
+    dsub = model["dsub"]
+    tables = []
+    for j, cb in enumerate(model["codebooks"]):
+        lo = j * dsub + 1
+        by_code = dict(cb)
+        width = max(by_code) + 1
+        entries = []
+        for c in range(width):
+            if c in by_code:
+                entries.append(
+                    f"aggregate(zip_with(slice({emb_col}, {lo}, {dsub}), "
+                    f"{_vec_sql(by_code[c])}, "
+                    "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                    "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+                )
+            else:
+                entries.append("CAST(1e308 AS DOUBLE)")
+        tables.append("array(" + ",".join(entries) + ")")
+    return "array(" + ",".join(tables) + ")"
+
+
+def adc_lut_lookup_sql(code_col: str, lut_col: str) -> str:
+    """Candidate-side ADC score against a LUT COLUMN (adc_lut_sql's
+    output, delivered to the candidate row by a join): m element_at's and
+    adds, the same fold adc_score_sql emits over its literal tables."""
+    return (
+        f"aggregate(zip_with({code_col}, {lut_col}, "
+        "(c, l) -> element_at(l, CAST(c + 1 AS INT))), "
+        "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    )
+
+
+def adc_lut_arrow(
+    df: DataFrame, model: dict, emb_col: str, out_col: str
+) -> DataFrame:
+    """Above-PQ_FOLD_MAX LUT computation: broadcast the codebooks, one
+    vectorized (probes x ksub) distance matrix per subspace per Arrow
+    batch — the _pq_encode_arrow precedent. Gap codes priced 1e308 as in
+    adc_score_sql/adc_lut_sql; float sums are numpy pairwise vs the SQL
+    left fold, a ~1e-16 difference covered by the r4 route-equivalence
+    grain."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from entangledb_spark.deploy import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    m, dsub = model["m"], model["dsub"]
+    mats = []
+    for cb in model["codebooks"]:
+        by_code = dict(cb)
+        width = max(by_code) + 1
+        cents = np.array(
+            [by_code.get(c, [0.0] * dsub) for c in range(width)], dtype=np.float64
+        )
+        gaps = np.array([c not in by_code for c in range(width)], dtype=bool)
+        mats.append((cents, gaps))
+    bc = spark.sparkContext.broadcast((m, dsub, mats))
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+
+    def lut_batches(batches):
+        import numpy as _np
+
+        b_m, b_dsub, b_mats = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _np.array(pdf[emb_col].tolist(), dtype=_np.float64)
+            luts = []
+            for j in range(b_m):
+                cents, gaps = b_mats[j]
+                xj = v[:, j * b_dsub : (j + 1) * b_dsub]
+                # (batch, width): ||x - c||^2 expanded for one matmul
+                d2 = (
+                    (xj * xj).sum(axis=1)[:, None]
+                    - 2.0 * (xj @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                d2[:, gaps] = 1e308
+                luts.append(d2)
+            out = pdf.copy()
+            out[out_col] = [
+                [luts[j][i].tolist() for j in range(b_m)] for i in range(len(pdf))
+            ]
+            yield out
+
+    return df.mapInPandas(lut_batches, schema)
+
+
 def exact_l2_case_sql(rows: list, emb_col: str, probe_col: str = "probe_id") -> str:
     """Exact squared-L2 rerank expression: CASE on the probe-id column
     selecting the matching probe vector's folded distance. Shared by the

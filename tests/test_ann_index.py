@@ -173,3 +173,27 @@ def test_index_params_are_persisted_and_enforced(spark, tmp_path):
         probe_ivf_index(spark, idx, probes)
     with pytest.raises(ValueError, match="not a built index"):
         probe_lsh_index(spark, str(tmp_path / "nope"), probes)
+
+
+def test_lsh_and_ivf_probes_are_already_bulk_capable(spark, tmp_path):
+    """probe_lsh_index and probe_ivf_index never collect the probe set —
+    probe codes/cells are computed as column expressions and joined, so
+    their plan size is independent of the probe count (only the IVF-PQ
+    probe needed a dedicated bulk route; these two ARE their own).
+    Pinned here so a future change can't quietly introduce a per-probe
+    driver compile."""
+    from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+
+    e = _emb(spark)
+    lsh = str(tmp_path / "lsh_bulk")
+    ivf = str(tmp_path / "ivf_bulk")
+    build_lsh_index(e, lsh)
+    build_ivf_index(e, ivf, n_cells=8)
+
+    def plan_len(fn, idx, n):
+        df = fn(spark, idx, e.filter(F.col("vec_id") < n), k=3)
+        return len(df._jdf.queryExecution().executedPlan().toString())
+
+    for fn, idx in ((probe_lsh_index, lsh), (probe_ivf_index, ivf)):
+        p4, p400 = plan_len(fn, idx, 4), plan_len(fn, idx, 400)
+        assert p400 < p4 + 500, (fn.__name__, p4, p400)

@@ -436,6 +436,162 @@ def test_ivfpq_append_and_rerank(spark, tmp_path):
         assert abs(r.exact_dist - want) < 1e-9
 
 
+def _rows_r4(df, cols):
+    return sorted(
+        tuple(
+            round(float(v) * 1e4) if isinstance(v, float) else v
+            for v in (r[c] for c in cols)
+        )
+        for r in df.collect()
+    )
+
+
+def test_ivfpq_bulk_route_equivalent(spark, tmp_path):
+    """probe_ivfpq_bulk (distributed broadcast-LUT join) must equal the
+    literal per-probe route at the r4 grain — same neighbors, same ranks,
+    same ADC/exact distances — on the plain index (with and without
+    rerank) and on the by_residual variant (per-(probe, cell) LUTs)."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_bulk,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    probes = df.filter(F.col("vec_id") < 40)
+    d = str(tmp_path / "ivfpq_bulk")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16, pq_refine=1)
+    lit = probe_ivfpq_index(spark, d, probes, k=5, route="literal")
+    blk = probe_ivfpq_bulk(spark, d, probes, k=5)
+    cols = ["query_id", "neighbor_id", "adc_dist", "rk"]
+    assert _rows_r4(lit, cols) == _rows_r4(blk, cols)
+    assert lit.columns == blk.columns
+    lit_r = probe_ivfpq_index(
+        spark, d, probes, k=5, route="literal", rerank_with=df, shortlist=40
+    )
+    blk_r = probe_ivfpq_bulk(spark, d, probes, k=5, rerank_with=df, shortlist=40)
+    cols_r = ["query_id", "neighbor_id", "adc_dist", "exact_dist", "rk"]
+    assert _rows_r4(lit_r, cols_r) == _rows_r4(blk_r, cols_r)
+    assert lit_r.columns == blk_r.columns
+    dres = str(tmp_path / "ivfpq_bulk_res")
+    build_ivfpq_index(
+        df, dres, n_cells=8, m=4, ksub=16, refine=1, pq_refine=1, by_residual=True
+    )
+    lit2 = probe_ivfpq_index(spark, dres, probes, k=5, route="literal")
+    blk2 = probe_ivfpq_bulk(spark, dres, probes, k=5)
+    assert _rows_r4(lit2, cols) == _rows_r4(blk2, cols)
+
+
+def test_ivfpq_bulk_plan_independent_of_probe_count_and_pruned(spark, tmp_path):
+    """The bulk route's contract: probes are DATA, not plan — the plan
+    text must not grow with the probe count (the literal route's does,
+    which is why PROBE_LITERAL_MAX guards it), no per-probe literal LUT
+    (no 1e308 gap constants in the plan), and the codes scan keeps its
+    static partition filter (pruning identical to the literal route)."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_bulk,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_psize")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16)
+
+    def plan(n):
+        p = probe_ivfpq_bulk(spark, d, df.filter(F.col("vec_id") < n), k=3)
+        return p._jdf.queryExecution().executedPlan().toString()
+
+    p4, p200 = plan(4), plan(200)
+    # identical up to cell-filter literals (bounded by n_cells, not probes)
+    assert len(p200) < len(p4) + 500, (len(p4), len(p200))
+    assert "BroadcastHashJoin" in p200
+    assert "1e308" not in p200 and "1E308" not in p200
+    # the CODES scan keeps its static cell filter (the probe-side scan is
+    # an unpartitioned fixture file — its empty PartitionFilters is fine)
+    code_scans = [
+        l
+        for l in p200.splitlines()
+        if "PartitionFilters" in l and "pq_code" in l
+    ]
+    assert code_scans, p200
+    assert not any("PartitionFilters: []" in l for l in code_scans), p200
+    assert "BatchEvalPython" not in p200
+
+
+def test_ivfpq_auto_route_picks_by_probe_count(spark, tmp_path):
+    """route='auto' must compile the literal plan for a bounded probe set
+    (no join — serving latency) and switch to the bulk join plan above
+    PROBE_LITERAL_MAX, so a decontamination-scale probe DataFrame can
+    never silently compile a multi-MB literal plan."""
+    from entangledb_spark.operators.ann_index import (
+        PROBE_LITERAL_MAX,
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_auto")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16)
+    few = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") < 4), k=3)
+    assert "BroadcastHashJoin" not in (
+        few._jdf.queryExecution().executedPlan().toString()
+    )
+    assert df.filter(F.col("vec_id") < 200).count() > PROBE_LITERAL_MAX
+    many = probe_ivfpq_index(spark, d, df.filter(F.col("vec_id") < 200), k=3)
+    assert "BroadcastHashJoin" in (
+        many._jdf.queryExecution().executedPlan().toString()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto|literal|bulk"):
+        probe_ivfpq_index(spark, d, df, k=3, route="nope")
+
+
+def test_ivfpq_bulk_arrow_lut_route_equivalent(spark, tmp_path, monkeypatch):
+    """Above PQ_FOLD_MAX the bulk route computes probe LUTs via the Arrow
+    matmul (adc_lut_arrow) instead of the literal codebook fold — results
+    must agree with the literal-LUT bulk plan at the r4 grain (numpy
+    pairwise vs SQL left-fold summation differs at ~1e-16)."""
+    from entangledb_spark.operators import pq as pq_mod
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_bulk,
+    )
+
+    df = _emb(spark)
+    probes = df.filter(F.col("vec_id") < 40)
+    d = str(tmp_path / "ivfpq_arrowlut")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16, pq_refine=1)
+    cols = ["query_id", "neighbor_id", "adc_dist", "rk"]
+    lit = _rows_r4(probe_ivfpq_bulk(spark, d, probes, k=5), cols)
+    monkeypatch.setattr(pq_mod, "PQ_FOLD_MAX", 0)
+    arw = probe_ivfpq_bulk(spark, d, probes, k=5)
+    assert "BatchEvalPython" not in (
+        arw._jdf.queryExecution().executedPlan().toString()
+    )  # Arrow LUT is mapInPandas (ArrowEvalPython), never row-at-a-time
+    assert _rows_r4(arw, cols) == lit
+
+
+def test_ivfpq_bulk_empty_probe_set(spark, tmp_path):
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_bulk,
+    )
+
+    df = _emb(spark)
+    d = str(tmp_path / "ivfpq_empty")
+    build_ivfpq_index(df, d, n_cells=4, m=4, ksub=8)
+    none = df.filter(F.col("vec_id") < 0)
+    out = probe_ivfpq_bulk(spark, d, none, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rk"]
+    out_r = probe_ivfpq_bulk(spark, d, none, k=3, rerank_with=df)
+    assert out_r.count() == 0
+    assert out_r.columns == [
+        "query_id", "neighbor_id", "adc_dist", "exact_dist", "rk",
+    ]
+
+
 def test_ivfpq_stream_writer_exactly_once_and_compaction(spark, tmp_path):
     """Stream half the corpus into an index built on the other half:
     probes equal a reference over all codes; a checkpoint restart
