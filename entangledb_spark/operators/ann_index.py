@@ -53,6 +53,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from entangledb_spark.functions.numeric import r4
+from entangledb_spark.operators.index_commit import (
+    META_FILE as _META_FILE,
+)
+from entangledb_spark.operators.index_commit import (
+    active_dir,
+    append_precheck,
+    compact_commit,
+    drop_replaced_batch,
+    read_meta,
+    resolve_batch,
+    staging_dir,
+    write_meta,
+)
 from entangledb_spark.operators.similarity import (
     N_HYPERPLANES,
     N_LSH_TABLES,
@@ -62,8 +75,6 @@ from entangledb_spark.operators.similarity import (
     ivf_centroids,
     lsh_bucket_codes,
 )
-
-_META_FILE = "_index_meta.json"
 
 # Ceiling on the per-probe LITERAL route of probe_ivfpq_index: each probe
 # folds an m x width ADC lookup table (plus, under by_residual, one table
@@ -75,39 +86,23 @@ _META_FILE = "_index_meta.json"
 PROBE_LITERAL_MAX = 32
 
 
-def _write_meta(index_dir: str, meta: dict) -> None:
-    """Atomic (tmp + os.replace): the meta is the index's commit pointer
-    — compact_ivfpq_index swaps the codes directory by swapping it."""
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, _META_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _META_FILE))
+# Commit protocol / ledger primitives live in index_commit.py — ONE
+# implementation shared with the inverted text index (text_index.py) so
+# the three indexes cannot drift on atomicity or exactly-once semantics.
+_write_meta = write_meta
+_read_meta = read_meta
 
 
 def _codes_path(index_dir: str, meta: dict) -> str:
-    """The ACTIVE IVF-PQ codes directory (meta pointer — the text_index
+    """The ACTIVE IVF-PQ codes directory (meta pointer — the index_commit
     compaction-commit recipe)."""
-    return os.path.join(index_dir, meta.get("codes_dir", "codes"))
+    return active_dir(index_dir, meta, "codes_dir", "codes")
 
 
 def _cents_path(index_dir: str, meta: dict) -> str:
     """The ACTIVE IVF-PQ centroids directory (meta pointer — rebuilds
     commit new centroids+codes together via one meta swap)."""
-    return os.path.join(index_dir, meta.get("cents_dir", "centroids"))
-
-
-def _read_meta(index_dir: str, kind: str) -> dict:
-    path = os.path.join(index_dir, _META_FILE)
-    if not os.path.exists(path):
-        raise ValueError(f"{index_dir} is not a built index ({_META_FILE} missing)")
-    with open(path) as f:
-        meta = json.load(f)
-    if meta.get("kind") != kind:
-        raise ValueError(
-            f"index at {index_dir} is kind={meta.get('kind')!r}, expected {kind!r}"
-        )
-    return meta
+    return active_dir(index_dir, meta, "cents_dir", "centroids")
 
 
 def build_lsh_index(
@@ -343,19 +338,12 @@ def build_ivfpq_index(
     SKIPPED on replay — which is what makes stream_ivfpq_writer
     exactly-once under foreachBatch, across compactions. Probes filter
     the cell level only; pruning is unaffected by the batch level."""
-    import re as _re
     import shutil
 
     from entangledb_spark.operators.pq import pq_encode, pq_train
 
     spark = embeddings.sparkSession
-    if batch is None:
-        batch = "base" if mode != "append" else f"append-{os.urandom(6).hex()}"
-    if _re.fullmatch(r"[A-Za-z0-9_.\-]+", batch) is None:
-        raise ValueError(
-            f"batch name {batch!r} must be [A-Za-z0-9_.-]+ (it becomes a "
-            "partition directory name)"
-        )
+    batch = resolve_batch(mode, batch)
     if mode == "append":
         meta = _read_meta(index_dir, "ivfpq")
         model = meta["pq_model"]
@@ -374,20 +362,12 @@ def build_ivfpq_index(
                 f"by_residual={saved[3]}) — appends always use the saved "
                 "model; omit the parameters or pass matching values"
             )
-        if batch == "base":
-            raise ValueError(
-                "append may not target the 'base' batch (the built/compacted "
-                "corpus) — pick another batch name"
-            )
-        if batch in meta.get("folded", []):
+        if not append_precheck(meta, batch):
             # a replayed stream batch whose vectors compact_ivfpq_index
             # already folded into base — re-appending would duplicate them
             return
         if batch in meta.get("batches", {}):
-            shutil.rmtree(
-                os.path.join(_codes_path(index_dir, meta), f"batch={batch}"),
-                ignore_errors=True,
-            )
+            drop_replaced_batch(_codes_path(index_dir, meta), batch)
         cent_rows = spark.read.parquet(_cents_path(index_dir, meta)).collect()
         assigned = ivf_assign(embeddings, cent_rows)
         enc_col = "embedding"
@@ -432,13 +412,13 @@ def build_ivfpq_index(
         if cand.get("kind") == "ivfpq":
             prev = cand
     version = int(prev.get("version", 0)) + 1 if prev else 0
-    cents_name = "centroids" if prev is None else f"centroids_v{version}"
-    codes_name = "codes" if prev is None else f"codes_v{version}"
-    cents_dir = os.path.join(index_dir, cents_name)
-    codes_dir = os.path.join(index_dir, codes_name)
-    if prev is not None:  # stale staging from a crashed earlier rebuild
-        shutil.rmtree(cents_dir, ignore_errors=True)
-        shutil.rmtree(codes_dir, ignore_errors=True)
+    if prev is None:
+        cents_name, codes_name = "centroids", "codes"
+        cents_dir = os.path.join(index_dir, cents_name)
+        codes_dir = os.path.join(index_dir, codes_name)
+    else:  # versioned staging; any crashed earlier attempt is removed
+        cents_name, cents_dir = staging_dir(index_dir, "centroids", version)
+        codes_name, codes_dir = staging_dir(index_dir, "codes", version)
     cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
     cents_df.coalesce(1).write.mode("overwrite").parquet(cents_dir)
     cent_rows = spark.read.parquet(cents_dir).collect()
@@ -845,10 +825,7 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
     meta = _read_meta(index_dir, "ivfpq")
     cur = _codes_path(index_dir, meta)
     version = int(meta.get("version", 0)) + 1
-    new_name = f"codes_v{version}"
-    staging = os.path.join(index_dir, new_name)
-    shutil.rmtree(staging, ignore_errors=True)
-    n_vecs = sum(int(v) for v in meta["batches"].values())
+    new_name, staging = staging_dir(index_dir, "codes", version)
     (
         spark.read.parquet(cur)
         .select("vec_id", "cell", "pq_code")
@@ -858,13 +835,6 @@ def compact_ivfpq_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("batch", "cell")
         .parquet(staging)
     )
-    folded = sorted(
-        set(meta.get("folded", []))
-        | {b for b in meta["batches"] if b != "base"}
-    )
-    meta["codes_dir"] = new_name
-    meta["version"] = version
-    meta["batches"] = {"base": n_vecs}
-    meta["folded"] = folded
-    _write_meta(index_dir, meta)  # THE commit point (atomic os.replace)
-    shutil.rmtree(cur, ignore_errors=True)
+    # THE commit point (one atomic meta replace: pointer + ledger + folded)
+    old = compact_commit(index_dir, meta, "codes_dir", "codes", new_name, version)
+    shutil.rmtree(old, ignore_errors=True)

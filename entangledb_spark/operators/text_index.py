@@ -58,7 +58,6 @@ in tests (the measured flip margins dwarf it).
 
 from __future__ import annotations
 
-import json
 import os
 import zlib
 
@@ -73,39 +72,37 @@ from entangledb_spark.operators.retrieval import (
     normalize_terms,
 )
 
-_META_FILE = "_index_meta.json"
+from entangledb_spark.operators.index_commit import (
+    META_FILE as _META_FILE,
+)
+from entangledb_spark.operators.index_commit import (
+    active_dir,
+    append_precheck,
+    compact_commit,
+    drop_replaced_batch,
+    read_meta,
+    resolve_batch,
+    staging_dir,
+    write_meta,
+)
+
 N_TOKEN_BUCKETS = 64
 
-
-def _write_meta(index_dir: str, meta: dict) -> None:
-    """Atomic: a crash mid-write must never leave a torn meta file — the
-    meta is the index's commit pointer (compact_index swaps the postings
-    directory by atomically swapping this file)."""
-    os.makedirs(index_dir, exist_ok=True)
-    tmp = os.path.join(index_dir, _META_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _META_FILE))
+# Commit protocol / ledger primitives live in index_commit.py — ONE
+# implementation shared with the vector indexes (ann_index.py) so the
+# three indexes cannot drift on atomicity or exactly-once semantics.
+_write_meta = write_meta
 
 
 def _read_meta(index_dir: str) -> dict:
-    path = os.path.join(index_dir, _META_FILE)
-    if not os.path.exists(path):
-        raise ValueError(f"{index_dir} is not a built text index ({_META_FILE} missing)")
-    with open(path) as f:
-        meta = json.load(f)
-    if meta.get("kind") != "text":
-        raise ValueError(
-            f"index at {index_dir} is kind={meta.get('kind')!r}, expected 'text'"
-        )
-    return meta
+    return read_meta(index_dir, "text")
 
 
 def _posts_path(index_dir: str, meta: dict) -> str:
-    """The ACTIVE postings directory. Indirect via the meta pointer so
-    compact_index can swap the whole postings layout with one atomic
-    meta replace instead of two non-atomic directory renames."""
-    return os.path.join(index_dir, meta.get("postings_dir", "postings"))
+    """The ACTIVE postings directory (meta pointer — index_commit
+    contract: compact_index swaps the whole postings layout with one
+    atomic meta replace instead of two non-atomic directory renames)."""
+    return active_dir(index_dir, meta, "postings_dir", "postings")
 
 
 def _term_bucket(term: str, n_buckets: int) -> int:
@@ -160,16 +157,9 @@ def build_text_index(
     FOLDED ledger (compact_index absorbed it into base) is a replay of
     data the index already holds and is skipped outright — that is what
     keeps the streaming writer exactly-once ACROSS compactions."""
-    import re as _re
     import shutil
 
-    if batch is None:
-        batch = "base" if mode != "append" else f"append-{os.urandom(6).hex()}"
-    if _re.fullmatch(r"[A-Za-z0-9_.\-]+", batch) is None:
-        raise ValueError(
-            f"batch name {batch!r} must be [A-Za-z0-9_.-]+ (it becomes a "
-            "partition directory name)"
-        )
+    batch = resolve_batch(mode, batch)
     if mode == "append":
         meta = _read_meta(index_dir)
         if (meta["n_buckets"], meta["token_re"]) != (n_buckets, token_re):
@@ -178,22 +168,14 @@ def build_text_index(
                 f"against an index built with (n_buckets={meta['n_buckets']}, "
                 f"token_re={meta['token_re']!r})"
             )
-        if batch == "base":
-            raise ValueError(
-                "append may not target the 'base' batch (the built/compacted "
-                "corpus) — pick another batch name"
-            )
-        if batch in meta.get("folded", []):
+        if not append_precheck(meta, batch):
             # a replayed stream batch whose data compact_index already
             # folded into base — writing it again would duplicate postings
             return
         if batch in meta.get("batches", {}):
             # full replacement semantics: drop the old batch's partitions
             # so buckets absent from the new data don't keep stale rows
-            shutil.rmtree(
-                os.path.join(_posts_path(index_dir, meta), f"batch={batch}"),
-                ignore_errors=True,
-            )
+            drop_replaced_batch(_posts_path(index_dir, meta), batch)
     # Ledger count rides the SAME action as the postings write (observe on
     # the pre-explode node, so token-less docs still count): a separate
     # docs.count() after the write would re-evaluate the input, and a
@@ -534,10 +516,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
     meta = _read_meta(index_dir)
     cur = _posts_path(index_dir, meta)
     version = int(meta.get("version", 0)) + 1
-    new_name = f"postings_v{version}"
-    staging = os.path.join(index_dir, new_name)
-    shutil.rmtree(staging, ignore_errors=True)
-    n_docs = sum(int(v) for v in meta["batches"].values())
+    new_name, staging = staging_dir(index_dir, "postings", version)
     (
         spark.read.parquet(cur)
         .select("token", "doc_id", "tf", "dl", "bucket")
@@ -547,13 +526,6 @@ def compact_index(spark: SparkSession, index_dir: str) -> None:
         .partitionBy("batch", "bucket")
         .parquet(staging)
     )
-    folded = sorted(
-        set(meta.get("folded", []))
-        | {b for b in meta["batches"] if b != "base"}
-    )
-    meta["postings_dir"] = new_name
-    meta["version"] = version
-    meta["batches"] = {"base": n_docs}
-    meta["folded"] = folded
-    _write_meta(index_dir, meta)  # THE commit point (atomic os.replace)
-    shutil.rmtree(cur, ignore_errors=True)
+    # THE commit point (one atomic meta replace: pointer + ledger + folded)
+    old = compact_commit(index_dir, meta, "postings_dir", "postings", new_name, version)
+    shutil.rmtree(old, ignore_errors=True)
