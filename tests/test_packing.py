@@ -558,6 +558,114 @@ def test_pack_best_fit_reference_invariants_and_waste(spark):
             assert ref[r["doc_id"]] == (r["seq_id"], r["pos_in_seq"], r["oversize"])
 
 
+def _bfd_oracle_sql(budget: int, n_shards: int) -> str:
+    """DuckDB recursive-CTE re-derivation of pack_best_fit — the full
+    per-document assignment, not just a summary. BFD is sequential within
+    a shard, so the recursion advances every shard one ranked document per
+    iteration carrying the packer state as list columns: ``open`` = the
+    open sequences as (remaining, seq_id) structs (best fit = first of
+    list_sort(list_filter(open, rem >= n)) — smallest remaining, ties to
+    the lowest seq id, exactly _bfd_pack_shard's bisect on the sorted
+    list), ``cnts`` = docs-per-sequence indexed by seq id (pos_in_seq),
+    ``nxt`` = the next fresh sequence id. Oversize docs consume an id,
+    occupy no capacity, and park a 0 in cnts — as the implementation.
+    Iteration count = max docs per shard (bounded by the uniform Knuth
+    shard hash), so the recursion is shallow at any corpus size."""
+    return f"""
+WITH RECURSIVE
+toks AS (
+  SELECT {knuth_bucket_sql("doc_id", n_shards)} AS shard, doc_id,
+         CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) > 0
+),
+ranked AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id)
+           AS r,
+         count(*) OVER (PARTITION BY shard) AS n
+  FROM toks
+),
+steps AS (
+  SELECT shard, CAST(0 AS BIGINT) AS r, n,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS sid, CAST(NULL AS BIGINT) AS pos,
+         CAST(NULL AS BOOLEAN) AS ovr,
+         CAST([] AS STRUCT(rem BIGINT, sid BIGINT)[]) AS open,
+         CAST([] AS BIGINT[]) AS cnts,
+         CAST(0 AS BIGINT) AS nxt
+  FROM (SELECT DISTINCT shard, n FROM ranked)
+  UNION ALL
+  SELECT s.shard, k.r, s.n, k.doc_id, k.n_tokens,
+         CASE WHEN k.n_tokens > {budget} THEN s.nxt
+              WHEN len(f.fits) > 0 THEN f.fits[1].sid
+              ELSE s.nxt END,
+         CASE WHEN k.n_tokens > {budget} THEN 0
+              WHEN len(f.fits) > 0 THEN s.cnts[f.fits[1].sid + 1]
+              ELSE 0 END,
+         k.n_tokens > {budget},
+         CASE WHEN k.n_tokens > {budget} THEN s.open
+              WHEN len(f.fits) > 0 THEN
+                CASE WHEN f.fits[1].rem - k.n_tokens > 0
+                     THEN list_append(
+                            list_filter(s.open, x -> x.sid != f.fits[1].sid),
+                            struct_pack(rem := f.fits[1].rem - k.n_tokens,
+                                        sid := f.fits[1].sid))
+                     ELSE list_filter(s.open, x -> x.sid != f.fits[1].sid) END
+              ELSE
+                CASE WHEN {budget} - k.n_tokens > 0
+                     THEN list_append(s.open,
+                            struct_pack(rem := {budget} - k.n_tokens,
+                                        sid := s.nxt))
+                     ELSE s.open END
+         END,
+         CASE WHEN k.n_tokens > {budget} THEN list_append(s.cnts, 0)
+              WHEN len(f.fits) > 0 THEN
+                list_transform(range(1, len(s.cnts) + 1),
+                  i -> CASE WHEN i = f.fits[1].sid + 1
+                            THEN s.cnts[i] + 1 ELSE s.cnts[i] END)
+              ELSE list_append(s.cnts, 1) END,
+         CASE WHEN k.n_tokens > {budget} OR len(f.fits) = 0
+              THEN s.nxt + 1 ELSE s.nxt END
+  FROM steps s
+  JOIN ranked k ON k.shard = s.shard AND k.r = s.r + 1,
+  LATERAL (SELECT list_sort(list_filter(s.open, x -> x.rem >= k.n_tokens))
+             AS fits) f
+)
+SELECT CAST(shard AS INT) AS shard, doc_id, n_tokens,
+       sid AS seq_id, CAST(pos AS INT) AS pos_in_seq, ovr AS oversize
+FROM steps WHERE r > 0
+"""
+
+
+def test_pack_best_fit_duckdb_oracle(spark):
+    """pack_best_fit's FULL per-document assignment re-derived by an
+    independent engine (DuckDB recursive CTE) — the strongest oracle the
+    registry policy asks for when a driver-gate slot isn't available
+    (the registry sits at its 50-entry cap; see README policy list).
+    Covers sharding, the decreasing order, best-fit tie-breaks, oversize
+    flagging, and pos_in_seq bookkeeping in one comparison."""
+    from entangledb_spark.operators.packing import N_SHARDS, pack_best_fit
+
+    _compare(
+        pack_best_fit(spark, _docs(spark)),
+        _bfd_oracle_sql(SEQ_BUDGET, N_SHARDS),
+    )
+
+
+def test_pack_best_fit_duckdb_oracle_tight_budget(spark):
+    """Same oracle at a tight budget that forces oversize docs and
+    rem==0 closures (the branches the fixture's default budget may not
+    exercise)."""
+    from entangledb_spark.operators.packing import N_SHARDS, pack_best_fit
+
+    _compare(
+        pack_best_fit(spark, _docs(spark), budget=64),
+        _bfd_oracle_sql(64, N_SHARDS),
+    )
+
+
 def test_pack_best_fit_deterministic_under_repartition(spark):
     from entangledb_spark.operators.packing import pack_best_fit
 
