@@ -914,6 +914,10 @@ def _format_from(item: ast.FromItem, indent: int) -> list[str]:
     if isinstance(item, ast.TableRef):
         alias = f" as {item.alias}" if item.alias else ""
         return [f"{pad}Scan {item.name}{alias}"]
+    if isinstance(item, ast.TableFunc):
+        alias = f" as {item.alias}" if item.alias else ""
+        args = ", ".join(repr(a.value) for a in item.args)
+        return [f"{pad}TableFunction {item.name}({args}){alias}"]
     lines = [f"{pad}{item.join_type.value.title()}Join on={item.predicate}"]
     lines += _format_from(item.left, indent + 1)
     lines += _format_from(item.right, indent + 1)

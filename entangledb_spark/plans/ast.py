@@ -139,6 +139,19 @@ class TableRef:
 
 
 @dataclass(frozen=True)
+class TableFunc:
+    """A table-valued function in FROM (extension; the reference's FROM
+    accepts only table names — planner.rs:260-280). Arguments are literal
+    constants: a TVF materializes before the query's frame exists, so
+    column references could never resolve — the parser rejects them
+    outright with that explanation."""
+
+    name: str
+    args: tuple[Literal, ...]
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class Join:
     left: "FromItem"
     right: "FromItem"
@@ -146,7 +159,7 @@ class Join:
     predicate: Optional[Expr] = None
 
 
-FromItem = Union[TableRef, Join]
+FromItem = Union[TableRef, TableFunc, Join]
 
 
 # --------------------------------------------------------------------------

@@ -91,6 +91,27 @@ def compile_from(item: ast.FromItem, read: TableReader, scope: Scope) -> DataFra
     if isinstance(item, ast.TableRef):
         alias = item.alias or item.name
         return scope.add(alias, read(item.name))
+    if isinstance(item, ast.TableFunc):
+        from pyspark.sql import SparkSession
+
+        from entangledb_spark.functions.table_functions import TABLE_FUNCS
+
+        spec = TABLE_FUNCS.get(item.name)
+        if spec is None:
+            raise CompileError(f"unknown table function: {item.name}")
+        lo, hi, builder = spec
+        n = len(item.args)
+        if n < lo or (hi is not None and n > hi):
+            arity = str(lo) if hi == lo else f"{lo}..{'*' if hi is None else hi}"
+            raise CompileError(
+                f"table function {item.name} takes {arity} arguments, got {n}"
+            )
+        spark = SparkSession.getActiveSession()
+        try:
+            df = builder(spark, *[a.value for a in item.args])
+        except ValueError as e:  # builder-side argument validation
+            raise CompileError(str(e)) from e
+        return scope.add(item.alias or item.name, df)
     assert isinstance(item, ast.Join)
     left = compile_from(item.left, read, scope)
     right = compile_from(item.right, read, scope)

@@ -364,13 +364,33 @@ class Parser:
                 predicate = self.parse_expr()
             left = ast.Join(left, right, jt, predicate)
 
-    def parse_table_ref(self) -> ast.TableRef:
+    def parse_table_ref(self) -> "ast.FromItem":
         name = self.expect("ident").text
+        args: Optional[list[ast.Literal]] = None
+        if self.peek().kind == "symbol" and self.peek().text == "(":
+            # table-valued function: ident '(' literal, ... ')' (extension)
+            self.next()
+            args = []
+            if not self.accept("symbol", ")"):
+                while True:
+                    e = self.parse_expr()
+                    if not isinstance(e, ast.Literal):
+                        raise ParseError(
+                            f"table function {name} arguments must be literal "
+                            "constants (a FROM-clause function materializes "
+                            "before any row exists to reference)"
+                        )
+                    args.append(e)
+                    if not self.accept("symbol", ","):
+                        break
+                self.expect("symbol", ")")
         alias = None
         if self.accept("keyword", "as"):
             alias = self.expect("ident").text
         elif self.peek().kind == "ident":
             alias = self.next().text
+        if args is not None:
+            return ast.TableFunc(name=name, args=tuple(args), alias=alias)
         return ast.TableRef(name=name, alias=alias)
 
     # ---- expressions (precedence climbing) --------------------------------

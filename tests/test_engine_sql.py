@@ -661,3 +661,60 @@ def test_create_table_as_select(eng):
             "CREATE TABLE bad2 AS SELECT genre_id, id FROM movies "
             "WHERE genre_id IS NOT NULL"
         )
+
+
+# ------------------------------------------------ table-valued functions
+
+
+def test_table_function_bm25_topk(spark, eng, tmp_path):
+    """SQL sessions run retrieval end-to-end: FROM bm25_topk(...) returns
+    the identical rows the DataFrame surface (bm25_topk_indexed) returns,
+    joins like a table, EXPLAINs as a TableFunction node, and bad
+    invocations fail with the dialect's analysis errors."""
+    from entangledb_spark.operators.text_index import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from entangledb_spark.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "tfidx")
+    build_text_index(docs, idx)
+    sql = f"SELECT doc_id, bm25_tf, score FROM bm25_topk('{idx}', 'data model training', 5)"
+    got = sorted(tuple(r) for r in eng.execute(sql).fetch(100)[0])
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(
+            spark, idx, ("data", "model", "training"), k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 5
+    # default k (arity 2) and aliasing + qualification
+    assert len(eng.execute(
+        f"SELECT h.score FROM bm25_topk('{idx}', 'data') h"
+    ).fetch(100)[0]) == 10
+    # joins like any relation
+    eng.execute("CREATE TABLE labels (id INTEGER PRIMARY KEY, lab STRING NULL)")
+    first_doc = sorted(got, key=lambda t: (-t[2], t[0]))[0][0]
+    eng.execute(f"INSERT INTO labels VALUES ({first_doc}, 'hit')")
+    joined = eng.execute(
+        f"SELECT l.lab, h.doc_id FROM labels l "
+        f"JOIN bm25_topk('{idx}', 'data model training', 5) h ON l.id = h.doc_id"
+    ).fetch(100)[0]
+    assert joined == [("hit", first_doc)]
+    # EXPLAIN renders the node with its literal args
+    plan = "\n".join(
+        r[0] for r in eng.execute(f"EXPLAIN {sql}").rows
+    )
+    assert "TableFunction bm25_topk" in plan and "'data model training'" in plan
+    # error surface: unknown function, wrong arity, bad types, non-literal
+    with pytest.raises(EngineError, match="unknown table function"):
+        eng.execute("SELECT * FROM no_such_tvf('x')")
+    with pytest.raises(EngineError, match="arguments"):
+        eng.execute(f"SELECT * FROM bm25_topk('{idx}')")
+    with pytest.raises(EngineError, match="positive integer"):
+        eng.execute(f"SELECT * FROM bm25_topk('{idx}', 'q', 0)")
+    with pytest.raises(EngineError, match="literal"):
+        eng.execute("SELECT * FROM bm25_topk(doc_id, 'q', 5)")
