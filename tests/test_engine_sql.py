@@ -718,3 +718,55 @@ def test_table_function_bm25_topk(spark, eng, tmp_path):
         eng.execute(f"SELECT * FROM bm25_topk('{idx}', 'q', 0)")
     with pytest.raises(EngineError, match="literal"):
         eng.execute("SELECT * FROM bm25_topk(doc_id, 'q', 5)")
+
+
+def test_table_function_ann_topk(spark, eng, tmp_path):
+    """FROM ann_topk('<index>', '<vector literal>', k) dispatches on the
+    index kind and matches the DataFrame probe surface for both the
+    cosine (lsh/ivf) and ADC (ivfpq) output shapes."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        build_lsh_index,
+        probe_lsh_index,
+    )
+    from entangledb_spark.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qvec = emb.filter(F.col("vec_id") == 7).first().embedding
+    lit = " ".join(repr(float(x)) for x in qvec)
+
+    lsh_dir = str(tmp_path / "lsh")
+    build_lsh_index(emb, lsh_dir)
+    got = eng.execute(
+        f"SELECT neighbor_id, cos_sim, rk FROM ann_topk('{lsh_dir}', '{lit}', 3)"
+    ).fetch(100)[0]
+    probe = spark.createDataFrame(
+        [(-1, [float(x) for x in qvec])], "vec_id long, embedding array<float>"
+    )
+    want = [
+        (r.neighbor_id, r.cos_sim, r.rk)
+        for r in probe_lsh_index(spark, lsh_dir, probe, k=3, exclude_self=False)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want) and len(got) == 3
+    assert got and got[0][0] == 7  # the corpus copy of the probe is rank 1
+
+    pq_dir = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, pq_dir, n_cells=4, m=4, ksub=8)
+    rows = eng.execute(
+        f"SELECT neighbor_id, adc_dist, rk FROM ann_topk('{pq_dir}', '{lit}', 3) "
+        "ORDER BY rk ASC"
+    ).fetch(100)[0]
+    assert len(rows) == 3 and rows[0][1] <= rows[-1][1]  # ADC ascending
+    # error surface
+    with pytest.raises(EngineError, match="no index meta"):
+        eng.execute(f"SELECT * FROM ann_topk('{tmp_path}/nope', '{lit}')")
+    with pytest.raises(EngineError, match="non-numeric"):
+        eng.execute(f"SELECT * FROM ann_topk('{lsh_dir}', '0.1 zebra')")
+    with pytest.raises(EngineError, match="positive integer"):
+        eng.execute(f"SELECT * FROM ann_topk('{lsh_dir}', '{lit}', 0)")
