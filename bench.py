@@ -70,7 +70,14 @@ LINE_BYTE_BUDGET = 1900
 # reported under "expected_regressions" (with its reason) instead of
 # "regressions_gt_15pct" — the slowdown is a scope change, not a plan
 # regression. Prune entries once a round's BENCH_r*.json reflects them.
-EXPECTED_REGRESSIONS: dict[str, str] = {}
+EXPECTED_REGRESSIONS: dict[str, str] = {
+    "q93_span_dedup": (
+        "round 8 scope: sliding-window exact substring dedup "
+        "(duplicate_substring_spans, Lee et al. arXiv:2107.06499) added to "
+        "the gate — a second, stride-1 window pass over the corpus "
+        "(~+1.4s at sf0.1; the tumbling-only query was 0.6s)"
+    ),
+}
 
 HEADLINE = [
     "q01_pricing_summary",

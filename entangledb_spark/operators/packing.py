@@ -70,6 +70,71 @@ def _windows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     )
 
 
+def _mark_duplicates(
+    w: DataFrame,
+    min_count: int,
+    hot_span_cap: int | None = None,
+    order_col: str = "idx",
+) -> DataFrame:
+    """Append corpus-duplication marks (occ, first_occ, keep) to a windows
+    relation carrying (doc_id, ``order_col``, h, ...extra columns).
+
+    ONE shuffle on the uniform hash key via WINDOW aggregates (count +
+    min(struct(doc_id, order)) with no frame/sort); keep-first policy —
+    a window is kept iff its hash occurs < ``min_count`` times corpus-wide
+    or this occurrence is the global first by (doc_id, order).
+
+    ``hot_span_cap`` is the opt-in straggler guard shared by every caller
+    (see dedup_spans for the full rationale): hashes occurring >= cap times
+    get their stats from a groupBy aggregation (partial aggregation
+    collapses the hot key map-side BEFORE its exchange) broadcast back,
+    so no window task ever materializes a boilerplate span's full
+    occurrence list. Survivors are identical either route (asserted in
+    tests/test_skew_stress.py)."""
+    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
+        F.col(f"first_occ.{order_col}") == F.col(order_col)
+    )
+    keep_rule = (F.col("occ") < min_count) | is_first
+    if hot_span_cap is not None:
+        hot_stats = (
+            w.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("occ"),
+                F.min(F.struct("doc_id", order_col)).alias("first_occ"),
+            )
+            .filter(F.col("occ") >= hot_span_cap)
+        )
+        tagged = w.join(
+            F.broadcast(
+                hot_stats.withColumnRenamed("occ", "hot_occ").withColumnRenamed(
+                    "first_occ", "hot_first"
+                )
+            ),
+            "h",
+            "left",
+        )
+        cold = tagged.filter(F.col("hot_occ").isNull()).drop("hot_occ", "hot_first")
+        ws = Window.partitionBy("h")
+        cold_marked = (
+            cold.withColumn("occ", F.count(F.lit(1)).over(ws))
+            .withColumn("first_occ", F.min(F.struct("doc_id", order_col)).over(ws))
+            .withColumn("keep", keep_rule)
+        )
+        hot_marked = (
+            tagged.filter(F.col("hot_occ").isNotNull())
+            .withColumnRenamed("hot_occ", "occ")
+            .withColumnRenamed("hot_first", "first_occ")
+            .withColumn("keep", keep_rule)
+        )
+        return cold_marked.unionByName(hot_marked)
+    ws = Window.partitionBy("h")
+    return (
+        w.withColumn("occ", F.count(F.lit(1)).over(ws))
+        .withColumn("first_occ", F.min(F.struct("doc_id", order_col)).over(ws))
+        .withColumn("keep", keep_rule)
+    )
+
+
 def dedup_spans(
     docs: DataFrame,
     span_tokens: int = SPAN_TOKENS,
@@ -117,46 +182,9 @@ def dedup_spans(
     Returns one row per non-empty document:
       (doc_id, n_spans, n_removed, cleaned_text).
     """
-    w = _windows(docs, span_tokens)
-    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
-        F.col("first_occ.idx") == F.col("idx")
+    marked = _mark_duplicates(
+        _windows(docs, span_tokens), min_count, hot_span_cap, order_col="idx"
     )
-    keep_rule = (F.col("occ") < min_count) | is_first
-    if hot_span_cap is not None:
-        hot_stats = (
-            w.groupBy("h")
-            .agg(
-                F.count(F.lit(1)).alias("occ"),
-                F.min(F.struct("doc_id", "idx")).alias("first_occ"),
-            )
-            .filter(F.col("occ") >= hot_span_cap)
-        )
-        tagged = w.join(
-            F.broadcast(hot_stats.withColumnRenamed("occ", "hot_occ").withColumnRenamed("first_occ", "hot_first")),
-            "h",
-            "left",
-        )
-        cold = tagged.filter(F.col("hot_occ").isNull()).drop("hot_occ", "hot_first")
-        ws = Window.partitionBy("h")
-        cold_marked = (
-            cold.withColumn("occ", F.count(F.lit(1)).over(ws))
-            .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
-            .withColumn("keep", keep_rule)
-        )
-        hot_marked = (
-            tagged.filter(F.col("hot_occ").isNotNull())
-            .withColumnRenamed("hot_occ", "occ")
-            .withColumnRenamed("hot_first", "first_occ")
-            .withColumn("keep", keep_rule)
-        )
-        marked = cold_marked.unionByName(hot_marked)
-    else:
-        ws = Window.partitionBy("h")
-        marked = (
-            w.withColumn("occ", F.count(F.lit(1)).over(ws))
-            .withColumn("first_occ", F.min(F.struct("doc_id", "idx")).over(ws))
-            .withColumn("keep", keep_rule)
-        )
     kept = F.filter(
         F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
         lambda s: s["keep"],
@@ -168,6 +196,157 @@ def dedup_spans(
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
             F.array_join(
                 F.transform(kept, lambda s: s["chunk"]), " "
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+# Sliding-window substring dedup: 15-token windows at EVERY start position.
+SS_WINDOW_TOKENS = 15
+
+
+def _sliding_windows(docs: DataFrame, window_tokens: int) -> DataFrame:
+    """Explode documents into STRIDE-1 token windows: one row per start
+    position 0..n_toks-window_tokens, keyed by md5 of the case-normalized
+    window text (the q93 identity; md5's 128 bits make cross-doc hash
+    collisions a non-event and the key is re-derivable by any engine).
+
+    Volume, stated honestly: stride 1 emits ~one row per corpus TOKEN
+    (vs one per window_tokens tokens for the tumbling _windows) — that is
+    the inherent price of ALIGNMENT-ROBUST exact substring matching, the
+    same corpus-suffix blow-up the suffix-array formulation pays. Each
+    row is (long, int, 32-char hash): ~50 B, so a 100 TB corpus
+    (~20T tokens) shuffles ~1 PB once on a uniform key — large but flat,
+    and entirely skew-free below the boilerplate caveat in
+    _mark_duplicates. The window text itself never leaves the map side.
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - window_tokens),
+        lambda i: F.md5(
+            F.lower(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, window_tokens)))
+        ),
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= window_tokens)
+        .select("doc_id", F.posexplode(wins).alias("pos", "h"))
+    )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    window_tokens: int = SS_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """Exact substring-level dedup: maximal duplicated token spans per doc.
+
+    The sliding-window formulation of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (arXiv:2107.06499): any
+    ``window_tokens``-token substring occurring ``min_count``+ times
+    corpus-wide (case-normalized) marks its positions as duplicated, the
+    globally FIRST occurrence of each distinct window (min (doc_id, pos))
+    survives, and overlapping/adjacent duplicated windows merge into
+    maximal removal spans. Unlike dedup_spans' tumbling windows (the C4
+    rule, q93), this catches duplicated passages at ANY token offset —
+    two docs sharing a paragraph that starts mid-window are invisible to
+    chunk-aligned hashing but found here (asserted in tests).
+
+    Spark-first plan (where Lee et al. build a monolithic suffix array —
+    inherently single-machine — the window-hash equivalent is three
+    hash-partitioned exchanges, each on a key Spark handles at any scale):
+      1. stride-1 window hashes (_sliding_windows, narrow);
+      2. corpus-duplication marks (_mark_duplicates — ONE shuffle on the
+         uniform md5 key, window aggregates, optional hot_span_cap);
+      3. gaps-and-islands span merge: per doc, duplicated starts sorted
+         by pos chain into one island while the gap <= window_tokens
+         (covered token ranges [p, p+W-1] overlap or touch exactly when
+         p2 - p1 <= W); two window functions + the groupBy all reuse ONE
+         exchange on doc_id (HashPartitioning(doc_id) satisfies the
+         (doc_id, island) clustering).
+
+    Returns one row per maximal span:
+      (doc_id, span_start, span_end, span_len, n_windows)
+    with token-position bounds inclusive, span_len = span_end-span_start+1.
+    """
+    w = _sliding_windows(docs, window_tokens)
+    marked = _mark_duplicates(w, min_count, hot_span_cap, order_col="pos")
+    removed = marked.filter(~F.col("keep")).select("doc_id", "pos")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        removed.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wd) > window_tokens, 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wd))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window_tokens - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )
+    return spans
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    window_tokens: int = SS_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """Apply duplicate_substring_spans as a cleaner: one row per non-empty
+    document with the duplicated spans elided (keep-first corpus-wide).
+
+    The spans relation (tiny: one row per MAXIMAL duplicated span) is
+    collected per doc via a left join + groupBy, then the token filter is
+    a narrow array expression over the original text — no second corpus
+    shuffle beyond the spans join. Returns
+    (doc_id, n_toks, removed_tokens, cleaned_text)."""
+    spans = duplicate_substring_spans(docs, window_tokens, min_count, hot_span_cap)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_len").cast("long").alias("removed_tokens"),
+    )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    kept = F.filter(
+        F.transform(F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                F.col("_spans"),
+                F.array().cast(
+                    "array<struct<span_start:bigint,span_end:bigint>>"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_toks"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
             ).alias("cleaned_text"),
         )
     )
@@ -462,22 +641,103 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
              row_number() OVER (PARTITION BY md5(lower(chunk))
                                 ORDER BY doc_id, idx) AS rn
       FROM wh
+    ),
+    tumbling AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN chunk END,
+                                 ' ' ORDER BY idx), '') AS cleaned_text
+      FROM marked GROUP BY doc_id
+    ),
+    ss_w0 AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks) - 14)) AS pos
+      FROM t WHERE len(toks) >= 15
+    ),
+    ss_w AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             md5(lower(array_to_string(toks[(pos+1):(pos+15)], ' '))) AS h
+      FROM ss_w0
+    ),
+    ss_marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY h) AS occ,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM ss_w
+    ),
+    ss_removed AS (
+      SELECT doc_id, pos FROM ss_marked WHERE occ >= 2 AND rn > 1
+    ),
+    ss_isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > 15 THEN 1 ELSE 0 END AS brk
+      FROM ss_removed
+    ),
+    ss_spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 14 AS e
+      FROM (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM ss_isl)
+      GROUP BY doc_id, island
+    ),
+    ss_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS ss_n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS ss_removed_tokens,
+             CAST(max(e - s + 1) AS BIGINT) AS ss_max_span
+      FROM ss_spans GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_spans,
-           CAST(sum(CASE WHEN occ >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_removed,
-           coalesce(string_agg(CASE WHEN occ < 2 OR rn = 1 THEN chunk END,
-                               ' ' ORDER BY idx), '') AS cleaned_text
-    FROM marked GROUP BY doc_id
+    SELECT tb.doc_id, tb.n_spans, tb.n_removed, tb.cleaned_text,
+           coalesce(sd.ss_n_spans, 0) AS ss_n_spans,
+           coalesce(sd.ss_removed_tokens, 0) AS ss_removed_tokens,
+           coalesce(sd.ss_max_span, 0) AS ss_max_span
+    FROM tumbling tb LEFT JOIN ss_doc sd USING (doc_id)
     """,
 )
 def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus-level duplicate-span removal (keep-first) as a gate
-    query: dedup_spans over the documents table, hash-compared against a
-    DuckDB window-function re-derivation (same 10-token windows, same
-    md5(lower(chunk)) identity, same keep-first tie-break)."""
-    return dedup_spans(table(spark, sf_dir, "documents"))
+    """Corpus-level duplicate-span removal as a gate query, BOTH window
+    shapes over the documents table, hash-compared against a DuckDB
+    window-function re-derivation:
+
+    - tumbling (C4 rule): dedup_spans' 10-token chunks, keep-first —
+      (n_spans, n_removed, cleaned_text);
+    - sliding (Lee et al. arXiv:2107.06499): duplicate_substring_spans'
+      15-token stride-1 windows merged into maximal removal spans —
+      per-doc (ss_n_spans, ss_removed_tokens, ss_max_span), zeros for
+      span-free docs. Same md5(lower(window)) identity and (doc_id, pos)
+      keep-first tie-break in both engines; the oracle re-derives the
+      gaps-and-islands merge with lag + running-sum windows."""
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    docs = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
+    ss = (
+        duplicate_substring_spans(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ss_n_spans"),
+            F.sum("span_len").cast("long").alias("ss_removed_tokens"),
+            F.max("span_len").cast("long").alias("ss_max_span"),
+        )
+    )
+    return (
+        dedup_spans(docs)
+        .join(ss, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_removed",
+            "cleaned_text",
+            F.coalesce("ss_n_spans", F.lit(0).cast("long")).alias("ss_n_spans"),
+            F.coalesce("ss_removed_tokens", F.lit(0).cast("long")).alias(
+                "ss_removed_tokens"
+            ),
+            F.coalesce("ss_max_span", F.lit(0).cast("long")).alias(
+                "ss_max_span"
+            ),
+        )
+    )
 
 
 @query(

@@ -1,0 +1,187 @@
+"""Sliding-window exact substring dedup (packing.duplicate_substring_spans
+/ remove_duplicate_substrings) vs a bit-exact pure-Python reference of the
+Lee et al. (arXiv:2107.06499) semantics: duplicated windows at ANY offset,
+keep-first survivor, maximal-span merge."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from entangledb_spark.operators.packing import (
+    SS_WINDOW_TOKENS,
+    dedup_spans,
+    duplicate_substring_spans,
+    remove_duplicate_substrings,
+)
+from entangledb_spark.operators.text import TOKEN_RE
+
+
+def _ref(texts: dict[int, str], w: int, min_count: int = 2):
+    """Reference: spans per doc + cleaned text, brute force."""
+    toks = {d: re.findall(TOKEN_RE, t) for d, t in texts.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - w + 1):
+            occ.setdefault(" ".join(ts[p : p + w]).lower(), []).append((d, p))
+    removed: dict[int, list[int]] = {}
+    for lst in occ.values():
+        if len(lst) >= min_count:
+            for d, p in sorted(lst)[1:]:
+                removed.setdefault(d, []).append(p)
+    spans = {}
+    for d, ps in removed.items():
+        ps.sort()
+        out, start, prev = [], ps[0], ps[0]
+        nwin = 1
+        for p in ps[1:]:
+            if p - prev > w:
+                out.append((start, prev + w - 1, nwin))
+                start, nwin = p, 0
+            prev = p
+            nwin += 1
+        out.append((start, prev + w - 1, nwin))
+        spans[d] = out
+    cleaned = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        drop = set()
+        for s, e, _ in spans.get(d, []):
+            drop.update(range(s, e + 1))
+        cleaned[d] = " ".join(t for i, t in enumerate(ts) if i not in drop)
+    return spans, cleaned
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+
+PASSAGE = " ".join(f"p{i}" for i in range(40))  # 40 shared tokens
+CORPUS = {
+    1: "alpha beta " + PASSAGE + " gamma delta",
+    2: "one two three four five " + PASSAGE,  # different, non-aligned offset
+    3: "zz " + PASSAGE + " yy " + PASSAGE,  # internal repeat too
+    4: "totally unique text with no overlap across documents here today",
+    5: "Alpha Beta " + PASSAGE.upper(),  # case-normalized duplicate
+    6: "short doc",  # below the window size
+}
+
+
+def test_spans_match_reference(spark):
+    spans, _ = _ref(CORPUS, 15)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_substring_spans(
+            _df(spark, CORPUS), window_tokens=15
+        ).collect()
+    }
+    want = {
+        (d, s, e, n) for d, lst in spans.items() for (s, e, n) in lst
+    }
+    assert got == want and len(got) > 0
+    # doc 1 holds the global first occurrence: no span covers its passage
+    assert not any(d == 1 for d, *_ in got)
+    # doc 3's second internal copy and doc 5's case variant are both caught
+    assert any(d == 3 for d, *_ in got) and any(d == 5 for d, *_ in got)
+
+
+def test_alignment_robustness_vs_tumbling(spark):
+    """The reason this operator exists: a passage duplicated at offsets
+    that differ mod the chunk size is INVISIBLE to tumbling chunk hashes
+    (q93/C4 rule) but fully recovered by the sliding windows."""
+    docs = _df(spark, {k: CORPUS[k] for k in (1, 2, 4)})
+    tumbling = dedup_spans(docs, span_tokens=10)
+    assert [r.n_removed for r in tumbling.collect()] == [0, 0, 0]
+    spans = duplicate_substring_spans(docs, window_tokens=15).collect()
+    assert len(spans) == 1 and spans[0].doc_id == 2
+    assert spans[0].span_len == 40  # the full passage, merged to ONE span
+
+
+def test_cleaned_text_matches_reference(spark):
+    _, cleaned = _ref(CORPUS, 15)
+    got = {
+        r.doc_id: (r.removed_tokens, r.cleaned_text)
+        for r in remove_duplicate_substrings(
+            _df(spark, CORPUS), window_tokens=15
+        ).collect()
+    }
+    assert set(got) == set(cleaned)
+    for d, text in cleaned.items():
+        n_removed = len(re.findall(TOKEN_RE, CORPUS[d])) - len(
+            re.findall(TOKEN_RE, text)
+        )
+        assert got[d] == (n_removed, text), d
+    # untouched docs keep their full token stream
+    assert got[4][0] == 0 and got[6][0] == 0
+
+
+@pytest.mark.parametrize("w", [5, 25])
+def test_window_size_sweep(spark, w):
+    spans, _ = _ref(CORPUS, w)
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_substring_spans(
+            _df(spark, CORPUS), window_tokens=w
+        ).collect()
+    }
+    assert got == {(d, s, e) for d, lst in spans.items() for (s, e, _) in lst}
+
+
+def test_hot_span_cap_equivalence(spark):
+    """Survivors identical with the straggler guard engaged (the
+    _mark_duplicates contract, here through the sliding-window caller):
+    a boilerplate window repeated across many docs routes via the
+    broadcast hot-stats path without changing a single span."""
+    boiler = " ".join(f"b{i}" for i in range(15))
+    texts = {d: f"doc {d} says " + boiler for d in range(1, 31)}
+    texts[99] = "completely unrelated filler text that matters to nobody"
+    docs = _df(spark, texts)
+    base = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(docs, window_tokens=15).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(
+            docs, window_tokens=15, hot_span_cap=5
+        ).collect()
+    )
+    assert base == capped and len(base) == 29  # all but the first doc
+
+
+def test_span_invariants(spark, sf_dir):
+    """Real-corpus properties at sf0.001: spans in-bounds, non-overlapping
+    per doc, gaps between consecutive spans exceed the window (else they
+    would have merged), span_len >= window and = n_windows + w - 1."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = SS_WINDOW_TOKENS
+    spans = duplicate_substring_spans(docs).collect()
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+            ).alias("n"),
+        ).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        assert 0 <= r.span_start <= r.span_end < n_toks[r.doc_id]
+        assert r.span_len == r.span_end - r.span_start + 1 >= w
+        # starts chain at gaps <= w, so windows can undercount positions
+        # but never exceed them
+        assert 1 <= r.n_windows <= r.span_len - w + 1
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for lst in per_doc.values():
+        lst.sort()
+        for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
+            assert s2 - (e1 - w + 1) > w  # start gap > w, else merged
