@@ -87,13 +87,13 @@ class Scope:
 TableReader = Callable[[str], DataFrame]
 
 
-def compile_from(item: ast.FromItem, read: TableReader, scope: Scope) -> DataFrame:
+def compile_from(
+    item: ast.FromItem, read: TableReader, scope: Scope, spark: SparkSession
+) -> DataFrame:
     if isinstance(item, ast.TableRef):
         alias = item.alias or item.name
         return scope.add(alias, read(item.name))
     if isinstance(item, ast.TableFunc):
-        from pyspark.sql import SparkSession
-
         from entangledb_spark.functions.table_functions import TABLE_FUNCS
 
         spec = TABLE_FUNCS.get(item.name)
@@ -106,15 +106,14 @@ def compile_from(item: ast.FromItem, read: TableReader, scope: Scope) -> DataFra
             raise CompileError(
                 f"table function {item.name} takes {arity} arguments, got {n}"
             )
-        spark = SparkSession.getActiveSession()
         try:
             df = builder(spark, *[a.value for a in item.args])
         except ValueError as e:  # builder-side argument validation
             raise CompileError(str(e)) from e
         return scope.add(item.alias or item.name, df)
     assert isinstance(item, ast.Join)
-    left = compile_from(item.left, read, scope)
-    right = compile_from(item.right, read, scope)
+    left = compile_from(item.left, read, scope, spark)
+    right = compile_from(item.right, read, scope, spark)
     if item.join_type == ast.JoinType.CROSS:
         return left.crossJoin(right)
     if item.predicate is not None and any(
@@ -333,7 +332,7 @@ def _apply_exists(
         return probe(compile_select(sel, spark, read))
 
     inner_scope = Scope()
-    inner_df = compile_from(sel.from_, read, inner_scope)
+    inner_df = compile_from(sel.from_, read, inner_scope, spark)
     shared = set(inner_scope.tables) & set(outer.tables)
     if shared:
         raise CompileError(
@@ -497,7 +496,7 @@ def compile_select(
         )
     scope = Scope()
     if stmt.from_ is not None:
-        df = compile_from(stmt.from_, read, scope)
+        df = compile_from(stmt.from_, read, scope, spark)
     else:
         df = spark.range(1).drop("id")  # Nothing node: one empty row
 

@@ -208,3 +208,27 @@ def test_changes_over_the_wire(server):
     assert r["columns"] == ["id", "v", "_change_type"]
     assert r["rows"] == [[2, "B", "update"]]
     c.close()
+
+
+def test_table_function_over_the_wire(server, spark, tmp_path):
+    """A TVF runs inside a server connection THREAD (not the main thread
+    that created the SparkSession) — pins that the compiler resolves the
+    session via the engine's own handle rather than thread-local state."""
+    from entangledb_spark.operators.text_index import build_text_index
+    from entangledb_spark.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "tfidx")
+    build_text_index(docs, idx)
+    c = client(server)
+    r = c.execute(
+        f"SELECT doc_id, score FROM bm25_topk('{idx}', 'data model', 3)"
+    )
+    assert r["columns"] == ["doc_id", "score"] and len(r["rows"]) == 3
+    with pytest.raises(EngineError, match="unknown table function"):
+        c.execute("SELECT * FROM nope_tvf('x')")
+    # session survives the error
+    assert c.execute("SELECT 1 + 2 AS three")["rows"] == [[3]]
+    c.close()
