@@ -73,9 +73,10 @@ LINE_BYTE_BUDGET = 1900
 EXPECTED_REGRESSIONS: dict[str, str] = {
     "q93_span_dedup": (
         "round 8 scope: sliding-window exact substring dedup "
-        "(duplicate_substring_spans, Lee et al. arXiv:2107.06499) added to "
-        "the gate — a second, stride-1 window pass over the corpus "
-        "(~+1.4s at sf0.1; the tumbling-only query was 0.6s)"
+        "(duplicate_substring_spans, Lee et al. arXiv:2107.06499) AND "
+        "contamination span localization (quality.contamination_spans) "
+        "added to the gate — two extra stride-1 window passes over the "
+        "corpus (~2.4s vs the tumbling-only 0.6s at sf0.1)"
     ),
 }
 

@@ -273,8 +273,19 @@ def duplicate_substring_spans(
     w = _sliding_windows(docs, window_tokens)
     marked = _mark_duplicates(w, min_count, hot_span_cap, order_col="pos")
     removed = marked.filter(~F.col("keep")).select("doc_id", "pos")
+    return positions_to_spans(removed, window_tokens)
+
+
+def positions_to_spans(removed: DataFrame, window_tokens: int) -> DataFrame:
+    """Gaps-and-islands merge: (doc_id, pos) window START positions →
+    maximal covered token spans. Starts p1 < p2 cover overlapping or
+    touching token ranges [p, p+W-1] exactly when p2 - p1 <= W, so a
+    lag-break + running-sum island per doc merges every chain; the two
+    window functions and the groupBy all satisfy their clustering from
+    ONE HashPartitioning(doc_id) exchange. Emits (doc_id, span_start,
+    span_end, span_len, n_windows), bounds inclusive."""
     wd = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
+    return (
         removed.withColumn(
             "brk",
             F.when(
@@ -296,7 +307,6 @@ def duplicate_substring_spans(
             "n_windows",
         )
     )
-    return spans
 
 
 def remove_duplicate_substrings(
@@ -314,6 +324,17 @@ def remove_duplicate_substrings(
     shuffle beyond the spans join. Returns
     (doc_id, n_toks, removed_tokens, cleaned_text)."""
     spans = duplicate_substring_spans(docs, window_tokens, min_count, hot_span_cap)
+    return elide_spans(docs, spans)
+
+
+def elide_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Apply a (doc_id, span_start, span_end, span_len, ...) spans
+    relation as a cleaner over the documents: tokens whose position falls
+    inside any of the doc's spans are elided. The spans side is tiny
+    (maximal spans only), so it groups to one array per doc and joins
+    back without reshuffling the corpus; the elision itself is a narrow
+    token-filter array expression. Returns one row per non-empty doc:
+    (doc_id, n_toks, removed_tokens, cleaned_text)."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.sum("span_len").cast("long").alias("removed_tokens"),
@@ -688,12 +709,40 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
              CAST(sum(e - s + 1) AS BIGINT) AS ss_removed_tokens,
              CAST(max(e - s + 1) AS BIGINT) AS ss_max_span
       FROM ss_spans GROUP BY doc_id
+    ),
+    ct_bench AS (SELECT DISTINCT h FROM ss_w WHERE doc_id % 37 = 0),
+    ct_hits AS (
+      SELECT w.doc_id, w.pos FROM ss_w w JOIN ct_bench b USING (h)
+      WHERE w.doc_id % 37 <> 0
+    ),
+    ct_isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > 15 THEN 1 ELSE 0 END AS brk
+      FROM ct_hits
+    ),
+    ct_spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 14 AS e
+      FROM (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM ct_isl)
+      GROUP BY doc_id, island
+    ),
+    ct_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS ct_n_spans,
+             CAST(sum(e - s + 1) AS BIGINT) AS ct_removed_tokens
+      FROM ct_spans GROUP BY doc_id
     )
     SELECT tb.doc_id, tb.n_spans, tb.n_removed, tb.cleaned_text,
            coalesce(sd.ss_n_spans, 0) AS ss_n_spans,
            coalesce(sd.ss_removed_tokens, 0) AS ss_removed_tokens,
-           coalesce(sd.ss_max_span, 0) AS ss_max_span
-    FROM tumbling tb LEFT JOIN ss_doc sd USING (doc_id)
+           coalesce(sd.ss_max_span, 0) AS ss_max_span,
+           coalesce(ct.ct_n_spans, 0) AS ct_n_spans,
+           coalesce(ct.ct_removed_tokens, 0) AS ct_removed_tokens
+    FROM tumbling tb
+    LEFT JOIN ss_doc sd USING (doc_id)
+    LEFT JOIN ct_doc ct USING (doc_id)
     """,
 )
 def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,8 +757,15 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-doc (ss_n_spans, ss_removed_tokens, ss_max_span), zeros for
       span-free docs. Same md5(lower(window)) identity and (doc_id, pos)
       keep-first tie-break in both engines; the oracle re-derives the
-      gaps-and-islands merge with lag + running-sum windows."""
+      gaps-and-islands merge with lag + running-sum windows;
+    - contamination spans (quality.contamination_spans): the
+      ``doc_id % 37 == 0`` slice plays the benchmark set, the rest the
+      corpus — per-doc (ct_n_spans, ct_removed_tokens) of maximal
+      benchmark-matching spans (15-token windows, no keep-first:
+      EVERY match is contamination), the oracle composing the identical
+      semi-join + island merge from the same ss_w CTE."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
+    from entangledb_spark.operators.quality import contamination_spans
 
     docs = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     ss = (
@@ -721,9 +777,22 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("span_len").cast("long").alias("ss_max_span"),
         )
     )
+    ct = (
+        contamination_spans(
+            docs.filter(F.col("doc_id") % 37 != 0),
+            docs.filter(F.col("doc_id") % 37 == 0),
+            window_tokens=SS_WINDOW_TOKENS,
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ct_n_spans"),
+            F.sum("span_len").cast("long").alias("ct_removed_tokens"),
+        )
+    )
     return (
         dedup_spans(docs)
         .join(ss, "doc_id", "left")
+        .join(ct, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
@@ -735,6 +804,10 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce("ss_max_span", F.lit(0).cast("long")).alias(
                 "ss_max_span"
+            ),
+            F.coalesce("ct_n_spans", F.lit(0).cast("long")).alias("ct_n_spans"),
+            F.coalesce("ct_removed_tokens", F.lit(0).cast("long")).alias(
+                "ct_removed_tokens"
             ),
         )
     )

@@ -292,6 +292,82 @@ def contamination(
     )
 
 
+def contamination_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Contamination LOCALIZED: the maximal corpus token spans that match
+    any ``window_tokens``-token window of the benchmark set — the
+    surgical complement to `contamination` (which flags whole documents)
+    and the decontamination practice of Lee et al. / the GPT-3 appendix:
+    cut the leaked passage, keep the document.
+
+    Plan: benchmark window hashes are tiny and BROADCAST (distinct md5
+    keys only); the corpus' stride-1 window hashes (packing's
+    _sliding_windows — one row per corpus token, the exact-substring
+    price) left-semi join against them without shuffling the corpus, and
+    the surviving start positions merge into maximal spans with the
+    shared gaps-and-islands pass (packing.positions_to_spans, one doc_id
+    exchange). Token identity is the substring-dedup family's contract:
+    TOKEN_RE tokens, case-normalized md5 — NOT `contamination`'s
+    [a-z0-9]+ word filter, because span offsets must index the
+    document's real token stream to be removable.
+
+    Returns (doc_id, span_start, span_end, span_len, n_windows), bounds
+    inclusive over the doc's TOKEN_RE token positions."""
+    from entangledb_spark.operators.packing import (
+        _sliding_windows,
+        positions_to_spans,
+    )
+
+    bench_h = (
+        _sliding_windows(
+            benchmark.select(
+                F.lit(0).cast("long").alias("doc_id"),
+                F.col(bench_text_col).alias("text"),
+            ),
+            window_tokens,
+        )
+        .select("h")
+        .distinct()
+    )
+    corpus = _sliding_windows(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        window_tokens,
+    )
+    hits = corpus.join(F.broadcast(bench_h), "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    return positions_to_spans(hits, window_tokens)
+
+
+def remove_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Apply contamination_spans as a cleaner: one row per non-empty doc
+    with the benchmark-matching spans elided (packing.elide_spans —
+    narrow token filter, no second corpus shuffle). Returns
+    (doc_id, n_toks, removed_tokens, cleaned_text)."""
+    from entangledb_spark.operators.packing import elide_spans
+
+    spans = contamination_spans(
+        docs, benchmark, window_tokens, text_col, id_col, bench_text_col
+    )
+    return elide_spans(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        spans,
+    )
+
+
 @query(
     "q81_quality_repetition",
     oracle="""

@@ -185,3 +185,92 @@ def test_span_invariants(spark, sf_dir):
         lst.sort()
         for (s1, e1), (s2, e2) in zip(lst, lst[1:]):
             assert s2 - (e1 - w + 1) > w  # start gap > w, else merged
+
+
+# ------------------------------------------ contamination span localization
+
+
+def _ref_contamination(texts, bench_texts, w):
+    toks = {d: re.findall(TOKEN_RE, t) for d, t in texts.items()}
+    bench = set()
+    for t in bench_texts:
+        bt = re.findall(TOKEN_RE, t)
+        for p in range(len(bt) - w + 1):
+            bench.add(" ".join(bt[p : p + w]).lower())
+    spans = {}
+    for d, ts in toks.items():
+        ps = [
+            p
+            for p in range(len(ts) - w + 1)
+            if " ".join(ts[p : p + w]).lower() in bench
+        ]
+        if not ps:
+            continue
+        out, start, prev, nwin = [], ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - prev > w:
+                out.append((start, prev + w - 1, nwin))
+                start, nwin = p, 0
+            prev = p
+            nwin += 1
+        out.append((start, prev + w - 1, nwin))
+        spans[d] = out
+    return spans
+
+
+def test_contamination_spans_match_reference(spark):
+    from entangledb_spark.operators.quality import (
+        contamination_spans,
+        remove_contamination,
+    )
+
+    bench_texts = [
+        "what is the capital of france paris is the capital",
+        PASSAGE,  # the corpus passage is itself a benchmark item
+    ]
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "qid long, text string"
+    )
+    texts = dict(CORPUS)
+    texts[7] = "intro words what is the capital of france paris is the capital outro"
+    spans = _ref_contamination(texts, bench_texts, 8)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in contamination_spans(
+            _df(spark, texts), bench, window_tokens=8
+        ).collect()
+    }
+    want = {(d, s, e, n) for d, lst in spans.items() for (s, e, n) in lst}
+    assert got == want and len(got) > 0
+    # unlike corpus dedup there is NO keep-first: every doc holding the
+    # benchmark passage is contaminated, including the earliest one
+    assert any(d == 1 for d, *_ in got) and any(d == 7 for d, *_ in got)
+    # removal matches the reference elision
+    cleaned = {
+        r.doc_id: r.cleaned_text
+        for r in remove_contamination(
+            _df(spark, texts), bench, window_tokens=8
+        ).collect()
+    }
+    for d, txt in texts.items():
+        ts = re.findall(TOKEN_RE, txt)
+        if not ts:
+            continue
+        drop = set()
+        for s, e, _ in spans.get(d, []):
+            drop.update(range(s, e + 1))
+        assert cleaned[d] == " ".join(
+            t for i, t in enumerate(ts) if i not in drop
+        ), d
+
+
+def test_contamination_spans_plan_is_broadcast(spark):
+    """The benchmark side must broadcast — the corpus is never shuffled
+    before the semi join."""
+    from entangledb_spark.operators.quality import contamination_spans
+
+    bench = spark.createDataFrame([(0, PASSAGE)], "qid long, text string")
+    plan = contamination_spans(
+        _df(spark, CORPUS), bench, window_tokens=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
