@@ -274,3 +274,29 @@ def test_contamination_spans_plan_is_broadcast(spark):
         _df(spark, CORPUS), bench, window_tokens=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_positions_to_spans_gap_boundaries(spark):
+    """The merge rule is p2 - p1 <= w EXACTLY: a gap of w chains (covered
+    ranges touch), a gap of w+1 splits (one token escapes between them) —
+    and docs are independent."""
+    from entangledb_spark.operators.packing import positions_to_spans
+
+    w = 10
+    rows = (
+        [(1, 0), (1, 10), (1, 21)]  # 0+10 chain; 21 = 10 + w + 1 splits
+        + [(2, 5)]                   # second doc independent
+        + [(3, 0), (3, 1), (3, 2)]   # dense run merges to one span
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_windows)
+        for r in positions_to_spans(
+            spark.createDataFrame(rows, "doc_id long, pos int"), w
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 19, 20, 2),   # starts 0 and 10 touch: [0..9] + [10..19]
+        (1, 21, 30, 10, 1),  # split by the w+1 gap
+        (2, 5, 14, 10, 1),
+        (3, 0, 11, 12, 3),   # dense run: [0..11]
+    ]
