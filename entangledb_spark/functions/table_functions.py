@@ -8,19 +8,42 @@ session can run retrieval end-to-end without leaving the engine:
     SELECT d.doc_id FROM docs d
       JOIN bm25_topk('/idx', 'benchmark item text', 10) h ON d.doc_id = h.doc_id;
 
+Two TVF families:
+
+- index probes (bm25_topk, ann_topk): the first literal names a
+  persistent-index DIRECTORY on shared storage;
+- operator invocations (substring_spans, contamination_spans): literals
+  name session TABLES, resolved through the same reader the FROM clause
+  uses (snapshot semantics included), so the LLM-pipeline operators run
+  over engine-managed data without leaving SQL:
+
+      SELECT * FROM substring_spans('docs', 15) WHERE span_len > 30;
+      SELECT doc_id FROM contamination_spans('docs', 'benchmark', 8);
+
 Arguments are LITERAL constants (parser-enforced): a FROM-clause function
 materializes before the query's frame exists, so column references could
-never resolve. Each entry is name → (min_arity, max_arity, builder over
-(spark, *literal_values)); builders raise ValueError on bad argument
-types/values, which the compiler surfaces as CompileError — the dialect's
-analysis-error class.
+never resolve. Builders raise ValueError on bad argument types/values,
+which the compiler surfaces as CompileError — the dialect's
+analysis-error class; table-name resolution errors keep their own
+catalog-error class.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class TvfSpec:
+    min_arity: int
+    max_arity: Optional[int]
+    builder: Callable[..., DataFrame]
+    # reads_tables builders receive (spark, read, *args) where read maps a
+    # session table name to its DataFrame; others receive (spark, *args)
+    reads_tables: bool = False
 
 
 def _bm25_topk(spark: SparkSession, index_dir, query, k=10) -> DataFrame:
@@ -94,9 +117,69 @@ def _ann_topk(spark: SparkSession, index_dir, vec, k=5) -> DataFrame:
     return out.select("neighbor_id", "cos_sim", "rk")
 
 
-TABLE_FUNCS: dict[
-    str, tuple[int, Optional[int], Callable[..., DataFrame]]
-] = {
-    "bm25_topk": (2, 3, _bm25_topk),
-    "ann_topk": (2, 3, _ann_topk),
+def _docs_relation(read, name: str, fn: str) -> DataFrame:
+    """Resolve + validate a (doc_id, text) relation for the span TVFs."""
+    if not isinstance(name, str):
+        raise ValueError(f"{fn}: table name must be a string literal")
+    df = read(name)
+    missing = {"doc_id", "text"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"{fn}: table {name!r} lacks required column(s) "
+            f"{sorted(missing)} — span operators need (doc_id, text)"
+        )
+    return df.select("doc_id", "text")
+
+
+def _check_window(fn: str, w) -> None:
+    if isinstance(w, bool) or not isinstance(w, int) or w < 2:
+        raise ValueError(f"{fn}: window_tokens must be an integer literal >= 2")
+
+
+def _substring_spans(spark: SparkSession, read, table, w=None, min_count=2) -> DataFrame:
+    """Sliding-window exact substring dedup over a session table
+    (packing.duplicate_substring_spans — identical code path as the
+    DataFrame surface). Columns:
+    (doc_id, span_start, span_end, span_len, n_windows)."""
+    from entangledb_spark.operators.packing import (
+        SS_WINDOW_TOKENS,
+        duplicate_substring_spans,
+    )
+
+    w = SS_WINDOW_TOKENS if w is None else w
+    _check_window("substring_spans", w)
+    if isinstance(min_count, bool) or not isinstance(min_count, int) or min_count < 2:
+        raise ValueError(
+            "substring_spans: min_count must be an integer literal >= 2"
+        )
+    docs = _docs_relation(read, table, "substring_spans")
+    return duplicate_substring_spans(docs, window_tokens=w, min_count=min_count)
+
+
+def _contamination_spans(spark: SparkSession, read, corpus, bench, w=8) -> DataFrame:
+    """Contamination span localization over session tables
+    (quality.contamination_spans): maximal spans of ``corpus`` matching
+    any w-token window of ``bench``. Columns:
+    (doc_id, span_start, span_end, span_len, n_windows)."""
+    from entangledb_spark.operators.quality import contamination_spans
+
+    _check_window("contamination_spans", w)
+    docs = _docs_relation(read, corpus, "contamination_spans")
+    if not isinstance(bench, str):
+        raise ValueError(
+            "contamination_spans: benchmark table name must be a string literal"
+        )
+    bdf = read(bench)
+    if "text" not in bdf.columns:
+        raise ValueError(
+            f"contamination_spans: table {bench!r} lacks a 'text' column"
+        )
+    return contamination_spans(docs, bdf, window_tokens=w)
+
+
+TABLE_FUNCS: dict[str, TvfSpec] = {
+    "bm25_topk": TvfSpec(2, 3, _bm25_topk),
+    "ann_topk": TvfSpec(2, 3, _ann_topk),
+    "substring_spans": TvfSpec(1, 3, _substring_spans, reads_tables=True),
+    "contamination_spans": TvfSpec(2, 3, _contamination_spans, reads_tables=True),
 }

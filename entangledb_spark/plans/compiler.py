@@ -99,15 +99,26 @@ def compile_from(
         spec = TABLE_FUNCS.get(item.name)
         if spec is None:
             raise CompileError(f"unknown table function: {item.name}")
-        lo, hi, builder = spec
         n = len(item.args)
-        if n < lo or (hi is not None and n > hi):
-            arity = str(lo) if hi == lo else f"{lo}..{'*' if hi is None else hi}"
+        if n < spec.min_arity or (
+            spec.max_arity is not None and n > spec.max_arity
+        ):
+            arity = (
+                str(spec.min_arity)
+                if spec.max_arity == spec.min_arity
+                else f"{spec.min_arity}..{spec.max_arity or '*'}"
+            )
             raise CompileError(
                 f"table function {item.name} takes {arity} arguments, got {n}"
             )
+        args = [a.value for a in item.args]
         try:
-            df = builder(spark, *[a.value for a in item.args])
+            if spec.reads_tables:
+                # the builder resolves session TABLE NAMES through the same
+                # reader the FROM clause uses — snapshot semantics included
+                df = spec.builder(spark, read, *args)
+            else:
+                df = spec.builder(spark, *args)
         except ValueError as e:  # builder-side argument validation
             raise CompileError(str(e)) from e
         return scope.add(item.alias or item.name, df)

@@ -770,3 +770,73 @@ def test_table_function_ann_topk(spark, eng, tmp_path):
         eng.execute(f"SELECT * FROM ann_topk('{lsh_dir}', '0.1 zebra')")
     with pytest.raises(EngineError, match="positive integer"):
         eng.execute(f"SELECT * FROM ann_topk('{lsh_dir}', '{lit}', 0)")
+
+
+def test_table_function_span_operators(spark, eng, tmp_path):
+    """The span operators run over SESSION TABLES from pure SQL:
+    substring_spans (sliding-window dedup) and contamination_spans
+    (benchmark leak localization) resolve table-name literals through
+    the engine's own reader and return span relations that filter/join
+    like any other. Corpora arrive via ATTACH (external parquet) — the
+    dialect reserves `text` as a type keyword, so (doc_id, text) tables
+    are attach-shaped by construction."""
+    from entangledb_spark.operators.packing import duplicate_substring_spans
+    from entangledb_spark.operators.quality import contamination_spans
+    from entangledb_spark.registry import table
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    eng.attach_parquet("docs", "/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in eng.execute(
+            "SELECT doc_id, span_start, span_end, span_len, n_windows "
+            "FROM substring_spans('docs', 15)"
+        ).fetch(10000)[0]
+    )
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    want = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(docs, window_tokens=15).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # contamination against an attached benchmark: one benchmark item made
+    # from a real doc's text -> that doc (and any window-sharers) localize
+    bench_text = docs.filter(F.col("doc_id") == got[0][0]).first().text
+    bpath = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(0, bench_text)], "qid long, text string"
+    ).write.parquet(bpath)
+    eng.attach_parquet("bench", bpath)
+    ct = sorted(
+        tuple(r)
+        for r in eng.execute(
+            "SELECT doc_id, span_start, span_end FROM "
+            "contamination_spans('docs', 'bench', 8)"
+        ).fetch(10000)[0]
+    )
+    bench_df = spark.read.parquet(bpath)
+    ct_want = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(docs, bench_df, window_tokens=8).collect()
+    )
+    assert ct == ct_want and any(d == got[0][0] for d, *_ in ct)
+
+    # spans join back to the corpus like any relation
+    j = eng.execute(
+        "SELECT count(*) AS n FROM docs d "
+        "JOIN substring_spans('docs', 15) s ON d.doc_id = s.doc_id"
+    ).fetch(10)[0]
+    assert j[0][0] == len(got)
+
+    # error surfaces: missing columns, bad window, absent table
+    eng.attach_parquet("li", "/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(EngineError, match="doc_id"):
+        eng.execute("SELECT * FROM substring_spans('li', 15)")
+    with pytest.raises(EngineError, match="window_tokens"):
+        eng.execute("SELECT * FROM substring_spans('docs', 1)")
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("SELECT * FROM substring_spans('ghost', 15)")
