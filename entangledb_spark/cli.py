@@ -36,6 +36,25 @@ def run_command(engine: Engine, line: str) -> str:
     if cmd == "tables":
         manifest = engine.catalog.manifest()
         return "\n".join(sorted(manifest["tables"])) or "(no tables)"
+    if cmd == "functions":
+        from entangledb_spark.functions.expressions import SCALAR_FUNCS
+        from entangledb_spark.functions.table_functions import TABLE_FUNCS
+
+        def _arity(lo, hi):
+            return str(lo) if hi == lo else f"{lo}..{hi if hi is not None else '*'}"
+
+        out = ["scalar:"]
+        out += [
+            f"  {n}({_arity(lo, hi)})"
+            for n, (lo, hi, _) in sorted(SCALAR_FUNCS.items())
+        ]
+        out.append("table (FROM-clause, literal args):")
+        out += [
+            f"  {n}({_arity(s.min_arity, s.max_arity)})"
+            + ("  [reads session tables]" if s.reads_tables else "")
+            for n, s in sorted(TABLE_FUNCS.items())
+        ]
+        return "\n".join(out)
     if cmd == "table":
         if not args:
             return "usage: !table <name>"
@@ -165,7 +184,7 @@ def main(argv=None) -> int:
         run_one(args.command)
         return 0
 
-    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !attach <name> <path>, !status, or SQL.")
+    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !attach <name> <path>, !functions, !status, or SQL.")
     buffer = ""
     while True:
         try:

@@ -840,3 +840,17 @@ def test_table_function_span_operators(spark, eng, tmp_path):
         eng.execute("SELECT * FROM substring_spans('docs', 1)")
     with pytest.raises(EngineError, match="does not exist"):
         eng.execute("SELECT * FROM substring_spans('ghost', 15)")
+
+
+def test_cli_functions_listing(eng):
+    from entangledb_spark.cli import run_command
+
+    out = run_command(eng, "!functions")
+    assert "scalar:" in out and "table (FROM-clause, literal args):" in out
+    for needle in (
+        "bm25_topk(2..3)",
+        "ann_topk(2..3)",
+        "substring_spans(1..3)  [reads session tables]",
+        "contamination_spans(2..3)  [reads session tables]",
+    ):
+        assert needle in out, needle
