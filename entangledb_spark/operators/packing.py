@@ -746,9 +746,9 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     """,
 )
 def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level duplicate-span removal as a gate query, BOTH window
-    shapes over the documents table, hash-compared against a DuckDB
-    window-function re-derivation:
+    """Span-surgery gate query: tumbling + sliding dedup spans AND
+    contamination spans over the documents table, hash-compared against
+    a DuckDB window-function re-derivation:
 
     - tumbling (C4 rule): dedup_spans' 10-token chunks, keep-first —
       (n_spans, n_removed, cleaned_text);
