@@ -137,15 +137,7 @@ def commit_dedup_batch(
     # the survivor set depends on the fingerprint state the CAS protects,
     # so a lost CAS invalidates the written files, not just the pointer.
     # Each attempt costs O(batch); abandoned files are vacuum-reclaimed.
-    for attempt in range(MAX_CAS_ATTEMPTS):
-        v0 = catalog.current_version()
-        m = catalog.manifest(v0)
-        if batch_id <= m.get("streams", {}).get(stream_id, -1):
-            return None
-        docs_meta = m["tables"].get(docs_table)
-        fp_meta = m["tables"].get(fp_table)
-        if docs_meta is None or fp_meta is None:
-            raise ConflictError("dedup ingest table dropped mid-commit")
+    def attempt(m, docs_meta, fp_meta):
         bucketed = any(
             c["name"] == "bucket" and not c["primary_key"]
             for c in fp_meta["columns"]
@@ -188,17 +180,50 @@ def commit_dedup_batch(
         )
         docs_meta.setdefault("deltas", []).append({"upserts": docs_rel})
         fp_meta.setdefault("deltas", []).append({"upserts": fp_rel})
+        return docs_rel
+
+    return retry_cas_commit(
+        catalog, docs_table, fp_table, stream_id, batch_id, attempt
+    )
+
+
+def retry_cas_commit(catalog, docs_table, key_table, stream_id, batch_id, attempt):
+    """The read-modify-write exactly-once skeleton shared by the keyed
+    dedup ingests (exact fingerprints here, MinHash band keys in
+    near_dedup.py — the index_commit.py lesson applied to streaming:
+    per-module copies of a commit protocol drift):
+
+    per CAS round — pin (version, manifest); no-op if the stream already
+    recorded this batch (redelivery); fail loudly if either table was
+    dropped; run ``attempt(m, docs_meta, key_meta)`` (reads state AT the
+    pinned version, writes doc + key deltas, appends them to the metas,
+    returns the docs relation); record the stream position; publish with
+    compare-and-swap. Losing the CAS invalidates the attempt's DECISION,
+    not just the pointer — the whole attempt re-runs against the new
+    version (a concurrent writer may have landed the same content
+    first); orphaned attempt files are unreferenced and vacuumed. After
+    a durable publish, both delta chains are best-effort compacted."""
+    for i in range(MAX_CAS_ATTEMPTS):
+        v0 = catalog.current_version()
+        m = catalog.manifest(v0)
+        if batch_id <= m.get("streams", {}).get(stream_id, -1):
+            return None
+        docs_meta = m["tables"].get(docs_table)
+        key_meta = m["tables"].get(key_table)
+        if docs_meta is None or key_meta is None:
+            raise ConflictError("dedup ingest table dropped mid-commit")
+        docs_rel = attempt(m, docs_meta, key_meta)
         m.setdefault("streams", {})[stream_id] = batch_id
         try:
             v = catalog.publish(m, expected_version=v0)
-            # bound BOTH delta chains (per-batch fp reads degrade
+            # bound BOTH delta chains (per-batch key reads degrade
             # linearly with chain length otherwise) — best-effort CAS
             # after the durable publish, exactly like append-only ingest
-            for name in (docs_table, fp_table):
+            for name in (docs_table, key_table):
                 maybe_compact(catalog, name)
             return {"version": v, "n_new": catalog.count_rows(docs_rel)}
         except ConflictError:
-            time.sleep(random.random() * min(0.01 * (2**attempt), 1.0))
+            time.sleep(random.random() * min(0.01 * (2**i), 1.0))
     raise ConflictError(
         f"dedup stream {stream_id} batch {batch_id}: lost the manifest CAS "
         f"{MAX_CAS_ATTEMPTS} times — failing loudly (restart replays the "

@@ -1,0 +1,225 @@
+"""Streaming corpus construction with cross-batch NEAR-dup closure.
+
+corpus_dedup.py keeps the corpus closed under EXACT duplicates; this
+module does the same for MinHash-LSH near-duplicates: a document seen
+today is dropped when any batch EVER ingested a near-duplicate of it.
+Corpus-lifetime state is again a catalog TABLE — here of LSH BAND KEYS
+(band_idx + hash of the band's signature slice, the exact banding q62's
+batch operator uses) — maintained transactionally next to the document
+table through the shared exactly-once skeleton
+(corpus_dedup.retry_cas_commit).
+
+Drop policy (chain-closed keep-first, matching the batch family's
+connected-components survivor election):
+
+- within a batch, a doc is dropped iff ANY of its band buckets contains
+  a lower-pk doc of the batch (chains collapse: if A beats B in one
+  bucket and B beats C in another, C drops too — the transitive closure
+  LSH dedup normally applies);
+- across batches, a surviving doc is dropped iff ANY of its band keys is
+  already in the band table (some earlier-ingested doc collided there).
+
+The invariant these two rules maintain: persisted band keys are
+pairwise DISJOINT across surviving docs — two survivors can never share
+a bucket (both would have to be its minimum) and new survivors match no
+persisted key — so ``band`` is a true PRIMARY KEY of the band table.
+
+Precision, stated honestly: banding alone decides (the batch pipeline
+verifies candidates with exact Jaccard; a stream cannot re-read dropped
+content later, so the decision is the banded estimate at the configured
+(MINHASH_PERMS, LSH_BANDS) operating point — callers wanting audit
+trails should log dropped pks from the returned counts and verify
+offline). Docs too short to shingle (< SHINGLE_N word tokens) emit NO
+band keys and always survive this layer — an empty signature would
+otherwise collapse ALL short docs into one content class; exact
+duplicates among them are corpus_dedup.py's job (compose both writers
+on the same stream for full closure).
+
+Band keys are parameter-bound: they are only comparable across runs
+because MINHASH_PERMS / LSH_BANDS / the shingle hash are module
+constants of operators/dedup.py — changing those constants invalidates
+persisted band tables (rebuild them), exactly like changing a persistent
+index's saved hash family.
+
+100 TB shape: per-batch cost is O(batch signatures) + a key join that
+reads only the band-table BUCKETS the batch hashes to (declare a non-pk
+INTEGER ``bucket`` column and deltas are written PARTITIONED BY bucket,
+read back with partition pruning — the corpus_dedup recipe with
+pmod(xxhash64(band), 256) as the bucket, since band keys are not hex).
+Historical document BODIES are never re-read.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from entangledb_spark.operators._minhash_params import (
+    LSH_BANDS,
+    MINHASH_PERMS,
+    SHINGLE_N,
+)
+from entangledb_spark.operators.dedup import minhash_signature, word_tokens
+from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog, schema_of
+from entangledb_spark.streaming.corpus_dedup import retry_cas_commit
+
+BAND_N_BUCKETS = 256
+
+
+def band_bucket(band):
+    """Partition bucket of a band key (uniform: xxhash64 of the key)."""
+    return F.pmod(F.xxhash64(band), F.lit(BAND_N_BUCKETS)).cast("int")
+
+
+def _band_keys(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
+    """(pk, band) rows: LSH_BANDS string keys per doc through the REAL
+    minhash_signature path (production xxhash64 base) — 'idx:hash' so a
+    hash colliding across band positions never aliases."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    shinglable = batch_df.select(
+        pk, F.coalesce(F.col(text_col), F.lit("")).alias("text")
+    ).filter(F.size(word_tokens(F.col("text"))) >= SHINGLE_N)
+    sig = minhash_signature(shinglable)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).cast("string"),
+        ),
+    )
+    return sig.select(F.col(pk), F.explode(bands).alias("band"))
+
+
+def commit_near_dedup_batch(
+    catalog: SnapshotCatalog,
+    docs_table: str,
+    band_table: str,
+    stream_id: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    text_col: str | None = None,
+) -> Optional[dict]:
+    """Commit one micro-batch with corpus-lifetime NEAR-dup closure,
+    exactly once. Returns {"version", "n_new"} or None on redelivery.
+
+    ``band_table`` must exist with a STRING primary key named ``band``
+    and a second column matching ``docs_table``'s primary key; add a
+    non-pk INTEGER ``bucket`` column for partition-pruned key reads
+    (tests/test_near_dedup_stream.py has the CREATE TABLEs)."""
+    m = catalog.manifest()
+    if batch_id <= m.get("streams", {}).get(stream_id, -1):
+        return None
+    for name in (docs_table, band_table):
+        if m["tables"].get(name) is None:
+            raise ConflictError(f"dedup ingest table {name} does not exist")
+    pk = catalog._pk_of(m["tables"][docs_table])
+    doc_cols = [c["name"] for c in m["tables"][docs_table]["columns"]]
+    if text_col is None:
+        text_col = next(
+            (
+                c["name"]
+                for c in m["tables"][docs_table]["columns"]
+                if not c["primary_key"] and c["datatype"] == "STRING"
+            ),
+            None,
+        )
+        if text_col is None:
+            raise ConflictError(
+                f"dedup ingest table {docs_table} has no non-pk STRING column "
+                f"to dedup on — pass text_col explicitly"
+            )
+    batch = batch_df.select(*doc_cols).dropDuplicates([pk])
+    keys = _band_keys(batch, pk, text_col)
+
+    # within-batch chain-closed keep-first: drop every doc beaten (pk not
+    # minimal) in ANY of its buckets — min-per-bucket is map-side
+    # combinable, and the beaten set is small (collisions only)
+    winners = keys.groupBy("band").agg(F.min(pk).alias("__win"))
+    beaten = (
+        keys.join(winners, "band")
+        .filter(F.col(pk) != F.col("__win"))
+        .select(pk)
+        .distinct()
+    )
+    batch_docs = batch.join(beaten, pk, "left_anti")
+    surv_keys = keys.join(batch_docs.select(pk), pk, "left_semi")
+
+    def attempt(m, docs_meta, band_meta):
+        bucketed = any(
+            c["name"] == "bucket" and not c["primary_key"]
+            for c in band_meta["columns"]
+        )
+        if bucketed:
+            band_meta["partition_by"] = ["bucket"]
+            batch_buckets = [
+                r["b"]
+                for r in surv_keys.select(band_bucket(F.col("band")).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            existing = catalog.read_df_pruned(
+                m, band_table, F.col("bucket").isin(batch_buckets)
+            ).select("band")
+        else:
+            existing = catalog.read_df(m, band_table).select("band")
+        # cross-batch: a doc is near-dup iff ANY of its keys is persisted
+        hit_docs = (
+            surv_keys.join(existing, "band", "left_semi").select(pk).distinct()
+        )
+        survivors = batch_docs.join(hit_docs, pk, "left_anti")
+        docs_rel = catalog.write_snapshot(docs_table, survivors)
+        # band rows come from the files just written — one source of truth
+        written = catalog._read_path(docs_rel, schema_of(docs_meta["columns"]))
+        band_cols = [c["name"] for c in band_meta["columns"]]
+        band_rows = written.select(pk).join(surv_keys, pk).select("band", pk)
+        if bucketed:
+            band_rows = band_rows.withColumn("bucket", band_bucket(F.col("band")))
+        band_rel = catalog.write_snapshot(
+            band_table, band_rows.select(*band_cols), band_meta.get("partition_by")
+        )
+        docs_meta.setdefault("deltas", []).append({"upserts": docs_rel})
+        band_meta.setdefault("deltas", []).append({"upserts": band_rel})
+        return docs_rel
+
+    return retry_cas_commit(
+        catalog, docs_table, band_table, stream_id, batch_id, attempt
+    )
+
+
+def stream_near_dedup_writer(
+    catalog: SnapshotCatalog,
+    docs_table: str,
+    band_table: str,
+    stream_df: DataFrame,
+    stream_id: str,
+    checkpoint_dir: str,
+    text_col: str | None = None,
+):
+    """``writeStream`` builder for near-dup ingest; caller picks the
+    trigger:
+
+        q = stream_near_dedup_writer(cat, "corpus", "corpus_bands", src,
+                                     "s1", ckpt)
+        q.trigger(availableNow=True).start().awaitTermination()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_near_dedup_batch(
+            catalog, docs_table, band_table, stream_id, batch_df, batch_id, text_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
