@@ -76,11 +76,17 @@ def _band_keys(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
     """(pk, band) rows: LSH_BANDS string keys per doc through the REAL
     minhash_signature path (production xxhash64 base) — 'idx:hash' so a
     hash colliding across band positions never aliases."""
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
     rows_per_band = MINHASH_PERMS // LSH_BANDS
     shinglable = batch_df.select(
         pk, F.coalesce(F.col(text_col), F.lit("")).alias("text")
     ).filter(F.size(word_tokens(F.col("text"))) >= SHINGLE_N)
-    sig = minhash_signature(shinglable)
+    # micro-batches often arrive as one or two file partitions; the
+    # signature map is the CPU-bound step (guarded no-op at real widths)
+    sig = minhash_signature(
+        repartition_for_cpu(shinglable, batch_df.sparkSession)
+    )
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.concat_ws(
