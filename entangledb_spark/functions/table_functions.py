@@ -59,7 +59,12 @@ def _bm25_topk(spark: SparkSession, index_dir, query, k=10) -> DataFrame:
         raise ValueError("bm25_topk: query must be a string literal")
     if isinstance(k, bool) or not isinstance(k, int) or k < 1:
         raise ValueError("bm25_topk: k must be a positive integer literal")
-    return bm25_topk_indexed(spark, index_dir, tuple(query.split()), k=k)
+    terms = tuple(query.split())
+    if not terms:
+        # mirror ann_topk's empty-vector error: a typo'd empty literal
+        # must not masquerade as "no documents matched"
+        raise ValueError("bm25_topk: query has no terms")
+    return bm25_topk_indexed(spark, index_dir, terms, k=k)
 
 
 def _ann_topk(spark: SparkSession, index_dir, vec, k=5) -> DataFrame:

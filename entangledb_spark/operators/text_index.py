@@ -204,13 +204,29 @@ def build_text_index(
         .select("token", "doc_id", "tf", "dl", "bucket", "batch")
     )
     writer = postings.repartition("bucket").write.partitionBy("batch", "bucket")
+    prev = old_posts = None
     if mode == "append":
         # overwrite ONLY this batch's partitions — the idempotence trick
         writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         posts_dir = _posts_path(index_dir, meta)
-    else:
+        posts_name = meta.get("postings_dir", "postings")
+    elif os.path.exists(os.path.join(index_dir, _META_FILE)):
+        # rebuild over a LIVE index: stage into a fresh versioned dir and
+        # flip the pointer at the meta commit — writing mode='overwrite'
+        # into the ACTIVE directory would destroy the committed layout
+        # BEFORE the commit (a crash mid-write leaves the persisted meta
+        # pointing at torn postings — the exact bug class index_commit.py
+        # exists to prevent; same ordering as compact_index/build_ivfpq)
+        prev = _read_meta(index_dir)
+        version = int(prev.get("version", 0)) + 1
+        posts_name, posts_dir = staging_dir(index_dir, "postings", version)
+        old_posts = _posts_path(index_dir, prev)
         writer = writer.mode(mode)
-        posts_dir = os.path.join(index_dir, "postings")
+    else:
+        # fresh build: nothing committed yet, the plain layout is fine
+        writer = writer.mode(mode)
+        posts_name = "postings"
+        posts_dir = os.path.join(index_dir, posts_name)
     writer.parquet(posts_dir)
     spark = docs.sparkSession
     # n_docs lives in the meta ledger (token-less docs appear in no
@@ -221,26 +237,23 @@ def build_text_index(
         meta = _read_meta(index_dir)
         meta["batches"][batch] = int(n_new)
     else:
-        # a rebuild over a previously-compacted index resets the pointer
-        # to "postings"; the orphaned versioned dir is reclaimed only
-        # AFTER the meta commit below — reclaiming first would leave a
-        # crashed rebuild's persisted meta pointing at a deleted
-        # directory (the build_ivfpq_index commit ordering)
-        old_posts = None
-        if os.path.exists(os.path.join(index_dir, _META_FILE)):
-            prev = _read_meta(index_dir)
-            if prev.get("postings_dir", "postings") != "postings":
-                old_posts = _posts_path(index_dir, prev)
+        # the rebuild's previous active dir (plain OR versioned) is
+        # reclaimed only AFTER the meta commit below — reclaiming (or
+        # overwriting) first would leave a crashed rebuild's persisted
+        # meta pointing at a deleted/torn directory (the
+        # build_ivfpq_index commit ordering)
         meta = {
             "kind": "text",
             "n_buckets": n_buckets,
             "token_re": token_re,
-            "postings_dir": "postings",
+            "postings_dir": posts_name,
             "batches": {batch: int(n_new)},
             "folded": [],
         }
+        if prev is not None:
+            meta["version"] = int(prev.get("version", 0)) + 1
     _write_meta(index_dir, meta)
-    if mode != "append" and old_posts is not None:
+    if old_posts is not None and old_posts != posts_dir:
         shutil.rmtree(old_posts, ignore_errors=True)
     if refresh:
         refresh_stats(spark, index_dir)

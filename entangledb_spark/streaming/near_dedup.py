@@ -1,9 +1,16 @@
 """Streaming corpus construction with cross-batch NEAR-dup closure.
 
 corpus_dedup.py keeps the corpus closed under EXACT duplicates; this
-module does the same for MinHash-LSH near-duplicates: a document seen
-today is dropped when any batch EVER ingested a near-duplicate of it.
-Corpus-lifetime state is again a catalog TABLE — here of LSH BAND KEYS
+module does the same for MinHash-LSH near-duplicates. The guarantee,
+stated precisely: **no two STORED documents ever share an LSH band** —
+a new doc is dropped when it band-collides with any document the corpus
+actually HOLDS. A doc colliding only with previously DROPPED content
+survives (its near-duplicate is not in the corpus, so storing it
+violates nothing); dropped docs therefore contribute no band keys, and
+the survivor set can depend on micro-batch boundaries in that one case
+(within a single batch the chain-closed rule below drops the whole
+collision chain — the distributable over-approximation).
+Corpus-lifetime state is a catalog TABLE — of LSH BAND KEYS
 (band_idx + hash of the band's signature slice, the exact banding q62's
 batch operator uses) — maintained transactionally next to the document
 table through the shared exactly-once skeleton
@@ -144,21 +151,46 @@ def commit_near_dedup_batch(
                 f"dedup ingest table {docs_table} has no non-pk STRING column "
                 f"to dedup on — pass text_col explicitly"
             )
-    batch = batch_df.select(*doc_cols).dropDuplicates([pk])
-    keys = _band_keys(batch, pk, text_col)
-
-    # within-batch chain-closed keep-first: drop every doc beaten (pk not
-    # minimal) in ANY of its buckets — min-per-bucket is map-side
-    # combinable, and the beaten set is small (collisions only)
-    winners = keys.groupBy("band").agg(F.min(pk).alias("__win"))
-    beaten = (
-        keys.join(winners, "band")
-        .filter(F.col(pk) != F.col("__win"))
-        .select(pk)
-        .distinct()
+    # DETERMINISTIC row per pk (min over the full-row struct ordering):
+    # band keys and the persisted doc body must come from the SAME
+    # duplicate row even though they are evaluated in separate jobs — a
+    # dropDuplicates([pk]) picks an arbitrary row per action and could
+    # persist one row's body with another row's band keys (the exact
+    # module's min_by lesson, corpus_dedup._dedup_within_batch)
+    batch = (
+        batch_df.select(*doc_cols)
+        .groupBy(pk)
+        .agg(F.min(F.struct(*doc_cols)).alias("__row"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in doc_cols])
     )
-    batch_docs = batch.join(beaten, pk, "left_anti")
-    surv_keys = keys.join(batch_docs.select(pk), pk, "left_semi")
+    # the signature pipeline is the CPU-bound step and three actions read
+    # it (bucket collect, docs write, band write — times CAS retries):
+    # persist once per commit, release before returning
+    keys = _band_keys(batch, pk, text_col).persist()
+    try:
+        # within-batch chain-closed keep-first: drop every doc beaten (pk
+        # not minimal) in ANY of its buckets — min-per-bucket is map-side
+        # combinable, and the beaten set is small (collisions only)
+        winners = keys.groupBy("band").agg(F.min(pk).alias("__win"))
+        beaten = (
+            keys.join(winners, "band")
+            .filter(F.col(pk) != F.col("__win"))
+            .select(pk)
+            .distinct()
+        )
+        batch_docs = batch.join(beaten, pk, "left_anti")
+        surv_keys = keys.join(batch_docs.select(pk), pk, "left_semi")
+        return _commit_with_keys(
+            catalog, docs_table, band_table, stream_id, batch_id,
+            pk, batch_docs, surv_keys,
+        )
+    finally:
+        keys.unpersist()
+
+
+def _commit_with_keys(
+    catalog, docs_table, band_table, stream_id, batch_id, pk, batch_docs, surv_keys
+):
 
     def attempt(m, docs_meta, band_meta):
         bucketed = any(

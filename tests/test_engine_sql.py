@@ -718,6 +718,8 @@ def test_table_function_bm25_topk(spark, eng, tmp_path):
         eng.execute(f"SELECT * FROM bm25_topk('{idx}', 'q', 0)")
     with pytest.raises(EngineError, match="literal"):
         eng.execute("SELECT * FROM bm25_topk(doc_id, 'q', 5)")
+    with pytest.raises(EngineError, match="no terms"):
+        eng.execute(f"SELECT * FROM bm25_topk('{idx}', '   ')")
 
 
 def test_table_function_ann_topk(spark, eng, tmp_path):
@@ -742,7 +744,8 @@ def test_table_function_ann_topk(spark, eng, tmp_path):
     lsh_dir = str(tmp_path / "lsh")
     build_lsh_index(emb, lsh_dir)
     got = eng.execute(
-        f"SELECT neighbor_id, cos_sim, rk FROM ann_topk('{lsh_dir}', '{lit}', 3)"
+        f"SELECT neighbor_id, cos_sim, rk FROM ann_topk('{lsh_dir}', '{lit}', 3) "
+        "ORDER BY rk ASC"
     ).fetch(100)[0]
     probe = spark.createDataFrame(
         [(-1, [float(x) for x in qvec])], "vec_id long, embedding array<float>"

@@ -1,7 +1,10 @@
 """Cross-batch streaming NEAR-dup closure (streaming/near_dedup.py):
-a document LSH-colliding with anything ingested in any earlier batch —
-or with a lower-pk doc of the same batch — never lands; redelivery is a
-no-op; a lost manifest CAS re-derives the decision against the winner."""
+a document LSH-colliding with anything the corpus HOLDS — or with a
+lower-pk doc of the same batch (chain-closed) — never lands; dropped
+docs contribute no band keys (the module's stated contract: no two
+STORED docs share a band; content colliding only with dropped docs may
+land); redelivery is a no-op; a lost manifest CAS re-derives the
+decision against the winner."""
 
 from __future__ import annotations
 

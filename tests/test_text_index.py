@@ -384,3 +384,52 @@ def test_build_postings_single_data_shuffle(spark):
     plan = tf._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_rebuild_over_live_index_is_staged_and_committed(spark, tmp_path):
+    """A rebuild over a LIVE index must never write into the committed
+    postings directory: it stages a fresh versioned dir, flips the meta
+    pointer atomically, and reclaims the old dir only after the commit —
+    for both the never-compacted (plain 'postings') and the compacted
+    (versioned) starting layouts."""
+    import os
+
+    from entangledb_spark.operators.text_index import (
+        _posts_path,
+        _read_meta,
+        compact_index,
+    )
+
+    docs = _docs(spark)
+    d = str(tmp_path / "idx_rebuild")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d)
+    assert _read_meta(d).get("postings_dir", "postings") == "postings"
+    old_dir = _posts_path(d, _read_meta(d))
+
+    # rebuild over the live, never-compacted index
+    build_text_index(docs, d)
+    meta = _read_meta(d)
+    assert meta["postings_dir"] == "postings_v1"
+    assert not os.path.exists(old_dir)  # reclaimed AFTER the commit
+    def _r4(df):
+        # the probe==inline contract is at the r4 grain (fold-order ULPs)
+        return sorted(
+            (r.doc_id, round(r.score, 4))
+            for r in df.select("doc_id", "score").collect()
+        )
+
+    want = _r4(bm25_topk(docs, BM25_GATE_TERMS, k=10))
+    got = _r4(bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10))
+    assert got == want
+
+    # and over a compacted one: version keeps climbing, old dir reclaimed
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 1), d, mode="append", batch="b1")
+    compact_index(spark, d)
+    v_dir = _posts_path(d, _read_meta(d))
+    build_text_index(docs, d)
+    meta2 = _read_meta(d)
+    assert meta2["postings_dir"].startswith("postings_v")
+    assert meta2["postings_dir"] != meta["postings_dir"]
+    assert not os.path.exists(v_dir)
+    got2 = _r4(bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10))
+    assert got2 == want
