@@ -55,6 +55,23 @@ def run_command(engine: Engine, line: str) -> str:
             for n, s in sorted(TABLE_FUNCS.items())
         ]
         return "\n".join(out)
+    if cmd == "index":
+        if not args:
+            return "usage: !index <index-dir>"
+        from entangledb_spark.operators.index_commit import describe_index
+
+        try:
+            d = describe_index(args[0])
+        except ValueError as e:
+            return f"Error: {e}"
+        out = [f"kind: {d['kind']}  version: {d['version']}"]
+        if d["n_docs"] is not None:
+            out.append(f"docs: {d['n_docs']}  batches: {d['n_batches']}  folded: {d['folded']}")
+        for name, st in sorted(d["data_dirs"].items()):
+            out.append(f"  {name}: {st['dir']}  ({st['files']} files, {st['bytes']} bytes)")
+        for k, v in sorted(d["params"].items()):
+            out.append(f"  {k} = {v}")
+        return "\n".join(out)
     if cmd == "table":
         if not args:
             return "usage: !table <name>"
@@ -184,7 +201,7 @@ def main(argv=None) -> int:
         run_one(args.command)
         return 0
 
-    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !attach <name> <path>, !functions, !status, or SQL.")
+    print("Connected to entangledb-on-spark. Type !tables, !table <name>, !attach <name> <path>, !functions, !index <dir>, !status, or SQL.")
     buffer = ""
     while True:
         try:

@@ -136,3 +136,57 @@ def compact_commit(
     meta["batches"] = {"base": total}
     write_meta(index_dir, meta)
     return old
+
+
+def describe_index(index_dir: str) -> dict:
+    """Operational summary of any persistent index — kind-agnostic (the
+    one meta reader that does NOT kind-check): commit pointer state,
+    active data directories with file/byte counts, the batch ledger, and
+    the model parameters the meta carries. Pure driver-side filesystem
+    walk (no Spark jobs) so it is safe to call against a live index."""
+    path = os.path.join(index_dir, META_FILE)
+    if not os.path.exists(path):
+        raise ValueError(f"{index_dir} is not a built index ({META_FILE} missing)")
+    with open(path) as f:
+        meta = json.load(f)
+
+    def _dir_stats(name: str) -> dict:
+        p = os.path.join(index_dir, name)
+        n_files = n_bytes = 0
+        for root, _dirs, files in os.walk(p):
+            for fn in files:
+                n_files += 1
+                try:
+                    n_bytes += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return {"dir": name, "files": n_files, "bytes": n_bytes}
+
+    dir_keys = [k for k in meta if k.endswith("_dir")]
+    data_dirs = {k: _dir_stats(meta[k]) for k in dir_keys}
+    # fixed-name layouts (no meta pointer): LSH buckets, IVF cells, the
+    # text index's derived lexicon/stats — count whatever exists and
+    # isn't already covered by a pointer above
+    pointed = {meta[k] for k in dir_keys}
+    for fixed in ("buckets", "cells", "centroids", "lexicon", "stats", "postings"):
+        if fixed not in pointed and os.path.isdir(os.path.join(index_dir, fixed)):
+            data_dirs[fixed] = _dir_stats(fixed)
+    batches = meta.get("batches", {})
+    out = {
+        "kind": meta.get("kind"),
+        "version": meta.get("version", 0),
+        "data_dirs": data_dirs,
+        "n_batches": len(batches),
+        "n_docs": sum(int(v) for v in batches.values()) if batches else None,
+        "folded": len(meta.get("folded", [])),
+    }
+    # model parameters: everything scalar the meta carries, minus the
+    # bookkeeping keys above (codebooks/centroid blobs summarized by size)
+    skip = {"kind", "version", "batches", "folded"} | set(dir_keys)
+    params = {}
+    for k, v in meta.items():
+        if k in skip:
+            continue
+        params[k] = f"<{len(v)} entries>" if isinstance(v, (list, dict)) else v
+    out["params"] = params
+    return out

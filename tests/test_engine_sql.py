@@ -857,3 +857,27 @@ def test_cli_functions_listing(eng):
         "contamination_spans(2..3)  [reads session tables]",
     ):
         assert needle in out, needle
+
+
+def test_cli_index_describe(spark, eng, tmp_path):
+    from entangledb_spark.cli import run_command
+    from entangledb_spark.operators.ann_index import build_ivfpq_index, build_lsh_index
+    from entangledb_spark.operators.text_index import build_text_index
+    from entangledb_spark.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    t = str(tmp_path / "t")
+    build_text_index(docs, t)
+    out = run_command(eng, f"!index {t}")
+    assert "kind: text" in out and "docs: 500" in out and "postings" in out
+    assert "n_buckets" in out
+    lsh = str(tmp_path / "l")
+    build_lsh_index(emb, lsh)
+    out = run_command(eng, f"!index {lsh}")
+    assert "kind: lsh" in out and "buckets:" in out and "n_tables" in out
+    pq = str(tmp_path / "p")
+    build_ivfpq_index(emb, pq, n_cells=4, m=4, ksub=8)
+    out = run_command(eng, f"!index {pq}")
+    assert "kind: ivfpq" in out and "pq_model" in out
+    assert "not a built index" in run_command(eng, f"!index {tmp_path}/ghost")
