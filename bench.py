@@ -71,14 +71,17 @@ LINE_BYTE_BUDGET = 1900
 # "regressions_gt_15pct" — the slowdown is a scope change, not a plan
 # regression. Prune entries once a round's BENCH_r*.json reflects them.
 EXPECTED_REGRESSIONS: dict[str, str] = {
-    "q93_span_dedup": (
-        "round 8 scope: sliding-window exact substring dedup "
-        "(duplicate_substring_spans, Lee et al. arXiv:2107.06499) AND "
-        "contamination span localization (quality.contamination_spans) "
-        "added to the gate — two extra stride-1 window passes over the "
-        "corpus (~2.4s vs the tumbling-only 0.6s at sf0.1)"
-    ),
+    # round 8's q93 entry (two extra stride-1 passes) retired in round 9:
+    # span_family_stats composes dedup + contamination from ONE corpus
+    # explode (plan-asserted), so q93 should now IMPROVE, not regress.
 }
+
+# Per-query EXTRA untimed warm-up reps on top of the global ``warmup``:
+# q50's winnowing-HOF-heavy fused map kept paying a first-TIMED-rep cost
+# the single global warm-up rep did not absorb (docs/bench_reps_r08.json:
+# spread 0.668s vs 0.02-0.45s for every other query — a residual re-JIT).
+# Ignored when warmup=0 (an explicit cold-timing run stays cold).
+EXTRA_WARMUP: dict[str, int] = {"q50_text_suite": 2}
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -151,7 +154,8 @@ def measure(spark, sf_dir: str, reps: int, warmup: int = 1):
     rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        for _ in range(warmup):
+        n_warm = warmup + EXTRA_WARMUP.get(name, 0) if warmup > 0 else 0
+        for _ in range(n_warm):
             _time_noop(lambda: fn(spark, sf_dir))
         ts = [_time_noop(lambda: fn(spark, sf_dir)) for _ in range(reps)]
         timings[name] = min(ts)

@@ -75,6 +75,7 @@ def _mark_duplicates(
     min_count: int,
     hot_span_cap: int | None = None,
     order_col: str = "idx",
+    bench_pred=None,
 ) -> DataFrame:
     """Append corpus-duplication marks (occ, first_occ, keep) to a windows
     relation carrying (doc_id, ``order_col``, h, ...extra columns).
@@ -83,6 +84,14 @@ def _mark_duplicates(
     min(struct(doc_id, order)) with no frame/sort); keep-first policy —
     a window is kept iff its hash occurs < ``min_count`` times corpus-wide
     or this occurrence is the global first by (doc_id, order).
+
+    ``bench_pred`` (optional Column over the windows relation, e.g.
+    ``doc_id % 37 == 0``): when the benchmark set is a SLICE of the same
+    corpus, a ``bench_hit`` column (does ANY occurrence of this hash
+    satisfy the predicate?) rides the SAME h-partition pass as the
+    duplication marks — contamination membership costs zero extra
+    shuffles, zero extra corpus scans. This is what lets a host query
+    compute dedup + decontamination from one stride-1 explode.
 
     ``hot_span_cap`` is the opt-in straggler guard shared by every caller
     (see dedup_spans for the full rationale): hashes occurring >= cap times
@@ -95,15 +104,15 @@ def _mark_duplicates(
         F.col(f"first_occ.{order_col}") == F.col(order_col)
     )
     keep_rule = (F.col("occ") < min_count) | is_first
+    bench_int = None if bench_pred is None else F.when(bench_pred, 1).otherwise(0)
     if hot_span_cap is not None:
-        hot_stats = (
-            w.groupBy("h")
-            .agg(
-                F.count(F.lit(1)).alias("occ"),
-                F.min(F.struct("doc_id", order_col)).alias("first_occ"),
-            )
-            .filter(F.col("occ") >= hot_span_cap)
-        )
+        hot_aggs = [
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", order_col)).alias("first_occ"),
+        ]
+        if bench_int is not None:
+            hot_aggs.append(F.max(bench_int).alias("hot_bench"))
+        hot_stats = w.groupBy("h").agg(*hot_aggs).filter(F.col("occ") >= hot_span_cap)
         tagged = w.join(
             F.broadcast(
                 hot_stats.withColumnRenamed("occ", "hot_occ").withColumnRenamed(
@@ -113,7 +122,10 @@ def _mark_duplicates(
             "h",
             "left",
         )
-        cold = tagged.filter(F.col("hot_occ").isNull()).drop("hot_occ", "hot_first")
+        drop_hot = ["hot_occ", "hot_first"] + (
+            ["hot_bench"] if bench_int is not None else []
+        )
+        cold = tagged.filter(F.col("hot_occ").isNull()).drop(*drop_hot)
         ws = Window.partitionBy("h")
         cold_marked = (
             cold.withColumn("occ", F.count(F.lit(1)).over(ws))
@@ -126,13 +138,23 @@ def _mark_duplicates(
             .withColumnRenamed("hot_first", "first_occ")
             .withColumn("keep", keep_rule)
         )
-        return cold_marked.unionByName(hot_marked)
+        if bench_int is not None:
+            cold_marked = cold_marked.withColumn(
+                "bench_hit", F.max(bench_int).over(ws) == 1
+            )
+            hot_marked = hot_marked.withColumn("bench_hit", F.col("hot_bench") == 1)
+        return cold_marked.unionByName(
+            hot_marked.drop("hot_bench") if bench_int is not None else hot_marked
+        )
     ws = Window.partitionBy("h")
-    return (
+    marked = (
         w.withColumn("occ", F.count(F.lit(1)).over(ws))
         .withColumn("first_occ", F.min(F.struct("doc_id", order_col)).over(ws))
         .withColumn("keep", keep_rule)
     )
+    if bench_int is not None:
+        marked = marked.withColumn("bench_hit", F.max(bench_int).over(ws) == 1)
+    return marked
 
 
 def dedup_spans(
@@ -239,6 +261,7 @@ def duplicate_substring_spans(
     window_tokens: int = SS_WINDOW_TOKENS,
     min_count: int = SPAN_MIN_COUNT,
     hot_span_cap: int | None = None,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact substring-level dedup: maximal duplicated token spans per doc.
 
@@ -266,11 +289,19 @@ def duplicate_substring_spans(
          exchange on doc_id (HashPartitioning(doc_id) satisfies the
          (doc_id, island) clustering).
 
+    ``windows``: a precomputed ``_sliding_windows(docs, window_tokens)``
+    relation (doc_id, pos, h). Pass it when another span operator over the
+    same corpus (e.g. contamination_spans) shares the stride-1 explode —
+    identical child subplans let Spark's ReuseExchange serve every
+    consumer from ONE shuffle write, so the corpus is scanned and
+    exploded exactly once per composed query (asserted on q93's plan in
+    tests/test_substring_dedup.py).
+
     Returns one row per maximal span:
       (doc_id, span_start, span_end, span_len, n_windows)
     with token-position bounds inclusive, span_len = span_end-span_start+1.
     """
-    w = _sliding_windows(docs, window_tokens)
+    w = windows if windows is not None else _sliding_windows(docs, window_tokens)
     marked = _mark_duplicates(w, min_count, hot_span_cap, order_col="pos")
     removed = marked.filter(~F.col("keep")).select("doc_id", "pos")
     return positions_to_spans(removed, window_tokens)
@@ -327,6 +358,22 @@ def remove_duplicate_substrings(
     return elide_spans(docs, spans)
 
 
+def _kept_tokens(toks_col, spans_col):
+    """Surviving (token, position) structs: tokens whose position falls
+    inside any span of ``spans_col`` (array<struct<span_start,span_end>>,
+    inclusive bounds) are dropped. Pure array expressions — narrow, JVM."""
+    indexed = F.transform(
+        toks_col, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    return F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans_col,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+
+
 def elide_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     """Apply a (doc_id, span_start, span_end, span_len, ...) spans
     relation as a cleaner over the documents: tokens whose position falls
@@ -340,13 +387,7 @@ def elide_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
         F.sum("span_len").cast("long").alias("removed_tokens"),
     )
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
-    kept = F.filter(
-        F.transform(F.col("_toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
-        lambda s: ~F.exists(
-            F.col("_spans"),
-            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
-        ),
-    )
+    kept = _kept_tokens(F.col("_toks"), F.col("_spans"))
     return (
         docs.withColumn("_toks", toks)
         .filter(F.size("_toks") > 0)
@@ -371,6 +412,298 @@ def elide_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+def _flag_spans(fam: DataFrame, flag, window_tokens: int) -> DataFrame:
+    """positions_to_spans generalized to a FLAGGED SUBSET of a shared
+    (doc_id, pos, mask) relation: gaps-and-islands over only the rows
+    satisfying ``flag`` (a Column), without filtering BELOW the window —
+    so every family branch presents Catalyst the identical child subplan
+    and the doc_id exchange is written once (ReuseExchange), read per
+    family.
+
+    The lag-based break test of positions_to_spans is re-expressed with a
+    running max over the flagged positions only (frame up to the previous
+    row): ``prev`` = latest earlier flagged start, break when there is
+    none or the gap exceeds window_tokens; unflagged rows carry brk=0 so
+    the running-sum island ids advance only on flagged breaks, and the
+    filter to the flagged subset happens ABOVE the windows. Same spans as
+    positions_to_spans on the pre-filtered subset (asserted in
+    tests/test_substring_dedup.py)."""
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.max(F.when(flag, F.col("pos"))).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        flag & (prev.isNull() | (F.col("pos") - prev > window_tokens)), 1
+    ).otherwise(0)
+    return (
+        fam.withColumn("brk", brk)
+        .withColumn(
+            "island",
+            F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(flag)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window_tokens - 1).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+            "n_windows",
+        )
+    )
+
+
+def span_families(
+    docs: DataFrame,
+    bench_pred,
+    window_tokens: int = SS_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Both span families — exact substring DEDUP spans (keep-first) and
+    benchmark CONTAMINATION spans (``bench_pred`` marks the in-corpus
+    benchmark slice; every match in a non-benchmark doc is contaminated)
+    — from ONE corpus pass. Returns (dedup_spans, contamination_spans),
+    each shaped like positions_to_spans' output.
+
+    Why this exists: composing duplicate_substring_spans +
+    contamination_spans naively explodes the corpus into stride-1
+    windows once per family (and once more for the benchmark hashes).
+    Catalyst cannot merge the branches itself — column pruning gives
+    each family a different below-exchange projection, so ReuseExchange
+    sees unequal children. The fix is structural:
+
+      1. contamination membership rides the duplication-marks window
+         pass (_mark_duplicates' bench_pred) — zero extra work on the
+         one h-exchange;
+      2. both family flags pack into a single ``mask`` int that EVERY
+         branch references, so pruning keeps the shared subplan
+         byte-identical and the heavy lifting (corpus explode,
+         h-exchange, marks window, removal filter, doc_id exchange) is
+         planned ONCE and reused;
+      3. each family's islands merge runs above the shared exchange on
+         the tiny removed-positions relation (_flag_spans).
+
+    Plan property: ONE stride-1 Generate and one h-exchange, written
+    once and served to both families by ReuseExchange (the identical
+    `fam` child). The per-family islands branches still carry their own
+    doc_id exchange over the small removed-positions relation — window
+    -input extraction projects a per-family `when(flag, pos)` column
+    below that exchange, which keeps the two children canonically
+    distinct. Callers needing the fully LINEAR single-exchange plan
+    (the q93 gate shape) want span_family_stats, which never branches."""
+    w = _sliding_windows(docs, window_tokens)
+    marked = _mark_duplicates(
+        w, min_count, hot_span_cap, order_col="pos", bench_pred=bench_pred
+    )
+    is_ss = ~F.col("keep")
+    is_ct = ~bench_pred & F.col("bench_hit")
+    fam = marked.select(
+        "doc_id",
+        "pos",
+        (is_ss.cast("int") * 2 + is_ct.cast("int")).alias("mask"),
+    ).filter(F.col("mask") > 0)
+    ss = _flag_spans(fam, F.col("mask") >= 2, window_tokens)
+    ct = _flag_spans(fam, F.col("mask") % 2 == 1, window_tokens)
+    return ss, ct
+
+
+def span_family_stats(
+    docs: DataFrame,
+    bench_pred,
+    window_tokens: int = SS_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
+) -> DataFrame:
+    """Per-document stats for BOTH span families — substring-dedup spans
+    (ss_*) and in-corpus benchmark contamination spans (ct_*) — plus the
+    contamination span list itself (for elision), computed on a fully
+    LINEAR plan: the corpus is scanned and exploded into stride-1
+    windows exactly once, shuffled exactly twice (the uniform md5 key
+    for the marks, then doc_id for the islands), and never branches, so
+    no consumer ever recomputes the heavy explode+sort.
+
+    How the branchless composition works (each branching formulation
+    loses to Catalyst: column pruning and window-input extraction give
+    every branch a slightly different child, defeating ReuseExchange —
+    measured on q93's round-8 plan, which exploded the corpus 3×):
+      1. contamination membership rides the duplication-marks window
+         pass (_mark_duplicates bench_pred) — no bench-hash pass;
+      2. both family flags pack into one `mask` int; removed positions
+         (either family) survive a single filter;
+      3. both families' gaps-and-islands ids are window COLUMNS over the
+         same doc_id partitioning (running max of flagged positions →
+         break flags → running sums; two WindowExecs, one exchange);
+      4. a narrow explode emits (fam, island) pairs — a position removed
+         by both families yields one row per family — and ONE groupBy
+         chain (doc_id, fam, island → doc_id) folds spans into per-doc
+         stats; hashpartitioning(doc_id) satisfies every grouping, so
+         neither groupBy adds an exchange.
+
+    Machine-asserted on q93's executed plan in
+    tests/test_substring_dedup.py: exactly one stride-1 Generate.
+
+    Returns one row per document owning at least one removed window:
+      (doc_id, ss_n_spans, ss_removed_tokens, ss_max_span,
+       ct_n_spans, ct_removed_tokens, ct_spans) where ct_spans is an
+    array<struct<span_start,span_end>> ready for elision; family-absent
+    stats are 0 (and ss_max_span null) by conditional aggregation."""
+    w = _sliding_windows(docs, window_tokens)
+    marked = _mark_duplicates(
+        w, min_count, hot_span_cap, order_col="pos", bench_pred=bench_pred
+    )
+    is_ss = ~F.col("keep")
+    is_ct = ~bench_pred & F.col("bench_hit")
+    fam = marked.select(
+        "doc_id",
+        "pos",
+        (is_ss.cast("int") * 2 + is_ct.cast("int")).alias("mask"),
+    ).filter(F.col("mask") > 0)
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    prevw = wd.rowsBetween(Window.unboundedPreceding, -1)
+    runw = wd.rowsBetween(Window.unboundedPreceding, 0)
+    ss_flag = F.col("mask") >= 2
+    ct_flag = F.col("mask") % 2 == 1
+
+    def _brk(flag):
+        prev = F.max(F.when(flag, F.col("pos"))).over(prevw)
+        return F.when(
+            flag & (prev.isNull() | (F.col("pos") - prev > window_tokens)), 1
+        ).otherwise(0)
+
+    step = fam.select(
+        "doc_id",
+        "pos",
+        "mask",
+        _brk(ss_flag).alias("brk_ss"),
+        _brk(ct_flag).alias("brk_ct"),
+    ).select(
+        "doc_id",
+        "pos",
+        "mask",
+        F.sum("brk_ss").over(runw).alias("isl_ss"),
+        F.sum("brk_ct").over(runw).alias("isl_ct"),
+    )
+    pairs = step.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        ss_flag,
+                        F.struct(
+                            F.lit("ss").alias("fam"), F.col("isl_ss").alias("island")
+                        ),
+                    ),
+                    F.when(
+                        ct_flag,
+                        F.struct(
+                            F.lit("ct").alias("fam"), F.col("isl_ct").alias("island")
+                        ),
+                    ),
+                )
+            )
+        ).alias("fi"),
+    )
+    spans = (
+        pairs.groupBy("doc_id", F.col("fi.fam").alias("fam"), F.col("fi.island").alias("island"))
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window_tokens - 1).cast("long").alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+    )
+    ss_c = F.col("fam") == "ss"
+    ct_c = F.col("fam") == "ct"
+    return spans.groupBy("doc_id").agg(
+        F.count(F.when(ss_c, 1)).cast("long").alias("ss_n_spans"),
+        F.coalesce(F.sum(F.when(ss_c, F.col("span_len"))), F.lit(0))
+        .cast("long")
+        .alias("ss_removed_tokens"),
+        F.coalesce(F.max(F.when(ss_c, F.col("span_len"))), F.lit(0))
+        .cast("long")
+        .alias("ss_max_span"),
+        F.count(F.when(ct_c, 1)).cast("long").alias("ct_n_spans"),
+        F.coalesce(F.sum(F.when(ct_c, F.col("span_len"))), F.lit(0))
+        .cast("long")
+        .alias("ct_removed_tokens"),
+        F.collect_list(
+            F.when(ct_c, F.struct(F.col("span_start"), F.col("span_end")))
+        ).alias("ct_spans"),
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    window_tokens: int = SS_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hot_span_cap: int | None = None,
+    bench_window_tokens: int | None = None,
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Composed span surgery in ONE corpus pass: exact substring dedup
+    (Lee et al. arXiv:2107.06499 keep-first) AND benchmark
+    decontamination (GPT-3-appendix practice) applied together.
+
+    The naive composition (remove_duplicate_substrings then
+    remove_contamination) explodes the corpus into stride-1 windows
+    twice; this operator computes the windows relation ONCE, derives
+    both removal families from it, and elides the UNION of their
+    positions. positions_to_spans merges only overlapping/touching
+    window ranges, so the covered-token set of the union equals the
+    union of the per-family covered sets — the cleaned text is exactly
+    "tokens removed by either family removed" (asserted against the
+    two independent single-family pipelines in
+    tests/test_substring_dedup.py).
+
+    Plan at 100 TB: one corpus scan+explode → one exchange on the
+    uniform md5 key (duplication marks; ``hot_span_cap`` guards
+    boilerplate skew) → broadcast join against the tiny distinct
+    benchmark window hashes → one doc_id exchange for the islands merge
+    → narrow elision. The benchmark relation is scanned once (it is
+    small by definition); the corpus never re-shuffles.
+
+    ``bench_window_tokens`` defaults to ``window_tokens``; it MUST
+    equal it for the hashes to be comparable, so a differing value
+    raises. Returns (doc_id, n_toks, removed_tokens, cleaned_text),
+    one row per non-empty document."""
+    if bench_window_tokens is not None and bench_window_tokens != window_tokens:
+        raise ValueError(
+            "clean_corpus shares one windows relation: bench_window_tokens "
+            f"({bench_window_tokens}) must equal window_tokens ({window_tokens})"
+        )
+    w = _sliding_windows(docs, window_tokens)
+    marked = _mark_duplicates(w, min_count, hot_span_cap, order_col="pos")
+    removed_rule = ~F.col("keep")
+    if benchmark is not None:
+        bench_h = (
+            _sliding_windows(
+                benchmark.select(
+                    F.lit(0).cast("long").alias("doc_id"),
+                    F.col(bench_text_col).alias("text"),
+                ),
+                window_tokens,
+            )
+            .select("h")
+            .distinct()
+            .withColumn("_bench", F.lit(True))
+        )
+        # Broadcast join ABOVE the h-exchange: preserves partitioning, so
+        # contamination membership adds no shuffle and no second corpus pass.
+        marked = marked.join(F.broadcast(bench_h), "h", "left")
+        removed_rule = removed_rule | F.col("_bench").isNotNull()
+    removed = marked.filter(removed_rule).select("doc_id", "pos")
+    return elide_spans(docs, positions_to_spans(removed, window_tokens))
 
 
 def pack_contiguous(
@@ -733,16 +1066,36 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
              CAST(count(*) AS BIGINT) AS ct_n_spans,
              CAST(sum(e - s + 1) AS BIGINT) AS ct_removed_tokens
       FROM ct_spans GROUP BY doc_id
+    ),
+    tok_pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS p
+      FROM t
+    ),
+    ct_cut AS (
+      SELECT tp.doc_id, tp.p, tp.tok,
+             EXISTS (SELECT 1 FROM ct_spans s
+                     WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.s AND s.e)
+               AS cut
+      FROM tok_pos tp
+    ),
+    ct_clean AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT cut THEN tok END,
+                                 ' ' ORDER BY p), '') AS ct_cleaned_text
+      FROM ct_cut GROUP BY doc_id
     )
     SELECT tb.doc_id, tb.n_spans, tb.n_removed, tb.cleaned_text,
            coalesce(sd.ss_n_spans, 0) AS ss_n_spans,
            coalesce(sd.ss_removed_tokens, 0) AS ss_removed_tokens,
            coalesce(sd.ss_max_span, 0) AS ss_max_span,
            coalesce(ct.ct_n_spans, 0) AS ct_n_spans,
-           coalesce(ct.ct_removed_tokens, 0) AS ct_removed_tokens
+           coalesce(ct.ct_removed_tokens, 0) AS ct_removed_tokens,
+           cc.ct_cleaned_text
     FROM tumbling tb
     LEFT JOIN ss_doc sd USING (doc_id)
     LEFT JOIN ct_doc ct USING (doc_id)
+    LEFT JOIN ct_clean cc USING (doc_id)
     """,
 )
 def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,41 +1111,39 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       span-free docs. Same md5(lower(window)) identity and (doc_id, pos)
       keep-first tie-break in both engines; the oracle re-derives the
       gaps-and-islands merge with lag + running-sum windows;
-    - contamination spans (quality.contamination_spans): the
+    - contamination spans (quality.contamination_spans semantics): the
       ``doc_id % 37 == 0`` slice plays the benchmark set, the rest the
       corpus — per-doc (ct_n_spans, ct_removed_tokens) of maximal
       benchmark-matching spans (15-token windows, no keep-first:
       EVERY match is contamination), the oracle composing the identical
-      semi-join + island merge from the same ss_w CTE."""
+      semi-join + island merge from the same ss_w CTE — plus the ELIDED
+      text itself (ct_cleaned_text, packing.elide_spans), re-derived in
+      SQL by a positional token anti-filter against the span ranges.
+
+    SINGLE-PASS composition (round 9): the corpus is exploded into
+    stride-1 windows ONCE; contamination membership (`bench_hit`) rides
+    the same h-partition window pass as the duplication marks
+    (_mark_duplicates' bench_pred), exactly as the oracle derives every
+    span family from one ss_w CTE. The two span families then branch off
+    the same `marked` relation, whose identical child subplans collapse
+    to one shuffle write under ReuseExchange — asserted on this query's
+    executed plan in tests/test_substring_dedup.py (exactly ONE stride-1
+    Generate; previously three separate corpus explodes)."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
-    from entangledb_spark.operators.quality import contamination_spans
 
     docs = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
-    ss = (
-        duplicate_substring_spans(docs)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("ss_n_spans"),
-            F.sum("span_len").cast("long").alias("ss_removed_tokens"),
-            F.max("span_len").cast("long").alias("ss_max_span"),
-        )
-    )
-    ct = (
-        contamination_spans(
-            docs.filter(F.col("doc_id") % 37 != 0),
-            docs.filter(F.col("doc_id") % 37 == 0),
-            window_tokens=SS_WINDOW_TOKENS,
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("ct_n_spans"),
-            F.sum("span_len").cast("long").alias("ct_removed_tokens"),
-        )
+    is_bench = F.col("doc_id") % 37 == 0
+    stats = span_family_stats(docs, is_bench)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    empty_spans = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
     )
     return (
         dedup_spans(docs)
-        .join(ss, "doc_id", "left")
-        .join(ct, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+        .join(docs.select("doc_id", "text"), "doc_id", "left")
+        .withColumn("_toks", toks)
+        .withColumn("_spans", F.coalesce(F.col("ct_spans"), empty_spans))
         .select(
             "doc_id",
             "n_spans",
@@ -809,6 +1160,10 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ct_removed_tokens", F.lit(0).cast("long")).alias(
                 "ct_removed_tokens"
             ),
+            F.array_join(
+                F.transform(_kept_tokens(F.col("_toks"), F.col("_spans")), lambda s: s["t"]),
+                " ",
+            ).alias("ct_cleaned_text"),
         )
     )
 

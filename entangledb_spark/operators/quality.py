@@ -299,6 +299,8 @@ def contamination_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    corpus_windows: DataFrame | None = None,
+    bench_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Contamination LOCALIZED: the maximal corpus token spans that match
     any ``window_tokens``-token window of the benchmark set — the
@@ -317,6 +319,14 @@ def contamination_spans(
     [a-z0-9]+ word filter, because span offsets must index the
     document's real token stream to be removable.
 
+    ``corpus_windows`` / ``bench_hashes``: precomputed
+    ``packing._sliding_windows`` output (doc_id, pos, h) and a distinct
+    single-column (h) benchmark hash relation. Pass them when another
+    span operator over the same corpus shares the stride-1 explode —
+    identical child subplans let ReuseExchange serve every consumer from
+    one shuffle write (the q93 single-pass composition; see also
+    packing.clean_corpus for the fused cleaner).
+
     Returns (doc_id, span_start, span_end, span_len, n_windows), bounds
     inclusive over the doc's TOKEN_RE token positions."""
     from entangledb_spark.operators.packing import (
@@ -324,7 +334,7 @@ def contamination_spans(
         positions_to_spans,
     )
 
-    bench_h = (
+    bench_h = bench_hashes if bench_hashes is not None else (
         _sliding_windows(
             benchmark.select(
                 F.lit(0).cast("long").alias("doc_id"),
@@ -335,7 +345,7 @@ def contamination_spans(
         .select("h")
         .distinct()
     )
-    corpus = _sliding_windows(
+    corpus = corpus_windows if corpus_windows is not None else _sliding_windows(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         window_tokens,
     )

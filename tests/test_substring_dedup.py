@@ -276,6 +276,191 @@ def test_contamination_spans_plan_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+# ------------------------------------------------ single-pass span surgery
+
+
+def _family_reference(texts, w, bench_pred):
+    """Both families from the pure-Python reference: dedup spans over ALL
+    docs (keep-first) + contamination spans over non-bench docs against
+    the bench slice's windows (no keep-first)."""
+    ss, _ = _ref(texts, w)
+    bench_texts = [t for d, t in texts.items() if bench_pred(d)]
+    corpus = {d: t for d, t in texts.items() if not bench_pred(d)}
+    ct = _ref_contamination(corpus, bench_texts, w)
+    return ss, ct
+
+
+def test_span_families_match_single_family_pipelines(spark):
+    """span_families (shared windows + _flag_spans islands) returns
+    byte-identical spans to the two independent operators."""
+    from entangledb_spark.operators.packing import span_families
+    from entangledb_spark.operators.quality import contamination_spans
+
+    docs = _df(spark, CORPUS)
+    pred = F.col("doc_id") % 2 == 0
+    ss, ct = span_families(docs, pred, window_tokens=15)
+    want_ss = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(docs, window_tokens=15).collect()
+    )
+    want_ct = sorted(
+        tuple(r)
+        for r in contamination_spans(
+            docs.filter(F.col("doc_id") % 2 != 0),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            window_tokens=15,
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in ss.collect()) == want_ss
+    assert sorted(tuple(r) for r in ct.collect()) == want_ct
+    assert len(want_ss) > 0 and len(want_ct) > 0
+
+
+def test_span_family_stats_matches_references(spark):
+    """The linear (branchless) composition returns the same per-doc
+    stats and contamination span list as the pure-Python references."""
+    from entangledb_spark.operators.packing import span_family_stats
+
+    w = 15
+    ss_ref, ct_ref = _family_reference(CORPUS, w, lambda d: d % 2 == 0)
+    rows = {
+        r.doc_id: r
+        for r in span_family_stats(
+            _df(spark, CORPUS), F.col("doc_id") % 2 == 0, window_tokens=w
+        ).collect()
+    }
+    assert set(rows) == set(ss_ref) | set(ct_ref)
+    for d, r in rows.items():
+        ss = ss_ref.get(d, [])
+        ct = ct_ref.get(d, [])
+        assert r.ss_n_spans == len(ss)
+        assert r.ss_removed_tokens == sum(e - s + 1 for s, e, _ in ss)
+        assert r.ss_max_span == max((e - s + 1 for s, e, _ in ss), default=0)
+        assert r.ct_n_spans == len(ct)
+        assert r.ct_removed_tokens == sum(e - s + 1 for s, e, _ in ct)
+        assert sorted((sp.span_start, sp.span_end) for sp in r.ct_spans) == [
+            (s, e) for s, e, _ in sorted(ct)
+        ]
+
+
+def test_precomputed_windows_param_equivalence(spark):
+    """duplicate_substring_spans(windows=...) and
+    contamination_spans(corpus_windows=..., bench_hashes=...) accept a
+    shared _sliding_windows relation and return identical results."""
+    from entangledb_spark.operators.packing import _sliding_windows
+    from entangledb_spark.operators.quality import contamination_spans
+
+    docs = _df(spark, CORPUS)
+    w = _sliding_windows(docs, 15)
+    base = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(docs, window_tokens=15).collect()
+    )
+    via_param = sorted(
+        tuple(r)
+        for r in duplicate_substring_spans(
+            None, window_tokens=15, windows=w
+        ).collect()
+    )
+    assert base == via_param
+    corpus = docs.filter(F.col("doc_id") % 2 != 0)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    cw = _sliding_windows(corpus, 15)
+    bh = _sliding_windows(bench, 15).select("h").distinct()
+    assert sorted(
+        tuple(r)
+        for r in contamination_spans(corpus, bench, window_tokens=15).collect()
+    ) == sorted(
+        tuple(r)
+        for r in contamination_spans(
+            None, None, window_tokens=15, corpus_windows=cw, bench_hashes=bh
+        ).collect()
+    )
+
+
+def test_q93_explodes_corpus_exactly_once_at_stride_1(spark):
+    """The round-8 declared cost, engineered away: q93's composed span
+    surgery (substring dedup + contamination spans + contamination
+    elision) must explode the corpus into stride-1 windows EXACTLY once
+    in the final adaptive plan — the span_family_stats linear
+    composition. The tumbling family keeps its own (stride-10) explode."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q93_span_dedup"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    stride1 = [
+        l
+        for l in final.splitlines()
+        if "Generate posexplode" in l and "- 15)" in l
+    ]
+    tumbling = [
+        l
+        for l in final.splitlines()
+        if "Generate posexplode" in l and "CEIL" in l
+    ]
+    assert len(stride1) == 1, final
+    assert len(tumbling) == 1, final
+    # and the stride-1 windows shuffle on the md5 key exactly once
+    h_exchanges = [
+        l
+        for l in final.splitlines()
+        if "Exchange hashpartitioning(h#" in l
+    ]
+    assert len(h_exchanges) == 2  # one tumbling, one stride-1
+
+
+def test_clean_corpus_union_semantics(spark):
+    """clean_corpus = tokens removed by EITHER family removed: equals the
+    reference union of dedup-removed and contamination-removed token
+    positions, in one corpus pass."""
+    from entangledb_spark.operators.packing import clean_corpus
+
+    w = 15
+    bench_texts = [PASSAGE]
+    ss_ref, _ = _ref(CORPUS, w)
+    ct_ref = _ref_contamination(CORPUS, bench_texts, w)
+    bench = spark.createDataFrame(
+        [(0, t) for t in bench_texts], "qid long, text string"
+    )
+    got = {
+        r.doc_id: (r.removed_tokens, r.cleaned_text)
+        for r in clean_corpus(
+            _df(spark, CORPUS), bench, window_tokens=w
+        ).collect()
+    }
+    for d, txt in CORPUS.items():
+        ts = re.findall(TOKEN_RE, txt)
+        if not ts:
+            continue
+        drop = set()
+        for fam in (ss_ref, ct_ref):
+            for s, e, _ in fam.get(d, []):
+                drop.update(range(s, e + 1))
+        want = " ".join(t for i, t in enumerate(ts) if i not in drop)
+        assert got[d] == (len(drop & set(range(len(ts)))), want), d
+    # doc 1 holds the passage's first occurrence: dedup keeps it but
+    # contamination still cuts it — the union must remove it
+    assert got[1][0] > 0
+
+
+def test_clean_corpus_rejects_mismatched_window_sizes(spark):
+    from entangledb_spark.operators.packing import clean_corpus
+
+    with pytest.raises(ValueError, match="bench_window_tokens"):
+        clean_corpus(
+            _df(spark, CORPUS),
+            _df(spark, {0: PASSAGE}),
+            window_tokens=15,
+            bench_window_tokens=8,
+        )
+
+
 def test_positions_to_spans_gap_boundaries(spark):
     """The merge rule is p2 - p1 <= w EXACTLY: a gap of w chains (covered
     ranges touch), a gap of w+1 splits (one token escapes between them) —
