@@ -31,16 +31,36 @@ pairwise DISJOINT across surviving docs — two survivors can never share
 a bucket (both would have to be its minimum) and new survivors match no
 persisted key — so ``band`` is a true PRIMARY KEY of the band table.
 
-Precision, stated honestly: banding alone decides (the batch pipeline
-verifies candidates with exact Jaccard; a stream cannot re-read dropped
-content later, so the decision is the banded estimate at the configured
-(MINHASH_PERMS, LSH_BANDS) operating point — callers wanting audit
-trails should log dropped pks from the returned counts and verify
-offline). Docs too short to shingle (< SHINGLE_N word tokens) emit NO
-band keys and always survive this layer — an empty signature would
-otherwise collapse ALL short docs into one content class; exact
+Precision — TWO-STAGE verify (round 9): declare a non-pk STRING ``sig``
+column on the band table and every band row carries its doc's
+serialized MinHash signature; a cross-batch band collision is then
+CONFIRMED with signature-estimated Jaccard >= ``min_est_jaccard``
+(default 0.5 — the exact operating point the batch family verifies at,
+dedup.minhash_lsh_dedup) before dropping. This is the batch pipeline's
+LSH-then-verify shape adapted to a stream that cannot re-read bodies:
+the signature (16 longs, ~150 B serialized) is the retained evidence.
+A FALSE-POSITIVE band collision (same band, low estimated Jaccard) now
+keeps the document — and, to preserve the band-PK invariant, the
+survivor's COLLIDING band keys are simply not persisted (the stored
+doc already holds them). The precision loss this leaves behind is the
+same class the module always had for dropped content: a future true
+near-dup of the kept doc that collides ONLY on the unpersisted band is
+checked against the OLD holder's signature instead — bounded, and
+strictly better than band-only, which deleted a unique document
+irrecoverably. Without a ``sig`` column the legacy band-only rule
+applies unchanged. Docs too short to shingle (< SHINGLE_N word tokens)
+emit NO band keys and always survive this layer — an empty signature
+would otherwise collapse ALL short docs into one content class; exact
 duplicates among them are corpus_dedup.py's job (compose both writers
 on the same stream for full closure).
+
+Batches are assumed pk-IMMUTABLE (the text_index "batches are
+id-disjoint" contract, adapted): redelivering an EXISTING pk with a
+CHANGED body upserts the document row but never retracts the old
+body's band keys, so the band table would keep keys for content the
+corpus no longer holds (which can later drop unrelated new docs). If a
+source can rewrite bodies under a stable pk, dedup upstream or use a
+fresh pk per revision.
 
 Band keys are parameter-bound: they are only comparable across runs
 because MINHASH_PERMS / LSH_BANDS / the shingle hash are module
@@ -80,9 +100,13 @@ def band_bucket(band):
 
 
 def _band_keys(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
-    """(pk, band) rows: LSH_BANDS string keys per doc through the REAL
-    minhash_signature path (production xxhash64 base) — 'idx:hash' so a
-    hash colliding across band positions never aliases."""
+    """(pk, band, sig) rows: LSH_BANDS string keys per doc through the
+    REAL minhash_signature path (production xxhash64 base) — 'idx:hash'
+    so a hash colliding across band positions never aliases. ``sig`` is
+    the full serialized signature (comma-joined MINHASH_PERMS longs),
+    repeated per band row: with LSH_BANDS=4 that is ~600 B/doc, the
+    price of answering "how similar, really?" at collision time without
+    a second table or a body re-read."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
     rows_per_band = MINHASH_PERMS // LSH_BANDS
@@ -110,7 +134,28 @@ def _band_keys(batch_df: DataFrame, pk: str, text_col: str) -> DataFrame:
             ).cast("string"),
         ),
     )
-    return sig.select(F.col(pk), F.explode(bands).alias("band"))
+    sig_str = F.concat_ws(
+        ",", F.transform(F.col("minhash"), lambda v: v.cast("string"))
+    )
+    return sig.select(
+        F.col(pk), F.explode(bands).alias("band"), sig_str.alias("sig")
+    )
+
+
+def _est_jaccard(sig_a, sig_b):
+    """Signature-estimated Jaccard of two serialized signatures: the
+    fraction of agreeing permutation minima — the standard MinHash
+    estimator, identical to dedup.py's batch est_jaccard but over the
+    persisted strings."""
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(sig_a, ","), F.split(sig_b, ","), lambda x, y: x == y
+            ),
+            lambda v: v,
+        )
+    )
+    return matches / F.lit(float(MINHASH_PERMS))
 
 
 def commit_near_dedup_batch(
@@ -121,14 +166,17 @@ def commit_near_dedup_batch(
     batch_df: DataFrame,
     batch_id: int,
     text_col: str | None = None,
+    min_est_jaccard: float = 0.5,
 ) -> Optional[dict]:
     """Commit one micro-batch with corpus-lifetime NEAR-dup closure,
     exactly once. Returns {"version", "n_new"} or None on redelivery.
 
     ``band_table`` must exist with a STRING primary key named ``band``
     and a second column matching ``docs_table``'s primary key; add a
-    non-pk INTEGER ``bucket`` column for partition-pruned key reads
-    (tests/test_near_dedup_stream.py has the CREATE TABLEs)."""
+    non-pk INTEGER ``bucket`` column for partition-pruned key reads,
+    and a non-pk STRING ``sig`` column to enable TWO-STAGE verification
+    of cross-batch collisions at ``min_est_jaccard`` (module docstring;
+    tests/test_near_dedup_stream.py has the CREATE TABLEs)."""
     m = catalog.manifest()
     if batch_id <= m.get("streams", {}).get(stream_id, -1):
         return None
@@ -182,21 +230,28 @@ def commit_near_dedup_batch(
         surv_keys = keys.join(batch_docs.select(pk), pk, "left_semi")
         return _commit_with_keys(
             catalog, docs_table, band_table, stream_id, batch_id,
-            pk, batch_docs, surv_keys,
+            pk, batch_docs, surv_keys, min_est_jaccard,
         )
     finally:
         keys.unpersist()
 
 
 def _commit_with_keys(
-    catalog, docs_table, band_table, stream_id, batch_id, pk, batch_docs, surv_keys
+    catalog, docs_table, band_table, stream_id, batch_id, pk, batch_docs,
+    surv_keys, min_est_jaccard,
 ):
 
     def attempt(m, docs_meta, band_meta):
+        band_col_names = [c["name"] for c in band_meta["columns"]]
         bucketed = any(
             c["name"] == "bucket" and not c["primary_key"]
             for c in band_meta["columns"]
         )
+        verified = any(
+            c["name"] == "sig" and not c["primary_key"]
+            for c in band_meta["columns"]
+        )
+        read_cols = ["band", "sig"] if verified else ["band"]
         if bucketed:
             band_meta["partition_by"] = ["bucket"]
             batch_buckets = [
@@ -207,23 +262,48 @@ def _commit_with_keys(
             ]
             existing = catalog.read_df_pruned(
                 m, band_table, F.col("bucket").isin(batch_buckets)
-            ).select("band")
+            ).select(*read_cols)
         else:
-            existing = catalog.read_df(m, band_table).select("band")
-        # cross-batch: a doc is near-dup iff ANY of its keys is persisted
-        hit_docs = (
-            surv_keys.join(existing, "band", "left_semi").select(pk).distinct()
-        )
+            existing = catalog.read_df(m, band_table).select(*read_cols)
+        if verified:
+            # TWO-STAGE: a band collision is only a CANDIDATE; drop iff
+            # the stored holder's signature estimates Jaccard >= the
+            # threshold (the batch family's LSH-then-verify shape).
+            # Collisions are rare by construction, so the pair relation
+            # is tiny; the estimator is a narrow array expression.
+            stored = existing.withColumnRenamed("sig", "_stored_sig")
+            hit_docs = (
+                surv_keys.join(stored, "band")
+                .filter(
+                    _est_jaccard(F.col("sig"), F.col("_stored_sig"))
+                    >= F.lit(min_est_jaccard)
+                )
+                .select(pk)
+                .distinct()
+            )
+        else:
+            # band-only legacy rule: ANY persisted key drops the doc
+            hit_docs = (
+                surv_keys.join(existing, "band", "left_semi").select(pk).distinct()
+            )
         survivors = batch_docs.join(hit_docs, pk, "left_anti")
         docs_rel = catalog.write_snapshot(docs_table, survivors)
         # band rows come from the files just written — one source of truth
         written = catalog._read_path(docs_rel, schema_of(docs_meta["columns"]))
-        band_cols = [c["name"] for c in band_meta["columns"]]
-        band_rows = written.select(pk).join(surv_keys, pk).select("band", pk)
+        band_rows = written.select(pk).join(surv_keys, pk)
+        if verified:
+            # a verification-rejected collision keeps the doc but must
+            # NOT persist the colliding key: ``band`` stays a true
+            # PRIMARY KEY (the stored doc already holds that bucket)
+            band_rows = band_rows.join(
+                existing.select("band"), "band", "left_anti"
+            )
         if bucketed:
             band_rows = band_rows.withColumn("bucket", band_bucket(F.col("band")))
         band_rel = catalog.write_snapshot(
-            band_table, band_rows.select(*band_cols), band_meta.get("partition_by")
+            band_table,
+            band_rows.select(*band_col_names),
+            band_meta.get("partition_by"),
         )
         docs_meta.setdefault("deltas", []).append({"upserts": docs_rel})
         band_meta.setdefault("deltas", []).append({"upserts": band_rel})
@@ -242,6 +322,7 @@ def stream_near_dedup_writer(
     stream_id: str,
     checkpoint_dir: str,
     text_col: str | None = None,
+    min_est_jaccard: float = 0.5,
 ):
     """``writeStream`` builder for near-dup ingest; caller picks the
     trigger:
@@ -253,7 +334,8 @@ def stream_near_dedup_writer(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit_near_dedup_batch(
-            catalog, docs_table, band_table, stream_id, batch_df, batch_id, text_col
+            catalog, docs_table, band_table, stream_id, batch_df, batch_id,
+            text_col, min_est_jaccard,
         )
 
     return (

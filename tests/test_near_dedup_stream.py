@@ -197,6 +197,195 @@ def test_bucketed_band_table(spark, tmp_path):
     ]
 
 
+# -------------------------------------------- two-stage signature verify
+#
+# FP_A / FP_B: a deterministic FALSE-POSITIVE LSH pair found by searching
+# seeded fixtures against the REAL production minhash path: their
+# signatures agree on one full band (band 3) yet only 6 of 16 positions
+# overall (est_jaccard = 0.375 < 0.5) — band-only dropping would delete a
+# unique document; two-stage verification must keep it.
+FP_A = (
+    "w82 w38 w101 w166 w12 w18 w137 w24 w93 w149 w14 w129 w54 w9 w22 "
+    "w111 w107 w98 w156 w70 w182 w17 w197 w154 w154 w130 w69 w155 w54 "
+    "w57 w79 w24 w92 w173 w145 w20 w92 w5 w179 w132 w18 w31"
+)
+FP_B = (
+    "w82 w38 w101 w166 w12 w18 w137 w24 w93 w149 w14 w129 w54 w9 w22 "
+    "w111 w107 w83 w55 w0 w117 w161 w195 w35 w114 w70 w128 w15 w114 "
+    "w151 w142 w152 w8 w10 w137 w119 w28 w123 w57 w75 w161 w87"
+)
+
+
+@pytest.fixture()
+def verified_engine(spark, tmp_path):
+    """Band table with the non-pk STRING ``sig`` column: two-stage on."""
+    e = Engine(spark, str(tmp_path / "vdb"))
+    e.execute("CREATE TABLE corpus (doc_id INTEGER PRIMARY KEY, body STRING)")
+    e.execute(
+        "CREATE TABLE corpus_bands (band STRING PRIMARY KEY, doc_id INTEGER, "
+        "sig STRING)"
+    )
+    return e
+
+
+def _fixture_pair_properties(spark):
+    """Assert the fixture IS what it claims: one colliding band, est < 0.5
+    — recomputed through the production signature path so a constant
+    change in _minhash_params fails HERE, not in a mysterious test."""
+    from entangledb_spark.operators._minhash_params import (
+        LSH_BANDS,
+        MINHASH_PERMS,
+    )
+    from entangledb_spark.operators.dedup import minhash_signature
+
+    rows = [(1, FP_A), (2, FP_B)]
+    sigs = {
+        r.doc_id: r.minhash
+        for r in minhash_signature(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    rpb = MINHASH_PERMS // LSH_BANDS
+    bands = {
+        d: [tuple(s[b * rpb : (b + 1) * rpb]) for b in range(LSH_BANDS)]
+        for d, s in sigs.items()
+    }
+    colliding = [b for b in range(LSH_BANDS) if bands[1][b] == bands[2][b]]
+    est = sum(a == b for a, b in zip(sigs[1], sigs[2])) / MINHASH_PERMS
+    return colliding, est
+
+
+def test_false_positive_collision_survives_with_verify(spark, verified_engine):
+    colliding, est = _fixture_pair_properties(spark)
+    assert len(colliding) >= 1 and est < 0.5  # fixture sanity
+    e = verified_engine
+    commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, [(1, FP_A)]), 0
+    )
+    out = commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, [(2, FP_B)]), 1
+    )
+    # band-only would have dropped doc 2; the signature check keeps it
+    assert out["n_new"] == 1
+    rows, _ = e.execute("SELECT doc_id FROM corpus ORDER BY doc_id").fetch(10)
+    assert [t[0] for t in rows] == [1, 2]
+    # band stays a true PRIMARY KEY: the colliding key is persisted once
+    # (held by doc 1); doc 2 keeps only its non-colliding keys
+    bands, _ = e.execute(
+        "SELECT band, doc_id FROM corpus_bands ORDER BY doc_id, band"
+    ).fetch(100)
+    keys = [tuple(t) for t in bands]
+    assert len({b for b, _ in keys}) == len(keys)  # pairwise distinct
+    assert sum(1 for _, d in keys if d == 1) == 4
+    assert sum(1 for _, d in keys if d == 2) == 4 - len(colliding)
+
+
+def test_false_positive_collision_drops_without_sig_column(spark, engine):
+    """The same fixture on a LEGACY (band-only) table over-drops — the
+    gap the sig column closes, demonstrated side by side."""
+    _commit(engine, spark, [(1, FP_A)], 0)
+    out = _commit(engine, spark, [(2, FP_B)], 1)
+    assert out["n_new"] == 0
+    assert [d for d, _ in _docs(engine)] == [1]
+
+
+def test_true_near_dup_still_dropped_with_verify(spark, verified_engine):
+    e = verified_engine
+    commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, [(1, LONG)]), 0
+    )
+    out = commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s1",
+        _batch(spark, [(2, NEAR), (3, FRESH)]), 1,
+    )
+    assert out["n_new"] == 1
+    rows, _ = e.execute("SELECT doc_id FROM corpus ORDER BY doc_id").fetch(10)
+    assert [t[0] for t in rows] == [1, 3]
+
+
+def test_stream_survivors_match_batch_lsh_verify(spark, tmp_path):
+    """End-to-end equivalence with the batch family where band-only
+    over-drops: stream survivors (two batches, verify on, bucketed +
+    sig) equal the batch LSH-then-verify pipeline's survivors computed
+    from the same signatures (candidate pairs from band collisions,
+    edges kept at est >= 0.5, union-find components, keep-min)."""
+    from entangledb_spark.operators._minhash_params import (
+        LSH_BANDS,
+        MINHASH_PERMS,
+    )
+    from entangledb_spark.operators.dedup import minhash_signature
+
+    fixture = [(1, LONG), (2, FRESH), (3, FP_A), (4, NEAR), (5, FP_B)]
+    batches = [fixture[:3], fixture[3:]]  # ingestion order = pk order
+
+    # batch-family expectation from the SAME production signatures
+    sigs = {
+        r.doc_id: r.minhash
+        for r in minhash_signature(
+            spark.createDataFrame(fixture, "doc_id long, text string")
+        ).collect()
+    }
+    rpb = MINHASH_PERMS // LSH_BANDS
+    parent = {d: d for d, _ in fixture}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            collide = any(
+                sigs[a][k * rpb : (k + 1) * rpb] == sigs[b][k * rpb : (k + 1) * rpb]
+                for k in range(LSH_BANDS)
+            )
+            est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / MINHASH_PERMS
+            if collide and est >= 0.5:
+                parent[find(b)] = find(a)
+    comps: dict[int, list[int]] = {}
+    for d, _ in fixture:
+        comps.setdefault(find(d), []).append(d)
+    batch_survivors = {min(members) for members in comps.values()}
+
+    e = Engine(spark, str(tmp_path / "eqdb"))
+    e.execute("CREATE TABLE corpus (doc_id INTEGER PRIMARY KEY, body STRING)")
+    e.execute(
+        "CREATE TABLE corpus_bands (band STRING PRIMARY KEY, doc_id INTEGER, "
+        "bucket INTEGER, sig STRING)"
+    )
+    for bid, rows in enumerate(batches):
+        commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, rows), bid
+        )
+    got, _ = e.execute("SELECT doc_id FROM corpus ORDER BY doc_id").fetch(100)
+    assert {t[0] for t in got} == batch_survivors
+    # the fixture exercises the interesting case: FP_B (5) survives
+    assert 5 in batch_survivors and 4 not in batch_survivors
+    # bucketed + verified: partitioning engaged and band PK held
+    assert e.catalog.manifest()["tables"]["corpus_bands"].get("partition_by") == [
+        "bucket"
+    ]
+    bands, _ = e.execute("SELECT band FROM corpus_bands").fetch(1000)
+    assert len({t[0] for t in bands}) == len(bands)
+
+
+def test_verify_redelivery_is_noop(spark, verified_engine):
+    e = verified_engine
+    v = commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, [(1, FP_A)]), 0
+    )
+    assert v is not None
+    assert (
+        commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, [(1, FP_A)]), 0
+        )
+        is None
+    )
+    assert e.catalog.current_version() == v["version"]
+
+
 def test_missing_band_table_fails_loudly(spark, engine):
     with pytest.raises(ConflictError):
         commit_near_dedup_batch(
