@@ -65,8 +65,15 @@ def run_command(engine: Engine, line: str) -> str:
         except ValueError as e:
             return f"Error: {e}"
         out = [f"kind: {d['kind']}  version: {d['version']}"]
-        if d["n_docs"] is not None:
-            out.append(f"docs: {d['n_docs']}  batches: {d['n_batches']}  folded: {d['folded']}")
+        if d["n_rows"] is not None:
+            # the ledger counts docs for a text index, vectors for the
+            # ANN kinds — label what it actually is
+            unit = {"text": "docs", "lsh": "vectors", "ivf": "vectors",
+                    "ivfpq": "vectors"}.get(d["kind"], "rows")
+            out.append(
+                f"{unit}: {d['n_rows']}  batches: {d['n_batches']}  "
+                f"folded: {d['folded']}"
+            )
         for name, st in sorted(d["data_dirs"].items()):
             out.append(f"  {name}: {st['dir']}  ({st['files']} files, {st['bytes']} bytes)")
         for k, v in sorted(d["params"].items()):

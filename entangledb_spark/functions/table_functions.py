@@ -12,6 +12,15 @@ Two TVF families:
 
 - index probes (bm25_topk, ann_topk): the first literal names a
   persistent-index DIRECTORY on shared storage;
+- BULK index probes (bm25_topk_bulk, ann_topk_bulk): the query/probe
+  set is a session TABLE (name passed as a string literal), compiled
+  straight onto the distributed bulk engines (text_index.bm25_topk_bulk
+  / ann_index.probe_ivfpq_bulk and the already-distributed LSH/IVF
+  probes) — one plan however many queries, the decontamination shape:
+
+      SELECT * FROM bm25_topk_bulk('/idx', 'benchmark_queries', 10);
+      SELECT * FROM ann_topk_bulk('/vidx', 'probe_vectors', 5);
+
 - operator invocations (substring_spans, contamination_spans): literals
   name session TABLES, resolved through the same reader the FROM clause
   uses (snapshot semantics included), so the LLM-pipeline operators run
@@ -22,10 +31,11 @@ Two TVF families:
 
 Arguments are LITERAL constants (parser-enforced): a FROM-clause function
 materializes before the query's frame exists, so column references could
-never resolve. Builders raise ValueError on bad argument types/values,
-which the compiler surfaces as CompileError — the dialect's
-analysis-error class; table-name resolution errors keep their own
-catalog-error class.
+never resolve — a TABLE-valued argument is therefore spelled as a table
+NAME literal and resolved through the session reader. Builders raise
+ValueError on bad argument types/values, which the compiler surfaces as
+CompileError — the dialect's analysis-error class; table-name resolution
+errors keep their own catalog-error class.
 """
 
 from __future__ import annotations
@@ -122,6 +132,110 @@ def _ann_topk(spark: SparkSession, index_dir, vec, k=5) -> DataFrame:
     return out.select("neighbor_id", "cos_sim", "rk")
 
 
+def _index_kind(index_dir: str, fn: str) -> str:
+    """Read the persistent vector index's kind from its committed meta."""
+    import json
+    import os
+
+    from entangledb_spark.operators.index_commit import META_FILE
+
+    meta_path = os.path.join(index_dir, META_FILE)
+    try:
+        with open(meta_path) as f:
+            return json.load(f).get("kind")
+    except OSError:
+        raise ValueError(f"{fn}: no index meta at {meta_path}")
+
+
+def _check_k(fn: str, k) -> None:
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise ValueError(f"{fn}: k must be a positive integer literal")
+
+
+def _bm25_topk_bulk(spark: SparkSession, read, index_dir, queries, k=10) -> DataFrame:
+    """Bulk top-k BM25: the query set is a session TABLE with columns
+    (query_id, text) — hundreds or thousands of benchmark items retrieve
+    in ONE distributed join (text_index.bm25_topk_bulk; partition
+    pruning to the query vocabulary's buckets included), where the
+    single-probe TVF would compile one plan per query string. Columns:
+    (query_id, doc_id, bm25_tf, score, rk)."""
+    from entangledb_spark.operators.text_index import bm25_topk_bulk
+
+    if not isinstance(index_dir, str):
+        raise ValueError("bm25_topk_bulk: index path must be a string literal")
+    if not isinstance(queries, str):
+        raise ValueError(
+            "bm25_topk_bulk: queries must be a session table name literal"
+        )
+    _check_k("bm25_topk_bulk", k)
+    qdf = read(queries)
+    missing = {"query_id", "text"} - set(qdf.columns)
+    if missing:
+        raise ValueError(
+            f"bm25_topk_bulk: table {queries!r} lacks required column(s) "
+            f"{sorted(missing)} — the query set needs (query_id, text)"
+        )
+    return bm25_topk_bulk(spark, index_dir, qdf.select("query_id", "text"), k=k)
+
+
+def _ann_topk_bulk(spark: SparkSession, read, index_dir, probes, k=5) -> DataFrame:
+    """Bulk top-k ANN: the probe set is a session TABLE with columns
+    (vec_id, embedding) — embedding either a native array column (an
+    ATTACHed parquet table) or a numeric string ('0.1 -0.4 ...', the
+    4-type dialect spelling). Dispatches on the index kind: LSH/IVF
+    probes are already probe-count-independent distributed joins;
+    IVF-PQ routes through probe_ivfpq_bulk. Columns:
+    (query_id, neighbor_id, cos_sim, rk) for lsh/ivf,
+    (query_id, neighbor_id, adc_dist, rk) for ivfpq."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators import ann_index
+
+    if not isinstance(index_dir, str):
+        raise ValueError("ann_topk_bulk: index path must be a string literal")
+    if not isinstance(probes, str):
+        raise ValueError(
+            "ann_topk_bulk: probes must be a session table name literal"
+        )
+    _check_k("ann_topk_bulk", k)
+    pdf = read(probes)
+    missing = {"vec_id", "embedding"} - set(pdf.columns)
+    if missing:
+        raise ValueError(
+            f"ann_topk_bulk: table {probes!r} lacks required column(s) "
+            f"{sorted(missing)} — the probe set needs (vec_id, embedding)"
+        )
+    emb_type = dict(pdf.dtypes)["embedding"]
+    if emb_type.startswith("array"):
+        emb = F.col("embedding").cast("array<float>")
+    elif emb_type == "string":
+        emb = F.split(F.trim(F.col("embedding")), r"[,\s]+").cast("array<float>")
+    else:
+        raise ValueError(
+            f"ann_topk_bulk: embedding column must be an array or a numeric "
+            f"string, got {emb_type}"
+        )
+    probe_df = pdf.select(
+        F.col("vec_id").cast("long").alias("vec_id"), emb.alias("embedding")
+    )
+    kind = _index_kind(index_dir, "ann_topk_bulk")
+    if kind == "lsh":
+        out = ann_index.probe_lsh_index(
+            spark, index_dir, probe_df, k=k, exclude_self=False
+        )
+    elif kind == "ivf":
+        out = ann_index.probe_ivf_index(
+            spark, index_dir, probe_df, k=k, exclude_self=False
+        ).drop("cell")
+    elif kind == "ivfpq":
+        return ann_index.probe_ivfpq_bulk(
+            spark, index_dir, probe_df, k=k, exclude_self=False
+        ).select("query_id", "neighbor_id", "adc_dist", "rk")
+    else:
+        raise ValueError(f"ann_topk_bulk: unsupported index kind {kind!r}")
+    return out.select("query_id", "neighbor_id", "cos_sim", "rk")
+
+
 def _docs_relation(read, name: str, fn: str) -> DataFrame:
     """Resolve + validate a (doc_id, text) relation for the span TVFs."""
     if not isinstance(name, str):
@@ -185,6 +299,8 @@ def _contamination_spans(spark: SparkSession, read, corpus, bench, w=8) -> DataF
 TABLE_FUNCS: dict[str, TvfSpec] = {
     "bm25_topk": TvfSpec(2, 3, _bm25_topk),
     "ann_topk": TvfSpec(2, 3, _ann_topk),
+    "bm25_topk_bulk": TvfSpec(2, 3, _bm25_topk_bulk, reads_tables=True),
+    "ann_topk_bulk": TvfSpec(2, 3, _ann_topk_bulk, reads_tables=True),
     "substring_spans": TvfSpec(1, 3, _substring_spans, reads_tables=True),
     "contamination_spans": TvfSpec(2, 3, _contamination_spans, reads_tables=True),
 }

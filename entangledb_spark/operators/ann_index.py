@@ -484,6 +484,7 @@ def probe_ivfpq_index(
     rerank_with: DataFrame | None = None,
     shortlist: int = 50,
     route: str = "auto",
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Top-k ANN against a prebuilt IVF-PQ index, no corpus vectors read:
 
@@ -506,6 +507,17 @@ def probe_ivfpq_index(
     take(PROBE_LITERAL_MAX + 1) and picks — a large probe DataFrame can
     never silently compile a multi-MB literal plan.
 
+    ``n_probes``: optional caller-supplied probe COUNT hint — when given,
+    auto mode picks its route arithmetically and spends NO Spark job on
+    the take. Serving paths that know their probe cardinality (the
+    ann_topk TVF's single vector, a fixed probe slice) should pass it or
+    pass route='literal' outright: besides the extra driver round-trip,
+    the auto take also EVALUATES the probe lineage once more than the
+    chosen route needs — expensive or nondeterministic probe inputs
+    should be cached (or counted) by the caller. The hint only selects
+    the route; a wrong hint still returns correct results, just on the
+    less efficient plan (asserted in tests/test_pq.py).
+
     ``rerank_with``: the original embeddings relation — when given, the
     per-probe ADC ``shortlist`` joins back on vec_id (a bounded
     shortlist-sized shuffle) and EXACT squared L2 reranks to top-k; the
@@ -517,8 +529,13 @@ def probe_ivfpq_index(
     if route not in ("auto", "literal", "bulk"):
         raise ValueError(f"route must be auto|literal|bulk, got {route!r}")
     if route == "auto":
-        head = probes.select("vec_id").take(PROBE_LITERAL_MAX + 1)
-        route = "literal" if len(head) <= PROBE_LITERAL_MAX else "bulk"
+        if n_probes is not None:
+            if isinstance(n_probes, bool) or n_probes < 0:
+                raise ValueError(f"n_probes must be a nonnegative int, got {n_probes!r}")
+            route = "literal" if n_probes <= PROBE_LITERAL_MAX else "bulk"
+        else:
+            head = probes.select("vec_id").take(PROBE_LITERAL_MAX + 1)
+            route = "literal" if len(head) <= PROBE_LITERAL_MAX else "bulk"
     if route == "bulk":
         return probe_ivfpq_bulk(
             spark,

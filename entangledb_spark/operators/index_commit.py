@@ -177,7 +177,10 @@ def describe_index(index_dir: str) -> dict:
         "version": meta.get("version", 0),
         "data_dirs": data_dirs,
         "n_batches": len(batches),
-        "n_docs": sum(int(v) for v in batches.values()) if batches else None,
+        # the ledger counts whatever the index ingests: documents for a
+        # text index, vectors for lsh/ivf/ivfpq — hence the kind-neutral
+        # name (the CLI labels it per kind)
+        "n_rows": sum(int(v) for v in batches.values()) if batches else None,
         "folded": len(meta.get("folded", [])),
     }
     # model parameters: everything scalar the meta carries, minus the

@@ -211,6 +211,18 @@ def build_text_index(
         posts_dir = _posts_path(index_dir, meta)
         posts_name = meta.get("postings_dir", "postings")
     elif os.path.exists(os.path.join(index_dir, _META_FILE)):
+        # a committed index exists: honor Spark save-mode intent FIRST —
+        # the staged rebuild below never writes into the active dir, so
+        # without this check mode='error' would silently REPLACE the
+        # committed index and 'ignore' would too
+        if mode in ("error", "errorifexists"):
+            raise ValueError(
+                f"build_text_index(mode={mode!r}): an index is already "
+                f"committed at {index_dir} — pass mode='overwrite' to "
+                "rebuild or mode='append' to add a batch"
+            )
+        if mode == "ignore":
+            return
         # rebuild over a LIVE index: stage into a fresh versioned dir and
         # flip the pointer at the meta commit — writing mode='overwrite'
         # into the ACTIVE directory would destroy the committed layout

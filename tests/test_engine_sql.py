@@ -845,6 +845,166 @@ def test_table_function_span_operators(spark, eng, tmp_path):
         eng.execute("SELECT * FROM substring_spans('ghost', 15)")
 
 
+def test_table_function_bm25_topk_bulk(spark, eng, tmp_path):
+    """Bulk decontamination end-to-end in SQL: a session TABLE of
+    benchmark queries drives ONE distributed retrieval join
+    (text_index.bm25_topk_bulk) — per-query results identical to the
+    single-probe TVF path, and the plan carries no per-query literals
+    (its size is independent of the query count)."""
+    from entangledb_spark.functions.table_functions import TABLE_FUNCS
+    from entangledb_spark.operators.text_index import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from entangledb_spark.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "bulkidx")
+    build_text_index(docs, idx)
+    queries = [(1, "data model training"), (2, "query processing"), (3, "data")]
+    qpath = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(queries, "query_id long, text string").write.parquet(
+        qpath
+    )
+    eng.attach_parquet("benchq", qpath)
+    rows = eng.execute(
+        "SELECT query_id, doc_id, score, rk "
+        f"FROM bm25_topk_bulk('{idx}', 'benchq', 5)"
+    ).fetch(10000)[0]
+    # scores compared at 1e-9 grain: the bulk reduce may sum per-term
+    # contributions in a different order than the literal fold (same
+    # math, last-ulp float drift)
+    got = sorted((q, d, round(s, 9)) for q, d, s, _ in rows)
+    want = sorted(
+        (qid, r.doc_id, round(r.score, 9))
+        for qid, q in queries
+        for r in bm25_topk_indexed(spark, idx, tuple(q.split()), k=5).collect()
+    )
+    assert got == want and len({q for q, *_ in got}) == 3
+    assert all(1 <= rk <= 5 for *_, rk in rows)
+    # a multi-query decontamination batch: drop every doc any benchmark
+    # query retrieves — the whole thing stays in SQL
+    eng.attach_parquet("docs_b", "/root/testdata/sf0.001/documents.parquet")
+    survivors = eng.execute(
+        "SELECT count(*) AS n FROM docs_b d WHERE d.doc_id NOT IN "
+        f"(SELECT h.doc_id FROM bm25_topk_bulk('{idx}', 'benchq', 5) h)"
+    ).fetch(10)[0]
+    assert survivors[0][0] == 500 - len({d for _, d, *_ in got})
+
+    # plan-size independence: queries are DATA — 3 vs 60 query rows must
+    # compile to the same plan shape (the builder the SQL lands on)
+    read = lambda name: spark.read.parquet(qpath)  # noqa: E731
+    big = spark.createDataFrame(
+        [(i, f"data model q{i}") for i in range(60)], "query_id long, text string"
+    )
+    p_small = (
+        TABLE_FUNCS["bm25_topk_bulk"]
+        .builder(spark, read, idx, "benchq", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    p_big = (
+        TABLE_FUNCS["bm25_topk_bulk"]
+        .builder(spark, lambda n: big, idx, "benchq", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(p_big) < len(p_small) + 500, (len(p_small), len(p_big))
+    assert "data model training" not in p_big  # no per-query literals
+
+    # error surfaces
+    with pytest.raises(EngineError, match="query_id"):
+        eng.execute(f"SELECT * FROM bm25_topk_bulk('{idx}', 'docs_b', 5)")
+    with pytest.raises(EngineError, match="table name literal"):
+        eng.execute(f"SELECT * FROM bm25_topk_bulk('{idx}', 7, 5)")
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute(f"SELECT * FROM bm25_topk_bulk('{idx}', 'ghost', 5)")
+
+
+def test_table_function_ann_topk_bulk(spark, eng, tmp_path):
+    """Bulk ANN from SQL: the probe set is a session table — an ATTACHed
+    array-typed table or a dialect-native STRING vector column — and the
+    TVF dispatches to the probe-count-independent engines (LSH/IVF
+    distributed probes, probe_ivfpq_bulk for IVF-PQ)."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        build_lsh_index,
+        probe_ivfpq_bulk,
+        probe_lsh_index,
+    )
+    from entangledb_spark.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    ppath = str(tmp_path / "probes.parquet")
+    probes.write.parquet(ppath)
+    eng.attach_parquet("probes", ppath)
+
+    lsh_dir = str(tmp_path / "blsh")
+    build_lsh_index(emb, lsh_dir)
+    got = sorted(
+        tuple(r)
+        for r in eng.execute(
+            "SELECT query_id, neighbor_id, cos_sim, rk "
+            f"FROM ann_topk_bulk('{lsh_dir}', 'probes', 3)"
+        ).fetch(1000)[0]
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rk)
+        for r in probe_lsh_index(
+            spark, lsh_dir, probes, k=3, exclude_self=False
+        ).collect()
+    )
+    assert got == want and len({q for q, *_ in got}) == 3
+
+    pq_dir = str(tmp_path / "bpq")
+    build_ivfpq_index(emb, pq_dir, n_cells=4, m=4, ksub=8)
+    got_pq = sorted(
+        tuple(r)
+        for r in eng.execute(
+            "SELECT query_id, neighbor_id, rk "
+            f"FROM ann_topk_bulk('{pq_dir}', 'probes', 3)"
+        ).fetch(1000)[0]
+    )
+    want_pq = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in probe_ivfpq_bulk(
+            spark, pq_dir, probes, k=3, exclude_self=False
+        ).collect()
+    )
+    assert got_pq == want_pq
+
+    # dialect-native probes: STRING embedding column parses to a vector
+    # (rounded to fit the dialect's 1024-byte string-value cap — the
+    # corpus copy of the probe must still come back rank 1)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    eng.execute(
+        "CREATE TABLE sprobes (vec_id INTEGER PRIMARY KEY, embedding STRING)"
+    )
+    lit = " ".join(f"{float(x):.4f}" for x in qvec)
+    eng.execute(f"INSERT INTO sprobes VALUES (0, '{lit}')")
+    srows = eng.execute(
+        "SELECT query_id, neighbor_id, rk "
+        f"FROM ann_topk_bulk('{lsh_dir}', 'sprobes', 3) ORDER BY rk ASC"
+    ).fetch(100)[0]
+    assert len(srows) == 3 and srows[0][:2] == (0, 0)
+
+    # error surfaces
+    eng.attach_parquet("li2", "/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(EngineError, match="vec_id"):
+        eng.execute(f"SELECT * FROM ann_topk_bulk('{lsh_dir}', 'li2', 3)")
+    with pytest.raises(EngineError, match="no index meta"):
+        eng.execute(f"SELECT * FROM ann_topk_bulk('{tmp_path}/nope', 'probes')")
+
+
 def test_cli_functions_listing(eng):
     from entangledb_spark.cli import run_command
 
@@ -876,8 +1036,11 @@ def test_cli_index_describe(spark, eng, tmp_path):
     build_lsh_index(emb, lsh)
     out = run_command(eng, f"!index {lsh}")
     assert "kind: lsh" in out and "buckets:" in out and "n_tables" in out
+    assert "docs:" not in out  # no ledger at all for the lsh layout
     pq = str(tmp_path / "p")
     build_ivfpq_index(emb, pq, n_cells=4, m=4, ksub=8)
     out = run_command(eng, f"!index {pq}")
     assert "kind: ivfpq" in out and "pq_model" in out
+    # the ivfpq ledger counts VECTORS, not docs — labeled accordingly
+    assert "vectors: 500" in out and "docs:" not in out
     assert "not a built index" in run_command(eng, f"!index {tmp_path}/ghost")

@@ -482,6 +482,53 @@ def test_ivfpq_bulk_route_equivalent(spark, tmp_path):
     assert _rows_r4(lit2, cols) == _rows_r4(blk2, cols)
 
 
+def test_route_hint_skips_the_count_job_and_stays_correct(spark, tmp_path):
+    """``n_probes`` is the serving-path escape hatch for auto routing:
+    with the hint, route selection is arithmetic — NO take() Spark job
+    before the probe itself (job-count asserted via job groups) — and a
+    WRONG hint still returns correct results (the hint picks the plan,
+    never the semantics)."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+
+    df = _emb(spark)
+    probes = df.filter(F.col("vec_id") < 3)
+    d = str(tmp_path / "ivfpq_hint")
+    build_ivfpq_index(df, d, n_cells=8, m=4, ksub=16)
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n_hint = jobs_for(
+        "hint-route",
+        lambda: probe_ivfpq_index(spark, d, probes, k=3, n_probes=3).collect(),
+    )
+    n_auto = jobs_for(
+        "auto-route",
+        lambda: probe_ivfpq_index(spark, d, probes, k=3).collect(),
+    )
+    # auto pays exactly the one extra bounded take() job the hint saves
+    assert n_auto == n_hint + 1, (n_auto, n_hint)
+
+    cols = ["query_id", "neighbor_id", "adc_dist", "rk"]
+    want = _rows_r4(probe_ivfpq_index(spark, d, probes, k=3, route="literal"), cols)
+    # a WRONG hint (claims bulk-sized) lands on the bulk plan — results
+    # identical at the r4 grain
+    wrong = probe_ivfpq_index(spark, d, probes, k=3, n_probes=10_000)
+    assert _rows_r4(wrong, cols) == want
+    assert _rows_r4(probe_ivfpq_index(spark, d, probes, k=3, n_probes=3), cols) == want
+    with pytest.raises(ValueError, match="n_probes"):
+        probe_ivfpq_index(spark, d, probes, k=3, n_probes=-1)
+
+
 def test_ivfpq_bulk_plan_independent_of_probe_count_and_pruned(spark, tmp_path):
     """The bulk route's contract: probes are DATA, not plan — the plan
     text must not grow with the probe count (the literal route's does,

@@ -386,6 +386,38 @@ def test_build_postings_single_data_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_rebuild_honors_error_and_ignore_modes(spark, tmp_path):
+    """Spark save-mode intent over a LIVE index: mode='error' must raise
+    (not silently replace the committed index — the staged rebuild never
+    touches the active dir, so without the explicit check 'error' lost
+    its meaning), and mode='ignore' must leave the index untouched."""
+    import os
+
+    from entangledb_spark.operators.text_index import _read_meta
+
+    docs = _docs(spark)
+    d = str(tmp_path / "idx_modes")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d)
+    meta0 = _read_meta(d)
+    before = sorted(
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    )
+    for mode in ("error", "errorifexists"):
+        with pytest.raises(ValueError, match="already committed"):
+            build_text_index(docs, d, mode=mode)
+    build_text_index(docs, d, mode="ignore")  # no-op, no raise
+    assert _read_meta(d) == meta0
+    assert before == sorted(
+        (r.doc_id, round(r.score, 6))
+        for r in bm25_topk_indexed(spark, d, BM25_GATE_TERMS, k=10).collect()
+    )
+    # fresh-dir semantics unchanged: 'error' on an EMPTY target builds
+    d2 = str(tmp_path / "idx_fresh")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), d2, mode="error")
+    assert os.path.exists(os.path.join(d2, "postings"))
+
+
 def test_rebuild_over_live_index_is_staged_and_committed(spark, tmp_path):
     """A rebuild over a LIVE index must never write into the committed
     postings directory: it stages a fresh versioned dir, flips the meta
