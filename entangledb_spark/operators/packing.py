@@ -554,7 +554,7 @@ def span_family_stats(
       (doc_id, ss_n_spans, ss_removed_tokens, ss_max_span,
        ct_n_spans, ct_removed_tokens, ct_spans) where ct_spans is an
     array<struct<span_start,span_end>> ready for elision; family-absent
-    stats are 0 (and ss_max_span null) by conditional aggregation."""
+    stats are 0 (ct_spans empty) by conditional aggregation."""
     w = _sliding_windows(docs, window_tokens)
     marked = _mark_duplicates(
         w, min_count, hot_span_cap, order_col="pos", bench_pred=bench_pred

@@ -378,6 +378,37 @@ def test_precomputed_windows_param_equivalence(spark):
     )
 
 
+def test_span_family_stats_hot_cap_equivalence(spark):
+    """The straggler guard composes with the bench mark: hot boilerplate
+    hashes route through the broadcast hot-stats path carrying their
+    bench membership — stats identical to the uncapped run (the
+    _mark_duplicates contract, exercised through the bench_pred branch
+    the guard gained in round 9)."""
+    from entangledb_spark.operators.packing import span_family_stats
+
+    boiler = " ".join(f"b{i}" for i in range(15))
+    texts = {d: f"doc number {d} says " + boiler for d in range(1, 31)}
+    texts[99] = "completely unrelated filler text that matters to nobody"
+    docs = _df(spark, texts)
+    pred = F.col("doc_id") % 5 == 0
+
+    def norm(df):
+        # collect_list order is nondeterministic: sort ct_spans in-row
+        return sorted(
+            tuple(r)[:6] + (sorted((s.span_start, s.span_end) for s in r.ct_spans),)
+            for r in df.collect()
+        )
+
+    base = norm(span_family_stats(docs, pred, window_tokens=15))
+    capped = norm(
+        span_family_stats(docs, pred, window_tokens=15, hot_span_cap=5)
+    )
+    assert base == capped and len(base) > 0
+    # the boilerplate is both duplicated AND bench-contaminated: some doc
+    # must carry spans from each family
+    assert any(r[1] > 0 for r in base) and any(r[4] > 0 for r in base)
+
+
 def test_q93_explodes_corpus_exactly_once_at_stride_1(spark):
     """The round-8 declared cost, engineered away: q93's composed span
     surgery (substring dedup + contamination spans + contamination
