@@ -366,3 +366,111 @@ def cluster_balanced_sample(
         .filter(F.col("_ck_rank") <= quota)
         .drop("_ck_rank")
     )
+
+
+# ------------------------------------------------- mixture materialization
+
+MIX_RES = 2**20  # fractional-epoch hash resolution (1e-6 rate granularity)
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Materialize a weighted training MIX: the step between "mixture
+    proportions decided" (q92's rate computation / DoReMi-style domain
+    weights) and sequence packing — emit each document ``weights[source]``
+    times, deterministically, with a pseudo-random interleave order.
+
+    A weight w means: every doc of that source appears floor(w) times
+    (full epochs — weights > 1 are the standard "repeat high-quality
+    sources for multiple epochs" practice), plus one more copy for the
+    deterministic hash-fraction frac(w) of its docs (knuth_bucket(id)
+    < frac·MIX_RES — the q92 sampling rule at 2^-20 granularity).
+    Sources missing from ``weights`` get ``default_weight`` (default 0:
+    dropped — pass an explicit weight for every source you keep).
+
+    Determinism and portability: zero RNG — every decision is BIGINT
+    arithmetic on the doc id (text.knuth_bucket/knuth_key), so the same
+    corpus materializes the same mix on any cluster size, any run, and
+    any engine (the full row set is re-derived in DuckDB SQL in
+    tests/test_selection.py).
+
+    Scale shape: ONE narrow pass — a per-row copies expression, an
+    explode over sequence(0, copies-1) (bounded by ceil(max weight)),
+    and pure projections. NO shuffle of any kind (plan-asserted): the
+    interleave is carried as data (``mix_key``), not enforced as a sort
+    — downstream packers shard on it (pack_contiguous/pack_greedy's
+    layout), and a trainer reading shard files gets the interleaved
+    order without anyone paying a global sort.
+
+    Output: every input column plus
+      - ``epoch``   int, 0-based copy index of this doc;
+      - ``mix_id``  long, unique per emitted copy
+                    (id · (max_epochs+1) + epoch);
+      - ``mix_key`` long, the deterministic interleave key
+                    ((knuth_key(id) + epoch·SAMPLE_K) % HASH_M —
+                    epoch copies land far apart, as repeated data
+                    should);
+      - ``shard``   int, the HIGH-bits range split
+                    floor(mix_key · n_shards / HASH_M). Not mod:
+                    a multiplicative hash's LOW bits are weak (mod-64
+                    of sequential ids hit ~half the shards — measured),
+                    the high bits are where Knuth's method mixes.
+    """
+    from entangledb_spark.operators.text import (
+        HASH_M,
+        SAMPLE_K,
+        knuth_bucket,
+        knuth_key,
+    )
+
+    for s, w in weights.items():
+        if not (isinstance(w, (int, float)) and math.isfinite(w) and w >= 0):
+            raise ValueError(f"mixture weight for {s!r} must be finite >= 0, got {w!r}")
+    if not (
+        isinstance(default_weight, (int, float))
+        and math.isfinite(default_weight)
+        and default_weight >= 0
+    ):
+        raise ValueError(f"default_weight must be finite >= 0, got {default_weight!r}")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    max_epochs = int(max([default_weight, *weights.values()], default=0.0))
+    doc_id = F.col(id_col).cast("long")
+
+    def _copies(w: float):
+        base = int(w)
+        frac_cut = round((w - base) * MIX_RES)
+        c = F.lit(base)
+        if frac_cut > 0:
+            c = c + (knuth_bucket(doc_id, MIX_RES) < frac_cut).cast("int")
+        return c
+
+    copies = F.lit(int(default_weight))
+    if round((default_weight - int(default_weight)) * MIX_RES) > 0:
+        copies = _copies(default_weight)
+    for s, w in sorted(weights.items()):
+        copies = F.when(F.col(source_col) == s, _copies(w)).otherwise(copies)
+
+    mix_key = (knuth_key(doc_id) + F.col("epoch") * F.lit(SAMPLE_K)) % F.lit(HASH_M)
+    return (
+        docs.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)))
+        .drop("_copies")
+        .withColumn(
+            "mix_id",
+            (doc_id * F.lit(max_epochs + 1) + F.col("epoch")).cast("long"),
+        )
+        .withColumn("mix_key", mix_key.cast("long"))
+        .withColumn(
+            "shard",
+            (F.col("mix_key") * F.lit(n_shards) / F.lit(HASH_M)).cast("int"),
+        )
+    )

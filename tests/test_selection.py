@@ -393,3 +393,159 @@ def test_cluster_balanced_sample_carries_columns_and_custom_names(spark):
     assert {r.doc_id for r in got_rows} == want  # same survivors, any names
     assert set(got_rows[0].asDict()) == {"doc_id", "emb", "payload", "cell"}
     assert all(r.payload == r.doc_id * 10 for r in got_rows)  # columns intact
+
+
+# ------------------------------------------------- mixture materialization
+
+
+def test_materialize_mixture_matches_duckdb(spark):
+    """The emitted row set — (doc_id, epoch, mix_id, mix_key, shard) per
+    copy — re-derived exactly in DuckDB SQL from the same BIGINT
+    arithmetic (knuth_bucket/knuth_key fragments), fractional epochs and
+    multi-epoch repetition included."""
+    from entangledb_spark.operators.selection import MIX_RES, materialize_mixture
+    from entangledb_spark.operators.text import (
+        HASH_M,
+        SAMPLE_K,
+        knuth_bucket_sql,
+        knuth_key_sql,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.25}
+    n_shards = 16
+    got = sorted(
+        (r.doc_id, r.epoch, r.mix_id, r.mix_key, r.shard)
+        for r in materialize_mixture(
+            docs, weights, n_shards=n_shards
+        ).collect()
+    )
+    max_epochs = 2
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(w)} + (CASE WHEN "
+        f"{knuth_bucket_sql('doc_id', MIX_RES)} < {round((w - int(w)) * MIX_RES)} "
+        f"THEN 1 ELSE 0 END)"
+        for s, w in weights.items()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+            WITH d AS (
+              SELECT doc_id, CASE source {cases} ELSE 0 END AS copies
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+            ),
+            e AS (
+              SELECT doc_id, unnest(range(0, copies)) AS epoch
+              FROM d WHERE copies > 0
+            )
+            SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+                   CAST(doc_id * {max_epochs + 1} + epoch AS BIGINT) AS mix_id,
+                   CAST(({knuth_key_sql('doc_id')} + epoch * {SAMPLE_K})
+                        % {HASH_M} AS BIGINT) AS mix_key,
+                   CAST((({knuth_key_sql('doc_id')} + epoch * {SAMPLE_K})
+                        % {HASH_M}) * {n_shards} // {HASH_M} AS INTEGER) AS shard
+            FROM e ORDER BY doc_id, epoch
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_materialize_mixture_semantics(spark):
+    """Copy-count semantics: floor(w) epochs for every doc plus the
+    hash-fraction extra; counts land within hash-rounding of w·n; docs
+    of a weight-1.0 source appear exactly once; unlisted sources drop
+    (default) or get default_weight; mix_id is unique; shards are
+    near-uniform; two runs are identical."""
+    from entangledb_spark.operators.selection import materialize_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    n_by_src = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    weights = {"src0": 2.5, "src1": 1.0}
+    mix = materialize_mixture(docs, weights)
+    rows = mix.collect()
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # src2 unlisted -> dropped entirely
+    assert set(by_src) == {"src0", "src1"}
+    assert by_src["src1"] == n_by_src["src1"]  # exactly one epoch
+    # src0 at 2.5: every doc 2 or 3 times, total within 10% of 2.5n
+    src0 = [r for r in rows if r.source == "src0"]
+    per_doc: dict[int, int] = {}
+    for r in src0:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert set(per_doc.values()) <= {2, 3}
+    assert abs(by_src["src0"] - 2.5 * n_by_src["src0"]) <= 0.1 * 2.5 * n_by_src["src0"]
+    # mix_id unique; passthrough columns survive; determinism
+    ids = [r.mix_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert {c for c in mix.columns} >= {"doc_id", "source", "lang", "epoch",
+                                        "mix_id", "mix_key", "shard"}
+    again = sorted((r.mix_id, r.mix_key) for r in materialize_mixture(
+        docs, weights).collect())
+    assert again == sorted((r.mix_id, r.mix_key) for r in rows)
+    # default_weight keeps unlisted sources
+    with_def = materialize_mixture(docs, weights, default_weight=1.0)
+    assert with_def.filter(F.col("source") == "src2").count() == n_by_src["src2"]
+    # shards near-uniform under the HIGH-bits split (low bits of a
+    # multiplicative hash are weak — mod-64 hit only ~half the shards
+    # when this operator was first written): a corpus-wide 1.5x mix
+    # (751 rows) must hit every shard with bounded imbalance
+    full = materialize_mixture(docs, {}, default_weight=1.5)
+    shard_counts = [
+        r.n for r in full.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(shard_counts) == 64
+    assert max(shard_counts) <= 2 * min(shard_counts), sorted(shard_counts)
+    # bad weights fail loudly
+    with pytest.raises(ValueError, match="finite"):
+        materialize_mixture(docs, {"src0": float("nan")})
+    with pytest.raises(ValueError, match="finite"):
+        materialize_mixture(docs, {"src0": -1.0})
+
+
+def test_materialize_mixture_is_shuffle_free(spark):
+    """The mix is ONE narrow pass: no Exchange of any kind in the plan —
+    the interleave is data (mix_key), never a sort."""
+    from entangledb_spark.operators.selection import materialize_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = (
+        materialize_mixture(docs, {"src0": 2.5, "src1": 1.0, "src2": 0.25})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_materialize_mixture_feeds_packing(spark):
+    """Composition with the packer: mix_id is the unique document key of
+    the materialized mix, so pack_greedy shards and packs it like any
+    corpus — every emitted copy lands in exactly one sequence."""
+    from entangledb_spark.operators.packing import pack_greedy
+    from entangledb_spark.operators.selection import materialize_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    mix = materialize_mixture(docs, {"src0": 1.5, "src1": 1.0}).select(
+        F.col("mix_id").alias("doc_id"), "text"
+    )
+    n_mix = mix.count()
+    packed = pack_greedy(spark, mix)
+    assert packed.count() == n_mix
+    assert packed.select("doc_id").distinct().count() == n_mix
