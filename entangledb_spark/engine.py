@@ -11,6 +11,11 @@ mod.rs:79-143) onto the snapshot catalog:
 - `EXPLAIN stmt` returns our logical plan tree; physical detail is
   delegated to Spark's own explain (Catalyst is the optimizer — SURVEY
   §4.1 maps every reference rewrite rule onto a built-in Catalyst rule).
+- `EXPLAIN ANALYZE query` (extension) EXECUTES the query cluster-side
+  (rows never transfer to the driver) and returns the final adaptive
+  physical plan annotated with per-operator RUNTIME metrics
+  (numOutputRows, spill, shuffle bytes, pipeline time) plus the row
+  count and wall time — queries only, DML is rejected.
 
 DML is set-oriented and distributed end-to-end: INSERT/UPDATE/DELETE read
 the pinned snapshot, transform declaratively, constraint-check with
@@ -343,6 +348,12 @@ class Engine:
 
     def _execute_statement(self, stmt: ast.Statement) -> Result:
         if isinstance(stmt, ast.Explain):
+            if stmt.analyze:
+                return Result(
+                    status="EXPLAIN ANALYZE", columns=["plan"],
+                    rows=[(line,) for line in
+                          self._explain_analyze(stmt.statement).splitlines()],
+                )
             return Result(status="EXPLAIN", columns=["plan"],
                           rows=[(line,) for line in self._explain(stmt.statement).splitlines()])
         if isinstance(stmt, ast.Begin):
@@ -786,6 +797,66 @@ class Engine:
                 df.explain("formatted")
             lines += ["", "Physical (Catalyst):", *buf.getvalue().splitlines()]
         return "\n".join(lines)
+
+    def _explain_analyze(self, stmt: ast.Statement) -> str:
+        """EXPLAIN ANALYZE (extension — the reference's EXPLAIN is static,
+        plan/mod.rs:258-415): EXECUTE the query and render the FINAL
+        adaptive physical plan annotated with Spark's per-operator
+        RUNTIME metrics (numOutputRows, spillSize, shuffle bytes,
+        pipelineTime, ...) — the ground truth a static EXPLAIN
+        estimates. Queries only: DML under ANALYZE would conflate
+        profiling with a write.
+
+        Execution runs the compiled plan's own RDD and counts rows
+        cluster-side (``executedPlan().execute().count()``) — results
+        never transfer to the driver, so profiling a huge SELECT costs
+        its compute, not its collect."""
+        import time as _time
+
+        if not isinstance(stmt, (ast.Select, ast.SetOp)):
+            raise EngineError(
+                "EXPLAIN ANALYZE supports SELECT queries only (DML/DDL "
+                "would execute the write while profiling it)"
+            )
+        df = compile_statement(stmt, self.spark, self._reader())
+        jqe = df._jdf.queryExecution()
+        t0 = _time.perf_counter()
+        n_rows = jqe.executedPlan().execute().count()
+        wall_ms = round((_time.perf_counter() - t0) * 1000.0, 1)
+        lines = _format_plan(stmt)
+        lines += [
+            "",
+            f"Executed: {n_rows} row(s) in {wall_ms} ms",
+            "Physical (final adaptive plan, runtime metrics):",
+        ]
+        _walk_executed_plan(jqe.executedPlan(), 0, lines)
+        return "\n".join(lines)
+
+
+def _walk_executed_plan(node, depth: int, out: list) -> None:
+    """Render an executed SparkPlan tree with its SQLMetric values —
+    descending through AQE's stage wrappers (AdaptiveSparkPlan holds the
+    final plan only post-execution; QueryStage nodes wrap their stage's
+    plan) so every operator that actually ran appears exactly once."""
+    name = node.nodeName()
+    mets = node.metrics()
+    it = mets.iterator()
+    parts = []
+    while it.hasNext():
+        kv = it.next()
+        parts.append(f"{kv._1()}={kv._2().value()}")
+    out.append(
+        "  " * depth + name + (f"  [{', '.join(sorted(parts))}]" if parts else "")
+    )
+    if name == "AdaptiveSparkPlan":
+        _walk_executed_plan(node.executedPlan(), depth + 1, out)
+        return
+    if "QueryStage" in name:
+        _walk_executed_plan(node.plan(), depth + 1, out)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        _walk_executed_plan(ch.apply(i), depth + 1, out)
 
 
 def _is_constant_query(stmt: ast.Statement) -> bool:

@@ -277,6 +277,7 @@ class Rollback:
 @dataclass(frozen=True)
 class Explain:
     statement: "Statement"
+    analyze: bool = False  # EXPLAIN ANALYZE: execute + runtime metrics
 
 
 Statement = Union[

@@ -19,7 +19,7 @@ class LexError(ValueError):
 
 
 KEYWORDS = {
-    "all", "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
+    "all", "analyze", "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
     "commit", "create", "cross", "default", "delete", "desc", "double",
     "distinct", "drop", "else", "end", "except", "exists", "explain", "false",
     "float", "from", "group",

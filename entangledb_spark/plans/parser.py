@@ -127,7 +127,8 @@ class Parser:
 
     def parse_explain(self) -> ast.Explain:
         self.expect("keyword", "explain")
-        return ast.Explain(self.parse_statement())
+        analyze = self.accept("keyword", "analyze") is not None
+        return ast.Explain(self.parse_statement(), analyze=analyze)
 
     # ---- DDL --------------------------------------------------------------
 

@@ -338,6 +338,42 @@ def test_explain(eng):
     assert "Physical (Catalyst)" in text
 
 
+def test_explain_analyze(eng):
+    """EXPLAIN ANALYZE (extension): executes the query and returns the
+    FINAL adaptive physical plan with per-operator RUNTIME metrics plus
+    row count and wall time; rejects DML; plain EXPLAIN stays static."""
+    setup_movies(eng)
+    r = eng.execute(
+        "EXPLAIN ANALYZE SELECT genre_id, count(*) AS n FROM movies "
+        "GROUP BY genre_id"
+    )
+    assert r.status == "EXPLAIN ANALYZE"
+    text = "\n".join(t[0] for t in r.rows)
+    # logical tree + execution summary + runtime metrics
+    assert "Aggregate" in text and "Scan movies" in text
+    assert "Executed: 4 row(s) in" in text  # 3 genres + the NULL group
+    assert "runtime metrics" in text and "numOutputRows=" in text
+    assert "AdaptiveSparkPlan" in text
+    # joins profile too (exchange/shuffle metrics appear)
+    jr = eng.execute(
+        "EXPLAIN ANALYZE SELECT m.title FROM movies m "
+        "JOIN genres g ON m.genre_id = g.id"
+    )
+    jtext = "\n".join(t[0] for t in jr.rows)
+    assert "Executed: 4 row(s)" in jtext and "numOutputRows=" in jtext
+    # DML refused — profiling must not write
+    with pytest.raises(EngineError, match="SELECT queries only"):
+        eng.execute("EXPLAIN ANALYZE INSERT INTO genres VALUES (9, 'X')")
+    rows, _ = eng.execute("SELECT count(*) FROM genres").fetch(1)
+    assert rows == [(3,)]  # nothing was written
+    # plain EXPLAIN unchanged (static, no execution summary)
+    p = eng.execute("EXPLAIN SELECT title FROM movies")
+    ptext = "\n".join(t[0] for t in p.rows)
+    assert p.status == "EXPLAIN" and "Executed:" not in ptext
+    # the session survives and ANALYZE still lexes inside larger texts
+    assert one(eng, "SELECT 1 + 1") == (2,)
+
+
 def test_mixed_type_comparison_errors(eng):
     # expression.rs:86-88 "Can't compare" — pre-validated at compile time
     for bad in [
