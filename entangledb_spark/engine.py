@@ -394,6 +394,8 @@ class Engine:
             return self._mutate(lambda m: self._update(m, stmt))
         if isinstance(stmt, ast.Delete):
             return self._mutate(lambda m: self._delete(m, stmt))
+        if isinstance(stmt, ast.Merge):
+            return self._mutate(lambda m: self._merge(m, stmt))
         raise EngineError(f"unsupported statement {type(stmt).__name__}")
 
     # ---------------------------------------------------------- sessions
@@ -747,6 +749,204 @@ class Engine:
         n_matched = self.catalog.count_rows(delta["upserts"]) if delta else 0
         return Result(status=f"UPDATE {n_matched}")
 
+    # ---------------------------------------------------------- MERGE
+
+    def _merge(self, manifest: dict, stmt: ast.Merge) -> Result:
+        """MERGE INTO (extension — the reference has no upsert statement):
+        one source pass decides update / delete / insert per row, staged as
+        a single delta so the whole statement is one atomic snapshot
+        version (or part of the surrounding transaction's manifest).
+
+        Semantics (the SQL-standard core):
+        - a target row matched by MORE THAN ONE source row is a
+          cardinality violation whenever an UPDATE or DELETE clause
+          exists — rejected up front (distributed groupBy count on the
+          match keys, one bounded job);
+        - WHEN MATCHED clauses apply in statement order (an UPDATE listed
+          before a DELETE claims the rows both conditions accept);
+        - UPDATE SET expressions see both tables' OLD values; the primary
+          key cannot be assigned (use DELETE + INSERT);
+        - WHEN NOT MATCHED INSERT values see the SOURCE row only; omitted
+          target columns take their defaults, like INSERT.
+
+        Distributed end-to-end: the decision join is one equi/theta join
+        Catalyst plans like any other; updates/inserts land as upsert
+        rows and deletes as key tombstones in ONE merge-on-read delta —
+        no row loops, no driver materialization."""
+        from entangledb_spark.functions.expressions import static_type
+
+        meta = self._table_meta(manifest, stmt.target, writable=True)
+        pk = self._pk_of(meta)
+        by_name = {c["name"]: c for c in meta["columns"]}
+        t_alias = stmt.target_alias or stmt.target
+        s_alias = stmt.source_alias or stmt.source
+        if t_alias == s_alias:
+            raise EngineError("MERGE target and source need distinct names/aliases")
+        tgt = self.catalog.read_df(manifest, stmt.target).alias(t_alias)
+        src_raw = self.catalog.read_df(manifest, stmt.source)
+        src = src_raw.withColumn("__src_match", F.lit(True)).alias(s_alias)
+
+        resolve, type_of = _merge_scope(
+            {t_alias: tgt, s_alias: src_raw.alias(s_alias)}
+        )
+        s_resolve, s_type = _merge_scope({s_alias: src_raw.alias(s_alias)})
+        on = compile_expr(stmt.on, resolve, type_of)
+
+        upd = next((w for w in stmt.whens if w.action == "update"), None)
+        dele = next((w for w in stmt.whens if w.action == "delete"), None)
+        ins = next((w for w in stmt.whens if w.action == "insert"), None)
+
+        if upd is not None:
+            for cname, expr in upd.sets:
+                if cname not in by_name:
+                    raise EngineError(
+                        f"unknown column {cname} in table {stmt.target}"
+                    )
+                if cname == pk:
+                    raise EngineError(
+                        "MERGE cannot assign the primary key — use "
+                        "WHEN MATCHED THEN DELETE plus INSERT"
+                    )
+                st = static_type(expr, type_of)
+                want = {
+                    "BOOLEAN": "bool", "INTEGER": "int",
+                    "FLOAT": "float", "STRING": "str",
+                }[by_name[cname]["datatype"]]
+                if not (st is None or st == want or (want == "float" and st == "int")):
+                    raise EngineError(
+                        f"invalid value of type {st} for "
+                        f"{by_name[cname]['datatype'].lower()} column {cname} "
+                        f"in table {stmt.target}"
+                    )
+
+        # cardinality violation: >1 source rows claiming one target row
+        if upd is not None or dele is not None:
+            dup = (
+                tgt.join(src, on, "inner")
+                .groupBy(F.col(f"{t_alias}.{pk}"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+            )
+            if dup.limit(1).count() > 0:
+                raise EngineError(
+                    "MERGE: a target row matches more than one source row "
+                    "(cardinality violation)"
+                )
+
+        joined = tgt.join(src, on, "left")
+        matched = F.coalesce(F.col(f"{s_alias}.__src_match"), F.lit(False))
+
+        def _cond(w):
+            c = matched
+            if w.condition is not None:
+                c = c & F.coalesce(
+                    compile_expr(w.condition, resolve, type_of), F.lit(False)
+                )
+            return c
+
+        upd_c = _cond(upd) if upd is not None else F.lit(False)
+        del_c = _cond(dele) if dele is not None else F.lit(False)
+        # statement order decides which matched clause claims a row
+        order = [w.action for w in stmt.whens if w.matched]
+        if order == ["delete", "update"]:
+            upd_c = upd_c & ~del_c
+        else:
+            del_c = del_c & ~upd_c
+
+        updates = (
+            {c: compile_expr(e, resolve, type_of) for c, e in upd.sets}
+            if upd is not None
+            else {}
+        )
+        projected = []
+        for c in [col["name"] for col in meta["columns"]]:
+            base = F.col(f"{t_alias}.{c}")
+            if c in updates:
+                ty = SPARK_TYPES[by_name[c]["datatype"]]
+                projected.append(
+                    F.when(upd_c, updates[c].cast(ty)).otherwise(base).alias(c)
+                )
+            else:
+                projected.append(base.alias(c))
+        survivors = joined.filter(~del_c).select(*projected, upd_c.alias("__upd"))
+
+        insert_rows = None
+        if ins is not None:
+            not_matched = src_raw.alias(s_alias).join(tgt, on, "left_anti")
+            if ins.condition is not None:
+                not_matched = not_matched.filter(
+                    F.coalesce(
+                        compile_expr(ins.condition, s_resolve, s_type), F.lit(False)
+                    )
+                )
+            names = list(ins.columns) if ins.columns is not None else [
+                c["name"] for c in meta["columns"]
+            ]
+            unknown = [n for n in names if n not in by_name]
+            if unknown:
+                raise EngineError(
+                    f"unknown column {unknown[0]} in table {stmt.target}"
+                )
+            if len(names) != len(ins.values):
+                raise EngineError(
+                    f"MERGE INSERT has {len(ins.values)} values for "
+                    f"{len(names)} columns"
+                )
+            exprs = {}
+            for n, e in zip(names, ins.values):
+                st = static_type(e, s_type)
+                want = {
+                    "BOOLEAN": "bool", "INTEGER": "int",
+                    "FLOAT": "float", "STRING": "str",
+                }[by_name[n]["datatype"]]
+                if not (st is None or st == want or (want == "float" and st == "int")):
+                    raise EngineError(
+                        f"invalid value of type {st} for "
+                        f"{by_name[n]['datatype'].lower()} column {n} "
+                        f"in table {stmt.target}"
+                    )
+                exprs[n] = compile_expr(e, s_resolve, s_type)
+            out_cols = []
+            for c in meta["columns"]:
+                ty = SPARK_TYPES[c["datatype"]]
+                if c["name"] in exprs:
+                    out_cols.append(exprs[c["name"]].cast(ty).alias(c["name"]))
+                elif c["has_default"]:
+                    out_cols.append(F.lit(c["default"]).cast(ty).alias(c["name"]))
+                else:
+                    raise EngineError(
+                        f"no value given for column {c['name']} in table "
+                        f"{stmt.target}"
+                    )
+            insert_rows = not_matched.select(*out_cols)
+
+        final_view = survivors.drop("__upd")
+        if insert_rows is not None:
+            final_view = final_view.unionByName(insert_rows)
+        self._validate_view(manifest, stmt.target, final_view)
+
+        changed = survivors.filter(F.col("__upd")).drop("__upd")
+        n_upd = changed.count() if upd is not None else 0
+        n_ins = insert_rows.count() if insert_rows is not None else 0
+        del_keys = None
+        n_del = 0
+        if dele is not None:
+            del_keys = joined.filter(del_c).select(F.col(f"{t_alias}.{pk}").alias(pk))
+            n_del = del_keys.count()
+        upserts = changed if upd is not None else None
+        if insert_rows is not None:
+            upserts = (
+                upserts.unionByName(insert_rows)
+                if upserts is not None
+                else insert_rows
+            )
+        self.catalog.stage_delta(
+            manifest, stmt.target, upserts=upserts, deletes=del_keys
+        )
+        return Result(
+            status=f"MERGE {n_upd} updated, {n_ins} inserted, {n_del} deleted"
+        )
+
     # ---------------------------------------------------------- DELETE
 
     def _delete(self, manifest: dict, stmt: ast.Delete) -> Result:
@@ -867,6 +1067,44 @@ def _is_constant_query(stmt: ast.Statement) -> bool:
     if isinstance(stmt, ast.SetOp):
         return _is_constant_query(stmt.left) and _is_constant_query(stmt.right)
     return False
+
+
+def _merge_scope(tables: dict):
+    """Resolve/type functions over one or more aliased DataFrames — the
+    MERGE statement's expression scope (ON / WHEN conditions / SET values
+    see both tables; INSERT values see the source only). Unqualified
+    names resolve iff exactly one table owns them."""
+    cols = {a: [c for c in df.columns if not c.startswith("__")] for a, df in tables.items()}
+    dtypes = {a: dict(df.dtypes) for a, df in tables.items()}
+    py_ty = {
+        "bigint": "int", "int": "int", "double": "float",
+        "float": "float", "string": "str", "boolean": "bool",
+    }
+
+    def _owner(f: ast.Field) -> str:
+        if f.table is not None:
+            if f.table not in cols:
+                raise CompileError(f"unknown table {f.table}")
+            if f.name not in cols[f.table]:
+                raise CompileError(f"unknown column {f.name} in table {f.table}")
+            return f.table
+        owners = [a for a in cols if f.name in cols[a]]
+        if not owners:
+            raise CompileError(f"unknown column {f.name}")
+        if len(owners) > 1:
+            raise CompileError(
+                f"ambiguous column {f.name} (qualify it: "
+                f"{' or '.join(sorted(a + '.' + f.name for a in owners))})"
+            )
+        return owners[0]
+
+    def resolve(f: ast.Field):
+        return F.col(f"{_owner(f)}.{f.name}")
+
+    def type_of(f: ast.Field):
+        return py_ty.get(dtypes[_owner(f)].get(f.name))
+
+    return resolve, type_of
 
 
 def _single_table_scope(name: str, df: DataFrame):

@@ -224,6 +224,30 @@ class Delete:
 
 
 @dataclass(frozen=True)
+class MergeWhen:
+    """One WHEN clause of a MERGE. ``matched`` selects the join side the
+    clause applies to; ``action`` is 'update' | 'delete' (matched) or
+    'insert' (not matched); ``condition`` is the optional AND filter."""
+    matched: bool
+    action: str
+    condition: Optional[Expr] = None
+    sets: tuple = ()  # update: ((col, Expr), ...)
+    columns: Optional[tuple] = None  # insert: explicit column list
+    values: tuple = ()  # insert: one Expr per column
+
+
+@dataclass(frozen=True)
+class Merge:
+    """MERGE INTO target USING source ON cond WHEN ... (extension)."""
+    target: str
+    source: str
+    on: Expr
+    whens: tuple
+    target_alias: Optional[str] = None
+    source_alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class OrderItem:
     expr: Expr
     desc: bool = False
@@ -281,6 +305,7 @@ class Explain:
 
 
 Statement = Union[
-    CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Select, SetOp,
+    CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
+    Select, SetOp,
     Begin, Commit, Rollback, Explain,
 ]

@@ -24,12 +24,13 @@ KEYWORDS = {
     "distinct", "drop", "else", "end", "except", "exists", "explain", "false",
     "float", "from", "group",
     "having", "in", "index", "infinity", "inner", "insert", "int", "intersect",
-    "integer", "into", "is", "join", "key", "left", "like", "limit", "nan",
+    "integer", "into", "is", "join", "key", "left", "like", "limit",
+    "matched", "merge", "nan",
     "not", "null", "of", "offset", "on", "only", "or", "order", "outer", "over",
     "partition", "preceding", "unbounded", "following", "between", "rows", "row", "current",
     "primary", "read", "references", "right", "rollback", "select", "set",
     "string", "system", "table", "text", "then", "time", "transaction", "union",
-    "true", "unique", "update", "values", "varchar", "when", "where",
+    "true", "unique", "update", "using", "values", "varchar", "when", "where",
     "write",
 }
 

@@ -97,6 +97,7 @@ class Parser:
             "insert": self.parse_insert,
             "update": self.parse_update,
             "delete": self.parse_delete,
+            "merge": self.parse_merge,
             "select": self.parse_select_statement,
         }
         fn = dispatch.get(t.text)
@@ -234,6 +235,88 @@ class Parser:
         table = self.expect("ident").text
         where = self.parse_expr() if self.accept("keyword", "where") else None
         return ast.Delete(table=table, where=where)
+
+    def parse_merge(self) -> "ast.Merge":
+        """MERGE INTO target [[AS] alias] USING source [[AS] alias]
+        ON cond { WHEN [NOT] MATCHED [AND cond] THEN action }+
+        with action ∈ UPDATE SET c = e, ... | DELETE | INSERT [(cols)]
+        VALUES (exprs). Extension — the reference has no MERGE."""
+        self.expect("keyword", "merge")
+        self.expect("keyword", "into")
+        target = self.expect("ident").text
+        target_alias = self._merge_alias()
+        self.expect("keyword", "using")
+        source = self.expect("ident").text
+        source_alias = self._merge_alias()
+        self.expect("keyword", "on")
+        on = self.parse_expr()
+        whens = []
+        while self.accept("keyword", "when"):
+            matched = self.accept("keyword", "not") is None
+            self.expect("keyword", "matched")
+            cond = self.parse_expr() if self.accept("keyword", "and") else None
+            self.expect("keyword", "then")
+            if self.accept("keyword", "update"):
+                if not matched:
+                    raise ParseError("WHEN NOT MATCHED supports INSERT only")
+                self.expect("keyword", "set")
+                sets = []
+                while True:
+                    col = self.expect("ident").text
+                    self.expect("symbol", "=")
+                    sets.append((col, self.parse_expr()))
+                    if not self.accept("symbol", ","):
+                        break
+                whens.append(
+                    ast.MergeWhen(True, "update", condition=cond, sets=tuple(sets))
+                )
+            elif self.accept("keyword", "delete"):
+                if not matched:
+                    raise ParseError("WHEN NOT MATCHED supports INSERT only")
+                whens.append(ast.MergeWhen(True, "delete", condition=cond))
+            elif self.accept("keyword", "insert"):
+                if matched:
+                    raise ParseError("WHEN MATCHED supports UPDATE or DELETE only")
+                cols = None
+                if self.accept("symbol", "("):
+                    cols = [self.expect("ident").text]
+                    while self.accept("symbol", ","):
+                        cols.append(self.expect("ident").text)
+                    self.expect("symbol", ")")
+                self.expect("keyword", "values")
+                self.expect("symbol", "(")
+                values = [self.parse_expr()]
+                while self.accept("symbol", ","):
+                    values.append(self.parse_expr())
+                self.expect("symbol", ")")
+                whens.append(
+                    ast.MergeWhen(
+                        False, "insert", condition=cond,
+                        columns=tuple(cols) if cols is not None else None,
+                        values=tuple(values),
+                    )
+                )
+            else:
+                raise ParseError(
+                    "expected UPDATE, DELETE, or INSERT after THEN in MERGE"
+                )
+        if not whens:
+            raise ParseError("MERGE requires at least one WHEN clause")
+        for action in ("update", "delete", "insert"):
+            if sum(1 for w in whens if w.action == action) > 1:
+                raise ParseError(f"MERGE allows at most one {action.upper()} clause")
+        return ast.Merge(
+            target=target, source=source, on=on, whens=tuple(whens),
+            target_alias=target_alias, source_alias=source_alias,
+        )
+
+    def _merge_alias(self):
+        if self.accept("keyword", "as"):
+            return self.expect("ident").text
+        t = self.peek()
+        if t.kind == "ident":
+            return self.next().text
+        return None
 
     # ---- SELECT -----------------------------------------------------------
 

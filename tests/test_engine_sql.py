@@ -1080,3 +1080,188 @@ def test_cli_index_describe(spark, eng, tmp_path):
     # the ivfpq ledger counts VECTORS, not docs — labeled accordingly
     assert "vectors: 500" in out and "docs:" not in out
     assert "not a built index" in run_command(eng, f"!index {tmp_path}/ghost")
+
+
+# ------------------------------------------------------------------- MERGE
+
+
+def _merge_fixture(eng):
+    eng.execute("CREATE TABLE tgt (id INTEGER PRIMARY KEY, v STRING NULL, n INTEGER NULL)")
+    eng.execute("INSERT INTO tgt VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    eng.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, v STRING NULL)")
+    eng.execute("INSERT INTO src VALUES (2, 'B'), (3, NULL), (4, 'D')")
+
+
+def test_merge_upsert_delete_with_clause_order(eng):
+    """The full three-clause MERGE: matched+NULL deletes (DELETE listed
+    first claims the row), matched updates seeing BOTH tables' old
+    values, not-matched inserts — one atomic snapshot version."""
+    _merge_fixture(eng)
+    r = eng.execute(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN MATCHED AND src.v IS NULL THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = src.v, n = tgt.n + 1 "
+        "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (src.id, src.v, 0)"
+    )
+    assert r.status == "MERGE 1 updated, 1 inserted, 1 deleted"
+    rows, _ = eng.execute("SELECT id, v, n FROM tgt ORDER BY id").fetch(100)
+    assert rows == [(1, "a", 10), (2, "B", 21), (4, "D", 0)]
+    # update-first order claims the NULL row for UPDATE instead
+    eng.execute("DROP TABLE tgt")
+    eng.execute("DROP TABLE src")
+    _merge_fixture(eng)
+    r2 = eng.execute(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET v = src.v "
+        "WHEN MATCHED AND src.v IS NULL THEN DELETE"
+    )
+    assert r2.status == "MERGE 2 updated, 0 inserted, 0 deleted"
+    rows2, _ = eng.execute("SELECT id, v FROM tgt ORDER BY id").fetch(100)
+    assert rows2 == [(1, "a"), (2, "B"), (3, None)]
+
+
+def test_merge_single_clause_forms_and_defaults(eng):
+    _merge_fixture(eng)
+    # insert-only merge (the classic "load new keys"); omitted nullable
+    # column takes its default
+    r = eng.execute(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"
+    )
+    assert r.status == "MERGE 0 updated, 1 inserted, 0 deleted"
+    rows, _ = eng.execute("SELECT id, v, n FROM tgt WHERE id = 4").fetch(10)
+    assert rows == [(4, "D", None)]
+    # conditional insert filters source rows
+    eng.execute("INSERT INTO src VALUES (5, 'E'), (6, NULL)")
+    r2 = eng.execute(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN NOT MATCHED AND src.v IS NOT NULL THEN INSERT (id, v) "
+        "VALUES (src.id, src.v)"
+    )
+    assert r2.status == "MERGE 0 updated, 1 inserted, 0 deleted"
+    assert eng.execute("SELECT count(*) FROM tgt").rows is None or True
+    rows3, _ = eng.execute("SELECT id FROM tgt ORDER BY id").fetch(100)
+    assert [t[0] for t in rows3] == [1, 2, 3, 4, 5]
+
+
+def test_merge_aliases_and_unqualified_resolution(eng):
+    _merge_fixture(eng)
+    # aliases work; unqualified unique column (n lives only in tgt) is fine
+    r = eng.execute(
+        "MERGE INTO tgt AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET n = n + 100"
+    )
+    assert r.status == "MERGE 2 updated, 0 inserted, 0 deleted"
+    rows, _ = eng.execute("SELECT id, n FROM tgt ORDER BY id").fetch(100)
+    assert rows == [(1, 10), (2, 120), (3, 130)]
+    # ambiguous unqualified column is rejected with a helpful message
+    with pytest.raises(EngineError, match="ambiguous column v"):
+        eng.execute(
+            "MERGE INTO tgt AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = v"
+        )
+
+
+def test_merge_errors(eng):
+    _merge_fixture(eng)
+    # cardinality violation: two source rows match one target row
+    eng.execute("CREATE TABLE multi (k INTEGER PRIMARY KEY, id INTEGER NULL)")
+    eng.execute("INSERT INTO multi VALUES (1, 2), (2, 2)")
+    with pytest.raises(EngineError, match="more than one source row"):
+        eng.execute(
+            "MERGE INTO tgt USING multi ON tgt.id = multi.id "
+            "WHEN MATCHED THEN UPDATE SET n = 0"
+        )
+    # pk assignment rejected
+    with pytest.raises(EngineError, match="primary key"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET id = src.id + 10"
+        )
+    # write-type mismatch rejected statically
+    with pytest.raises(EngineError, match="invalid value of type str"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET n = src.v"
+        )
+    # parser guards
+    with pytest.raises(EngineError, match="INSERT only"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN NOT MATCHED THEN UPDATE SET v = 'x'"
+        )
+    with pytest.raises(EngineError, match="UPDATE or DELETE only"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN INSERT (id) VALUES (1)"
+        )
+    with pytest.raises(EngineError, match="at least one WHEN"):
+        eng.execute("MERGE INTO tgt USING src ON tgt.id = src.id")
+    with pytest.raises(EngineError, match="at most one UPDATE"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN UPDATE SET v = 'x' "
+            "WHEN MATCHED THEN UPDATE SET v = 'y'"
+        )
+    # missing required column on insert
+    eng.execute("CREATE TABLE req (id INTEGER PRIMARY KEY, must STRING NOT NULL)")
+    with pytest.raises(EngineError, match="no value given for column must"):
+        eng.execute(
+            "MERGE INTO req USING src ON req.id = src.id "
+            "WHEN NOT MATCHED THEN INSERT (id) VALUES (src.id)"
+        )
+    # nothing was committed by any failed merge
+    rows, _ = eng.execute("SELECT id, v, n FROM tgt ORDER BY id").fetch(100)
+    assert rows == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_merge_respects_transactions_and_constraints(eng):
+    _merge_fixture(eng)
+    eng.execute("BEGIN")
+    eng.execute(
+        "MERGE INTO tgt USING src ON tgt.id = src.id "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"
+    )
+    rows, _ = eng.execute("SELECT count(*) FROM tgt").fetch(1)
+    assert rows == [(4,)]
+    eng.execute("ROLLBACK")
+    rows2, _ = eng.execute("SELECT count(*) FROM tgt").fetch(1)
+    assert rows2 == [(3,)]  # the merge rolled back with the transaction
+    # read-only transactions refuse MERGE like any write
+    eng.execute("BEGIN READ ONLY")
+    with pytest.raises(EngineError, match="read-only"):
+        eng.execute(
+            "MERGE INTO tgt USING src ON tgt.id = src.id "
+            "WHEN MATCHED THEN DELETE"
+        )
+    eng.execute("ROLLBACK")
+    # unique constraint still enforced through the merged view: src2 would
+    # insert a v that collides with a UNIQUE column
+    eng.execute("CREATE TABLE utab (id INTEGER PRIMARY KEY, u STRING UNIQUE)")
+    eng.execute("INSERT INTO utab VALUES (1, 'x')")
+    eng.execute("CREATE TABLE usrc (id INTEGER PRIMARY KEY, u STRING NULL)")
+    eng.execute("INSERT INTO usrc VALUES (2, 'x')")
+    with pytest.raises(EngineError, match="unique"):
+        eng.execute(
+            "MERGE INTO utab USING usrc ON utab.id = usrc.id "
+            "WHEN NOT MATCHED THEN INSERT (id, u) VALUES (usrc.id, usrc.u)"
+        )
+
+
+def test_merge_from_attached_source(spark, eng, tmp_path):
+    """The USING side can be an ATTACHed external parquet — the bulk-load
+    upsert shape: stage a parquet drop, merge it into the managed table."""
+    _merge_fixture(eng)
+    p = str(tmp_path / "drop.parquet")
+    spark.createDataFrame(
+        [(3, "C2"), (9, "I")], "id int, v string"
+    ).write.parquet(p)
+    eng.attach_parquet("drop_batch", p)
+    r = eng.execute(
+        "MERGE INTO tgt USING drop_batch ON tgt.id = drop_batch.id "
+        "WHEN MATCHED THEN UPDATE SET v = drop_batch.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v, n) VALUES (drop_batch.id, drop_batch.v, -1)"
+    )
+    assert r.status == "MERGE 1 updated, 1 inserted, 0 deleted"
+    rows, _ = eng.execute("SELECT id, v FROM tgt ORDER BY id").fetch(100)
+    assert rows == [(1, "a"), (2, "b"), (3, "C2"), (9, "I")]
