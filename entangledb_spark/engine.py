@@ -379,6 +379,10 @@ class Engine:
             # table-backed SELECT: the Result stays LAZY — no job here, rows
             # pull on demand (fetch(max_rows) is O(max_rows) driver memory)
             return Result(status="SELECT", columns=list(df.columns), dataframe=df)
+        if isinstance(stmt, ast.Copy):
+            # a READ: exports the session's pinned snapshot (READ ONLY
+            # transactions may export — that is the consistent-dump shape)
+            return self._copy(stmt)
         # mutations below
         if self._txn_version is not None and self._txn is None:
             raise EngineError("can't write in a read-only transaction")
@@ -748,6 +752,35 @@ class Engine:
         # read) instead of a second full-table filter job
         n_matched = self.catalog.count_rows(delta["upserts"]) if delta else 0
         return Result(status=f"UPDATE {n_matched}")
+
+    # ---------------------------------------------------------- COPY
+
+    def _copy(self, stmt: ast.Copy) -> Result:
+        """COPY ... TO (extension): export a table or query result to
+        external parquet/csv — the matching half of ATTACH. A read, not a
+        mutation: no manifest change, no version bump; the write respects
+        the session's snapshot (inside a transaction it exports the
+        pinned view). Distributed end-to-end — Spark writes the files
+        from the executors; the row count rides an Observation on the
+        same job (no second pass). Refuses an existing destination unless
+        OVERWRITE is given (Spark save-mode semantics)."""
+        from pyspark.sql import Observation
+
+        if isinstance(stmt.source, str):
+            df = self._reader()(stmt.source)
+        else:
+            df = compile_statement(stmt.source, self.spark, self._reader())
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        writer = df.write.mode("overwrite" if stmt.overwrite else "error")
+        if stmt.fmt == "csv":
+            writer = writer.option("header", "true")
+        try:
+            writer.format(stmt.fmt).save(stmt.path)
+        except Exception as e:  # path exists without OVERWRITE, bad path, ...
+            raise EngineError(str(e).splitlines()[0]) from e
+        n = int(obs.get["n"])
+        return Result(status=f"COPY {n} rows to {stmt.path}")
 
     # ---------------------------------------------------------- MERGE
 

@@ -224,6 +224,16 @@ class Delete:
 
 
 @dataclass(frozen=True)
+class Copy:
+    """COPY <table | (query)> TO 'path' [FORMAT PARQUET|CSV] [OVERWRITE]
+    (extension) — the export complement of ATTACH."""
+    source: object  # str table name, or a Select/SetOp statement
+    path: str
+    fmt: str = "parquet"
+    overwrite: bool = False
+
+
+@dataclass(frozen=True)
 class MergeWhen:
     """One WHEN clause of a MERGE. ``matched`` selects the join side the
     clause applies to; ``action`` is 'update' | 'delete' (matched) or
@@ -306,6 +316,6 @@ class Explain:
 
 Statement = Union[
     CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
-    Select, SetOp,
+    Copy, Select, SetOp,
     Begin, Commit, Rollback, Explain,
 ]

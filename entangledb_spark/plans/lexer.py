@@ -20,16 +20,19 @@ class LexError(ValueError):
 
 KEYWORDS = {
     "all", "analyze", "and", "as", "asc", "begin", "bool", "boolean", "by", "case", "char",
-    "commit", "create", "cross", "default", "delete", "desc", "double",
+    "commit", "copy", "create", "cross", "csv", "default", "delete", "desc",
+    "double",
     "distinct", "drop", "else", "end", "except", "exists", "explain", "false",
     "float", "from", "group",
     "having", "in", "index", "infinity", "inner", "insert", "int", "intersect",
     "integer", "into", "is", "join", "key", "left", "like", "limit",
     "matched", "merge", "nan",
-    "not", "null", "of", "offset", "on", "only", "or", "order", "outer", "over",
+    "not", "null", "of", "offset", "on", "only", "or", "order", "outer",
+    "over", "overwrite", "parquet", "format",
     "partition", "preceding", "unbounded", "following", "between", "rows", "row", "current",
     "primary", "read", "references", "right", "rollback", "select", "set",
-    "string", "system", "table", "text", "then", "time", "transaction", "union",
+    "string", "system", "table", "text", "then", "time", "to", "transaction",
+    "union",
     "true", "unique", "update", "using", "values", "varchar", "when", "where",
     "write",
 }

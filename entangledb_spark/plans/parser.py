@@ -98,6 +98,7 @@ class Parser:
             "update": self.parse_update,
             "delete": self.parse_delete,
             "merge": self.parse_merge,
+            "copy": self.parse_copy,
             "select": self.parse_select_statement,
         }
         fn = dispatch.get(t.text)
@@ -309,6 +310,34 @@ class Parser:
             target=target, source=source, on=on, whens=tuple(whens),
             target_alias=target_alias, source_alias=source_alias,
         )
+
+    def parse_copy(self) -> "ast.Copy":
+        """COPY <table | (query)> TO 'path' [FORMAT PARQUET|CSV]
+        [OVERWRITE] — export to external files (extension; ATTACH is the
+        matching import)."""
+        self.expect("keyword", "copy")
+        if self.accept("symbol", "("):
+            source = self.parse_select_statement()
+            self.expect("symbol", ")")
+        else:
+            source = self.expect("ident").text
+        self.expect("keyword", "to")
+        path = self.expect("string").text
+        fmt = "parquet"
+        overwrite = False
+        while True:
+            if self.accept("keyword", "format"):
+                t = self.next()
+                if t.kind != "keyword" or t.text not in ("parquet", "csv"):
+                    raise ParseError(
+                        f"COPY FORMAT must be PARQUET or CSV, got {t.text!r}"
+                    )
+                fmt = t.text
+            elif self.accept("keyword", "overwrite"):
+                overwrite = True
+            else:
+                break
+        return ast.Copy(source=source, path=path, fmt=fmt, overwrite=overwrite)
 
     def _merge_alias(self):
         if self.accept("keyword", "as"):

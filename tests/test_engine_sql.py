@@ -1265,3 +1265,55 @@ def test_merge_from_attached_source(spark, eng, tmp_path):
     assert r.status == "MERGE 1 updated, 1 inserted, 0 deleted"
     rows, _ = eng.execute("SELECT id, v FROM tgt ORDER BY id").fetch(100)
     assert rows == [(1, "a"), (2, "b"), (3, "C2"), (9, "I")]
+
+
+# -------------------------------------------------------------------- COPY
+
+
+def test_copy_to_parquet_roundtrip_via_attach(spark, eng, tmp_path):
+    """COPY is the export half of ATTACH: a table exported to parquet
+    re-attaches and queries identically — the full external round trip
+    in pure SQL."""
+    setup_movies(eng)
+    p = str(tmp_path / "movies_export")
+    r = eng.execute(f"COPY movies TO '{p}'")
+    assert r.status == f"COPY 5 rows to {p}"
+    eng.attach_parquet("movies2", p)
+    a, _ = eng.execute("SELECT id, title FROM movies ORDER BY id").fetch(100)
+    b, _ = eng.execute("SELECT id, title FROM movies2 ORDER BY id").fetch(100)
+    assert a == b
+    # query-source form with a set-op chain and csv format
+    c = str(tmp_path / "titles_csv")
+    r2 = eng.execute(
+        f"COPY (SELECT title FROM movies WHERE id < 3 "
+        f"UNION SELECT title FROM movies WHERE id = 3) TO '{c}' FORMAT CSV"
+    )
+    assert r2.status.startswith("COPY 3 rows")
+    got = sorted(
+        t[0] for t in spark.read.option("header", "true").csv(c).collect()
+    )
+    assert got == ["Sideways", "Solaris", "Stalker"]
+    # existing destination refused without OVERWRITE; honored with it
+    with pytest.raises(EngineError):
+        eng.execute(f"COPY movies TO '{p}'")
+    r3 = eng.execute(f"COPY (SELECT id FROM movies WHERE id = 1) TO '{p}' OVERWRITE")
+    assert r3.status.startswith("COPY 1 rows")
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_copy_exports_the_pinned_snapshot(eng, tmp_path):
+    """COPY inside a READ ONLY transaction is legal (it is a read) and
+    exports the PINNED version — concurrent-looking writes after BEGIN
+    do not leak into the dump."""
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    eng.execute("INSERT INTO t VALUES (1), (2)")
+    v = eng.catalog.current_version()
+    eng.execute("INSERT INTO t VALUES (3)")
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v}")
+    p = str(tmp_path / "snap")
+    r = eng.execute(f"COPY t TO '{p}'")
+    assert r.status == f"COPY 2 rows to {p}"  # the pinned view, not 3 rows
+    eng.execute("ROLLBACK")
+    # FORMAT validation is a parse error
+    with pytest.raises(EngineError, match="PARQUET or CSV"):
+        eng.execute(f"COPY t TO '{tmp_path}/x' FORMAT JSON")
