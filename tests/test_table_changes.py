@@ -151,3 +151,23 @@ def test_cli_vacuum(eng):
 
     out = run_command(eng, "!vacuum 3")
     assert out.startswith("VACUUM kept")
+
+
+def test_merge_changes_classify_per_row(eng):
+    """One MERGE statement emits all three change types in a single
+    version — the CDF classifies each affected row by key existence,
+    deletes carrying the pre-image, untouched rows absent."""
+    eng.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, v STRING NULL)")
+    eng.execute("INSERT INTO src VALUES (2, 'B'), (3, NULL), (4, 'D')")
+    v0 = eng.catalog.current_version()
+    eng.execute(
+        "MERGE INTO t USING src ON t.id = src.id "
+        "WHEN MATCHED AND src.v IS NULL THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = src.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"
+    )
+    assert changes(eng, "t", v0) == [
+        (2, "B", "update"),
+        (3, "c", "delete"),
+        (4, "D", "insert"),
+    ]
