@@ -75,6 +75,21 @@ class Parser:
             raise ParseError(f"expected {text or kind}, found {self.peek()}")
         return t
 
+    def accept_word(self, word: str) -> bool:
+        """CONTEXTUAL keyword: matches an identifier (or keyword) token
+        spelled ``word``, case-insensitively — for statement options like
+        MATCHED / ANALYZE / FORMAT / OVERWRITE that must not steal the
+        word from user columns (see the lexer's reservation note)."""
+        t = self.peek()
+        if t.kind in ("ident", "keyword") and t.text.lower() == word:
+            self.next()
+            return True
+        return False
+
+    def expect_word(self, word: str) -> None:
+        if not self.accept_word(word):
+            raise ParseError(f"expected {word.upper()}, found {self.peek()}")
+
     # ---- entry ------------------------------------------------------------
 
     def parse(self) -> ast.Statement:
@@ -129,7 +144,7 @@ class Parser:
 
     def parse_explain(self) -> ast.Explain:
         self.expect("keyword", "explain")
-        analyze = self.accept("keyword", "analyze") is not None
+        analyze = self.accept_word("analyze")
         return ast.Explain(self.parse_statement(), analyze=analyze)
 
     # ---- DDL --------------------------------------------------------------
@@ -254,7 +269,7 @@ class Parser:
         whens = []
         while self.accept("keyword", "when"):
             matched = self.accept("keyword", "not") is None
-            self.expect("keyword", "matched")
+            self.expect_word("matched")
             cond = self.parse_expr() if self.accept("keyword", "and") else None
             self.expect("keyword", "then")
             if self.accept("keyword", "update"):
@@ -326,14 +341,16 @@ class Parser:
         fmt = "parquet"
         overwrite = False
         while True:
-            if self.accept("keyword", "format"):
+            if self.accept_word("format"):
                 t = self.next()
-                if t.kind != "keyword" or t.text not in ("parquet", "csv"):
+                if t.kind not in ("ident", "keyword") or t.text.lower() not in (
+                    "parquet", "csv",
+                ):
                     raise ParseError(
                         f"COPY FORMAT must be PARQUET or CSV, got {t.text!r}"
                     )
-                fmt = t.text
-            elif self.accept("keyword", "overwrite"):
+                fmt = t.text.lower()
+            elif self.accept_word("overwrite"):
                 overwrite = True
             else:
                 break
