@@ -35,7 +35,9 @@ def run_command(engine: Engine, line: str) -> str:
     cmd, *args = line[1:].split()
     if cmd == "tables":
         manifest = engine.catalog.manifest()
-        return "\n".join(sorted(manifest["tables"])) or "(no tables)"
+        names = sorted(manifest["tables"])
+        names += [f"{v}  (view)" for v in sorted(manifest.get("views") or {})]
+        return "\n".join(names) or "(no tables)"
     if cmd == "functions":
         from entangledb_spark.functions.expressions import SCALAR_FUNCS
         from entangledb_spark.functions.table_functions import TABLE_FUNCS
@@ -83,6 +85,13 @@ def run_command(engine: Engine, line: str) -> str:
         if not args:
             return "usage: !table <name>"
         manifest = engine.catalog.manifest()
+        view = (manifest.get("views") or {}).get(args[0])
+        if view is not None:
+            deps = ", ".join(view["deps"]) or "(none)"
+            return (
+                f"CREATE VIEW {args[0]} AS {view['sql']}\n"
+                f"-- columns: {', '.join(view['columns'])}\n-- reads: {deps}"
+            )
         meta = manifest["tables"].get(args[0])
         if meta is None:
             return f"table {args[0]} does not exist"

@@ -315,6 +315,8 @@ class Engine:
         manifest = self.catalog.manifest(base)
         if name in manifest["tables"]:
             raise EngineError(f"table {name} already exists")
+        if name in (manifest.get("views") or {}):
+            raise EngineError(f"view {name} already exists")
         columns = [
             {
                 "name": c,
@@ -362,7 +364,7 @@ class Engine:
             return self._commit()
         if isinstance(stmt, ast.Rollback):
             return self._rollback()
-        if isinstance(stmt, (ast.Select, ast.SetOp)):
+        if isinstance(stmt, (ast.Select, ast.SetOp, ast.With)):
             df = compile_statement(stmt, self.spark, self._reader())
             if _is_constant_query(stmt):
                 # FROM-less (Nothing-node) selects are a handful of constant
@@ -392,6 +394,10 @@ class Engine:
             return self._mutate(lambda m: self._create_table_as(m, stmt))
         if isinstance(stmt, ast.DropTable):
             return self._mutate(lambda m: self._drop_table(m, stmt))
+        if isinstance(stmt, ast.CreateView):
+            return self._mutate(lambda m: self._create_view(m, stmt))
+        if isinstance(stmt, ast.DropView):
+            return self._mutate(lambda m: self._drop_view(m, stmt))
         if isinstance(stmt, ast.Insert):
             return self._mutate(lambda m: self._insert(m, stmt))
         if isinstance(stmt, ast.Update):
@@ -452,8 +458,29 @@ class Engine:
             manifest = self._txn
         else:
             manifest = self.catalog.manifest(self._txn_version)
+        views = manifest.get("views") or {}
 
-        def read(name: str) -> DataFrame:
+        def make_read(stack: tuple = ()):
+            def read(name: str) -> DataFrame:
+                v = views.get(name)
+                if v is not None:
+                    # view: expand its stored SQL against THIS manifest's
+                    # reader — nested views recurse with a cycle guard
+                    # (cycles can't be created, deps forbid it; guard is
+                    # defense-in-depth against a hand-edited manifest)
+                    if name in stack:
+                        raise EngineError(
+                            "view dependency cycle: "
+                            + " -> ".join(stack + (name,))
+                        )
+                    return compile_statement(
+                        parse(v["sql"]), self.spark, make_read(stack + (name,))
+                    )
+                return read_table(name)
+
+            return read
+
+        def read_table(name: str) -> DataFrame:
             df = self.catalog.read_df(manifest, name)
             # stats-informed broadcast hint (see analyze()): Spark's own
             # size estimate can't see through the merge-on-read resolve
@@ -467,7 +494,7 @@ class Engine:
                 df = F.broadcast(df)
             return df
 
-        return read
+        return make_read()
 
     def _manifest_for_read(self) -> dict:
         if self._txn is not None:
@@ -479,6 +506,8 @@ class Engine:
     def _create_table(self, manifest: dict, stmt: ast.CreateTable) -> Result:
         if stmt.name in manifest["tables"]:
             raise EngineError(f"table {stmt.name} already exists")
+        if stmt.name in (manifest.get("views") or {}):
+            raise EngineError(f"view {stmt.name} already exists")
         pks = [c for c in stmt.columns if c.primary_key]
         if len(pks) != 1:
             raise EngineError("exactly one primary key column is required")  # schema.rs:102-106
@@ -510,14 +539,79 @@ class Engine:
                     raise EngineError(
                         f"table {stmt.name} is referenced by table {other} (column {c['name']})"
                     )
+        for vname, v in (manifest.get("views") or {}).items():
+            if stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"table {stmt.name} is referenced by view {vname} "
+                    "(drop the view first)"
+                )
         del manifest["tables"][stmt.name]
         return Result(status=f"DROP TABLE {stmt.name}")
+
+    # ---------------------------------------------------------- views
+
+    def _create_view(self, manifest: dict, stmt: ast.CreateView) -> Result:
+        """CREATE VIEW (extension — the reference has no views). The view's
+        QUERY TEXT goes into the versioned manifest: views are therefore
+        transactional, time-travel with AS OF SYSTEM TIME, and survive
+        engine restarts as SQL. The query is validated NOW by compiling it
+        against the same reader SELECT uses (unknown tables/columns fail
+        here, not at first use), and the tables/views it reads are
+        recorded as `deps` so DROP can protect them — the same guard
+        discipline as the reference's FK reverse check (mutation.rs:
+        129-155), applied to view dependencies."""
+        views = manifest.setdefault("views", {})
+        if stmt.name in manifest["tables"]:
+            raise EngineError(f"table {stmt.name} already exists")
+        if stmt.name in views:
+            raise EngineError(f"view {stmt.name} already exists")
+        deps: set[str] = set()
+        base = self._reader()
+
+        def recording(name: str) -> DataFrame:
+            deps.add(name)
+            return base(name)
+
+        try:
+            df = compile_statement(stmt.query, self.spark, recording)
+        except CompileError as e:
+            raise EngineError(f"CREATE VIEW {stmt.name}: {e}") from None
+        views[stmt.name] = {
+            "sql": stmt.sql,
+            "deps": sorted(deps),
+            "columns": list(df.columns),
+        }
+        return Result(status=f"CREATE VIEW {stmt.name}")
+
+    def _drop_view(self, manifest: dict, stmt: ast.DropView) -> Result:
+        views = manifest.get("views") or {}
+        if stmt.name not in views:
+            raise EngineError(f"view {stmt.name} does not exist")
+        for other, v in views.items():
+            if other != stmt.name and stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"view {stmt.name} is referenced by view {other} "
+                    "(drop the view first)"
+                )
+        del views[stmt.name]
+        return Result(status=f"DROP VIEW {stmt.name}")
+
+    def list_views(self) -> list[str]:
+        return sorted(self._manifest_for_read().get("views") or {})
+
+    def get_view(self, name: str) -> dict:
+        v = (self._manifest_for_read().get("views") or {}).get(name)
+        if v is None:
+            raise EngineError(f"view {name} does not exist")
+        return {"name": name, **{k: v[k] for k in ("sql", "deps", "columns")}}
 
     # ---------------------------------------------------------- DML helpers
 
     def _table_meta(self, manifest: dict, name: str, writable: bool = False) -> dict:
         t = manifest["tables"].get(name)
         if t is None:
+            if name in (manifest.get("views") or {}):
+                raise EngineError(f"{name} is a view — writes need a base table")
             raise EngineError(f"table {name} does not exist")
         if writable and t.get("external"):
             raise EngineError(f"table {name} is an attached external table (read-only)")
@@ -660,6 +754,8 @@ class Engine:
 
         if stmt.name in manifest["tables"]:
             raise EngineError(f"table {stmt.name} already exists")
+        if stmt.name in (manifest.get("views") or {}):
+            raise EngineError(f"view {stmt.name} already exists")
         df = compile_statement(stmt.query, self.spark, self._reader())
         cols = []
         for i, (cname, ctype) in enumerate(df.dtypes):
@@ -1020,7 +1116,7 @@ class Engine:
         """Our logical plan pretty-printer (plan shape mirrors plan/mod.rs:
         258-415) + Spark's physical plan for SELECTs."""
         lines = _format_plan(stmt)
-        if isinstance(stmt, (ast.Select, ast.SetOp)):
+        if isinstance(stmt, (ast.Select, ast.SetOp, ast.With)):
             import contextlib
             import io
 
@@ -1046,7 +1142,7 @@ class Engine:
         its compute, not its collect."""
         import time as _time
 
-        if not isinstance(stmt, (ast.Select, ast.SetOp)):
+        if not isinstance(stmt, (ast.Select, ast.SetOp, ast.With)):
             raise EngineError(
                 "EXPLAIN ANALYZE supports SELECT queries only (DML/DDL "
                 "would execute the write while profiling it)"
@@ -1221,6 +1317,15 @@ def _coerce_row(named: dict, cols: list[dict], table: str) -> tuple:
 
 def _format_plan(stmt: ast.Statement, indent: int = 0) -> list[str]:
     pad = "  " * indent
+    if isinstance(stmt, ast.With):
+        kw = "With Recursive" if stmt.recursive else "With"
+        lines = [f"{pad}{kw}"]
+        for cte in stmt.ctes:
+            cols = f"({', '.join(cte.columns)})" if cte.columns else ""
+            lines.append(f"{pad}  CTE {cte.name}{cols}")
+            lines += _format_plan(cte.query, indent + 2)
+        lines += _format_plan(stmt.body, indent + 1)
+        return lines
     if isinstance(stmt, ast.SetOp):
         label = stmt.kind.upper() + (" ALL" if stmt.all_rows else "")
         lines = [f"{pad}{label}"]
@@ -1260,6 +1365,10 @@ def _format_from(item: ast.FromItem, indent: int) -> list[str]:
         alias = f" as {item.alias}" if item.alias else ""
         args = ", ".join(repr(a.value) for a in item.args)
         return [f"{pad}TableFunction {item.name}({args}){alias}"]
+    if isinstance(item, ast.DerivedTable):
+        return [f"{pad}DerivedTable as {item.alias}"] + _format_plan(
+            item.query, indent + 1
+        )
     lines = [f"{pad}{item.join_type.value.title()}Join on={item.predicate}"]
     lines += _format_from(item.left, indent + 1)
     lines += _format_from(item.right, indent + 1)

@@ -152,6 +152,17 @@ class TableFunc:
 
 
 @dataclass(frozen=True)
+class DerivedTable:
+    """A parenthesized subquery in FROM — `FROM (SELECT ...) AS t`
+    (extension; the reference's FROM accepts only table names). The alias
+    is mandatory, as in standard SQL: every FROM item must have a name
+    for column references to resolve against."""
+
+    query: "Statement"  # Select | SetOp | With
+    alias: str
+
+
+@dataclass(frozen=True)
 class Join:
     left: "FromItem"
     right: "FromItem"
@@ -159,7 +170,7 @@ class Join:
     predicate: Optional[Expr] = None
 
 
-FromItem = Union[TableRef, TableFunc, Join]
+FromItem = Union[TableRef, TableFunc, DerivedTable, Join]
 
 
 # --------------------------------------------------------------------------
@@ -293,6 +304,47 @@ class SetOp:
 
 
 @dataclass(frozen=True)
+class Cte:
+    """One `name [(col, ...)] AS (query)` entry of a WITH clause."""
+
+    name: str
+    query: "Statement"  # Select | SetOp
+    columns: Optional[tuple[str, ...]] = None  # WITH t(a, b) AS ... rename
+
+
+@dataclass(frozen=True)
+class With:
+    """WITH [RECURSIVE] ctes... <query> (extension — the reference has no
+    CTEs). Each CTE sees the ones declared before it; the body sees all of
+    them; CTE names shadow catalog tables for the statement's duration.
+
+    RECURSIVE requires each self-referencing CTE's query to be the
+    standard `base UNION [ALL] step` shape and is evaluated by bounded
+    fixpoint iteration (see compiler._compile_recursive_cte)."""
+
+    ctes: tuple[Cte, ...]
+    body: "Statement"  # Select | SetOp
+    recursive: bool = False
+
+
+@dataclass(frozen=True)
+class CreateView:
+    """CREATE VIEW name AS <query> (extension). The view's QUERY TEXT is
+    stored in the versioned catalog manifest, so views are transactional
+    and time-travel with AS OF SYSTEM TIME like tables; the parsed form
+    here exists for create-time validation and dependency extraction."""
+
+    name: str
+    sql: str  # the query text as written (stored; re-parsed at use)
+    query: "Statement"
+
+
+@dataclass(frozen=True)
+class DropView:
+    name: str
+
+
+@dataclass(frozen=True)
 class Begin:
     read_only: bool = False
     as_of: Optional[int] = None  # MVCC version number, not wall-clock
@@ -316,6 +368,6 @@ class Explain:
 
 Statement = Union[
     CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
-    Copy, Select, SetOp,
+    Copy, Select, SetOp, With, CreateView, DropView,
     Begin, Commit, Rollback, Explain,
 ]

@@ -93,6 +93,10 @@ def compile_from(
     if isinstance(item, ast.TableRef):
         alias = item.alias or item.name
         return scope.add(alias, read(item.name))
+    if isinstance(item, ast.DerivedTable):
+        # the subquery compiles against the SAME reader (so it sees CTEs,
+        # views, snapshot pins) and lands in scope under its mandatory alias
+        return scope.add(item.alias, compile_statement(item.query, spark, read))
     if isinstance(item, ast.TableFunc):
         from entangledb_spark.functions.table_functions import TABLE_FUNCS
 
@@ -673,10 +677,167 @@ def compile_select(
     return _offset_limit(result, stmt, scope)
 
 
+# Bounded fixpoint for WITH RECURSIVE: each iteration is one distributed
+# step (localCheckpointed to keep lineage flat), so the cap bounds driver
+# round-trips, not data volume. 200 handles any practical hierarchy /
+# closure depth; genuinely deeper graphs want the dedicated operator
+# (operators/dedup.py connected components, which doubles reach per pass).
+RECURSIVE_CTE_MAX_ITERS = 200
+
+
+class _RecursiveRef(Exception):
+    """Raised by the probe reader when a CTE body reads its own name —
+    routes the CTE to the fixpoint compiler (or to a clear error when
+    RECURSIVE wasn't declared). Deliberately NOT a ValueError/CompileError
+    so no intermediate handler can swallow it."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+
+def _probe_self(read: TableReader, undefined: frozenset) -> TableReader:
+    """A reader that raises _RecursiveRef for any not-yet-defined CTE name
+    (the CTE's own, or one declared later in the WITH clause) instead of
+    falling through to the catalog — how self-reference is DETECTED
+    without a separate resolution pass over the AST."""
+
+    def probe(n: str) -> DataFrame:
+        if n in undefined:
+            raise _RecursiveRef(n)
+        return read(n)
+
+    return probe
+
+
+def _chain_reader(read: TableReader, name: str, df: DataFrame) -> TableReader:
+    """A reader where ``name`` resolves to ``df`` (shadowing the catalog)
+    and everything else falls through — the CTE scoping mechanism."""
+
+    def chained(n: str) -> DataFrame:
+        return df if n == name else read(n)
+
+    return chained
+
+
+def _compile_recursive_cte(
+    cte: ast.Cte, spark: SparkSession, read: TableReader,
+    max_iters: Optional[int] = None,
+) -> DataFrame:
+    """WITH RECURSIVE evaluation: standard `base UNION [ALL] step`
+    semantic-set iteration, run as a BOUNDED distributed fixpoint.
+
+    Standard semantics (Postgres/DuckDB): the recursive reference sees the
+    PREVIOUS iteration's new rows (the working table), not the whole
+    accumulation; UNION dedupes globally (a row already produced never
+    re-enters the working table — this is what terminates graph closures
+    with cycles), UNION ALL appends blindly and terminates only when a
+    step yields nothing.
+
+    Spark-first shape: every iteration's increment is computed by the
+    ordinary distributed compiler and `localCheckpoint`ed — lineage stays
+    flat (the final result is a union of checkpointed increments, not an
+    N-deep plan), each UNION-mode `subtract` is one shuffle on the full
+    row, and the empty-frontier test is a cheap job against the
+    checkpointed increment. The iteration itself is driver-coordinated
+    (like every Spark iterative algorithm: Lloyd refinement in
+    similarity.py, the CC loop in dedup.py) but all data movement is
+    cluster-side. NOTE: this means a recursive query EXECUTES during
+    compilation; EXPLAIN shows the final union-of-increments plan.
+    """
+    if max_iters is None:
+        # read the module attribute at CALL time (not def time) so tests
+        # and callers can tune the cap
+        max_iters = RECURSIVE_CTE_MAX_ITERS
+    q = cte.query
+    if not (isinstance(q, ast.SetOp) and q.kind == "union"):
+        raise CompileError(
+            f"recursive CTE {cte.name} must be 'base UNION [ALL] step' "
+            "(the anchor term first, the self-referencing term second)"
+        )
+    if q.order_by or q.limit is not None or q.offset is not None:
+        raise CompileError(
+            f"recursive CTE {cte.name}: ORDER BY / LIMIT / OFFSET on the "
+            "UNION are not supported (apply them in the outer query)"
+        )
+
+    def fail_on_self(n: str) -> DataFrame:
+        if n == cte.name:
+            raise CompileError(
+                f"recursive CTE {cte.name} references itself in the anchor "
+                "(non-recursive) term"
+            )
+        return read(n)
+
+    acc = compile_statement(q.left, spark, fail_on_self)
+    if cte.columns is not None:
+        if len(cte.columns) != len(acc.columns):
+            raise CompileError(
+                f"CTE {cte.name} declares {len(cte.columns)} columns, "
+                f"query returns {len(acc.columns)}"
+            )
+        acc = acc.toDF(*cte.columns)
+    distinct = not q.all_rows
+    if distinct:
+        acc = acc.distinct()
+    acc = acc.localCheckpoint(eager=True)
+    frontier = acc
+    result = acc
+    for _ in range(max_iters):
+        step = compile_statement(
+            q.right, spark, _chain_reader(read, cte.name, frontier)
+        )
+        if len(step.columns) != len(result.columns):
+            raise CompileError(
+                f"recursive CTE {cte.name}: step returns {len(step.columns)} "
+                f"columns, anchor returned {len(result.columns)}"
+            )
+        new = step.toDF(*result.columns)
+        if distinct:
+            new = new.subtract(result)  # EXCEPT DISTINCT = working-table rule
+        new = new.localCheckpoint(eager=True)
+        if new.isEmpty():
+            return result
+        result = result.unionByName(new)
+        frontier = new
+    raise CompileError(
+        f"recursive CTE {cte.name} did not converge within "
+        f"{max_iters} iterations"
+    )
+
+
 def compile_statement(
     stmt, spark: SparkSession, read: TableReader
 ) -> DataFrame:
-    """Compile a query statement (Select or SetOp chain) to a DataFrame."""
+    """Compile a query statement (Select, SetOp chain, or With) to a
+    DataFrame."""
+    if isinstance(stmt, ast.With):
+        r = read
+        for i, cte in enumerate(stmt.ctes):
+            undefined = frozenset(c.name for c in stmt.ctes[i:])
+            try:
+                df = compile_statement(
+                    cte.query, spark, _probe_self(r, undefined)
+                )
+                if cte.columns is not None:
+                    if len(cte.columns) != len(df.columns):
+                        raise CompileError(
+                            f"CTE {cte.name} declares {len(cte.columns)} "
+                            f"columns, query returns {len(df.columns)}"
+                        )
+                    df = df.toDF(*cte.columns)
+            except _RecursiveRef as ref:
+                if ref.name != cte.name:
+                    raise CompileError(
+                        f"CTE {cte.name} references {ref.name}, which is "
+                        "declared later in the WITH clause"
+                    ) from None
+                if not stmt.recursive:
+                    raise CompileError(
+                        f"CTE {cte.name} references itself — use WITH RECURSIVE"
+                    ) from None
+                df = _compile_recursive_cte(cte, spark, r)
+            r = _chain_reader(r, cte.name, df)
+        return compile_statement(stmt.body, spark, r)
     if isinstance(stmt, ast.SetOp):
         left = compile_statement(stmt.left, spark, read)
         right = compile_statement(stmt.right, spark, read)

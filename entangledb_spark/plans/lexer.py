@@ -41,7 +41,7 @@ KEYWORDS = {
     "string", "system", "table", "text", "then", "time", "to", "transaction",
     "union",
     "true", "unique", "update", "using", "values", "varchar", "when", "where",
-    "write",
+    "with", "write",
 }
 
 _TOKEN_RE = re.compile(

@@ -50,6 +50,7 @@ _TYPE_KEYWORDS = {
 
 class Parser:
     def __init__(self, sql: str):
+        self.sql = sql  # kept for source slicing (CREATE VIEW stores text)
         self.tokens = list(tokenize(sql))
         self.i = 0
 
@@ -115,6 +116,7 @@ class Parser:
             "merge": self.parse_merge,
             "copy": self.parse_copy,
             "select": self.parse_select_statement,
+            "with": self.parse_with,
         }
         fn = dispatch.get(t.text)
         if fn is None:
@@ -151,10 +153,12 @@ class Parser:
 
     def parse_create_table(self) -> "ast.Statement":
         self.expect("keyword", "create")
+        if self.accept_word("view"):
+            return self.parse_create_view()
         self.expect("keyword", "table")
         name = self.expect("ident").text
         if self.accept("keyword", "as"):
-            return ast.CreateTableAs(name=name, query=self.parse_select_statement())
+            return ast.CreateTableAs(name=name, query=self.parse_query())
         self.expect("symbol", "(")
         cols = []
         while True:
@@ -192,10 +196,63 @@ class Parser:
                 break
         return ast.ColumnDef(**col)
 
-    def parse_drop_table(self) -> ast.DropTable:
+    def parse_drop_table(self) -> "ast.Statement":
         self.expect("keyword", "drop")
+        if self.accept_word("view"):
+            return ast.DropView(self.expect("ident").text)
         self.expect("keyword", "table")
         return ast.DropTable(self.expect("ident").text)
+
+    def parse_create_view(self) -> "ast.CreateView":
+        """CREATE VIEW name AS <query> (extension). The query's SOURCE TEXT
+        is captured by token-position slicing and stored verbatim in the
+        catalog, so a view survives engine upgrades as SQL, not as a
+        serialized plan — the parsed form is only used for create-time
+        validation and dependency recording (engine._create_view)."""
+        name = self.expect("ident").text
+        self.expect("keyword", "as")
+        start = self.peek().pos
+        query = self.parse_query()
+        end = self.peek().pos  # eof or ';' token start = end of query text
+        return ast.CreateView(name=name, sql=self.sql[start:end].strip(), query=query)
+
+    def parse_query(self) -> "ast.Statement":
+        """A query: SELECT statement (incl. set-op chains) or WITH."""
+        if self.peek().kind == "keyword" and self.peek().text == "with":
+            return self.parse_with()
+        return self.parse_select_statement()
+
+    def parse_with(self) -> "ast.With":
+        """WITH [RECURSIVE] name [(col, ...)] AS (query), ... <query>.
+        RECURSIVE is contextual (a column named `recursive` keeps
+        working); each CTE body may itself be a WITH (nested scopes)."""
+        self.expect("keyword", "with")
+        recursive = self.accept_word("recursive")
+        ctes = []
+        seen: set[str] = set()
+        while True:
+            name = self.expect("ident").text
+            if name in seen:
+                raise ParseError(f"duplicate CTE name {name!r} in WITH clause")
+            seen.add(name)
+            columns = None
+            if self.accept("symbol", "("):
+                cols = []
+                while True:
+                    cols.append(self.expect("ident").text)
+                    if not self.accept("symbol", ","):
+                        break
+                self.expect("symbol", ")")
+                columns = tuple(cols)
+            self.expect("keyword", "as")
+            self.expect("symbol", "(")
+            q = self.parse_query()
+            self.expect("symbol", ")")
+            ctes.append(ast.Cte(name=name, query=q, columns=columns))
+            if not self.accept("symbol", ","):
+                break
+        body = self.parse_query()
+        return ast.With(ctes=tuple(ctes), body=body, recursive=recursive)
 
     # ---- DML --------------------------------------------------------------
 
@@ -212,9 +269,9 @@ class Parser:
                     break
             self.expect("symbol", ")")
             columns = tuple(columns)
-        if self.peek().kind == "keyword" and self.peek().text == "select":
+        if self.peek().kind == "keyword" and self.peek().text in ("select", "with"):
             return ast.Insert(
-                table=table, columns=columns, query=self.parse_select_statement()
+                table=table, columns=columns, query=self.parse_query()
             )
         self.expect("keyword", "values")
         rows = []
@@ -332,7 +389,7 @@ class Parser:
         matching import)."""
         self.expect("keyword", "copy")
         if self.accept("symbol", "("):
-            source = self.parse_select_statement()
+            source = self.parse_query()
             self.expect("symbol", ")")
         else:
             source = self.expect("ident").text
@@ -495,6 +552,19 @@ class Parser:
             left = ast.Join(left, right, jt, predicate)
 
     def parse_table_ref(self) -> "ast.FromItem":
+        if self.peek().kind == "symbol" and self.peek().text == "(":
+            # derived table: '(' query ')' alias (alias mandatory — standard
+            # SQL; column references need a name to resolve against)
+            self.next()
+            query = self.parse_query()
+            self.expect("symbol", ")")
+            self.accept("keyword", "as")
+            t = self.peek()
+            if t.kind != "ident":
+                raise ParseError(
+                    f"derived table requires an alias — FROM (SELECT ...) AS name; found {t}"
+                )
+            return ast.DerivedTable(query=query, alias=self.next().text)
         name = self.expect("ident").text
         args: Optional[list[ast.Literal]] = None
         if self.peek().kind == "symbol" and self.peek().text == "(":
