@@ -908,11 +908,17 @@ class Engine:
         pk = self._pk_of(meta)
         by_name = {c["name"]: c for c in meta["columns"]}
         t_alias = stmt.target_alias or stmt.target
-        s_alias = stmt.source_alias or stmt.source
+        if isinstance(stmt.source, str):
+            s_alias = stmt.source_alias or stmt.source
+            # through the session reader: ATTACHed parquet AND views are
+            # legal USING sources (the reader expands views lazily)
+            src_raw = self._reader()(stmt.source)
+        else:
+            s_alias = stmt.source_alias  # parser guarantees an alias
+            src_raw = compile_statement(stmt.source, self.spark, self._reader())
         if t_alias == s_alias:
             raise EngineError("MERGE target and source need distinct names/aliases")
         tgt = self.catalog.read_df(manifest, stmt.target).alias(t_alias)
-        src_raw = self.catalog.read_df(manifest, stmt.source)
         src = src_raw.withColumn("__src_match", F.lit(True)).alias(s_alias)
 
         resolve, type_of = _merge_scope(

@@ -259,9 +259,11 @@ class MergeWhen:
 
 @dataclass(frozen=True)
 class Merge:
-    """MERGE INTO target USING source ON cond WHEN ... (extension)."""
+    """MERGE INTO target USING source ON cond WHEN ... (extension).
+    ``source`` is a table/view name, or a query statement for the
+    USING (SELECT ...) AS alias form (alias then mandatory)."""
     target: str
-    source: str
+    source: object  # str name | Select/SetOp/With statement
     on: Expr
     whens: tuple
     target_alias: Optional[str] = None

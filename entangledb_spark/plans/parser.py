@@ -319,8 +319,19 @@ class Parser:
         target = self.expect("ident").text
         target_alias = self._merge_alias()
         self.expect("keyword", "using")
-        source = self.expect("ident").text
-        source_alias = self._merge_alias()
+        if self.peek().kind == "symbol" and self.peek().text == "(":
+            # USING (query) alias — derived-table source
+            self.next()
+            source: object = self.parse_query()
+            self.expect("symbol", ")")
+            source_alias = self._merge_alias()
+            if source_alias is None:
+                raise ParseError(
+                    "MERGE USING (query) requires an alias — USING (SELECT ...) AS name"
+                )
+        else:
+            source = self.expect("ident").text
+            source_alias = self._merge_alias()
         self.expect("keyword", "on")
         on = self.parse_expr()
         whens = []

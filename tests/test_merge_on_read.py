@@ -73,3 +73,50 @@ def test_compaction_bounds_delta_chain(eng):
     eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v_first}")
     assert eng.execute("SELECT a FROM t WHERE id = 1").rows == [(10,)]
     eng.execute("COMMIT")
+
+
+# ----------------------------------------------- MERGE USING query / view
+
+
+def test_merge_using_derived_table(eng):
+    from entangledb_spark.engine import EngineError
+
+    eng.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, a INTEGER)")
+    eng.execute("INSERT INTO src VALUES (2, 99), (4, 40), (5, -1)")
+    r = eng.execute(
+        "MERGE INTO t USING (SELECT id, a FROM src WHERE a > 0) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET a = s.a "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (s.id, s.a)"
+    )
+    assert "1 updated, 1 inserted" in r.status
+    assert sorted(eng.execute("SELECT id, a FROM t").rows) == [
+        (1, 10), (2, 99), (3, 30), (4, 40),
+    ]
+    with pytest.raises(EngineError, match="requires an alias"):
+        eng.execute(
+            "MERGE INTO t USING (SELECT 1 AS id, 1 AS a) ON t.id = id "
+            "WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_merge_using_with_cte_source(eng):
+    eng.execute("CREATE TABLE src (id INTEGER PRIMARY KEY, a INTEGER)")
+    eng.execute("INSERT INTO src VALUES (1, 5), (2, 7)")
+    r = eng.execute(
+        "MERGE INTO t USING (WITH m AS (SELECT max(a) AS a FROM src) "
+        "SELECT 1 AS id, a FROM m) AS w ON t.id = w.id "
+        "WHEN MATCHED THEN UPDATE SET a = w.a"
+    )
+    assert "1 updated" in r.status
+    assert eng.execute("SELECT a FROM t WHERE id = 1").rows == [(7,)]
+
+
+def test_merge_using_view(eng):
+    eng.execute("CREATE VIEW v_new AS SELECT id + 10 AS id, a FROM t")
+    r = eng.execute(
+        "MERGE INTO t USING v_new ON t.id = v_new.id "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (v_new.id, v_new.a)"
+    )
+    assert "3 inserted" in r.status
+    assert eng.execute("SELECT count(*) AS n FROM t").rows == [(6,)]
