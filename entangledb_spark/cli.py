@@ -37,6 +37,10 @@ def run_command(engine: Engine, line: str) -> str:
         manifest = engine.catalog.manifest()
         names = sorted(manifest["tables"])
         names += [f"{v}  (view)" for v in sorted(manifest.get("views") or {})]
+        names += [
+            f"{v}  (materialized view)"
+            for v in sorted(manifest.get("matviews") or {})
+        ]
         return "\n".join(names) or "(no tables)"
     if cmd == "functions":
         from entangledb_spark.functions.expressions import SCALAR_FUNCS
@@ -85,6 +89,17 @@ def run_command(engine: Engine, line: str) -> str:
         if not args:
             return "usage: !table <name>"
         manifest = engine.catalog.manifest()
+        mv = (manifest.get("matviews") or {}).get(args[0])
+        if mv is not None:
+            current = engine.catalog.current_version()
+            stale = " STALE" if mv["base_version"] < current else ""
+            return (
+                f"CREATE MATERIALIZED VIEW {args[0]} AS {mv['sql']}\n"
+                f"-- columns: {', '.join(mv['columns'])}\n"
+                f"-- reads: {', '.join(mv['deps']) or '(none)'}\n"
+                f"-- refresh: {'incremental' if mv['incremental'] else 'full'}; "
+                f"as of v{mv['base_version']} (current v{current}){stale}"
+            )
         view = (manifest.get("views") or {}).get(args[0])
         if view is not None:
             deps = ", ".join(view["deps"]) or "(none)"

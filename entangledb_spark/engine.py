@@ -313,10 +313,9 @@ class Engine:
         # being silently overwritten
         base = self.catalog.current_version()
         manifest = self.catalog.manifest(base)
-        if name in manifest["tables"]:
-            raise EngineError(f"table {name} already exists")
-        if name in (manifest.get("views") or {}):
-            raise EngineError(f"view {name} already exists")
+        taken = self._name_taken(manifest, name)
+        if taken:
+            raise EngineError(f"{taken} {name} already exists")
         columns = [
             {
                 "name": c,
@@ -398,6 +397,18 @@ class Engine:
             return self._mutate(lambda m: self._create_view(m, stmt))
         if isinstance(stmt, ast.DropView):
             return self._mutate(lambda m: self._drop_view(m, stmt))
+        if isinstance(stmt, ast.CreateMaterializedView):
+            return self._mutate(lambda m: self._create_matview(m, stmt))
+        if isinstance(stmt, ast.DropMaterializedView):
+            return self._mutate(lambda m: self._drop_matview(m, stmt))
+        if isinstance(stmt, ast.RefreshMaterializedView):
+            if self.in_transaction:
+                # REFRESH diffs committed VERSIONS via the change data
+                # feed; a pending manifest has no version to diff against
+                raise EngineError(
+                    "REFRESH MATERIALIZED VIEW is not allowed inside a transaction"
+                )
+            return self._mutate(lambda m: self._refresh_matview(m, stmt))
         if isinstance(stmt, ast.Insert):
             return self._mutate(lambda m: self._insert(m, stmt))
         if isinstance(stmt, ast.Update):
@@ -459,6 +470,7 @@ class Engine:
         else:
             manifest = self.catalog.manifest(self._txn_version)
         views = manifest.get("views") or {}
+        matviews = manifest.get("matviews") or {}
 
         def make_read(stack: tuple = ()):
             def read(name: str) -> DataFrame:
@@ -475,6 +487,13 @@ class Engine:
                         )
                     return compile_statement(
                         parse(v["sql"]), self.spark, make_read(stack + (name,))
+                    )
+                mv = matviews.get(name)
+                if mv is not None:
+                    # materialized: serve the stored snapshot — a plain
+                    # pruned parquet scan, never a recompute
+                    return self.spark.read.parquet(
+                        os.path.join(self.catalog.base, mv["data"])
                     )
                 return read_table(name)
 
@@ -504,10 +523,9 @@ class Engine:
     # ---------------------------------------------------------- DDL
 
     def _create_table(self, manifest: dict, stmt: ast.CreateTable) -> Result:
-        if stmt.name in manifest["tables"]:
-            raise EngineError(f"table {stmt.name} already exists")
-        if stmt.name in (manifest.get("views") or {}):
-            raise EngineError(f"view {stmt.name} already exists")
+        taken = self._name_taken(manifest, stmt.name)
+        if taken:
+            raise EngineError(f"{taken} {stmt.name} already exists")
         pks = [c for c in stmt.columns if c.primary_key]
         if len(pks) != 1:
             raise EngineError("exactly one primary key column is required")  # schema.rs:102-106
@@ -545,6 +563,12 @@ class Engine:
                     f"table {stmt.name} is referenced by view {vname} "
                     "(drop the view first)"
                 )
+        for vname, v in (manifest.get("matviews") or {}).items():
+            if stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"table {stmt.name} is referenced by materialized view "
+                    f"{vname} (drop it first)"
+                )
         del manifest["tables"][stmt.name]
         return Result(status=f"DROP TABLE {stmt.name}")
 
@@ -560,11 +584,10 @@ class Engine:
         recorded as `deps` so DROP can protect them — the same guard
         discipline as the reference's FK reverse check (mutation.rs:
         129-155), applied to view dependencies."""
+        taken = self._name_taken(manifest, stmt.name)
+        if taken:
+            raise EngineError(f"{taken} {stmt.name} already exists")
         views = manifest.setdefault("views", {})
-        if stmt.name in manifest["tables"]:
-            raise EngineError(f"table {stmt.name} already exists")
-        if stmt.name in views:
-            raise EngineError(f"view {stmt.name} already exists")
         deps: set[str] = set()
         base = self._reader()
 
@@ -593,6 +616,11 @@ class Engine:
                     f"view {stmt.name} is referenced by view {other} "
                     "(drop the view first)"
                 )
+        for other, v in (manifest.get("matviews") or {}).items():
+            if stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"view {stmt.name} is referenced by materialized view {other}"
+                )
         del views[stmt.name]
         return Result(status=f"DROP VIEW {stmt.name}")
 
@@ -605,13 +633,250 @@ class Engine:
             raise EngineError(f"view {name} does not exist")
         return {"name": name, **{k: v[k] for k in ("sql", "deps", "columns")}}
 
+    # ------------------------------------------------- materialized views
+
+    # Incremental refresh recomputes only the groups the change data feed
+    # touched; above this many distinct changed groups a full recompute is
+    # cheaper than broadcasting the key set into two semi/anti joins.
+    MV_INCREMENTAL_MAX_GROUPS = 100_000
+
+    def _name_taken(self, manifest: dict, name: str) -> Optional[str]:
+        if name in manifest["tables"]:
+            return "table"
+        if name in (manifest.get("views") or {}):
+            return "view"
+        if name in (manifest.get("matviews") or {}):
+            return "materialized view"
+        return None
+
+    def _create_matview(self, manifest: dict, stmt: ast.CreateMaterializedView) -> Result:
+        """CREATE MATERIALIZED VIEW (extension): compute the defining query
+        ONCE, write the result as an immutable parquet snapshot, and serve
+        reads from the snapshot — SELECTs against it are plain pruned
+        parquet scans, zero recompute. The stored entry records the query
+        text, dependencies (DROP protection, like plain views), the data
+        pointer, and the catalog version the data reflects — the
+        `base_version` REFRESH diffs from.
+
+        `incremental` is decided by shape analysis at create time: a
+        single-managed-table GROUP BY aggregate refreshes via the change
+        data feed (see _refresh_matview); anything else refreshes by full
+        recompute, honestly labeled in the status and !table output."""
+        taken = self._name_taken(manifest, stmt.name)
+        if taken:
+            raise EngineError(f"{taken} {stmt.name} already exists")
+        mvs = manifest.setdefault("matviews", {})
+        deps: set[str] = set()
+        base = self._reader()
+
+        def recording(name: str) -> DataFrame:
+            deps.add(name)
+            return base(name)
+
+        try:
+            df = compile_statement(stmt.query, self.spark, recording)
+        except CompileError as e:
+            raise EngineError(f"CREATE MATERIALIZED VIEW {stmt.name}: {e}") from None
+        shape = _matview_grouped_shape(stmt.query, deps)
+        incremental = shape is not None and not (
+            manifest["tables"].get(shape["base"], {}).get("external")
+        ) and shape["base"] in manifest["tables"]
+        rel = self.catalog.write_snapshot(f"__mv_{stmt.name}", df)
+        n = self.catalog.count_rows(rel)
+        mvs[stmt.name] = {
+            "sql": stmt.sql,
+            "deps": sorted(deps),
+            "columns": list(df.columns),
+            "data": rel,
+            # the version whose DATA this snapshot reflects. Auto-commit:
+            # this statement's own publish lands at current+1 and changes
+            # nothing else, so the MV is born NON-stale. In a transaction:
+            # the pinned start version — later statements of the same txn
+            # may mutate the base, and affected-group recompute is
+            # idempotent, so a conservative (older) watermark only costs
+            # work, never correctness.
+            "base_version": (
+                self._txn_version
+                if self._txn_version is not None
+                else self.catalog.current_version() + 1
+            ),
+            "incremental": incremental,
+        }
+        return Result(
+            status=(
+                f"CREATE MATERIALIZED VIEW {stmt.name} ({n} rows, "
+                f"{'incremental' if incremental else 'full'}-refresh)"
+            )
+        )
+
+    def _drop_matview(self, manifest: dict, stmt: ast.DropMaterializedView) -> Result:
+        mvs = manifest.get("matviews") or {}
+        if stmt.name not in mvs:
+            raise EngineError(f"materialized view {stmt.name} does not exist")
+        for other, v in (manifest.get("views") or {}).items():
+            if stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"materialized view {stmt.name} is referenced by view {other}"
+                )
+        for other, v in mvs.items():
+            if other != stmt.name and stmt.name in v.get("deps", ()):
+                raise EngineError(
+                    f"materialized view {stmt.name} is referenced by "
+                    f"materialized view {other}"
+                )
+        del mvs[stmt.name]
+        return Result(status=f"DROP MATERIALIZED VIEW {stmt.name}")
+
+    def _refresh_matview(self, manifest: dict, stmt: ast.RefreshMaterializedView) -> Result:
+        """REFRESH MATERIALIZED VIEW: bring the stored snapshot up to date.
+
+        Incremental path (single-table GROUP BY shape): the change data
+        feed between the MV's base_version and the current version yields
+        the changed rows; their group keys — post-image keys PLUS the
+        pre-image keys of the same PKs read from the OLD snapshot (a row
+        UPDATEd into a different group stales BOTH groups) — form the
+        affected-key set. Only those groups are re-aggregated, by
+        compiling the stored query against a reader that semi-joins the
+        base scan to the broadcast key set, and merged into the snapshot
+        with a null-safe anti join (NULL is a legal group). Cost scales
+        with data in CHANGED groups, not table size — the 100 TB design
+        point. Joins are null-safe eqNullSafe throughout.
+
+        Falls back to full recompute when: the shape isn't incremental,
+        more than MV_INCREMENTAL_MAX_GROUPS groups changed, or the
+        base_version manifest was vacuumed away. The status line names
+        the path taken."""
+        mvs = manifest.get("matviews") or {}
+        mv = mvs.get(stmt.name)
+        if mv is None:
+            raise EngineError(f"materialized view {stmt.name} does not exist")
+        current = self.catalog.current_version()
+        if mv["base_version"] >= current:
+            return Result(
+                status=f"REFRESH MATERIALIZED VIEW {stmt.name} (already at v{current})"
+            )
+        # the refresh's own auto-commit publishes at current+1 and touches
+        # no base table, so the snapshot reflects that version too —
+        # without the +1 every refresh would mark itself stale
+        post_version = current + 1
+        parsed = parse(mv["sql"])
+        mode, n_groups, new_df = "full", None, None
+        if mv.get("incremental"):
+            shape = _matview_grouped_shape(parsed, set(mv["deps"]))
+            if shape is not None:
+                try:
+                    inc = self._incremental_mv_rows(mv, parsed, shape)
+                except CatalogError:
+                    inc = None  # e.g. base_version vacuumed → full recompute
+                if inc is not None:
+                    new_df, n_groups = inc
+                    mode = "incremental"
+                    if n_groups == 0:
+                        # nothing changed in the base (e.g. only OTHER
+                        # tables, or the MV's own last refresh, bumped the
+                        # version): update the watermark, skip the rewrite
+                        mv["base_version"] = post_version
+                        return Result(
+                            status=(
+                                f"REFRESH MATERIALIZED VIEW {stmt.name} "
+                                f"(no base changes; now at v{post_version})"
+                            )
+                        )
+        if new_df is None:
+            new_df = compile_statement(parsed, self.spark, self._reader())
+        rel = self.catalog.write_snapshot(f"__mv_{stmt.name}", new_df)
+        mv["data"] = rel
+        mv["base_version"] = post_version
+        n = self.catalog.count_rows(rel)
+        extra = f", {n_groups} group(s) recomputed" if n_groups is not None else ""
+        return Result(
+            status=(
+                f"REFRESH MATERIALIZED VIEW {stmt.name} ({mode}{extra}, {n} rows)"
+            )
+        )
+
+    def _incremental_mv_rows(self, mv: dict, parsed, shape: dict):
+        """(merged DataFrame, affected-group count) for the incremental
+        path, or None when the changed-group set is too large to beat a
+        full recompute."""
+        base_t = shape["base"]
+        key_cols = shape["key_cols"]  # base-table column names
+        out_cols = shape["out_cols"]  # their names in the MV output
+        changes = self.catalog.changes_df(
+            base_t, mv["base_version"], self.catalog.current_version()
+        )
+        new_keys = changes.select(*key_cols).distinct()
+        old_man = self.catalog.manifest(mv["base_version"])
+        if base_t in old_man["tables"]:
+            pk = next(
+                c["name"]
+                for c in old_man["tables"][base_t]["columns"]
+                if c["primary_key"]
+            )
+            old_keys = (
+                self.catalog.read_df(old_man, base_t)
+                .join(changes.select(pk).distinct(), pk, "left_semi")
+                .select(*key_cols)
+                .distinct()
+            )
+            affected = new_keys.unionByName(old_keys).distinct()
+        else:
+            affected = new_keys
+        affected = affected.localCheckpoint(eager=True)
+        k = affected.count()
+        if k == 0:
+            return None, 0
+        if k > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+        base_read = self._reader()
+
+        def _nullsafe_on(left: DataFrame, right: DataFrame, lcols, rcols):
+            cond = None
+            for lc, rc in zip(lcols, rcols):
+                c = left[lc].eqNullSafe(right[rc])
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        aff_b = F.broadcast(affected)
+
+        def refresh_reader(name: str) -> DataFrame:
+            df = base_read(name)
+            if name == base_t:
+                df = df.join(
+                    aff_b, _nullsafe_on(df, affected, key_cols, key_cols), "left_semi"
+                )
+            return df
+
+        recomputed = compile_statement(parsed, self.spark, refresh_reader)
+        old_mv = self.spark.read.parquet(os.path.join(self.catalog.base, mv["data"]))
+        aff_out = F.broadcast(affected.toDF(*out_cols))
+        kept = old_mv.join(
+            aff_out, _nullsafe_on(old_mv, aff_out, out_cols, out_cols), "left_anti"
+        )
+        return kept.unionByName(recomputed), k
+
+    def list_matviews(self) -> list[str]:
+        return sorted(self._manifest_for_read().get("matviews") or {})
+
+    def get_matview(self, name: str) -> dict:
+        mv = (self._manifest_for_read().get("matviews") or {}).get(name)
+        if mv is None:
+            raise EngineError(f"materialized view {name} does not exist")
+        out = {
+            "name": name,
+            **{k: mv[k] for k in ("sql", "deps", "columns", "base_version", "incremental")},
+        }
+        out["stale"] = mv["base_version"] < self.catalog.current_version()
+        return out
+
     # ---------------------------------------------------------- DML helpers
 
     def _table_meta(self, manifest: dict, name: str, writable: bool = False) -> dict:
         t = manifest["tables"].get(name)
         if t is None:
-            if name in (manifest.get("views") or {}):
-                raise EngineError(f"{name} is a view — writes need a base table")
+            kind = self._name_taken(manifest, name)
+            if kind in ("view", "materialized view"):
+                raise EngineError(f"{name} is a {kind} — writes need a base table")
             raise EngineError(f"table {name} does not exist")
         if writable and t.get("external"):
             raise EngineError(f"table {name} is an attached external table (read-only)")
@@ -752,10 +1017,9 @@ class Engine:
         is validated unique + non-null like any other PK."""
         from entangledb_spark.sources.catalog import FROM_SPARK_TYPES
 
-        if stmt.name in manifest["tables"]:
-            raise EngineError(f"table {stmt.name} already exists")
-        if stmt.name in (manifest.get("views") or {}):
-            raise EngineError(f"view {stmt.name} already exists")
+        taken = self._name_taken(manifest, stmt.name)
+        if taken:
+            raise EngineError(f"{taken} {stmt.name} already exists")
         df = compile_statement(stmt.query, self.spark, self._reader())
         cols = []
         for i, (cname, ctype) in enumerate(df.dtypes):
@@ -1192,6 +1456,72 @@ def _walk_executed_plan(node, depth: int, out: list) -> None:
     ch = node.children()
     for i in range(ch.size()):
         _walk_executed_plan(ch.apply(i), depth + 1, out)
+
+
+_MV_AGGS = {"count", "sum", "min", "max", "avg"}
+
+
+def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for incremental materialized-view refresh: the query
+    must be a single-SELECT GROUP BY aggregate over ONE managed table —
+    `SELECT <group cols and aggregates> FROM base [WHERE ...] GROUP BY
+    <plain columns>` with every group column present in the output.
+
+    Why this shape: affected-group recompute needs (a) group-key values
+    extractable from the change feed's rows (plain base columns), (b) a
+    way to restrict the base scan to affected keys (single table), and
+    (c) a key to merge recomputed rows into the snapshot (group cols in
+    the output). Anything else — joins, HAVING, DISTINCT, window
+    functions, expressions as group keys — refreshes by full recompute.
+
+    Returns {"base", "key_cols", "out_cols"} or None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.TableRef):
+        return None
+    if (
+        stmt.distinct
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+        or not stmt.group_by
+    ):
+        return None
+    if any(not isinstance(g, ast.Field) for g in stmt.group_by):
+        return None
+    group_names = [g.name for g in stmt.group_by]
+    key_cols: list[str] = []
+    out_cols: list[str] = []
+    for expr, alias in stmt.select:
+        if isinstance(expr, ast.Field) and expr.name in group_names:
+            key_cols.append(expr.name)
+            out_cols.append(alias or expr.name)
+        elif (
+            isinstance(expr, ast.FuncCall)
+            and expr.name.lower() in _MV_AGGS
+            and not isinstance(expr, ast.WindowFunc)
+        ):
+            continue
+        else:
+            return None
+    if sorted(key_cols) != sorted(set(group_names)) or len(key_cols) != len(
+        set(key_cols)
+    ):
+        return None
+    roots = [e for e, _ in stmt.select] + list(stmt.group_by)
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != {f.name}:
+        return None
+    return {"base": f.name, "key_cols": key_cols, "out_cols": out_cols}
 
 
 def _is_constant_query(stmt: ast.Statement) -> bool:

@@ -347,6 +347,29 @@ class DropView:
 
 
 @dataclass(frozen=True)
+class CreateMaterializedView:
+    """CREATE MATERIALIZED VIEW name AS <query> (extension). Unlike a
+    plain view, the result is MATERIALIZED to parquet at create time and
+    reads serve the stored snapshot; REFRESH MATERIALIZED VIEW brings it
+    up to date — incrementally via the change data feed when the defining
+    query is a single-table GROUP BY aggregate (see engine._refresh_matview)."""
+
+    name: str
+    sql: str  # query text as written (stored; re-parsed at refresh)
+    query: "Statement"
+
+
+@dataclass(frozen=True)
+class DropMaterializedView:
+    name: str
+
+
+@dataclass(frozen=True)
+class RefreshMaterializedView:
+    name: str
+
+
+@dataclass(frozen=True)
 class Begin:
     read_only: bool = False
     as_of: Optional[int] = None  # MVCC version number, not wall-clock
@@ -371,5 +394,6 @@ class Explain:
 Statement = Union[
     CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
     Copy, Select, SetOp, With, CreateView, DropView,
+    CreateMaterializedView, DropMaterializedView, RefreshMaterializedView,
     Begin, Commit, Rollback, Explain,
 ]

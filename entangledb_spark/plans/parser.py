@@ -101,6 +101,13 @@ class Parser:
 
     def parse_statement(self) -> ast.Statement:
         t = self.peek()
+        if t.kind == "ident" and t.text.lower() == "refresh":
+            # REFRESH MATERIALIZED VIEW name (contextual — `refresh` stays
+            # a legal identifier everywhere else)
+            self.next()
+            self.expect_word("materialized")
+            self.expect_word("view")
+            return ast.RefreshMaterializedView(self.expect("ident").text)
         if t.kind != "keyword":
             raise ParseError(f"unexpected token {t}")
         dispatch = {
@@ -155,6 +162,9 @@ class Parser:
         self.expect("keyword", "create")
         if self.accept_word("view"):
             return self.parse_create_view()
+        if self.accept_word("materialized"):
+            self.expect_word("view")
+            return self.parse_create_view(materialized=True)
         self.expect("keyword", "table")
         name = self.expect("ident").text
         if self.accept("keyword", "as"):
@@ -200,10 +210,13 @@ class Parser:
         self.expect("keyword", "drop")
         if self.accept_word("view"):
             return ast.DropView(self.expect("ident").text)
+        if self.accept_word("materialized"):
+            self.expect_word("view")
+            return ast.DropMaterializedView(self.expect("ident").text)
         self.expect("keyword", "table")
         return ast.DropTable(self.expect("ident").text)
 
-    def parse_create_view(self) -> "ast.CreateView":
+    def parse_create_view(self, materialized: bool = False) -> "ast.Statement":
         """CREATE VIEW name AS <query> (extension). The query's SOURCE TEXT
         is captured by token-position slicing and stored verbatim in the
         catalog, so a view survives engine upgrades as SQL, not as a
@@ -214,7 +227,10 @@ class Parser:
         start = self.peek().pos
         query = self.parse_query()
         end = self.peek().pos  # eof or ';' token start = end of query text
-        return ast.CreateView(name=name, sql=self.sql[start:end].strip(), query=query)
+        sql = self.sql[start:end].strip()
+        if materialized:
+            return ast.CreateMaterializedView(name=name, sql=sql, query=query)
+        return ast.CreateView(name=name, sql=sql, query=query)
 
     def parse_query(self) -> "ast.Statement":
         """A query: SELECT statement (incl. set-op chains) or WITH."""

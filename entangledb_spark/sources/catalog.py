@@ -428,7 +428,8 @@ class SnapshotCatalog:
         cutoff = max(0, current - max(1, keep_last) + 1)
         referenced: set[str] = set()
         for v in range(cutoff, current + 1):
-            for t in self.manifest(v)["tables"].values():
+            man = self.manifest(v)
+            for t in man["tables"].values():
                 if t.get("external"):
                     continue
                 if t.get("data"):
@@ -437,6 +438,9 @@ class SnapshotCatalog:
                     for k in ("upserts", "deletes"):
                         if d.get(k):
                             referenced.add(d[k])
+            for mv in (man.get("matviews") or {}).values():
+                if mv.get("data"):
+                    referenced.add(mv["data"])
         removed_manifests = 0
         mdir = os.path.join(self.base, "manifests")
         for f in os.listdir(mdir):

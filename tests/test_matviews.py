@@ -1,0 +1,206 @@
+"""Materialized views: snapshot-serving reads, incremental refresh via the
+change data feed (affected-group recompute), full-recompute fallback for
+non-grouped shapes, dependency guards, time travel, and vacuum retention.
+
+The correctness oracle throughout is the defining query itself: after any
+DML sequence + REFRESH, the MV's stored rows must equal re-running the
+query — including a randomized property test that replays a mixed
+insert/update/delete workload (updates that MOVE rows between groups,
+NULL group keys, group-emptying deletes)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from entangledb_spark.engine import Engine, EngineError
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+MV_DEF = "SELECT grp, sum(v) AS s, count(*) AS n FROM t GROUP BY grp"
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.execute("CREATE TABLE t (id INT PRIMARY KEY, grp STRING, v INT)")
+    e.execute(
+        "INSERT INTO t VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,NULL,5)"
+    )
+    return e
+
+
+def fresh_equals_direct(eng):
+    mv = eng.execute("SELECT * FROM mv ORDER BY grp, s, n").rows
+    direct = eng.execute(MV_DEF + " ORDER BY grp, s, n").rows
+    assert mv == direct, (mv, direct)
+
+
+def test_create_serves_snapshot_and_stays_stale(eng):
+    r = eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    assert "incremental-refresh" in r.status
+    fresh_equals_direct(eng)
+    eng.execute("INSERT INTO t VALUES (5,'c',7)")
+    # reads serve the SNAPSHOT — stale until refreshed (standard MV contract)
+    assert ("c", 7, 1) not in eng.execute("SELECT * FROM mv").rows
+    assert eng.get_matview("mv")["stale"] is True
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    fresh_equals_direct(eng)
+    assert eng.get_matview("mv")["stale"] is False
+
+
+def test_incremental_refresh_group_moves_deletes_nulls(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("UPDATE t SET grp = 'b' WHERE id = 1")  # a → b move
+    eng.execute("DELETE FROM t WHERE id = 3")
+    eng.execute("UPDATE t SET v = 50 WHERE id = 4")  # NULL group
+    eng.execute("INSERT INTO t VALUES (6,'c',7)")
+    r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert "incremental" in r.status and "group(s) recomputed" in r.status
+    fresh_equals_direct(eng)
+
+
+def test_refresh_removes_emptied_group(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("DELETE FROM t WHERE grp = 'b'")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert all(r[0] != "b" for r in eng.execute("SELECT * FROM mv").rows)
+    fresh_equals_direct(eng)
+
+
+def test_noop_refresh_skips_rewrite(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")  # version bump only
+    before = eng.catalog.manifest()["matviews"]["mv"]["data"]
+    r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert "no base changes" in r.status or "already at" in r.status
+    assert eng.catalog.manifest()["matviews"]["mv"]["data"] == before
+
+
+def test_filtered_mv_where_rides_the_refresh(eng):
+    eng.execute(
+        "CREATE MATERIALIZED VIEW mv AS "
+        "SELECT grp, sum(v) AS s, count(*) AS n FROM t WHERE v >= 10 GROUP BY grp"
+    )
+    # moves a row OUT of the filter and one INTO it
+    eng.execute("UPDATE t SET v = 1 WHERE id = 2")
+    eng.execute("UPDATE t SET v = 99 WHERE id = 4")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    mv = eng.execute("SELECT * FROM mv ORDER BY grp, s, n").rows
+    direct = eng.execute(
+        "SELECT grp, sum(v) AS s, count(*) AS n FROM t WHERE v >= 10 "
+        "GROUP BY grp ORDER BY grp, s, n"
+    ).rows
+    assert mv == direct
+
+
+def test_full_recompute_shapes(eng):
+    eng.execute("CREATE TABLE u (id INT PRIMARY KEY, w INT)")
+    eng.execute("INSERT INTO u VALUES (1, 2), (2, 3)")
+    r = eng.execute(
+        "CREATE MATERIALIZED VIEW mvj AS "
+        "SELECT t.id AS id, v * w AS vw FROM t JOIN u ON t.id = u.id"
+    )
+    assert "full-refresh" in r.status
+    eng.execute("UPDATE u SET w = 10 WHERE id = 1")
+    r = eng.execute("REFRESH MATERIALIZED VIEW mvj")
+    assert "(full" in r.status
+    assert sorted(eng.execute("SELECT * FROM mvj").rows) == [(1, 100), (2, 60)]
+
+
+def test_guards_and_conflicts(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    with pytest.raises(EngineError, match="referenced by materialized view"):
+        eng.execute("DROP TABLE t")
+    with pytest.raises(EngineError, match="is a materialized view"):
+        eng.execute("INSERT INTO mv VALUES ('x', 1, 1)")
+    with pytest.raises(EngineError, match="already exists"):
+        eng.execute("CREATE VIEW mv AS SELECT 1")
+    with pytest.raises(EngineError, match="already exists"):
+        eng.execute("CREATE TABLE mv (id INT PRIMARY KEY)")
+    with pytest.raises(EngineError, match="already exists"):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    # a plain view on top of the MV blocks dropping it
+    eng.execute("CREATE VIEW v_top AS SELECT grp FROM mv")
+    with pytest.raises(EngineError, match="referenced by view v_top"):
+        eng.execute("DROP MATERIALIZED VIEW mv")
+    eng.execute("DROP VIEW v_top")
+    eng.execute("DROP MATERIALIZED VIEW mv")
+    eng.execute("DROP TABLE t")
+
+
+def test_refresh_in_transaction_rejected(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("BEGIN")
+    with pytest.raises(EngineError, match="not allowed inside a transaction"):
+        eng.execute("REFRESH MATERIALIZED VIEW mv")
+    eng.execute("ROLLBACK")
+
+
+def test_matview_time_travel(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    v_initial = eng.catalog.current_version()
+    rows_initial = eng.execute("SELECT * FROM mv ORDER BY grp").rows
+    eng.execute("INSERT INTO t VALUES (9,'z',1)")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert eng.execute("SELECT * FROM mv ORDER BY grp").rows != rows_initial
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v_initial}")
+    assert eng.execute("SELECT * FROM mv ORDER BY grp").rows == rows_initial
+    eng.execute("COMMIT")
+
+
+def test_vacuum_keeps_live_matview_data(eng):
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    for i in range(10, 22):
+        eng.execute(f"INSERT INTO t VALUES ({i}, 'a', {i})")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    eng.vacuum(keep_last=2)
+    fresh_equals_direct(eng)  # MV data survived the GC
+    # and a refresh whose base_version was vacuumed falls back cleanly
+    for i in range(22, 30):
+        eng.execute(f"INSERT INTO t VALUES ({i}, 'b', {i})")
+    eng.vacuum(keep_last=1)
+    r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert "full" in r.status or "incremental" in r.status
+    fresh_equals_direct(eng)
+
+
+def test_randomized_dml_refresh_equivalence(eng):
+    """Property: after ANY DML sequence, refresh makes the MV equal its
+    defining query. Replays a seeded random workload of inserts, group-
+    moving updates, value updates, and deletes, refreshing at random
+    points."""
+    rng = random.Random(17)
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    groups = ["a", "b", "c", "d", None]
+    live = [1, 2, 3, 4]
+    next_id = 100
+    for step in range(24):
+        op = rng.random()
+        if op < 0.4 or not live:
+            g = rng.choice(groups)
+            gl = "NULL" if g is None else f"'{g}'"
+            eng.execute(
+                f"INSERT INTO t VALUES ({next_id}, {gl}, {rng.randint(-50, 50)})"
+            )
+            live.append(next_id)
+            next_id += 1
+        elif op < 0.6:
+            rid = rng.choice(live)
+            g = rng.choice(groups)
+            gl = "NULL" if g is None else f"'{g}'"
+            eng.execute(f"UPDATE t SET grp = {gl} WHERE id = {rid}")
+        elif op < 0.8:
+            rid = rng.choice(live)
+            eng.execute(f"UPDATE t SET v = v + {rng.randint(1, 9)} WHERE id = {rid}")
+        else:
+            rid = rng.choice(live)
+            eng.execute(f"DELETE FROM t WHERE id = {rid}")
+            live.remove(rid)
+        if step % 6 == 5:
+            r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+            assert "incremental" in r.status
+            fresh_equals_direct(eng)
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    fresh_equals_direct(eng)
