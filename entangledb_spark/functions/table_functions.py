@@ -296,6 +296,92 @@ def _contamination_spans(spark: SparkSession, read, corpus, bench, w=8) -> DataF
     return contamination_spans(docs, bdf, window_tokens=w)
 
 
+def _parse_vec(fn: str, vec) -> list[float]:
+    if not isinstance(vec, str):
+        raise ValueError(
+            f"{fn}: query vector must be a numeric string literal ('0.1 -0.4 ...')"
+        )
+    try:
+        floats = [float(x) for x in vec.replace(",", " ").split()]
+    except ValueError:
+        raise ValueError(f"{fn}: non-numeric component in vector {vec!r}")
+    if not floats:
+        raise ValueError(f"{fn}: empty query vector")
+    return floats
+
+
+def _hybrid_topk(
+    spark: SparkSession, text_idx, ann_idx, query, vec, k=10, candidates=50
+) -> DataFrame:
+    """Hybrid retrieval in SQL: BM25 + ANN reciprocal-rank fusion over two
+    persistent indexes sharing one doc id space (operators/hybrid.py —
+    identical fusion path as the DataFrame surface). Columns:
+    (doc_id, rrf_score, n_lists, rk); the per-list ranks map is a
+    DataFrame-surface extra (map types sit outside the dialect's 4-type
+    system)."""
+    from entangledb_spark.operators.hybrid import hybrid_topk
+
+    for nm, v in (("text index", text_idx), ("ann index", ann_idx)):
+        if not isinstance(v, str):
+            raise ValueError(f"hybrid_topk: {nm} path must be a string literal")
+    if not isinstance(query, str) or not query.split():
+        raise ValueError("hybrid_topk: query must be a non-empty string literal")
+    floats = _parse_vec("hybrid_topk", vec)
+    _check_k("hybrid_topk", k)
+    _check_k("hybrid_topk", candidates)
+    return hybrid_topk(
+        spark, text_idx, ann_idx, tuple(query.split()), floats,
+        k=k, candidates=candidates,
+    ).drop("ranks")
+
+
+def _hybrid_topk_bulk(
+    spark: SparkSession, read, text_idx, ann_idx, queries, k=10, candidates=50
+) -> DataFrame:
+    """Bulk hybrid retrieval: the query set is a session TABLE with
+    (query_id, text, embedding) — embedding an array column or a numeric
+    string — and every query retrieves + fuses in one composed plan.
+    Columns: (query_id, doc_id, rrf_score, n_lists, rk)."""
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.operators.hybrid import hybrid_topk_bulk
+
+    for nm, v in (("text index", text_idx), ("ann index", ann_idx)):
+        if not isinstance(v, str):
+            raise ValueError(f"hybrid_topk_bulk: {nm} path must be a string literal")
+    if not isinstance(queries, str):
+        raise ValueError(
+            "hybrid_topk_bulk: queries must be a session table name literal"
+        )
+    _check_k("hybrid_topk_bulk", k)
+    _check_k("hybrid_topk_bulk", candidates)
+    qdf = read(queries)
+    missing = {"query_id", "text", "embedding"} - set(qdf.columns)
+    if missing:
+        raise ValueError(
+            f"hybrid_topk_bulk: table {queries!r} lacks required column(s) "
+            f"{sorted(missing)} — the query set needs (query_id, text, embedding)"
+        )
+    emb_type = dict(qdf.dtypes)["embedding"]
+    if emb_type.startswith("array"):
+        emb = F.col("embedding").cast("array<float>")
+    elif emb_type == "string":
+        emb = F.split(F.trim(F.col("embedding")), r"[,\s]+").cast("array<float>")
+    else:
+        raise ValueError(
+            f"hybrid_topk_bulk: embedding column must be an array or a "
+            f"numeric string, got {emb_type}"
+        )
+    qdf = qdf.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "text",
+        emb.alias("embedding"),
+    )
+    return hybrid_topk_bulk(
+        spark, text_idx, ann_idx, qdf, k=k, candidates=candidates
+    ).drop("ranks")
+
+
 TABLE_FUNCS: dict[str, TvfSpec] = {
     "bm25_topk": TvfSpec(2, 3, _bm25_topk),
     "ann_topk": TvfSpec(2, 3, _ann_topk),
@@ -303,4 +389,6 @@ TABLE_FUNCS: dict[str, TvfSpec] = {
     "ann_topk_bulk": TvfSpec(2, 3, _ann_topk_bulk, reads_tables=True),
     "substring_spans": TvfSpec(1, 3, _substring_spans, reads_tables=True),
     "contamination_spans": TvfSpec(2, 3, _contamination_spans, reads_tables=True),
+    "hybrid_topk": TvfSpec(4, 6, _hybrid_topk),
+    "hybrid_topk_bulk": TvfSpec(3, 5, _hybrid_topk_bulk, reads_tables=True),
 }
