@@ -393,6 +393,8 @@ class Engine:
             return self._mutate(lambda m: self._create_table_as(m, stmt))
         if isinstance(stmt, ast.DropTable):
             return self._mutate(lambda m: self._drop_table(m, stmt))
+        if isinstance(stmt, ast.AlterTable):
+            return self._mutate(lambda m: self._alter_table(m, stmt))
         if isinstance(stmt, ast.CreateView):
             return self._mutate(lambda m: self._create_view(m, stmt))
         if isinstance(stmt, ast.DropView):
@@ -469,6 +471,9 @@ class Engine:
             manifest = self._txn
         else:
             manifest = self.catalog.manifest(self._txn_version)
+        return self._reader_for(manifest)
+
+    def _reader_for(self, manifest: dict):
         views = manifest.get("views") or {}
         matviews = manifest.get("matviews") or {}
 
@@ -571,6 +576,137 @@ class Engine:
                 )
         del manifest["tables"][stmt.name]
         return Result(status=f"DROP TABLE {stmt.name}")
+
+    # ---------------------------------------------------------- ALTER TABLE
+
+    def _alter_table(self, manifest: dict, stmt: ast.AlterTable) -> Result:
+        """ALTER TABLE — schema evolution as METADATA-ONLY manifest edits
+        (extension; the reference has no ALTER). No parquet file is ever
+        rewritten, which is the only viable contract at 100 TB:
+
+        - ADD COLUMN c T NULL: old files lack the column → reads yield
+          NULL (schema-on-read). ADD COLUMN c T NOT NULL DEFAULT v: the
+          default is pinned as ``initial_default`` and coalesced at read —
+          EXACT under NOT NULL, since no genuine NULL can ever be written.
+          The ambiguous middle (nullable + DEFAULT) is rejected with
+          guidance: the backfill would be indistinguishable from later
+          genuine NULLs. Every added column gets a fresh unique physical
+          name so dropping and re-adding a name can never resurrect old
+          file data.
+        - DROP COLUMN: removed from the manifest; file data becomes
+          invisible (and unreadable space until compaction rewrites).
+          The primary key cannot be dropped.
+        - RENAME COLUMN a TO b: pins the stored file name in the
+          column's ``physical`` entry (catalog.schema_of maps stored →
+          logical at every read, logical → stored at every write), so
+          rename touches zero bytes of data — Iceberg's field-id
+          indirection, done by pinned name.
+
+        Dependent views/materialized views are REVALIDATED against the
+        edited manifest by compiling their stored SQL — an ALTER that
+        would break one is rejected naming it. Table stats are dropped
+        (they describe the old schema)."""
+        meta = self._table_meta(manifest, stmt.table, writable=True)
+        cols = meta["columns"]
+        by_name = {c["name"]: c for c in cols}
+        if stmt.action == "add":
+            c = stmt.column
+            if c.name in by_name:
+                raise EngineError(f"column {c.name} already exists in {stmt.table}")
+            if c.primary_key:
+                raise EngineError("cannot ADD a PRIMARY KEY column")
+            nullable = True if c.nullable is None else c.nullable
+            has_default = c.default is not None
+            default_value = _fold_constant(c.default) if has_default else None
+            if not nullable and not has_default:
+                raise EngineError(
+                    "ADD COLUMN NOT NULL requires a DEFAULT — existing rows "
+                    "need a value"
+                )
+            if nullable and has_default:
+                raise EngineError(
+                    "ADD COLUMN with a DEFAULT must be NOT NULL: on a "
+                    "nullable column the backfill could not be told apart "
+                    "from later genuine NULLs — add it nullable and UPDATE, "
+                    "or declare NOT NULL"
+                )
+            if c.unique and has_default:
+                raise EngineError(
+                    "ADD COLUMN UNIQUE with a DEFAULT backfill would "
+                    "violate uniqueness on the first read — add it "
+                    "nullable UNIQUE instead"
+                )
+            if c.references is not None and c.references != stmt.table:
+                if c.references not in manifest["tables"]:
+                    raise EngineError(
+                        f"referenced table {c.references} does not exist"
+                    )
+            d = column_to_dict(c, default_value, True)  # nullable → NULL default
+            if not nullable:
+                d["initial_default"] = default_value
+            import uuid as _uuid
+
+            # fresh physical name: DROP then re-ADD of the same logical
+            # name must never read the dropped column's old file data
+            d["physical"] = f"{c.name}__a{_uuid.uuid4().hex[:8]}"
+            cols.append(d)
+            detail = f"ADD COLUMN {c.name}"
+        elif stmt.action == "drop":
+            col = by_name.get(stmt.name)
+            if col is None:
+                raise EngineError(f"column {stmt.name} does not exist in {stmt.table}")
+            if col["primary_key"]:
+                raise EngineError("cannot DROP the primary key column")
+            pb = meta.get("partition_by") or []
+            if stmt.name in pb:
+                raise EngineError(
+                    f"cannot DROP partition column {stmt.name} — the file "
+                    "layout is keyed on it"
+                )
+            cols.remove(col)
+            detail = f"DROP COLUMN {stmt.name}"
+        elif stmt.action == "rename":
+            col = by_name.get(stmt.name)
+            if col is None:
+                raise EngineError(f"column {stmt.name} does not exist in {stmt.table}")
+            if stmt.new_name in by_name:
+                raise EngineError(
+                    f"column {stmt.new_name} already exists in {stmt.table}"
+                )
+            col.setdefault("physical", col["name"])  # pin the stored name ONCE
+            col["name"] = stmt.new_name
+            pb = meta.get("partition_by")
+            if pb and stmt.name in pb:
+                meta["partition_by"] = [
+                    stmt.new_name if p == stmt.name else p for p in pb
+                ]
+            detail = f"RENAME COLUMN {stmt.name} TO {stmt.new_name}"
+        else:  # pragma: no cover - parser guarantees the action set
+            raise EngineError(f"unknown ALTER action {stmt.action!r}")
+        meta.pop("stats", None)  # described the pre-ALTER schema
+        self._revalidate_dependents(manifest, stmt.table, detail)
+        return Result(status=f"ALTER TABLE {stmt.table} {detail}")
+
+    def _revalidate_dependents(self, manifest: dict, table: str, detail: str) -> None:
+        """Compile every view/materialized view that reads ``table``
+        against the EDITED manifest — a schema change that would break one
+        is rejected naming the dependent (the reference's FK reverse-check
+        discipline, applied to schema evolution)."""
+        reader = self._reader_for(manifest)
+        for kind, coll in (
+            ("view", manifest.get("views") or {}),
+            ("materialized view", manifest.get("matviews") or {}),
+        ):
+            for vname, v in coll.items():
+                if table not in v.get("deps", ()):
+                    continue
+                try:
+                    compile_statement(parse(v["sql"]), self.spark, reader)
+                except Exception as e:
+                    raise EngineError(
+                        f"ALTER TABLE {table} {detail} would break {kind} "
+                        f"{vname}: {str(e).splitlines()[0]}"
+                    ) from None
 
     # ---------------------------------------------------------- views
 

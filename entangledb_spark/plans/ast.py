@@ -347,6 +347,22 @@ class DropView:
 
 
 @dataclass(frozen=True)
+class AlterTable:
+    """ALTER TABLE t ADD COLUMN <def> | DROP COLUMN c | RENAME COLUMN a
+    TO b (extension — the reference has no schema evolution). All three
+    are metadata-only manifest edits: ADD fills pre-existing rows at read
+    (NULL, or the NOT NULL DEFAULT via initial_default); RENAME pins the
+    stored file name in the column's ``physical`` entry so no parquet is
+    rewritten (catalog.schema_of)."""
+
+    table: str
+    action: str  # 'add' | 'drop' | 'rename'
+    column: Optional[ColumnDef] = None  # add
+    name: Optional[str] = None  # drop / rename source
+    new_name: Optional[str] = None  # rename target
+
+
+@dataclass(frozen=True)
 class CreateMaterializedView:
     """CREATE MATERIALIZED VIEW name AS <query> (extension). Unlike a
     plain view, the result is MATERIALIZED to parquet at create time and
@@ -393,7 +409,7 @@ class Explain:
 
 Statement = Union[
     CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
-    Copy, Select, SetOp, With, CreateView, DropView,
+    Copy, Select, SetOp, With, CreateView, DropView, AlterTable,
     CreateMaterializedView, DropMaterializedView, RefreshMaterializedView,
     Begin, Commit, Rollback, Explain,
 ]

@@ -101,6 +101,8 @@ class Parser:
 
     def parse_statement(self) -> ast.Statement:
         t = self.peek()
+        if t.kind == "ident" and t.text.lower() == "alter":
+            return self.parse_alter_table()
         if t.kind == "ident" and t.text.lower() == "refresh":
             # REFRESH MATERIALIZED VIEW name (contextual — `refresh` stays
             # a legal identifier everywhere else)
@@ -215,6 +217,31 @@ class Parser:
             return ast.DropMaterializedView(self.expect("ident").text)
         self.expect("keyword", "table")
         return ast.DropTable(self.expect("ident").text)
+
+    def parse_alter_table(self) -> "ast.AlterTable":
+        """ALTER TABLE t ADD COLUMN <coldef> | DROP COLUMN c |
+        RENAME COLUMN a TO b. ALTER/ADD/COLUMN/RENAME are contextual —
+        they stay legal identifiers everywhere else."""
+        self.expect_word("alter")
+        self.expect("keyword", "table")
+        table = self.expect("ident").text
+        if self.accept_word("add"):
+            self.expect_word("column")
+            return ast.AlterTable(table=table, action="add", column=self.parse_column_def())
+        if self.accept("keyword", "drop"):
+            self.expect_word("column")
+            return ast.AlterTable(table=table, action="drop", name=self.expect("ident").text)
+        if self.accept_word("rename"):
+            self.expect_word("column")
+            old = self.expect("ident").text
+            self.expect("keyword", "to")
+            return ast.AlterTable(
+                table=table, action="rename", name=old,
+                new_name=self.expect("ident").text,
+            )
+        raise ParseError(
+            f"expected ADD COLUMN, DROP COLUMN, or RENAME COLUMN, found {self.peek()}"
+        )
 
     def parse_create_view(self, materialized: bool = False) -> "ast.Statement":
         """CREATE VIEW name AS <query> (extension). The query's SOURCE TEXT

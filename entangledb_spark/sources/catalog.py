@@ -80,7 +80,13 @@ def column_to_dict(c: ast.ColumnDef, default_value: Any = None, has_default: boo
     }
 
 
-def schema_of(columns: list[dict]) -> T.StructType:
+def schema_of(columns: list[dict], physical: bool = False) -> T.StructType:
+    """Schema for a column list. ``physical=True`` names fields by their
+    STORED (file) name — after ALTER TABLE RENAME COLUMN the logical name
+    diverges from what existing parquet files carry (the ``physical``
+    entry pins the original), making rename a metadata-only operation:
+    no file is rewritten, reads map stored → logical (the same idea as
+    Iceberg's field-id indirection, done by pinned name)."""
     fields = []
     for c in columns:
         if c["datatype"] in SPARK_TYPES:
@@ -89,8 +95,13 @@ def schema_of(columns: list[dict]) -> T.StructType:
             # ATTACHed external column with a type outside the 4-type system
             # (timestamp, array, ...): carried through verbatim
             t = T._parse_datatype_string(c["spark_type"])
-        fields.append(T.StructField(c["name"], t, c["nullable"]))
+        name = c.get("physical", c["name"]) if physical else c["name"]
+        fields.append(T.StructField(name, t, c["nullable"]))
     return T.StructType(fields)
+
+
+def physical_name(c: dict) -> str:
+    return c.get("physical", c["name"])
 
 
 class SnapshotCatalog:
@@ -210,8 +221,45 @@ class SnapshotCatalog:
     def _pk_of(self, meta: dict) -> str:
         return next(c["name"] for c in meta["columns"] if c["primary_key"])
 
-    def _read_path(self, rel: str, schema: T.StructType) -> DataFrame:
-        return self.spark.read.schema(schema).parquet(os.path.join(self.base, rel))
+    def _read_path(self, rel: str, columns: list[dict]) -> DataFrame:
+        """Read a managed-table file set: scan with the PHYSICAL schema
+        (what the files store), surface LOGICAL names, and fill columns
+        ADDed after the files were written — a missing column reads as
+        NULL, so a NOT NULL ADD COLUMN's ``initial_default`` coalesces it
+        exactly (no genuine NULL can exist under the constraint). Rename
+        aliases and the coalesce are narrow projections Catalyst pushes
+        scans/filters through, so pruning is unaffected."""
+        df = self.spark.read.schema(schema_of(columns, physical=True)).parquet(
+            os.path.join(self.base, rel)
+        )
+        df = df.toDF(*[c["name"] for c in columns])
+        from pyspark.sql import functions as F
+
+        for c in columns:
+            if c.get("initial_default") is not None:
+                df = df.withColumn(
+                    c["name"],
+                    F.coalesce(
+                        F.col(c["name"]),
+                        F.lit(c["initial_default"]).cast(
+                            SPARK_TYPES[c["datatype"]]
+                        ),
+                    ),
+                )
+        return df
+
+    def _to_physical(self, df: DataFrame, columns: list[dict]) -> DataFrame:
+        """Rename a logical-named frame to stored names before a file
+        write; columns outside the table schema pass through."""
+        from pyspark.sql import functions as F
+
+        by_name = {c["name"]: c for c in columns}
+        return df.select(
+            *[
+                F.col(n).alias(physical_name(by_name[n])) if n in by_name else F.col(n)
+                for n in df.columns
+            ]
+        )
 
     def read_df(self, manifest: dict, name: str) -> DataFrame:
         t = manifest["tables"].get(name)
@@ -223,12 +271,13 @@ class SnapshotCatalog:
             from entangledb_spark.sources.parquet_io import read_parquet_any
 
             return read_parquet_any(self.spark, t["external"])
-        schema = schema_of(t["columns"])
+        cols_meta = t["columns"]
+        schema = schema_of(cols_meta)
         deltas = t.get("deltas", [])
         if t["data"] is None and not deltas:
             return self.spark.createDataFrame([], schema)
         base = (
-            self._read_path(t["data"], schema)
+            self._read_path(t["data"], cols_meta)
             if t["data"] is not None
             else self.spark.createDataFrame([], schema)
         )
@@ -237,17 +286,17 @@ class SnapshotCatalog:
         from pyspark.sql import Window, functions as F
 
         pk = self._pk_of(t)
-        pk_schema = T.StructType([schema[pk]])
+        pk_cols = [c for c in cols_meta if c["primary_key"]]
         parts = [base.withColumn("__rank", F.lit(0)).withColumn("__del", F.lit(False))]
         for i, d in enumerate(deltas, start=1):
             if d.get("upserts"):
                 parts.append(
-                    self._read_path(d["upserts"], schema)
+                    self._read_path(d["upserts"], cols_meta)
                     .withColumn("__rank", F.lit(i))
                     .withColumn("__del", F.lit(False))
                 )
             if d.get("deletes"):
-                tomb = self._read_path(d["deletes"], pk_schema)
+                tomb = self._read_path(d["deletes"], pk_cols)
                 for c in schema.fieldNames():
                     if c != pk:
                         tomb = tomb.withColumn(c, F.lit(None).cast(schema[c].dataType))
@@ -294,16 +343,17 @@ class SnapshotCatalog:
             from entangledb_spark.sources.parquet_io import read_parquet_any
 
             return read_parquet_any(self.spark, t["external"]).filter(predicate)
-        schema = schema_of(t["columns"])
+        cols_meta = t["columns"]
+        schema = schema_of(cols_meta)
         deltas = t.get("deltas", [])
         if t["data"] is None and not deltas:
             return self.spark.createDataFrame([], schema)
         from pyspark.sql import Window, functions as F
 
         pk = self._pk_of(t)
-        pk_schema = T.StructType([schema[pk]])
+        pk_cols = [c for c in cols_meta if c["primary_key"]]
         base = (
-            self._read_path(t["data"], schema).filter(predicate)
+            self._read_path(t["data"], cols_meta).filter(predicate)
             if t["data"] is not None
             else self.spark.createDataFrame([], schema)
         )
@@ -311,13 +361,13 @@ class SnapshotCatalog:
         for i, d in enumerate(deltas, start=1):
             if d.get("upserts"):
                 parts.append(
-                    self._read_path(d["upserts"], schema)
+                    self._read_path(d["upserts"], cols_meta)
                     .filter(predicate)
                     .withColumn("__rank", F.lit(i))
                     .withColumn("__del", F.lit(False))
                 )
             if d.get("deletes"):
-                tomb = self._read_path(d["deletes"], pk_schema)
+                tomb = self._read_path(d["deletes"], pk_cols)
                 for c in schema.fieldNames():
                     if c != pk:
                         tomb = tomb.withColumn(c, F.lit(None).cast(schema[c].dataType))
@@ -372,14 +422,21 @@ class SnapshotCatalog:
         row counts from the written files' footers instead of re-running
         the matching job."""
         meta = manifest["tables"][name]
+        cols_meta = meta["columns"]
+        by_name = {c["name"]: c for c in cols_meta}
+        part_by = meta.get("partition_by")
+        if part_by:
+            part_by = [physical_name(by_name.get(p, {"name": p})) for p in part_by]
         delta: dict = {}
         if upserts is not None:
             delta["upserts"] = self.write_snapshot(
-                name, upserts, meta.get("partition_by")
+                name, self._to_physical(upserts, cols_meta), part_by
             )
         if deletes is not None:
             # tombstones carry only the pk — never partition-encoded
-            delta["deletes"] = self.write_snapshot(name, deletes)
+            delta["deletes"] = self.write_snapshot(
+                name, self._to_physical(deletes, cols_meta)
+            )
         if not delta:
             return None
         meta.setdefault("deltas", []).append(delta)
@@ -406,8 +463,15 @@ class SnapshotCatalog:
         """Materialize the current view as a new base and clear the delta
         chain — bounds read amplification; run out-of-band at scale."""
         meta = manifest["tables"][name]
+        cols_meta = meta["columns"]
+        by_name = {c["name"]: c for c in cols_meta}
+        part_by = meta.get("partition_by")
+        if part_by:
+            part_by = [physical_name(by_name.get(p, {"name": p})) for p in part_by]
         view = self.read_df(manifest, name)
-        meta["data"] = self.write_snapshot(name, view, meta.get("partition_by"))
+        meta["data"] = self.write_snapshot(
+            name, self._to_physical(view, cols_meta), part_by
+        )
         meta["deltas"] = []
 
     def vacuum(self, keep_last: int = 8) -> dict:
@@ -504,6 +568,15 @@ class SnapshotCatalog:
             return self.read_df(man_new, name).withColumn("_change_type", F.lit("insert"))
         if t_old.get("external"):
             raise CatalogError("changes are not tracked for ATTACHed external tables")
+        if t_old["columns"] != t_new["columns"]:
+            # ALTER TABLE inside the range: physical-name pinning makes the
+            # OLD files readable under the NEW schema (renamed columns map
+            # through `physical`, added ones fill NULL/initial_default,
+            # dropped ones vanish), so the diff is expressed in the new
+            # logical schema — patch the old entry's column list only.
+            t_old = dict(t_old, columns=t_new["columns"])
+            man_old = dict(man_old)
+            man_old["tables"] = dict(man_old["tables"], **{name: t_old})
         pk = self._pk_of(t_new)
         old_deltas = t_old.get("deltas", [])
         new_deltas = t_new.get("deltas", [])
@@ -519,17 +592,17 @@ class SnapshotCatalog:
                 return empty()
             # resolve the tail to one net (row, __del) per PK — same
             # latest-wins window as read_df, over O(changed rows) only
-            pk_schema = T.StructType([schema[pk]])
+            pk_cols = [c for c in t_new["columns"] if c["primary_key"]]
             parts = []
             for i, d in enumerate(tail, start=1):
                 if d.get("upserts"):
                     parts.append(
-                        self._read_path(d["upserts"], schema)
+                        self._read_path(d["upserts"], t_new["columns"])
                         .withColumn("__rank", F.lit(i))
                         .withColumn("__del", F.lit(False))
                     )
                 if d.get("deletes"):
-                    tomb = self._read_path(d["deletes"], pk_schema)
+                    tomb = self._read_path(d["deletes"], pk_cols)
                     for c in cols:
                         if c != pk:
                             tomb = tomb.withColumn(c, F.lit(None).cast(schema[c].dataType))
