@@ -36,7 +36,7 @@ def _read_dialect(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _run(sql: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     stmt = parse(sql)
-    assert isinstance(stmt, (ast.Select, ast.SetOp))
+    assert isinstance(stmt, (ast.Select, ast.SetOp, ast.With))
     return compile_statement(stmt, spark, lambda name: _read_dialect(spark, sf_dir, name))
 
 
@@ -68,18 +68,27 @@ dialect(
     """,
 )
 
+# Same result set as the pre-round-9 plain-join spelling (hash-stable),
+# re-spelled through a CTE and a derived table so the driver gate
+# exercises WITH + FROM-subquery compilation every round.
 dialect(
     "q33_dialect_join_topk",
     """
+    WITH bldg AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
     SELECT o.o_orderkey, c.c_name, o.o_totalprice
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) AS o
+    JOIN bldg c ON o.o_custkey = c.c_custkey
     ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 25
     """,
     oracle="""
+    WITH bldg AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
     SELECT o.o_orderkey, c.c_name, o.o_totalprice
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) AS o
+    JOIN bldg c ON o.o_custkey = c.c_custkey
     ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 25
     """,
 )
