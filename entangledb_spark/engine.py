@@ -395,6 +395,8 @@ class Engine:
             return self._mutate(lambda m: self._drop_table(m, stmt))
         if isinstance(stmt, ast.AlterTable):
             return self._mutate(lambda m: self._alter_table(m, stmt))
+        if isinstance(stmt, ast.Optimize):
+            return self._mutate(lambda m: self._optimize(m, stmt))
         if isinstance(stmt, ast.CreateView):
             return self._mutate(lambda m: self._create_view(m, stmt))
         if isinstance(stmt, ast.DropView):
@@ -576,6 +578,44 @@ class Engine:
                 )
         del manifest["tables"][stmt.name]
         return Result(status=f"DROP TABLE {stmt.name}")
+
+    # ---------------------------------------------------------- OPTIMIZE
+
+    def _optimize(self, manifest: dict, stmt: ast.Optimize) -> Result:
+        """OPTIMIZE t [ZORDER BY (...)] [FILES n] (extension — Delta's
+        layout-maintenance contract): rewrite the table as ONE compacted
+        base snapshot, optionally Z-order-clustered so parquet min/max
+        statistics prune multi-dimensional predicates (sources/layout.py
+        for the mechanism and its honest limits). Content-identical: only
+        the file layout changes; the delta chain resets. Point-in-time —
+        later DML appends unclustered until the next OPTIMIZE. Partition
+        layouts (partition_by) already have their own placement and are
+        not re-clustered."""
+        from entangledb_spark.sources.layout import zorder_frame
+
+        meta = self._table_meta(manifest, stmt.table, writable=True)
+        names = {c["name"] for c in meta["columns"]}
+        for z in stmt.zorder:
+            if z not in names:
+                raise EngineError(f"unknown column {z} in table {stmt.table}")
+        if stmt.zorder and meta.get("partition_by"):
+            raise EngineError(
+                "OPTIMIZE ZORDER is not supported on a partition_by table — "
+                "the directory layout already fixes file placement"
+            )
+        view = self.catalog.read_df(manifest, stmt.table)
+        detail = "compacted"
+        n_files = stmt.files
+        if stmt.zorder:
+            view, n_files = zorder_frame(view, list(stmt.zorder), n_files)
+            meta["zorder"] = list(stmt.zorder)
+            detail = f"zorder: {', '.join(stmt.zorder)}, {n_files} file(s)"
+        elif n_files is not None:
+            view = view.repartition(n_files)
+            detail = f"compacted, {n_files} file(s)"
+        self.catalog.compact(manifest, stmt.table, view=view)
+        n = self.catalog.count_rows(meta["data"])
+        return Result(status=f"OPTIMIZE {stmt.table} ({detail}, {n} rows)")
 
     # ---------------------------------------------------------- ALTER TABLE
 

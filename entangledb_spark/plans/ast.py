@@ -347,6 +347,20 @@ class DropView:
 
 
 @dataclass(frozen=True)
+class Optimize:
+    """OPTIMIZE t [ZORDER BY (c1, c2, ...)] (extension — Delta-style
+    layout maintenance): rewrite the table's base as one compacted
+    snapshot, optionally Z-ORDER-clustered on the named columns so
+    parquet min/max row-group statistics prune multi-dimensional
+    predicates. A point-in-time rewrite: later deltas append unclustered
+    until the next OPTIMIZE — the standard contract."""
+
+    table: str
+    zorder: tuple[str, ...] = ()
+    files: Optional[int] = None  # FILES n — explicit output file count
+
+
+@dataclass(frozen=True)
 class AlterTable:
     """ALTER TABLE t ADD COLUMN <def> | DROP COLUMN c | RENAME COLUMN a
     TO b (extension — the reference has no schema evolution). All three
@@ -409,7 +423,7 @@ class Explain:
 
 Statement = Union[
     CreateTable, CreateTableAs, DropTable, Insert, Update, Delete, Merge,
-    Copy, Select, SetOp, With, CreateView, DropView, AlterTable,
+    Copy, Select, SetOp, With, CreateView, DropView, AlterTable, Optimize,
     CreateMaterializedView, DropMaterializedView, RefreshMaterializedView,
     Begin, Commit, Rollback, Explain,
 ]

@@ -103,6 +103,25 @@ class Parser:
         t = self.peek()
         if t.kind == "ident" and t.text.lower() == "alter":
             return self.parse_alter_table()
+        if t.kind == "ident" and t.text.lower() == "optimize":
+            # OPTIMIZE t [ZORDER BY (c1, ...)] — contextual keywords
+            self.next()
+            table = self.expect("ident").text
+            zorder: tuple = ()
+            if self.accept_word("zorder"):
+                self.expect("keyword", "by")
+                self.expect("symbol", "(")
+                cols = [self.expect("ident").text]
+                while self.accept("symbol", ","):
+                    cols.append(self.expect("ident").text)
+                self.expect("symbol", ")")
+                zorder = tuple(cols)
+            files = None
+            if self.accept_word("files"):
+                files = int(self.expect("number").text)
+                if files < 1:
+                    raise ParseError("OPTIMIZE FILES must be >= 1")
+            return ast.Optimize(table=table, zorder=zorder, files=files)
         if t.kind == "ident" and t.text.lower() == "refresh":
             # REFRESH MATERIALIZED VIEW name (contextual — `refresh` stays
             # a legal identifier everywhere else)

@@ -459,16 +459,19 @@ class SnapshotCatalog:
             if f.endswith(".parquet")
         )
 
-    def compact(self, manifest: dict, name: str) -> None:
+    def compact(self, manifest: dict, name: str, view: Optional[DataFrame] = None) -> None:
         """Materialize the current view as a new base and clear the delta
-        chain — bounds read amplification; run out-of-band at scale."""
+        chain — bounds read amplification; run out-of-band at scale.
+        ``view`` lets OPTIMIZE pass a re-clustered frame (same rows,
+        different layout) through the identical physical-write funnel."""
         meta = manifest["tables"][name]
         cols_meta = meta["columns"]
         by_name = {c["name"]: c for c in cols_meta}
         part_by = meta.get("partition_by")
         if part_by:
             part_by = [physical_name(by_name.get(p, {"name": p})) for p in part_by]
-        view = self.read_df(manifest, name)
+        if view is None:
+            view = self.read_df(manifest, name)
         meta["data"] = self.write_snapshot(
             name, self._to_physical(view, cols_meta), part_by
         )

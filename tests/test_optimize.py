@@ -1,0 +1,131 @@
+"""OPTIMIZE [ZORDER BY (...)] [FILES n]: content-identical layout rewrite,
+measurable pruning effect via parquet footer min/max statistics, delta
+compaction, and the OPTIMIZE-then-DML point-in-time contract."""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import pytest
+import pyarrow.parquet as pq
+
+from entangledb_spark.engine import Engine, EngineError
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+N_ROWS = 4000
+N_FILES = 8
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "db"))
+    e.execute("CREATE TABLE pts (id INT PRIMARY KEY, x INT, y INT, tag STRING)")
+    rng = random.Random(5)
+    vals = ", ".join(
+        f"({i}, {rng.randint(0, 9999)}, {rng.randint(0, 9999)}, 't{i % 7}')"
+        for i in range(N_ROWS)
+    )
+    e.execute(f"INSERT INTO pts VALUES {vals}")
+    return e
+
+
+def file_ranges(eng, table: str, col: str):
+    """Per-parquet-file (min, max) of ``col`` from footer statistics —
+    the exact facts a pruning scan consults."""
+    rel = eng.catalog.manifest()["tables"][table]["data"]
+    base = os.path.join(eng.catalog.base, rel)
+    out = []
+    for f in glob.glob(base + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col)
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        out.append((mn, mx))
+    return out
+
+
+def test_zorder_preserves_content_and_clusters_both_dims(eng):
+    before = eng.execute(
+        "SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM pts"
+    ).rows
+    r = eng.execute(f"OPTIMIZE pts ZORDER BY (x, y) FILES {N_FILES}")
+    assert "zorder: x, y" in r.status and f"{N_ROWS} rows" in r.status
+    assert eng.execute(
+        "SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM pts"
+    ).rows == before
+    naive_width = N_FILES * 9999
+    for col in ("x", "y"):
+        ranges = file_ranges(eng, "pts", col)
+        assert len(ranges) == N_FILES
+        width = sum(mx - mn for mn, mx in ranges)
+        # every file spanning the full range would sum to naive_width;
+        # z-clustering on BOTH dims must shrink each dim's footprint
+        assert width < naive_width * 0.75, (col, width, naive_width)
+        # a selective range predicate must be able to skip files
+        hit = sum(1 for mn, mx in ranges if not (mx < 100 or mn > 600))
+        assert hit < N_FILES, f"no file skipped for {col} in [100, 600]"
+    assert eng.catalog.manifest()["tables"]["pts"]["zorder"] == ["x", "y"]
+
+
+def test_zorder_includes_string_key_and_deltas(eng):
+    eng.execute("UPDATE pts SET x = 1 WHERE id = 17")
+    eng.execute("DELETE FROM pts WHERE id = 18")
+    r = eng.execute("OPTIMIZE pts ZORDER BY (tag, x) FILES 4")
+    assert "4 file(s)" in r.status
+    # delta chain folded into the rewritten base
+    m = eng.catalog.manifest()["tables"]["pts"]
+    assert m["deltas"] == []
+    assert eng.execute("SELECT count(*) AS n FROM pts").rows == [(N_ROWS - 1,)]
+    assert eng.execute("SELECT x FROM pts WHERE id = 17").rows == [(1,)]
+    # hash-bucketed string key still clusters equal values
+    ranges = file_ranges(eng, "pts", "tag")
+    assert any(mn == mx for mn, mx in ranges) or len(set(ranges)) > 1
+
+
+def test_plain_optimize_compacts(eng):
+    for i in range(N_ROWS, N_ROWS + 6):
+        eng.execute(f"INSERT INTO pts VALUES ({i}, 1, 2, 'z')")
+    assert len(eng.catalog.manifest()["tables"]["pts"]["deltas"]) > 0
+    r = eng.execute("OPTIMIZE pts FILES 2")
+    assert "compacted" in r.status
+    m = eng.catalog.manifest()["tables"]["pts"]
+    assert m["deltas"] == []
+    rel = os.path.join(eng.catalog.base, m["data"])
+    assert len(glob.glob(rel + "/*.parquet")) == 2
+    assert eng.execute("SELECT count(*) AS n FROM pts").rows == [(N_ROWS + 6,)]
+
+
+def test_optimize_is_point_in_time(eng):
+    eng.execute("OPTIMIZE pts ZORDER BY (x) FILES 4")
+    eng.execute("INSERT INTO pts VALUES (99999, 5, 5, 'new')")
+    # later DML appends as a delta; content stays correct
+    assert eng.execute("SELECT count(*) AS n FROM pts").rows == [(N_ROWS + 1,)]
+    assert len(eng.catalog.manifest()["tables"]["pts"]["deltas"]) == 1
+
+
+def test_optimize_time_travel_sees_old_layout(eng):
+    v0 = eng.catalog.current_version()
+    data0 = eng.catalog.manifest()["tables"]["pts"]["data"]
+    eng.execute("OPTIMIZE pts ZORDER BY (x, y) FILES 4")
+    assert eng.catalog.manifest()["tables"]["pts"]["data"] != data0
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v0}")
+    assert eng.execute("SELECT count(*) AS n FROM pts").rows == [(N_ROWS,)]
+    eng.execute("COMMIT")
+
+
+def test_optimize_errors(eng):
+    with pytest.raises(EngineError, match="unknown column"):
+        eng.execute("OPTIMIZE pts ZORDER BY (nope)")
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("OPTIMIZE missing")
+    eng.execute("BEGIN READ ONLY")
+    with pytest.raises(EngineError, match="read-only"):
+        eng.execute("OPTIMIZE pts")
+    eng.execute("COMMIT")
