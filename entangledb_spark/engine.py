@@ -476,6 +476,12 @@ class Engine:
         return self._reader_for(manifest)
 
     def _reader_for(self, manifest: dict):
+        def versioned(name: str, version: int) -> DataFrame:
+            # FROM t AS OF SYSTEM TIME n: resolve through the named
+            # version's OWN reader, so views/matviews pinned there expand
+            # with their era's definitions too
+            return self._reader_for(self.catalog.manifest(version))(name)
+
         views = manifest.get("views") or {}
         matviews = manifest.get("matviews") or {}
 
@@ -504,6 +510,7 @@ class Engine:
                     )
                 return read_table(name)
 
+            read.versioned = versioned
             return read
 
         def read_table(name: str) -> DataFrame:
@@ -771,6 +778,8 @@ class Engine:
             deps.add(name)
             return base(name)
 
+        recording.versioned = base.versioned
+
         try:
             df = compile_statement(stmt.query, self.spark, recording)
         except CompileError as e:
@@ -848,6 +857,8 @@ class Engine:
         def recording(name: str) -> DataFrame:
             deps.add(name)
             return base(name)
+
+        recording.versioned = base.versioned
 
         try:
             df = compile_statement(stmt.query, self.spark, recording)
@@ -1656,6 +1667,8 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     f = stmt.from_
     if not isinstance(f, ast.TableRef):
         return None
+    if f.as_of is not None:
+        return None  # a frozen AS OF base never changes incrementally
     if (
         stmt.distinct
         or stmt.having is not None

@@ -136,6 +136,11 @@ class JoinType(str, Enum):
 class TableRef:
     name: str
     alias: Optional[str] = None
+    # FROM t AS OF SYSTEM TIME n (extension): read THIS table (or view /
+    # materialized view) at catalog version n — per-table time travel,
+    # composable with current-version tables in the same query (the
+    # statement-level form is BEGIN READ ONLY AS OF SYSTEM TIME).
+    as_of: Optional[int] = None
 
 
 @dataclass(frozen=True)

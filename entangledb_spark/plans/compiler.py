@@ -92,6 +92,14 @@ def compile_from(
 ) -> DataFrame:
     if isinstance(item, ast.TableRef):
         alias = item.alias or item.name
+        if item.as_of is not None:
+            versioned = getattr(read, "versioned", None)
+            if versioned is None:
+                raise CompileError(
+                    "AS OF SYSTEM TIME is not supported in this context "
+                    "(no versioned catalog behind the reader)"
+                )
+            return scope.add(alias, versioned(item.name, item.as_of))
         return scope.add(alias, read(item.name))
     if isinstance(item, ast.DerivedTable):
         # the subquery compiles against the SAME reader (so it sees CTEs,
@@ -695,6 +703,16 @@ class _RecursiveRef(Exception):
         self.name = name
 
 
+def _carry_versioned(wrapper: TableReader, src: TableReader) -> TableReader:
+    """Reader wrappers must not strip the optional time-travel capability
+    (read.versioned — set by the engine's catalog-backed reader) or an
+    AS OF inside a CTE/derived-table/view body would spuriously error."""
+    v = getattr(src, "versioned", None)
+    if v is not None:
+        wrapper.versioned = v
+    return wrapper
+
+
 def _probe_self(read: TableReader, undefined: frozenset) -> TableReader:
     """A reader that raises _RecursiveRef for any not-yet-defined CTE name
     (the CTE's own, or one declared later in the WITH clause) instead of
@@ -706,7 +724,7 @@ def _probe_self(read: TableReader, undefined: frozenset) -> TableReader:
             raise _RecursiveRef(n)
         return read(n)
 
-    return probe
+    return _carry_versioned(probe, read)
 
 
 def _chain_reader(read: TableReader, name: str, df: DataFrame) -> TableReader:
@@ -716,7 +734,7 @@ def _chain_reader(read: TableReader, name: str, df: DataFrame) -> TableReader:
     def chained(n: str) -> DataFrame:
         return df if n == name else read(n)
 
-    return chained
+    return _carry_versioned(chained, read)
 
 
 def _compile_recursive_cte(
@@ -768,7 +786,7 @@ def _compile_recursive_cte(
             )
         return read(n)
 
-    acc = compile_statement(q.left, spark, fail_on_self)
+    acc = compile_statement(q.left, spark, _carry_versioned(fail_on_self, read))
     if cte.columns is not None:
         if len(cte.columns) != len(acc.columns):
             raise CompileError(

@@ -639,6 +639,20 @@ class Parser:
                 )
             return ast.DerivedTable(query=query, alias=self.next().text)
         name = self.expect("ident").text
+        as_of = None
+        if (
+            self.peek().kind == "keyword"
+            and self.peek().text == "as"
+            and self.tokens[self.i + 1].kind == "keyword"
+            and self.tokens[self.i + 1].text == "of"
+        ):
+            # FROM t AS OF SYSTEM TIME n — two-token lookahead keeps the
+            # plain `t AS alias` form unambiguous
+            self.next()
+            self.next()
+            self.expect("keyword", "system")
+            self.expect("keyword", "time")
+            as_of = int(self.expect("number").text)
         args: Optional[list[ast.Literal]] = None
         if self.peek().kind == "symbol" and self.peek().text == "(":
             # table-valued function: ident '(' literal, ... ')' (extension)
@@ -663,8 +677,10 @@ class Parser:
         elif self.peek().kind == "ident":
             alias = self.next().text
         if args is not None:
+            if as_of is not None:
+                raise ParseError("AS OF SYSTEM TIME applies to tables, not table functions")
             return ast.TableFunc(name=name, args=tuple(args), alias=alias)
-        return ast.TableRef(name=name, alias=alias)
+        return ast.TableRef(name=name, alias=alias, as_of=as_of)
 
     # ---- expressions (precedence climbing) --------------------------------
 

@@ -377,3 +377,52 @@ def test_view_read_only_txn_can_read(eng):
     with pytest.raises(EngineError, match="read-only"):
         eng.execute("CREATE VIEW v_no AS SELECT 1")
     eng.execute("COMMIT")
+
+
+# ------------------------------------------- per-table AS OF SYSTEM TIME
+
+
+def test_table_level_as_of(eng):
+    setup_groups(eng)
+    v1 = eng.catalog.current_version()
+    eng.execute("UPDATE t SET v = v * 10")
+    eng.execute("INSERT INTO t VALUES (6, 'd', 1)")
+    assert eng.execute(
+        f"SELECT sum(v) AS s FROM t AS OF SYSTEM TIME {v1}"
+    ).rows == [(66,)]
+    # old and current versions of the SAME table join in one query
+    rows = eng.execute(
+        f"SELECT cur.id, cur.v AS v_now, old.v AS v_then FROM t cur "
+        f"LEFT JOIN t AS OF SYSTEM TIME {v1} old ON cur.id = old.id "
+        "ORDER BY cur.id"
+    ).rows
+    assert rows[0] == (1, 100, 10) and rows[-1] == (6, 1, None)
+    # inside a CTE; plain `t AS alias` still parses
+    assert eng.execute(
+        f"WITH old AS (SELECT * FROM t AS OF SYSTEM TIME {v1}) "
+        "SELECT count(*) AS n FROM old"
+    ).rows == [(5,)]
+    assert eng.execute("SELECT count(*) AS n FROM t AS x").rows == [(6,)]
+    with pytest.raises(EngineError, match="does not exist"):
+        eng.execute("SELECT * FROM t AS OF SYSTEM TIME 99999")
+
+
+def test_view_pinned_to_a_version(eng):
+    setup_groups(eng)
+    v1 = eng.catalog.current_version()
+    eng.execute(f"CREATE VIEW snap AS SELECT id, v FROM t AS OF SYSTEM TIME {v1}")
+    eng.execute("INSERT INTO t VALUES (6, 'd', 999)")
+    assert eng.execute("SELECT count(*) AS n FROM snap").rows == [(5,)]
+
+
+def test_as_of_unsupported_without_catalog(spark):
+    """The dialect gate runner reads plain parquet fixtures — AS OF must
+    error clearly there instead of silently reading current data."""
+    from entangledb_spark.plans.compiler import CompileError, compile_statement
+    from entangledb_spark.plans.parser import parse
+
+    stmt = parse("SELECT * FROM t AS OF SYSTEM TIME 1")
+    with pytest.raises(CompileError, match="not supported in this context"):
+        compile_statement(
+            stmt, spark, lambda name: spark.range(1).toDF("id")
+        )
