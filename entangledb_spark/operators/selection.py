@@ -474,3 +474,71 @@ def materialize_mixture(
             (F.col("mix_key") * F.lit(n_shards) / F.lit(HASH_M)).cast("int"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    seed: int = 0,
+) -> DataFrame:
+    """Train/validation split that CANNOT leak near-duplicates across the
+    boundary — the eval-hygiene complement of the dedup family: a val set
+    drawn uniformly at random still shares near-duplicate passages with
+    train (the leakage Lee et al. arXiv:2107.06499 measure), so the unit
+    of assignment must be the near-duplicate CLUSTER, not the document.
+
+    ``pairs`` is any of the dedup family's pair relations ((id_a, id_b) —
+    n-gram Jaccard, MinHash-LSH, SimHash, or embedding-cosine edges).
+    Connected components run over the EDGE ENDPOINTS only (pairs are a
+    tiny fraction of the corpus; the full-corpus CC would be wasted work
+    at 100 TB — untouched documents are their own singleton clusters by
+    construction). Every document's cluster id — the component's minimum
+    member id, or its own id for singletons — hashes through the same
+    engine-portable Knuth rule as the mixture/sampling family
+    (text.knuth_bucket at 2^-20 granularity, seed-offset), so the split
+    is deterministic across runs, cluster sizes, partitionings, AND
+    engines (re-derivable in DuckDB SQL via knuth_bucket_sql).
+
+    Plan: one CC loop over the edge relation (convergence-checked label
+    propagation), one left join of the corpus against the component map
+    (broadcastable — components ≤ 2·|pairs|), one narrow hash projection.
+
+    Returns docs plus (split_key, split) where split ∈ ('train', 'val');
+    every (id_a, id_b) pair is guaranteed same-side because both ids map
+    to one split_key."""
+    from entangledb_spark.operators.dedup import connected_components
+    from entangledb_spark.operators.text import knuth_bucket
+
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    verts = (
+        edges.select(F.col("a").alias("id"))
+        .unionByName(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges)  # (id, component)
+    cut = round(val_frac * MIX_RES)
+    out = (
+        docs.join(cc, docs[id_col] == cc["id"], "left")
+        .drop("id")
+        .withColumn(
+            "split_key",
+            F.coalesce(F.col("component"), F.col(id_col).cast("long")),
+        )
+        .drop("component")
+        .withColumn(
+            "split",
+            F.when(
+                knuth_bucket(F.col("split_key") + F.lit(seed), MIX_RES) < cut,
+                F.lit("val"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+    return out

@@ -549,3 +549,68 @@ def test_materialize_mixture_feeds_packing(spark):
     packed = pack_greedy(spark, mix)
     assert packed.count() == n_mix
     assert packed.select("doc_id").distinct().count() == n_mix
+
+
+# ------------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    """Every near-dup pair lands on ONE side; proportions track val_frac;
+    assignment is deterministic and seed-sensitive; DuckDB re-derives the
+    exact split from (doc_id, split_key)."""
+    import duckdb
+
+    from entangledb_spark.operators.selection import MIX_RES, leakage_safe_split
+    from entangledb_spark.operators.text import knuth_bucket_sql
+
+    docs = spark.range(0, 2000).toDF("doc_id")
+    # chains 0-1-2, 10-11, and a larger clique 100..104
+    pair_rows = [(0, 1), (1, 2), (10, 11)] + [
+        (100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, val_frac=0.25, seed=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 2000
+    # co-location: all pair members share split_key AND side
+    for a, b in pair_rows:
+        assert rows[a]["split_key"] == rows[b]["split_key"]
+        assert rows[a]["split"] == rows[b]["split"]
+    # transitive: the 0-1-2 chain is one cluster
+    assert rows[0]["split_key"] == rows[2]["split_key"] == 0
+    # proportions in the right neighborhood (Knuth hash, not exact)
+    n_val = sum(1 for r in rows.values() if r["split"] == "val")
+    assert 0.15 < n_val / 2000 < 0.35
+    # deterministic rerun; different seed moves some docs
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, pairs, val_frac=0.25, seed=3).collect()}
+    assert again == {k: v["split"] for k, v in rows.items()}
+    other = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, pairs, val_frac=0.25, seed=99).collect()}
+    assert other != again
+    # engine-portable: DuckDB re-derives split from split_key exactly
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (doc_id BIGINT, split_key BIGINT, split VARCHAR)")
+    con.executemany(
+        "INSERT INTO s VALUES (?, ?, ?)",
+        [(int(k), int(v["split_key"]), v["split"]) for k, v in rows.items()],
+    )
+    cut = round(0.25 * MIX_RES)
+    mismatch = con.execute(
+        f"SELECT count(*) FROM s WHERE split != "
+        f"(CASE WHEN {knuth_bucket_sql('split_key + 3', MIX_RES)} < {cut} "
+        f"THEN 'val' ELSE 'train' END)"
+    ).fetchone()[0]
+    assert mismatch == 0
+    con.close()
+
+
+def test_leakage_safe_split_validates(spark):
+    from entangledb_spark.operators.selection import leakage_safe_split
+
+    docs = spark.range(5).toDF("doc_id")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="val_frac"):
+        leakage_safe_split(docs, pairs, val_frac=1.5)
+    out = leakage_safe_split(docs, pairs, val_frac=0.0)
+    assert all(r["split"] == "train" for r in out.collect())
