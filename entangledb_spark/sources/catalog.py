@@ -232,8 +232,14 @@ class SnapshotCatalog:
         df = self.spark.read.schema(schema_of(columns, physical=True)).parquet(
             os.path.join(self.base, rel)
         )
-        df = df.toDF(*[c["name"] for c in columns])
         from pyspark.sql import functions as F
+
+        # rename stored → logical BY NAME: a partitioned read emits the
+        # partition column LAST regardless of the supplied schema order,
+        # so a positional rename would scramble columns
+        df = df.select(
+            *[F.col(physical_name(c)).alias(c["name"]) for c in columns]
+        )
 
         for c in columns:
             if c.get("initial_default") is not None:

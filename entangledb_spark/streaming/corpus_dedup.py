@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import Column
 
 from entangledb_spark.operators.text import fingerprint
-from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog, schema_of
+from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog
 from entangledb_spark.streaming.ingest import MAX_CAS_ATTEMPTS, maybe_compact
 
 FP_N_BUCKETS = 256
@@ -166,7 +166,9 @@ def commit_dedup_batch(
         )
         # (fp, pk) rows come from the files just written, joined back to
         # the deduped batch for the fingerprint — one source of truth
-        written = catalog._read_path(docs_rel, schema_of(docs_meta["columns"]))
+        # _read_path takes the COLUMN LIST (it maps stored->logical names
+        # and fills ALTER-added columns itself)
+        written = catalog._read_path(docs_rel, docs_meta["columns"])
         fp_cols = [c["name"] for c in fp_meta["columns"]]
         fp_rows = (
             written.select(pk)

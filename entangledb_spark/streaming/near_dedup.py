@@ -88,7 +88,7 @@ from entangledb_spark.operators._minhash_params import (
     SHINGLE_N,
 )
 from entangledb_spark.operators.dedup import minhash_signature, word_tokens
-from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog, schema_of
+from entangledb_spark.sources.catalog import ConflictError, SnapshotCatalog
 from entangledb_spark.streaming.corpus_dedup import retry_cas_commit
 
 BAND_N_BUCKETS = 256
@@ -289,7 +289,9 @@ def _commit_with_keys(
         survivors = batch_docs.join(hit_docs, pk, "left_anti")
         docs_rel = catalog.write_snapshot(docs_table, survivors)
         # band rows come from the files just written — one source of truth
-        written = catalog._read_path(docs_rel, schema_of(docs_meta["columns"]))
+        # _read_path takes the COLUMN LIST (it maps stored->logical names
+        # and fills ALTER-added columns itself)
+        written = catalog._read_path(docs_rel, docs_meta["columns"])
         band_rows = written.select(pk).join(surv_keys, pk)
         if verified:
             # a verification-rejected collision keeps the doc but must
