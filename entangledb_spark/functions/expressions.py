@@ -199,8 +199,9 @@ def static_type(e: ast.Expr, field_type: TypeOf) -> Optional[str]:
     return None
 
 
-_RANKING_FUNCS = ("row_number", "rank", "dense_rank")
+_RANKING_FUNCS = ("row_number", "rank", "dense_rank", "ntile", "percent_rank", "cume_dist")
 _OFFSET_FUNCS = ("lag", "lead")
+_VALUE_FUNCS = ("first_value", "last_value")
 
 
 def _compile_window(e: "ast.WindowFunc", resolve: Resolver, field_type: TypeOf) -> Column:
@@ -229,8 +230,35 @@ def _compile_window(e: "ast.WindowFunc", resolve: Resolver, field_type: TypeOf) 
     if name in _RANKING_FUNCS:
         if not e.order_by:
             raise CompileError(f"{name}() requires ORDER BY in its window")
+        if name == "ntile":
+            lit = e.args[0] if e.args else None
+            if not (
+                isinstance(lit, ast.Literal)
+                and isinstance(lit.value, int)
+                and not isinstance(lit.value, bool)
+                and lit.value >= 1
+            ):
+                raise CompileError("ntile() takes a positive integer constant")
+            return F.ntile(lit.value).over(spec).cast("long")
+        if name in ("percent_rank", "cume_dist"):
+            # double-valued: exact integer-ratio arithmetic, so results are
+            # bit-identical to the DuckDB oracle's
+            fn = {"percent_rank": F.percent_rank, "cume_dist": F.cume_dist}[name]
+            return fn().over(spec)
         fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[name]
         return fn().over(spec).cast("long")
+    if name in _VALUE_FUNCS:
+        if not e.order_by:
+            # the standard permits order-less first/last_value but the
+            # result is then partition-order-dependent — nondeterminism we
+            # reject everywhere else in the engine
+            raise CompileError(f"{name}() requires ORDER BY in its window")
+        arg = compile_expr(e.args[0], resolve, field_type)
+        # SQL-standard default frame (RANGE UNBOUNDED PRECEDING..CURRENT
+        # ROW) applies in BOTH Spark and DuckDB, so last_value over the
+        # default frame returns the CURRENT row's value — the well-known
+        # standard behavior, oracle-identical by construction
+        return (F.first(arg) if name == "first_value" else F.last(arg)).over(spec)
     if name in _OFFSET_FUNCS:
         if not e.order_by:
             raise CompileError(f"{name}() requires ORDER BY in its window")

@@ -1317,3 +1317,49 @@ def test_copy_exports_the_pinned_snapshot(eng, tmp_path):
     # FORMAT validation is a parse error
     with pytest.raises(EngineError, match="PARQUET or CSV"):
         eng.execute(f"COPY t TO '{tmp_path}/x' FORMAT JSON")
+
+
+# --------------------------------------- window-function extensions (r9)
+
+
+def test_window_extensions_match_duckdb(eng):
+    """ntile / percent_rank / cume_dist / first_value / last_value —
+    exact-row parity with DuckDB on the same data, including the
+    SQL-standard default-frame behavior of last_value (current row)."""
+    import duckdb
+
+    eng.execute("CREATE TABLE w (id INTEGER PRIMARY KEY, grp STRING, v INTEGER)")
+    rows = [(i, "ab"[i % 2], (i * 7) % 13) for i in range(1, 21)]
+    eng.execute(
+        "INSERT INTO w VALUES "
+        + ", ".join(f"({i}, '{g}', {v})" for i, g, v in rows)
+    )
+    sql = (
+        "SELECT id, "
+        "ntile(3) OVER (PARTITION BY grp ORDER BY v, id) AS nt, "
+        "percent_rank() OVER (PARTITION BY grp ORDER BY v, id) AS pr, "
+        "cume_dist() OVER (PARTITION BY grp ORDER BY v, id) AS cd, "
+        "first_value(v) OVER (PARTITION BY grp ORDER BY v, id) AS fv, "
+        "last_value(v) OVER (PARTITION BY grp ORDER BY v, id) AS lv "
+        "FROM w ORDER BY id"
+    )
+    got = eng.execute(sql).rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w (id INTEGER, grp VARCHAR, v INTEGER)")
+    con.executemany("INSERT INTO w VALUES (?, ?, ?)", rows)
+    want = con.execute(sql).fetchall()
+    con.close()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_window_extension_errors(eng):
+    eng.execute("CREATE TABLE w (id INTEGER PRIMARY KEY, v INTEGER)")
+    eng.execute("INSERT INTO w VALUES (1, 1)")
+    with pytest.raises(EngineError, match="requires ORDER BY"):
+        eng.execute("SELECT ntile(3) OVER (PARTITION BY v) FROM w")
+    with pytest.raises(EngineError, match="positive integer"):
+        eng.execute("SELECT ntile(0) OVER (ORDER BY v) FROM w")
+    with pytest.raises(EngineError, match="positive integer"):
+        eng.execute("SELECT ntile(v) OVER (ORDER BY v) FROM w")
+    with pytest.raises(EngineError, match="requires ORDER BY"):
+        eng.execute("SELECT last_value(v) OVER (PARTITION BY v) FROM w")
