@@ -88,6 +88,32 @@ SCALAR_FUNCS: dict[str, tuple[int, Optional[int], Callable[..., Column]]] = {
     "knuth_key": (1, 1, lambda c: _knuth()(c.cast("long"))),
     # whitespace token count — the packing/budgeting token definition
     "token_count": (1, 1, lambda c: _token_count(c)),
+    # string toolbox (round 9; all JVM built-ins under DuckDB-compatible
+    # names and argument orders — 1-based positions where positional)
+    "replace": (3, 3, F.replace),
+    "split_part": (3, 3, F.split_part),
+    "lpad": (3, 3, F.lpad),
+    "rpad": (3, 3, F.rpad),
+    "left": (2, 2, F.left),
+    "right": (2, 2, F.right),
+    "reverse": (1, 1, F.reverse),
+    "strpos": (2, 2, lambda s, sub: F.instr(s, sub).cast("long")),
+    "contains": (2, 2, F.contains),
+    "starts_with": (2, 2, F.startswith),
+    "ends_with": (2, 2, F.endswith),
+    "ltrim": (1, 1, F.ltrim),
+    "rtrim": (1, 1, F.rtrim),
+    "repeat": (2, 2, F.repeat),
+    "md5": (1, 1, F.md5),
+    # via call_function: the python wrapper wants str/int literals, the
+    # SQL function itself takes Columns like everything else
+    "regexp_extract": (2, 3, lambda s, re, g=None: F.call_function(
+        "regexp_extract", s, re, g if g is not None else F.lit(0)
+    )),
+    # numeric: sign is widened to long like all dialect integers
+    "sign": (1, 1, lambda c: F.signum(c).cast("long")),
+    "log2": (1, 1, F.log2),
+    "log10": (1, 1, F.log10),
 }
 
 

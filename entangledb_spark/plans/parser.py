@@ -780,6 +780,21 @@ class Parser:
                 return ast.Literal(float("nan"))
             if self.accept("keyword", "case"):
                 return self.parse_case()
+            if (
+                t.text in ("left", "right")
+                and self.tokens[self.i + 1].kind == "symbol"
+                and self.tokens[self.i + 1].text == "("
+            ):
+                # left(s, n) / right(s, n) string functions — the words are
+                # reserved for join syntax, but a directly following '('
+                # can only be a call (joins spell LEFT/RIGHT [OUTER] JOIN)
+                self.next()
+                self.next()
+                args = [self.parse_expr()]
+                while self.accept("symbol", ","):
+                    args.append(self.parse_expr())
+                self.expect("symbol", ")")
+                return ast.FuncCall(t.text, tuple(args))
             raise ParseError(f"unexpected keyword {t}")
         if t.kind == "ident":
             self.next()

@@ -1363,3 +1363,37 @@ def test_window_extension_errors(eng):
         eng.execute("SELECT ntile(v) OVER (ORDER BY v) FROM w")
     with pytest.raises(EngineError, match="requires ORDER BY"):
         eng.execute("SELECT last_value(v) OVER (PARTITION BY v) FROM w")
+
+
+def test_string_toolbox_matches_duckdb(eng):
+    """The round-9 scalar additions, FROM-less, exact parity with DuckDB
+    on the identical SQL text."""
+    import duckdb
+
+    sql = (
+        "SELECT replace('banana', 'an', 'X') AS rep, "
+        "split_part('a,b,c', ',', 2) AS sp, "
+        "lpad('7', 3, '0') AS lp, rpad('7', 3, '0') AS rp, "
+        "left('hello', 2) AS l2, right('hello', 2) AS r2, "
+        "reverse('abc') AS rev, strpos('hello', 'll') AS pos, "
+        "contains('hello', 'ell') AS has, "
+        "starts_with('hello', 'he') AS sw, ends_with('hello', 'lo') AS ew, "
+        "ltrim('  x') AS lt, rtrim('x  ') AS rt, repeat('ab', 3) AS rpt, "
+        "md5('abc') AS h, regexp_extract('a1b22', '([0-9]+)b([0-9]+)', 2) AS rex, "
+        "sign(-3) AS sg, log2(8) AS lg2, log10(1000) AS lg10"
+    )
+    got = eng.execute(sql).rows
+    con = duckdb.connect()
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert [tuple(r) for r in got] == want
+
+
+def test_string_toolbox_on_table_columns(eng):
+    eng.execute("CREATE TABLE s (id INTEGER PRIMARY KEY, t STRING)")
+    eng.execute("INSERT INTO s VALUES (1, 'alpha,beta'), (2, 'gamma,delta')")
+    rows = eng.execute(
+        "SELECT id, split_part(t, ',', 1) AS head, strpos(t, ',') AS cut "
+        "FROM s WHERE contains(t, 'a,') ORDER BY id"
+    ).rows
+    assert rows == [(1, "alpha", 6), (2, "gamma", 6)]
