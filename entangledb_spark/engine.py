@@ -485,6 +485,23 @@ class Engine:
         views = manifest.get("views") or {}
         matviews = manifest.get("matviews") or {}
 
+        def relations() -> list[tuple]:
+            # catalog introspection rows for the relations() TVF — built
+            # from THIS manifest, so a pinned AS OF session lists its era
+            out = []
+            for name, t in manifest["tables"].items():
+                kind = "external table" if t.get("external") else "table"
+                cols = ", ".join(c["name"] for c in t["columns"])
+                out.append((name, kind, len(t["columns"]), cols))
+            for name, v in views.items():
+                out.append((name, "view", len(v["columns"]), ", ".join(v["columns"])))
+            for name, mv in matviews.items():
+                out.append(
+                    (name, "materialized view", len(mv["columns"]),
+                     ", ".join(mv["columns"]))
+                )
+            return sorted(out)
+
         def make_read(stack: tuple = ()):
             def read(name: str) -> DataFrame:
                 v = views.get(name)
@@ -511,6 +528,7 @@ class Engine:
                 return read_table(name)
 
             read.versioned = versioned
+            read.relations = relations
             return read
 
         def read_table(name: str) -> DataFrame:

@@ -382,6 +382,22 @@ def _hybrid_topk_bulk(
     ).drop("ranks")
 
 
+def _relations(spark: SparkSession, read) -> DataFrame:
+    """Catalog introspection in SQL: one row per relation visible to THIS
+    session's snapshot — `SELECT * FROM relations()` lists tables
+    (managed/ATTACHed), views, and materialized views with their column
+    lists; inside BEGIN READ ONLY AS OF SYSTEM TIME it lists that
+    version's catalog. Columns: (name, kind, n_columns, columns)."""
+    rels = getattr(read, "relations", None)
+    if rels is None:
+        raise ValueError(
+            "relations(): no catalog behind this session's reader"
+        )
+    return spark.createDataFrame(
+        rels(), "name string, kind string, n_columns long, columns string"
+    )
+
+
 TABLE_FUNCS: dict[str, TvfSpec] = {
     "bm25_topk": TvfSpec(2, 3, _bm25_topk),
     "ann_topk": TvfSpec(2, 3, _ann_topk),
@@ -389,6 +405,7 @@ TABLE_FUNCS: dict[str, TvfSpec] = {
     "ann_topk_bulk": TvfSpec(2, 3, _ann_topk_bulk, reads_tables=True),
     "substring_spans": TvfSpec(1, 3, _substring_spans, reads_tables=True),
     "contamination_spans": TvfSpec(2, 3, _contamination_spans, reads_tables=True),
+    "relations": TvfSpec(0, 0, _relations, reads_tables=True),
     "hybrid_topk": TvfSpec(4, 6, _hybrid_topk),
     "hybrid_topk_bulk": TvfSpec(3, 5, _hybrid_topk_bulk, reads_tables=True),
 }

@@ -1397,3 +1397,25 @@ def test_string_toolbox_on_table_columns(eng):
         "FROM s WHERE contains(t, 'a,') ORDER BY id"
     ).rows
     assert rows == [(1, "alpha", 6), (2, "gamma", 6)]
+
+
+def test_relations_tvf_lists_catalog(eng):
+    eng.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+    eng.execute("INSERT INTO t VALUES (1, 1)")
+    v1 = eng.catalog.current_version()
+    eng.execute("CREATE VIEW vv AS SELECT v FROM t")
+    eng.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT v, count(*) AS n FROM t GROUP BY v"
+    )
+    rows = eng.execute("SELECT name, kind FROM relations() ORDER BY name").rows
+    assert rows == [
+        ("mv", "materialized view"), ("t", "table"), ("vv", "view"),
+    ]
+    # it's a relation like any other: filter/join/aggregate over it
+    assert eng.execute(
+        "SELECT count(*) AS n FROM relations() WHERE kind = 'view'"
+    ).rows == [(1,)]
+    # a pinned session lists its own era's catalog
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v1}")
+    assert eng.execute("SELECT name FROM relations()").rows == [("t",)]
+    eng.execute("COMMIT")
