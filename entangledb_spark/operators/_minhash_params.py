@@ -87,6 +87,56 @@ def minhash_gate_oracle_ctes() -> str:
     )"""
 
 
+def minhash_pairs_oracle_sql() -> str:
+    """Full DuckDB oracle for the q62 gate (round 10: the gate query is
+    re-keyed onto the md5 twin primitive — see dedup.minhash_lsh_pairs —
+    so the driver can hash-match the ENTIRE pair pipeline instead of
+    recording a rows-only row): candidate pairs from the banded join,
+    est_jaccard = fraction of equal signature components, exact_jaccard
+    over the distinct 30-bit shingle-hash sets (list_intersect dedupes,
+    |A∪B| = |A|+|B|-|A∩B| — the same identity Spark's
+    array_intersect/array_union sizes compute)."""
+    p = MINHASH_PERMS
+    return (
+        "WITH RECURSIVE "
+        + minhash_gate_oracle_ctes()
+        + f""",
+    mcand AS (SELECT da AS doc_a, db AS doc_b FROM mmatch WHERE da < db),
+    msets AS (SELECT doc_id, list_distinct(B) AS s FROM msh)
+    SELECT c.doc_a, c.doc_b,
+           r4(CAST(list_sum(list_transform(range(1, {p + 1}),
+                i -> CASE WHEN ha.sig[i] = hb.sig[i] THEN 1 ELSE 0 END))
+              AS DOUBLE) / {p}) AS est_jaccard,
+           r4(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))))
+             AS exact_jaccard
+    FROM mcand c
+    JOIN mhs ha ON ha.doc_id = c.doc_a
+    JOIN mhs hb ON hb.doc_id = c.doc_b
+    JOIN msets sa ON sa.doc_id = c.doc_a
+    JOIN msets sb ON sb.doc_id = c.doc_b
+    """
+    )
+
+
+def minhash_clusters_oracle_sql() -> str:
+    """Full DuckDB oracle for the q67 gate (round 10): duplicate clusters
+    over the md5-twin candidate-pair graph — recursive-CTE label
+    propagation to the fixpoint (mlab/mcc in minhash_gate_oracle_ctes),
+    then one GROUP BY per component. min(label) per vertex is exactly
+    the component minimum dedup.connected_components converges to."""
+    return (
+        "WITH RECURSIVE "
+        + minhash_gate_oracle_ctes()
+        + """
+    SELECT CAST(cc AS BIGINT) AS cluster_id,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM mcc GROUP BY cc HAVING count(*) > 1
+    """
+    )
+
+
 SIMHASH_GATE_BITS = 60  # 15 md5 hex chars < 2^60 — BIGINT-safe on both engines
 SIMHASH_GATE_BANDS = 4
 

@@ -13,9 +13,10 @@ Five strategies, ordered by cost, all shuffle-minimal and driver-free:
 
 Everything is deterministic (seeded xxhash64; no RNG), so results are
 stable across runs and cluster sizes — a hard requirement for
-reproducible corpus curation. MinHash/SimHash internals are not
-SQL-expressible, so those two register without DuckDB oracles (driver
-records rows-only checks); exact / Jaccard / cosine have full oracles.
+reproducible corpus curation. The hash PRIMITIVE is a parameter
+(TWINS.md): production runs seeded xxhash64; the driver-gate instances
+(q62/q63/q67) run the md5 twin so their full pipelines sit on DuckDB
+oracles, with pair-set equivalence tests binding the two bases.
 
 Scale notes: LSH banding is the 100 TB path — candidate generation cost is
 proportional to bucket collisions, not |corpus|²; the brute-force joins
@@ -43,6 +44,8 @@ from entangledb_spark.operators._minhash_params import (  # noqa: F401
     SHINGLE_N,
     SIMHASH_GATE_BANDS,
     SIMHASH_GATE_BITS,
+    minhash_clusters_oracle_sql,
+    minhash_pairs_oracle_sql,
 )
 
 
@@ -313,14 +316,18 @@ def _shingle_hash_expr(base: str = "xxhash64"):
     return F.when(F.size(F.col("_toks")) >= SHINGLE_N, win).otherwise(short)
 
 
-def shingle_hash_sets(df: DataFrame, text_col: str = "text") -> DataFrame:
+def shingle_hash_sets(
+    df: DataFrame, text_col: str = "text", base: str = "xxhash64"
+) -> DataFrame:
     """doc_id → distinct 30-bit shingle-hash set — the exact universe the
     MinHash signature estimates over, as a standalone narrow map. Run it
     on a BOUNDED relation (e.g. the candidate docs of an LSH join) to get
-    exact Jaccard without caching O(corpus tokens) anywhere."""
+    exact Jaccard without caching O(corpus tokens) anywhere. ``base``
+    picks the hash primitive and must match the signature's (the set IS
+    the universe the signature estimates over)."""
     return (
         df.withColumn("_toks", word_tokens(F.col(text_col)))
-        .withColumn("shingles", F.array_distinct(_shingle_hash_expr()))
+        .withColumn("shingles", F.array_distinct(_shingle_hash_expr(base)))
         .select("doc_id", "shingles")
     )
 
@@ -489,10 +496,22 @@ def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df.repartition(cores)
 
 
-@query("q62_dedup_minhash_lsh")  # seeded-hash internals → no SQL oracle (rows-only)
-def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, base: str = "xxhash64"
+) -> DataFrame:
     """MinHash + LSH banding: signature → LSH_BANDS band hashes → explode →
     groupBy (band_idx, band_hash) → candidate pairs from same-bucket docs.
+
+    ``base`` picks the hash primitive (the TWINS.md seam): "xxhash64" is
+    the production path (fast, seeded, band keys compressed to one
+    xxhash64 each to shrink shuffle keys); "md5" is the
+    DuckDB-re-derivable twin the q62 GATE runs (round 10 — the driver's
+    oracle hash-matches the whole pipeline; band keys stay the RAW
+    comma-joined signature slices, the same equality uncompressed).
+    Everything downstream of the primitive — permutations, minima,
+    banding, candidate join, est/exact Jaccard — is shared arithmetic;
+    tests/test_dedup_quality.py binds the two bases with a pair-set
+    equivalence check at the operating threshold.
 
     This is the scale path for near-dup at 100 TB: cost is O(corpus) for
     signatures plus O(collisions) for pairs — never O(n²). Emits candidate
@@ -528,11 +547,25 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     sig = (
-        minhash_signature(d)
+        minhash_signature(d, base=base)
         .select("doc_id", "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+    def band_key(b):
+        raw = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # production compresses the band string to one xxhash64 (smaller
+        # shuffle keys, same equality); the md5 twin keeps the raw string
+        # so DuckDB joins on the identical key
+        return raw if base == "md5" else F.xxhash64(raw)
+
     bands = sig.select(
         "doc_id",
         "minhash",
@@ -540,16 +573,7 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
                 lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
+                    b.alias("band_idx"), band_key(b).alias("band_hash")
                 ),
             )
         ).alias("band"),
@@ -605,7 +629,9 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handful of docs, so re-spreading the whole corpus across cores
     # first would add a full round-robin shuffle for nothing.
     raw = table(spark, sf_dir, "documents").select("doc_id", "text")
-    sets = shingle_hash_sets(raw.join(F.broadcast(cand_ids), "doc_id", "left_semi"))
+    sets = shingle_hash_sets(
+        raw.join(F.broadcast(cand_ids), "doc_id", "left_semi"), base=base
+    )
     exact = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("ta.shingles"), F.col("tb.shingles")))
@@ -614,6 +640,19 @@ def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sets.alias("tb"), F.col("tb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", "est_jaccard", r4(exact).alias("exact_jaccard"))
     )
+
+
+@query("q62_dedup_minhash_lsh", oracle=minhash_pairs_oracle_sql())
+def q62_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q62 GATE instance of minhash_lsh_pairs, re-keyed (round 10)
+    onto the md5 twin primitive so the driver's DuckDB oracle can
+    hash-match the full pipeline — candidate pairs, est_jaccard AND
+    exact_jaccard — ending seven rounds of rows-only checks. Production
+    callers (near_dup_survivors, the streaming closure) keep the faster
+    seeded-xxhash64 base; the two bases share every expression downstream
+    of the hash primitive and are bound by the pair-set equivalence test
+    in tests/test_dedup_quality.py (TWINS.md recipe)."""
+    return minhash_lsh_pairs(spark, sf_dir, base="md5")
 
 
 def simhash_from_hashes(hashes, n_bits: int = 64):
@@ -852,11 +891,16 @@ def connected_components(
     return labels
 
 
-@query("q67_dedup_clusters")  # graph iteration → rows-only check
+@query("q67_dedup_clusters", oracle=minhash_clusters_oracle_sql())
 def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash-LSH candidate pairs →
     connected components → duplicate clusters with a keep-document.
-    The survivor set is `docs anti-join (cluster members - keepers)`."""
+    The survivor set is `docs anti-join (cluster members - keepers)`.
+
+    Round 10: rides q62's md5 twin pairs, so the REAL convergence-checked
+    connected_components loop is now hash-gated directly against a DuckDB
+    recursive-CTE label propagation (previously rows-only; the mh_cc
+    column on q66 keeps its independent check of the same loop)."""
     pairs = q62_dedup_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
@@ -898,10 +942,11 @@ def near_dup_survivors(
     q62/q67/connected_components); the final step is one left-anti join
     on the id (the loser set is |cluster members| - |clusters| rows,
     tiny relative to the corpus). Counterpart of ``exact_dedup`` for the
-    near-dup regime."""
+    near-dup regime. Runs the PRODUCTION xxhash64 base (the q62 gate's
+    md5 twin exists only for oracle lineage)."""
     docs = table(spark, sf_dir, "documents")
     pairs = (
-        q62_dedup_minhash_lsh(spark, sf_dir)
+        minhash_lsh_pairs(spark, sf_dir, base="xxhash64")
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )

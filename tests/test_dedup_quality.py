@@ -284,3 +284,31 @@ def test_simhash_md5_twin_matches_python_reference(spark):
     got2 = {r.doc_id: r.n_sim_band_partners
             for r in simhash_gate_summary(df2).collect()}
     assert got2[3] == 0 and got2[4] == 0 and got2[5] == 0
+
+
+def test_minhash_pair_set_equivalence_xxhash64_vs_md5(spark):
+    """Round-10 binding test for the q62 gate re-key (TWINS.md): the
+    PRODUCTION xxhash64 base and the gate's DuckDB-re-derivable md5 base
+    must produce the SAME candidate pair set on the real fixture — both
+    raw (all band collisions) and at the operating threshold
+    (est_jaccard >= 0.5, the near_dup_survivors default). Different hash
+    universes, same decisions: the fixture's near-dups are unambiguous,
+    so a divergence here means a bug in the shared banding/permutation
+    math, not hash luck."""
+    from entangledb_spark.operators.dedup import minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    xx = minhash_lsh_pairs(spark, sf, base="xxhash64").collect()
+    md = minhash_lsh_pairs(spark, sf, base="md5").collect()
+    assert {(r.doc_a, r.doc_b) for r in xx} == {(r.doc_a, r.doc_b) for r in md}
+    thr = lambda rows: {  # noqa: E731
+        (r.doc_a, r.doc_b) for r in rows if r.est_jaccard >= 0.5
+    }
+    assert thr(xx) == thr(md)
+    # exact_jaccard is computed over each base's own 30-bit shingle
+    # universe — the VALUES may differ by collision noise, but the
+    # decision-relevant ordering agrees on every shared pair
+    ex = {(r.doc_a, r.doc_b): r.exact_jaccard for r in xx}
+    em = {(r.doc_a, r.doc_b): r.exact_jaccard for r in md}
+    for k in ex:
+        assert abs(ex[k] - em[k]) < 0.02, (k, ex[k], em[k])
