@@ -141,6 +141,33 @@ SIMHASH_GATE_BITS = 60  # 15 md5 hex chars < 2^60 — BIGINT-safe on both engine
 SIMHASH_GATE_BANDS = 4
 
 
+def simhash_fingerprint_oracle_sql() -> str:
+    """Full DuckDB oracle for the q63 gate (round 10: re-keyed onto the
+    md5 60-bit twin primitive — see dedup.simhash_fingerprints): per-doc
+    fingerprint from the shared vote/sign math plus the four 15-bit
+    bands. Zero-token / NULL-text docs vanish from the vote CTE (unnest
+    of empty) and coalesce to fingerprint 0 — exactly what Spark's empty
+    vote array produces."""
+    bits = SIMHASH_GATE_BITS
+    width = bits // SIMHASH_GATE_BANDS
+    mask = (1 << width) - 1
+    band_cols = ",\n           ".join(
+        f"CAST((coalesce(f.fp, 0) >> {bits - width * (j + 1)}) & {mask} AS BIGINT)"
+        f" AS {name}"
+        for j, name in enumerate(("band_a", "band_b", "band_c", "band_d"))
+    )
+    return (
+        "WITH "
+        + simhash_gate_oracle_ctes()
+        + f"""
+    SELECT d.doc_id,
+           CAST(coalesce(f.fp, 0) AS BIGINT) AS simhash,
+           {band_cols}
+    FROM documents d LEFT JOIN sfp f ON f.doc_id = d.doc_id
+    """
+    )
+
+
 def simhash_gate_oracle_ctes() -> str:
     """DuckDB re-derivation of dedup.simhash_gate_summary: per-token
     60-bit md5 hash, per-bit +-1 votes (one GROUP BY with 60 sum-CASE

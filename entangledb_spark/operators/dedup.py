@@ -46,6 +46,7 @@ from entangledb_spark.operators._minhash_params import (  # noqa: F401
     SIMHASH_GATE_BITS,
     minhash_clusters_oracle_sql,
     minhash_pairs_oracle_sql,
+    simhash_fingerprint_oracle_sql,
 )
 
 
@@ -749,37 +750,70 @@ def simhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@query("q63_dedup_simhash")  # seeded-hash internals → no SQL oracle (rows-only)
-def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: 64-bit fingerprint where bit i is the sign of the sum of
-    ±1 votes from each token's xxhash64 bit i. Near-dups have small
-    hamming distance; here we emit (doc_id, simhash, band16_*) with 16-bit
-    bands for bucketed lookup — pairs within a band bucket are candidates.
+def simhash_fingerprints(
+    spark: SparkSession, sf_dir: str, base: str = "xxhash64"
+) -> DataFrame:
+    """SimHash: n-bit fingerprint where bit i is the sign of the sum of
+    ±1 votes from each token's hash bit i. Near-dups have small hamming
+    distance; emits (doc_id, simhash, band_a..band_d) with n/4-bit bands
+    for bucketed lookup — pairs within a band bucket are candidates
+    (simhash_near_pairs completes the path; its pigeonhole guarantee
+    holds for any 4-band split).
 
-    All vector math is expressed over an array of 64 bit positions with
+    ``base`` is the TWINS.md primitive seam: "xxhash64" (production —
+    64-bit fingerprint from one xxhash64 per token, 16-bit bands) or
+    "md5" (the q63 GATE — SIMHASH_GATE_BITS=60-bit fingerprint from the
+    first 15 md5 hex chars per token, 15-bit bands, exactly the
+    simhash_gate_summary family DuckDB re-derives). The vote/sign fold
+    (simhash_from_hashes) is shared verbatim between the two.
+
+    All vector math is expressed over an array of bit positions with
     transform/aggregate — codegen'd, no shuffle, no UDF.
     """
     d = repartition_for_cpu(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
     toks = F.array_distinct(word_tokens(F.col("text")))
-    # Hash each token once; vote per bit over the hash array
-    # (simhash_from_hashes — shared with the q66 gate twin).
-    hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    if base == "md5":
+        n_bits = SIMHASH_GATE_BITS
+        hashes = F.transform(
+            F.col("_toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        n_bits = 64
+        # Hash each token once; vote per bit over the hash array
+        # (simhash_from_hashes — shared with the q66 gate twin).
+        hashes = F.transform(F.col("_toks"), lambda t: F.xxhash64(t))
+    width = n_bits // 4
+    mask = (1 << width) - 1
     out = (
         d.withColumn("_toks", toks)
         .withColumn("_hashes", hashes)
-        .withColumn("simhash", simhash_from_hashes(F.col("_hashes"), 64))
+        .withColumn("simhash", simhash_from_hashes(F.col("_hashes"), n_bits))
         .drop("_toks", "_hashes")
     )
     return out.select(
         "doc_id",
         "simhash",
-        F.shiftrightunsigned(F.col("simhash"), 48).bitwiseAND(F.lit(0xFFFF)).alias("band_a"),
-        F.shiftrightunsigned(F.col("simhash"), 32).bitwiseAND(F.lit(0xFFFF)).alias("band_b"),
-        F.shiftrightunsigned(F.col("simhash"), 16).bitwiseAND(F.lit(0xFFFF)).alias("band_c"),
-        F.col("simhash").bitwiseAND(F.lit(0xFFFF)).alias("band_d"),
+        *[
+            F.shiftrightunsigned(F.col("simhash"), n_bits - width * (j + 1))
+            .bitwiseAND(F.lit(mask))
+            .alias(name)
+            for j, name in enumerate(("band_a", "band_b", "band_c", "band_d"))
+        ],
     )
+
+
+@query("q63_dedup_simhash", oracle=simhash_fingerprint_oracle_sql())
+def q63_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q63 GATE instance of simhash_fingerprints, re-keyed (round 10)
+    onto the md5 60-bit twin primitive so the driver's DuckDB oracle can
+    hash-match every fingerprint and band directly (previously rows-only).
+    Production near-dup consumers keep the 64-bit xxhash64 base; both run
+    the same simhash_from_hashes vote/sign math, and the pair-set
+    equivalence test in tests/test_dedup_quality.py binds the two."""
+    return simhash_fingerprints(spark, sf_dir, base="md5")
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -312,3 +312,42 @@ def test_minhash_pair_set_equivalence_xxhash64_vs_md5(spark):
     em = {(r.doc_a, r.doc_b): r.exact_jaccard for r in md}
     for k in ex:
         assert abs(ex[k] - em[k]) < 0.02, (k, ex[k], em[k])
+
+
+def test_simhash_base_equivalence_on_exact_duplicates(spark):
+    """Round-10 binding test for the q63 gate re-key: a pair of documents
+    with IDENTICAL distinct-token sets must fingerprint identically
+    (hamming 0) under BOTH the production 64-bit xxhash64 base and the
+    gate's 60-bit md5 base — the semantic invariant the two hash
+    universes share exactly. (Unlike MinHash-LSH candidate pairs, the
+    hamming<=3 candidate sets legitimately differ between 60- and 64-bit
+    spaces, so the binding property is the exact-duplicate one; behavior
+    on planted near-dups is covered by the twin tests above.)"""
+    from entangledb_spark.operators.dedup import simhash_fingerprints, word_tokens
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents")
+    groups = (
+        docs.select(
+            "doc_id",
+            F.array_join(F.array_sort(F.array_distinct(word_tokens(F.col("text")))), " ").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert groups, "fixture must contain exact-duplicate documents"
+    dup_pairs = {
+        (min(a, b), max(a, b))
+        for g in groups
+        for i, a in enumerate(sorted(g.ids))
+        for b in sorted(g.ids)[i + 1 :]
+    }
+    for base in ("xxhash64", "md5"):
+        fp = {
+            r.doc_id: r.simhash
+            for r in simhash_fingerprints(spark, sf, base=base).collect()
+        }
+        for a, b in dup_pairs:
+            assert fp[a] == fp[b], (base, a, b)
