@@ -111,20 +111,33 @@ def build_lsh_index(
     n_tables: int = N_LSH_TABLES,
     n_planes: int = N_HYPERPLANES,
     mode: str = "overwrite",
+    sign: str = "xxhash64",
 ) -> None:
     """One distributed pass: codegen'd bucket computation (no shuffle for
     the codes — the only exchange is the partitioned write's file routing),
     then parquet partitioned by (tbl, bucket). Pass mode='append' to add
     new vectors incrementally — deterministic seeds keep codes stable, and
     the saved hash-family parameters must match or the append is refused
-    (mismatched codes would corrupt the index silently)."""
+    (mismatched codes would corrupt the index silently).
+
+    ``sign`` picks the hyperplane family (similarity.srp_bucket — the
+    TWINS.md primitive seam): "xxhash64" (production) or "md5" (the q71
+    gate twin DuckDB re-derives). It is SAVED in the meta and probes
+    always recompute probe-side codes with the saved family — a probe
+    hashed with the wrong family would silently miss every bucket."""
     if mode == "append":
         meta = _read_meta(index_dir, "lsh")
-        if (meta["n_tables"], meta["n_planes"]) != (n_tables, n_planes):
+        saved_sign = meta.get("sign", "xxhash64")
+        if (meta["n_tables"], meta["n_planes"], saved_sign) != (
+            n_tables,
+            n_planes,
+            sign,
+        ):
             raise ValueError(
-                f"append with (n_tables={n_tables}, n_planes={n_planes}) against "
-                f"an index built with (n_tables={meta['n_tables']}, "
-                f"n_planes={meta['n_planes']})"
+                f"append with (n_tables={n_tables}, n_planes={n_planes}, "
+                f"sign={sign}) against an index built with "
+                f"(n_tables={meta['n_tables']}, n_planes={meta['n_planes']}, "
+                f"sign={saved_sign})"
             )
     # repartition on the partition keys before writing: every (tbl, bucket)
     # group lands in one task → ONE file per partition directory instead of
@@ -132,14 +145,20 @@ def build_lsh_index(
     # measured 1.7× slower to probe than the compacted layout). For
     # mega-buckets at corpus scale, raise spark.sql.shuffle.partitions or
     # add a salt column to split a bucket across several files.
-    lsh_bucket_codes(embeddings, n_tables, n_planes).repartition(
+    lsh_bucket_codes(embeddings, n_tables, n_planes, sign=sign).repartition(
         "tbl", "bucket"
     ).write.mode(mode).partitionBy("tbl", "bucket").parquet(
         os.path.join(index_dir, "buckets")
     )
     if mode != "append":
         _write_meta(
-            index_dir, {"kind": "lsh", "n_tables": n_tables, "n_planes": n_planes}
+            index_dir,
+            {
+                "kind": "lsh",
+                "n_tables": n_tables,
+                "n_planes": n_planes,
+                "sign": sign,
+            },
         )
 
 
@@ -171,7 +190,12 @@ def probe_lsh_index(
     # path, applied to the tiny probe relation only; each extra bucket still
     # prunes to its own partition directory at the source
     q = expand_multiprobe(
-        lsh_bucket_codes(probes, meta["n_tables"], meta["n_planes"]),
+        lsh_bucket_codes(
+            probes,
+            meta["n_tables"],
+            meta["n_planes"],
+            sign=meta.get("sign", "xxhash64"),
+        ),
         meta["n_planes"],
     ).alias("q")
     cond = (F.col("q.tbl") == F.col("n.tbl")) & (F.col("q.bucket") == F.col("n.bucket"))
@@ -198,8 +222,27 @@ def probe_lsh_index(
     )
 
 
+def _cell_expr_for(cell_base: str, n_cells: int):
+    """The TWINS.md seam for IVF medoid seeding: None keeps ivf_centroids'
+    production default (xxhash64(vec_id) mod n_cells); "knuth" swaps in
+    the DuckDB-re-derivable knuth bucket (q71 gate). Only the BUILD uses
+    it — probes always route through the SAVED centroid vectors, so the
+    probe path is primitive-agnostic."""
+    if cell_base == "xxhash64":
+        return None
+    if cell_base == "knuth":
+        from entangledb_spark.operators.text import knuth_bucket
+
+        return knuth_bucket(F.col("vec_id"), n_cells)
+    raise ValueError(f"cell_base must be xxhash64|knuth, got {cell_base!r}")
+
+
 def build_ivf_index(
-    embeddings: DataFrame, index_dir: str, n_cells: int = 16, refine: int = 0
+    embeddings: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    refine: int = 0,
+    cell_base: str = "xxhash64",
 ) -> None:
     """IVF index build: centroids persisted under <dir>/centroids, cell
     assignments under <dir>/cells PARTITIONED BY cell — probes read one
@@ -207,15 +250,20 @@ def build_ivf_index(
     reuse the SAVED centroids or cell boundaries shift — probe-side code
     reads them back for exactly that reason.) ``refine`` Lloyd rounds
     (see ivf_centroids) sharpen the centroids at build time; probes are
-    unaffected because they always route through the SAVED centroids."""
-    cents = ivf_centroids(embeddings, n_cells, refine=refine)
+    unaffected because they always route through the SAVED centroids.
+    ``cell_base`` picks the medoid-seed primitive (_cell_expr_for)."""
+    cents = ivf_centroids(
+        embeddings, n_cells, refine=refine, cell_expr=_cell_expr_for(cell_base, n_cells)
+    )
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     spark = embeddings.sparkSession
     saved = spark.read.parquet(f"{index_dir}/centroids")
     ivf_assign(embeddings, saved).repartition("cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(f"{index_dir}/cells")
-    _write_meta(index_dir, {"kind": "ivf", "n_cells": n_cells})
+    _write_meta(
+        index_dir, {"kind": "ivf", "n_cells": n_cells, "cell_base": cell_base}
+    )
 
 
 def probe_ivf_index(
@@ -288,6 +336,7 @@ def build_ivfpq_index(
     mode: str = "overwrite",
     batch: str | None = None,
     by_residual: bool | None = None,
+    cell_base: str = "xxhash64",
 ) -> None:
     """IVF-PQ index: the serving architecture vector stores actually run
     at 100 TB (FAISS's IVFPQ) — IVF cells prune WHICH files a probe
@@ -354,6 +403,11 @@ def build_ivfpq_index(
             meta.get("by_residual", False),
         )
         asked = (n_cells, m, ksub, by_residual)
+        if cell_base != meta.get("cell_base", "xxhash64"):
+            raise ValueError(
+                f"append with cell_base={cell_base} against an index built "
+                f"with cell_base={meta.get('cell_base', 'xxhash64')}"
+            )
         if any(a is not None and a != s for a, s in zip(asked, saved)):
             raise ValueError(
                 f"append with (n_cells={n_cells}, m={m}, ksub={ksub}, "
@@ -419,7 +473,9 @@ def build_ivfpq_index(
     else:  # versioned staging; any crashed earlier attempt is removed
         cents_name, cents_dir = staging_dir(index_dir, "centroids", version)
         codes_name, codes_dir = staging_dir(index_dir, "codes", version)
-    cents_df = ivf_centroids(embeddings, n_cells, refine=refine)
+    cents_df = ivf_centroids(
+        embeddings, n_cells, refine=refine, cell_expr=_cell_expr_for(cell_base, n_cells)
+    )
     cents_df.coalesce(1).write.mode("overwrite").parquet(cents_dir)
     cent_rows = spark.read.parquet(cents_dir).collect()
     assigned = ivf_assign(embeddings, cent_rows)
@@ -461,6 +517,7 @@ def build_ivfpq_index(
         "n_cells": n_cells,
         "pq_model": model,
         "by_residual": bool(by_residual),
+        "cell_base": cell_base,
         "cents_dir": cents_name,
         "codes_dir": codes_name,
         "version": version,

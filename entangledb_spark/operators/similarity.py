@@ -209,7 +209,9 @@ def expand_multiprobe(
     return codes.withColumn("bucket", F.explode(flips))
 
 
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, sign: str = "xxhash64"
+) -> DataFrame:
     """Multi-table LSH ANN: each vector gets N_LSH_TABLES independent
     sign-LSH bucket ids (exploded to one row per table); candidates are
     pairs sharing a bucket in ANY table (distinct-deduped), then exact
@@ -227,7 +229,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    with_b = lsh_bucket_codes(e)
+    with_b = lsh_bucket_codes(e, sign=sign)
     q = expand_multiprobe(with_b.filter(F.col("vec_id") < 20)).alias("q")
     n = with_b.alias("n")
     cands = (
@@ -254,21 +256,25 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Per-process cache of built LSH index dirs, keyed by sf_dir: the gate
-# query may be invoked several times in one session (plan-invariant
-# fixtures, driver re-runs) — the index builds once and every later call
-# goes straight to the probe.
-_LSH_INDEX_CACHE: dict[str, str] = {}
+# Per-process cache of built LSH index dirs, keyed by (sf_dir, primitive
+# variant): the gate query may be invoked several times in one session
+# (plan-invariant fixtures, driver re-runs) — the index builds once and
+# every later call goes straight to the probe.
+_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_indexed(
+    spark: SparkSession, sf_dir: str, sign: str = "xxhash64"
+) -> DataFrame:
     """LSH ANN routed through the PERSISTENT index (operators/ann_index):
     build_lsh_index writes bucket codes as parquet PARTITIONED BY
     (tbl, bucket) into a per-run tmp dir, then probe_lsh_index joins the
     probe set against it with file-level partition pruning. Row-identical
-    to the inline ann_lsh_bucketed (asserted in tests/test_ann_index.py) —
-    this is the build-once/probe-many serving shape, and routing the gate
-    query through it keeps the index machinery on the driver gate."""
+    to the inline ann_lsh_bucketed at the same ``sign`` (asserted in
+    tests/test_ann_index.py) — this is the build-once/probe-many serving
+    shape, and routing the gate query through it keeps the index
+    machinery on the driver gate. ``sign`` is the hyperplane primitive
+    (srp_bucket): production xxhash64, or the q71 gate's md5 twin."""
     import tempfile
 
     from entangledb_spark.operators.ann_index import build_lsh_index, probe_lsh_index
@@ -277,18 +283,20 @@ def ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    idx = _LSH_INDEX_CACHE.get(sf_dir)
+    idx = _LSH_INDEX_CACHE.get((sf_dir, sign))
     if idx is None:
         idx = tempfile.mkdtemp(prefix="entangledb-lsh-index-")
-        build_lsh_index(e, idx)
-        _LSH_INDEX_CACHE[sf_dir] = idx
+        build_lsh_index(e, idx, sign=sign)
+        _LSH_INDEX_CACHE[(sf_dir, sign)] = idx
     return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
-_IVF_INDEX_CACHE: dict[str, str] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_indexed(
+    spark: SparkSession, sf_dir: str, cell_base: str = "xxhash64"
+) -> DataFrame:
     """IVF ANN routed through the PERSISTENT index (operators/ann_index):
     build_ivf_index saves centroids + cell-partitioned assignments to a
     per-run tmp dir once per process; probes route through the SAVED
@@ -296,7 +304,9 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf (tests/test_ann_index.py::test_ivf_probe_matches_inline_
     pipeline), so routing q71's IVF branch through it — symmetric with
     the round-4 LSH routing — keeps BOTH persistent-index paths on the
-    driver gate."""
+    driver gate. ``cell_base`` picks the medoid-seed primitive
+    (ann_index._cell_expr_for): production xxhash64 or the q71 gate's
+    knuth twin."""
     import tempfile
 
     from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
@@ -305,18 +315,23 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
-    idx = _IVF_INDEX_CACHE.get(sf_dir)
+    idx = _IVF_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
         idx = tempfile.mkdtemp(prefix="entangledb-ivf-index-")
-        build_ivf_index(e, idx, n_cells=N_IVF_CELLS)
-        _IVF_INDEX_CACHE[sf_dir] = idx
+        build_ivf_index(e, idx, n_cells=N_IVF_CELLS, cell_base=cell_base)
+        _IVF_INDEX_CACHE[(sf_dir, cell_base)] = idx
     return probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
-_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+_IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    cell_base: str = "xxhash64",
+    shortlist: int = 100,
+) -> DataFrame:
     """IVF-PQ ANN through the persistent code index (the FAISS serving
     architecture, operators/ann_index.build/probe_ivfpq_index): the
     corpus is UNIT-NORMALIZED first (the standard cosine-ANN prep —
@@ -337,17 +352,29 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = repartition_for_cpu(
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
     )
+    # cast to double BEFORE squaring so the norm is the double-precision
+    # fold the DuckDB oracle re-derives bit-identically (squaring the raw
+    # float32 elements would round each square to float32 first — a
+    # ~1e-8 relative divergence that the q71 gate's raw-distance rank
+    # ordering cannot tolerate; r4-rounded outputs never saw it)
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     unit = e.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / norm(F.col("embedding"))
-        ).alias("embedding"),
+        F.transform(emb_d, lambda x: x / norm(emb_d)).alias("embedding"),
     )
-    idx = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    idx = _IVFPQ_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
         idx = tempfile.mkdtemp(prefix="entangledb-ivfpq-index-")
-        build_ivfpq_index(unit, idx, n_cells=N_IVF_CELLS, m=4, ksub=16, pq_refine=1)
-        _IVFPQ_INDEX_CACHE[sf_dir] = idx
+        build_ivfpq_index(
+            unit,
+            idx,
+            n_cells=N_IVF_CELLS,
+            m=4,
+            ksub=16,
+            pq_refine=1,
+            cell_base=cell_base,
+        )
+        _IVFPQ_INDEX_CACHE[(sf_dir, cell_base)] = idx
     hits = probe_ivfpq_index(
         spark,
         idx,
@@ -355,7 +382,7 @@ def ann_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         rerank_with=unit,
-        shortlist=100,
+        shortlist=shortlist,
     )
     return hits.select(
         "query_id",
@@ -620,36 +647,6 @@ def ann_ivf(
     )
 
 
-@query("q71_ann_scalable")  # seeded-hash bucketing/medoids → rows-only check
-def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three scale-path ANN strategies in one tagged result:
-    'lsh' rows from the PERSISTENT LSH index (build_lsh_index +
-    probe_lsh_index over a per-run tmp dir — row-identical to the inline
-    ann_lsh_bucketed, asserted in tests/test_ann_index.py, so the index
-    build/probe/partition-pruning machinery carries driver-gate evidence),
-    'ivf' rows from the persistent IVF index (saved centroids + cell-
-    partitioned assignments, probe ≡ inline asserted likewise), and
-    'ivfpq' rows from the persistent IVF-PQ code index (round 7 —
-    unit-normalized corpus, trained codebooks persisted as index meta,
-    guarded-ADC probe + exact rerank; see ann_ivfpq_indexed) — each
-    re-ranked by exact cosine to top-5 per probe query. The union is a
-    no-shuffle concatenation of the three plans; each branch keeps its
-    own documented scale shape. Recall of all branches against the exact
-    q70 top-k is additionally asserted quantitatively in
-    tests/test_skew_bucketing.py (test_lsh_recall_vs_bruteforce /
-    test_ivf_recall_vs_bruteforce / test_ivfpq_recall_vs_bruteforce)."""
-    lsh = ann_lsh_indexed(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    ivf = ann_ivf_indexed(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    ivfpq = ann_ivfpq_indexed(spark, sf_dir).select(
-        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
-    return lsh.unionByName(ivf).unionByName(ivfpq)
-
-
 def lsh_gate_summary(emb: DataFrame) -> DataFrame:
     """Per-vector sign-LSH gate columns (vec_id, lsh0, n_lsh_partners)
     through the REAL lsh_bucket_codes/srp_bucket path with the md5 plane
@@ -734,6 +731,210 @@ def _lsh_gate_oracle_ctes() -> str:
         ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
       GROUP BY a.vec_id
     )"""
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """DuckDB fragment: Σ a[i]·b[i] as an EXPLICIT left-to-right
+    list_reduce fold — bit-identical to Spark's aggregate(zip_with(...))
+    (0.0 + v ≡ v in IEEE), unlike list_dot_product whose summation order
+    carries no contract. Used wherever the q71 oracle ORDERS by a raw
+    (un-rounded) float."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+def _fold_unit(col: str) -> str:
+    """DuckDB fragment: unit-normalize a DOUBLE[] with the same
+    double-precision fold Spark's norm() computes."""
+    n2 = (
+        f"list_reduce(list_transform({col}, x -> x * x), (x, y) -> x + y)"
+    )
+    return f"list_transform({col}, x -> x / sqrt({n2}))"
+
+
+def _ann_scalable_oracle_sql() -> str:
+    """Full DuckDB oracle for the q71 gate (round 10: all three ANN
+    strategies re-keyed onto engine-portable twin primitives — md5
+    hyperplanes for LSH, knuth-bucket medoids for IVF/IVF-PQ cells — so
+    the driver can hash-match the persistent-index probe results
+    directly; previously rows-only).
+
+    Branch mechanics mirrored exactly:
+    - lsh: md5-plane bucket codes per table (_lsh_gate_oracle_ctes),
+      probe side expanded by every 1-bit flip (expand_multiprobe), join
+      on (tbl, bucket), exact cosine rerank, rank by (r4 cos DESC, id).
+    - ivf: knuth medoids over the RAW corpus, centroids unit-normalized,
+      assignment = argmin of -dot ties to cell (ivf_assign's order),
+      corpus top-1 / probes top-2 cells, exact cosine rerank as above.
+    - ivfpq: corpus unit-normalized FIRST (double-precision fold), knuth
+      medoids over the unit corpus, same assignment, candidates ranked
+      by RAW exact squared L2 ties to id (probe_ivfpq_index's rerank
+      order — the gate runs a non-binding shortlist so the ADC stage
+      passes every cell candidate through; the ADC math itself is
+      hash-gated on q73's pq_adc_q), cos = r4(1 − d/2).
+
+    Raw-ordered floats use explicit list_reduce folds (bit-identical to
+    Spark's aggregate); r4-rounded display cosines use list_dot_product
+    (the q70/q73 precedent). Boundary margins are MEASURED at all three
+    fixture densities in tests/test_skew_bucketing.py."""
+    from entangledb_spark.operators.text import knuth_bucket_sql
+
+    masks = ", ".join(f"({0 if b < 0 else 1 << b})" for b in range(-1, N_HYPERPLANES))
+    kb = knuth_bucket_sql("vec_id", N_IVF_CELLS)
+    cos = (
+        "r4(list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b.emb, b.emb))))"
+    )
+    return (
+        """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"""
+        + _lsh_gate_oracle_ctes()
+        + f""",
+    aprobe AS (
+      SELECT l.vec_id, l.tbl, xor(CAST(l.bucket AS BIGINT), m.m) AS bucket
+      FROM lbkt l CROSS JOIN (VALUES {masks}) AS m(m)
+      WHERE l.vec_id < 20
+    ),
+    acand AS (
+      SELECT DISTINCT p.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM aprobe p JOIN lbkt n
+        ON p.tbl = n.tbl AND p.bucket = CAST(n.bucket AS BIGINT)
+      WHERE p.vec_id != n.vec_id
+    ),
+    atop AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM (
+        SELECT c.query_id, c.neighbor_id, {cos} AS cos_sim
+        FROM acand c
+        JOIN v a ON a.vec_id = c.query_id
+        JOIN v b ON b.vec_id = c.neighbor_id)
+    ),
+    ikc AS (
+      SELECT cell, {_fold_unit("centroid")} AS u FROM (
+        SELECT cell, emb AS centroid FROM (
+          SELECT {kb} AS cell, vec_id, emb,
+                 row_number() OVER (PARTITION BY {kb} ORDER BY vec_id) AS rn
+          FROM v) WHERE rn = 1)
+    ),
+    iasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, u.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -{_fold_dot("v.emb", "u.u")}, u.cell) AS rn
+        FROM v CROSS JOIN ikc u) WHERE rn = 1
+    ),
+    iprb AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, u.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY -{_fold_dot("v.emb", "u.u")}, u.cell) AS rn
+        FROM v CROSS JOIN ikc u WHERE v.vec_id < 20) WHERE rn <= 2
+    ),
+    itop AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM (
+        SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id, {cos} AS cos_sim
+        FROM iprb p
+        JOIN iasg n ON p.cell = n.cell AND p.vec_id != n.vec_id
+        JOIN v a ON a.vec_id = p.vec_id
+        JOIN v b ON b.vec_id = n.vec_id)
+    ),
+    uv AS (SELECT vec_id, {_fold_unit("emb")} AS u FROM v),
+    pkc AS (
+      SELECT cell, {_fold_unit("centroid")} AS pu FROM (
+        SELECT cell, u AS centroid FROM (
+          SELECT {kb} AS cell, vec_id, u,
+                 row_number() OVER (PARTITION BY {kb} ORDER BY vec_id) AS rn
+          FROM uv) WHERE rn = 1)
+    ),
+    pasg AS (
+      SELECT vec_id, cell FROM (
+        SELECT uv.vec_id, k.cell,
+               row_number() OVER (PARTITION BY uv.vec_id
+                                  ORDER BY -{_fold_dot("uv.u", "k.pu")}, k.cell) AS rn
+        FROM uv CROSS JOIN pkc k) WHERE rn = 1
+    ),
+    pprb AS (
+      SELECT vec_id, cell FROM (
+        SELECT uv.vec_id, k.cell,
+               row_number() OVER (PARTITION BY uv.vec_id
+                                  ORDER BY -{_fold_dot("uv.u", "k.pu")}, k.cell) AS rn
+        FROM uv CROSS JOIN pkc k WHERE uv.vec_id < 20) WHERE rn <= 2
+    ),
+    ptop AS (
+      SELECT query_id, neighbor_id, r4(1.0 - d / 2.0) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d, neighbor_id) AS rk
+      FROM (
+        SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+               list_reduce(list_transform(range(1, len(a.u) + 1),
+                 i -> (a.u[i] - b.u[i]) * (a.u[i] - b.u[i])),
+                 (x, y) -> x + y) AS d
+        FROM pprb p
+        JOIN pasg n ON p.cell = n.cell AND p.vec_id != n.vec_id
+        JOIN uv a ON a.vec_id = p.vec_id
+        JOIN uv b ON b.vec_id = n.vec_id)
+    )
+    SELECT 'lsh' AS method, query_id, neighbor_id, cos_sim,
+           CAST(rk AS BIGINT) AS rk FROM atop WHERE rk <= 5
+    UNION ALL
+    SELECT 'ivf', query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT)
+    FROM itop WHERE rk <= 5
+    UNION ALL
+    SELECT 'ivfpq', query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT)
+    FROM ptop WHERE rk <= 5
+    """
+    )
+
+
+@query("q71_ann_scalable", oracle=_ann_scalable_oracle_sql())
+def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three scale-path ANN strategies in one tagged result:
+    'lsh' rows from the PERSISTENT LSH index (build_lsh_index +
+    probe_lsh_index over a per-run tmp dir — row-identical to the inline
+    ann_lsh_bucketed, asserted in tests/test_ann_index.py, so the index
+    build/probe/partition-pruning machinery carries driver-gate evidence),
+    'ivf' rows from the persistent IVF index (saved centroids + cell-
+    partitioned assignments, probe ≡ inline asserted likewise), and
+    'ivfpq' rows from the persistent IVF-PQ code index (round 7 —
+    unit-normalized corpus, trained codebooks persisted as index meta,
+    guarded-ADC probe + exact rerank; see ann_ivfpq_indexed) — each
+    re-ranked by exact cosine to top-5 per probe query. The union is a
+    no-shuffle concatenation of the three plans; each branch keeps its
+    own documented scale shape. Recall of all branches against the exact
+    q70 top-k is additionally asserted quantitatively in
+    tests/test_skew_bucketing.py (test_lsh_recall_vs_bruteforce /
+    test_ivf_recall_vs_bruteforce / test_ivfpq_recall_vs_bruteforce).
+
+    Round 10: the GATE instance runs the engine-portable twin primitives
+    (md5 hyperplanes, knuth medoid cells — the TWINS.md seam) so the
+    whole build→probe→rerank path sits on the DuckDB oracle
+    (_ann_scalable_oracle_sql); production serving keeps xxhash64
+    seeds via the same functions' defaults. The ivfpq branch probes with
+    a NON-BINDING shortlist (every cell candidate reaches the exact
+    rerank — at gate scale the cells hold a few hundred vectors): the
+    output is then independent of ADC ordering, whose math is hash-gated
+    separately on q73 (pq_adc_q) and whose bounded-shortlist behavior is
+    covered by the probe≡inline and recall pytest gates."""
+    lsh = ann_lsh_indexed(spark, sf_dir, sign="md5").select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    ivf = ann_ivf_indexed(spark, sf_dir, cell_base="knuth").select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    ivfpq = ann_ivfpq_indexed(
+        spark, sf_dir, cell_base="knuth", shortlist=1_000_000
+    ).select(
+        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+    )
+    return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
 @query(

@@ -34,7 +34,9 @@ def test_probe_matches_inline_pipeline(spark, tmp_path):
 def test_q71_lsh_branch_routes_through_index(spark):
     """q71's 'lsh' branch must run via the persistent index (round-4 ask:
     the index machinery gains driver-gate evidence) AND stay row-identical
-    to the inline path — the same 200-row gate output as before."""
+    to the inline path AT THE SAME PRIMITIVE — since round 10 the gate
+    runs the md5 twin hyperplanes (DuckDB-oracle lineage), so the inline
+    comparison pins sign='md5' on both sides."""
     from entangledb_spark.operators.similarity import (
         _LSH_INDEX_CACHE,
         ann_lsh_indexed,
@@ -45,15 +47,17 @@ def test_q71_lsh_branch_routes_through_index(spark):
         (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rk"])
         for r in q71_ann_scalable(spark, SF).filter(F.col("method") == "lsh").collect()
     )
-    want = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF).collect())
+    want = sorted(tuple(r) for r in ann_lsh_bucketed(spark, SF, sign="md5").collect())
     assert got == want and len(got) > 0
     # the route actually went through a built index dir
-    assert SF in _LSH_INDEX_CACHE
-    assert os.path.exists(os.path.join(_LSH_INDEX_CACHE[SF], "_index_meta.json"))
+    assert (SF, "md5") in _LSH_INDEX_CACHE
+    assert os.path.exists(
+        os.path.join(_LSH_INDEX_CACHE[(SF, "md5")], "_index_meta.json")
+    )
     # and the cached index is reused, not rebuilt (same dir on second call)
-    first_dir = _LSH_INDEX_CACHE[SF]
-    ann_lsh_indexed(spark, SF).count()
-    assert _LSH_INDEX_CACHE[SF] == first_dir
+    first_dir = _LSH_INDEX_CACHE[(SF, "md5")]
+    ann_lsh_indexed(spark, SF, sign="md5").count()
+    assert _LSH_INDEX_CACHE[(SF, "md5")] == first_dir
 
 
 def test_probe_external_id_space_exclude_self_flag(spark, tmp_path):

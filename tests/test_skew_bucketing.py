@@ -220,3 +220,150 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf):
 
     avg = _avg_recall(spark, ann_ivfpq_indexed(spark, sf).collect(), sf)
     assert avg >= 0.75, f"IVF-PQ recall regressed at {sf}: {avg}"
+
+
+import hashlib as _hashlib
+
+import numpy as _np
+import pytest as _pytest2
+
+
+@_pytest2.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_q71_gate_cross_engine_margins(sf, spark):
+    """The round-10 q71 gate (twin primitives: md5 hyperplanes, knuth
+    medoid cells) hash-matches a DuckDB oracle that re-derives raw-float
+    ORDERINGS in four places. Measure, don't argue, that every boundary
+    gap dwarfs cross-engine summation noise (~1e-15), at every density
+    the gate can run at:
+
+    (a) IVF/IVF-PQ nearest-centroid argmin (top-1 corpus, top-2 probe);
+    (b) the IVF-PQ rank-5 cut on raw exact squared L2 (exact ties are
+        fine — both engines tie-break on neighbor_id);
+    (c) the r4 rounding flip of every emitted cos_sim;
+    (d) the md5-hyperplane sign of every (vector, table, plane) dot.
+
+    The numpy reimplementation here is also a THIRD independent
+    derivation of the twin's bucketing/routing (Spark, DuckDB, python)."""
+    import math
+
+    from entangledb_spark.operators.similarity import (
+        N_HYPERPLANES,
+        N_IVF_CELLS,
+        N_LSH_TABLES,
+    )
+    from entangledb_spark.registry import table as _table
+
+    HASH_M = (1 << 31) - 1
+    K = 2654435761 % HASH_M
+    rows = sorted(
+        _table(spark, sf, "embeddings").select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = _np.array([int(r.vec_id) for r in rows])
+    v = _np.array([[float(x) for x in r.embedding] for r in rows])
+    probe_mask = ids < 20
+    cells = ((ids % HASH_M) * K) % HASH_M % N_IVF_CELLS
+
+    def unit_rows(m):
+        return m / _np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+    def medoid_units(mat):
+        cs = sorted(set(cells.tolist()))
+        return _np.array(cs), unit_rows(
+            _np.stack([mat[_np.where(cells == c)[0].min()] for c in cs])
+        )
+
+    def r4_flip_margin(vals):
+        y = _np.asarray(vals) * 10000.0 + 0.5
+        return float(_np.abs(y - _np.rint(y)).min()) if len(vals) else 1.0
+
+    def cos_mat(a, b):
+        ua, ub = unit_rows(a), unit_rows(b)
+        return ua @ ub.T
+
+    flip_margins, assign_gaps = [], []
+    # --- IVF branch (raw corpus) and IVF-PQ branch (unit corpus) ---
+    for mat in (v, unit_rows(v)):
+        cell_ids, u = medoid_units(mat)
+        d = -(mat @ u.T)
+        ds = _np.sort(d, axis=1)
+        assign_gaps += [
+            float((ds[:, 1] - ds[:, 0]).min()),
+            float((ds[probe_mask, 2] - ds[probe_mask, 1]).min()),
+        ]
+    for g in assign_gaps:
+        assert g > 1e-6, f"assignment margin collapsed to {g} at {sf}"
+
+    # IVF-PQ rank-5 cut + cos flip margins (unit corpus)
+    uvec = unit_rows(v)
+    cell_ids, up = medoid_units(uvec)
+    dp = -(uvec @ up.T)
+    order = _np.argsort(dp, axis=1, kind="stable")
+    top1 = cell_ids[order[:, 0]]
+    for qi in _np.where(probe_mask)[0]:
+        probed = set(cell_ids[order[qi, :2]].tolist())
+        cand = [j for j in range(len(ids)) if top1[j] in probed and j != qi]
+        dists = _np.sort(((uvec[cand] - uvec[qi]) ** 2).sum(axis=1))
+        if len(dists) > 5:
+            gap = float(dists[5] - dists[4])
+            assert gap == 0.0 or gap > 1e-9, f"rank-5 gap {gap} at {sf} q{ids[qi]}"
+        flip_margins.append(r4_flip_margin(1.0 - dists[: min(5, len(dists))] / 2.0))
+
+    # IVF branch cos flips (candidates = probed-cell members, raw cosine)
+    di = -(v @ medoid_units(v)[1].T)
+    oi = _np.argsort(di, axis=1, kind="stable")
+    ci = medoid_units(v)[0]
+    t1 = ci[oi[:, 0]]
+    for qi in _np.where(probe_mask)[0]:
+        probed = set(ci[oi[qi, :2]].tolist())
+        cand = [j for j in range(len(ids)) if t1[j] in probed and j != qi]
+        if cand:
+            flip_margins.append(
+                r4_flip_margin(cos_mat(v[[qi]], v[cand]).ravel())
+            )
+
+    # --- LSH branch: md5 plane signs + bucket replication ---
+    dims = v.shape[1]
+    sign_margin = _np.inf
+    codes = _np.zeros((len(ids), N_LSH_TABLES), dtype=_np.int64)
+    for t in range(N_LSH_TABLES):
+        planes = _np.array(
+            [
+                [
+                    1.0
+                    if int(
+                        _hashlib.md5(f"{t},{h},{i}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2
+                    == 0
+                    else -1.0
+                    for i in range(dims)
+                ]
+                for h in range(N_HYPERPLANES)
+            ]
+        )
+        dots = v @ planes.T  # (n, planes)
+        sign_margin = min(sign_margin, float(_np.abs(dots).min()))
+        bits = (dots > 0).astype(_np.int64)
+        for h in range(N_HYPERPLANES):
+            codes[:, t] = codes[:, t] * 2 + bits[:, h]
+    assert sign_margin > 1e-6, f"hyperplane sign margin {sign_margin} at {sf}"
+    masks = [0] + [1 << b for b in range(N_HYPERPLANES)]
+    for qi in _np.where(probe_mask)[0]:
+        cand = set()
+        for t in range(N_LSH_TABLES):
+            pb = {int(codes[qi, t]) ^ m for m in masks}
+            cand |= {
+                j
+                for j in range(len(ids))
+                if j != qi and int(codes[j, t]) in pb
+            }
+        if cand:
+            flip_margins.append(
+                r4_flip_margin(cos_mat(v[[qi]], v[sorted(cand)]).ravel())
+            )
+    m = min(flip_margins)
+    assert m > 1e-6, f"r4 flip margin collapsed to {m} at {sf}"
