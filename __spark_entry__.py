@@ -33,14 +33,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     beyond-parity pipeline operators). Each callable takes (spark, sf_dir)
     and returns a DataFrame; computed columns are aliased to match the
-    oracle exactly. Ordered oracle-backed first, rows-only last; the
-    registry is kept at ≤50 entries so the driver's 50-row CORRECTNESS
-    window covers every query."""
+    oracle exactly. Since round 10 EVERY entry is oracle-backed (the four
+    formerly rows-only seeded-hash queries run their md5/knuth twin
+    primitives on the gate — docs/TWINS.md); the registry is kept at ≤50
+    entries so the driver's 50-row CORRECTNESS window covers every
+    query."""
     return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Ops with seeded-hash internals
-    (MinHash/SimHash/LSH bucketing) are intentionally absent → the driver
-    records its weaker rows-only check for those."""
+    """DuckDB-runnable ANSI SQL per query — one oracle for EVERY registry
+    entry since round 10 (the seeded-hash families' gate instances run
+    engine-portable twin primitives; production keeps xxhash64)."""
     return dict(registry.ORACLES)

@@ -29,12 +29,13 @@ import os
 from dataclasses import dataclass
 from typing import Any, Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entangledb_spark.functions.expressions import CompileError, compile_expr
 from entangledb_spark.plans import ast
-from entangledb_spark.plans.compiler import compile_statement
+from entangledb_spark.plans.compiler import _carry_versioned, compile_statement
 from entangledb_spark.plans.lexer import LexError
 from entangledb_spark.plans.parser import ParseError, parse
 from entangledb_spark.sources import constraints as con
@@ -632,7 +633,10 @@ class Engine:
         detail = "compacted"
         n_files = stmt.files
         if stmt.zorder:
-            view, n_files = zorder_frame(view, list(stmt.zorder), n_files)
+            try:
+                view, n_files = zorder_frame(view, list(stmt.zorder), n_files)
+            except ValueError as e:  # e.g. > 63 interleaved bits (layout.zvalue)
+                raise EngineError(f"OPTIMIZE {stmt.table}: {e}") from None
             meta["zorder"] = list(stmt.zorder)
             detail = f"zorder: {', '.join(stmt.zorder)}, {n_files} file(s)"
         elif n_files is not None:
@@ -796,7 +800,7 @@ class Engine:
             deps.add(name)
             return base(name)
 
-        recording.versioned = base.versioned
+        _carry_versioned(recording, base)  # forward ALL reader capabilities
 
         try:
             df = compile_statement(stmt.query, self.spark, recording)
@@ -876,7 +880,7 @@ class Engine:
             deps.add(name)
             return base(name)
 
-        recording.versioned = base.versioned
+        _carry_versioned(recording, base)  # forward ALL reader capabilities
 
         try:
             df = compile_statement(stmt.query, self.spark, recording)
@@ -957,6 +961,12 @@ class Engine:
             raise EngineError(f"materialized view {stmt.name} does not exist")
         current = self.catalog.current_version()
         if mv["base_version"] >= current:
+            # _mutate still publishes a (no-op) version current+1 for this
+            # statement — advance the watermark to match it, or the MV
+            # would read as STALE immediately after its own refresh
+            # (round-9 advice) and every idle refresh would ratchet
+            # staleness one version further.
+            mv["base_version"] = current + 1
             return Result(
                 status=f"REFRESH MATERIALIZED VIEW {stmt.name} (already at v{current})"
             )
@@ -973,6 +983,14 @@ class Engine:
                     inc = self._incremental_mv_rows(mv, parsed, shape)
                 except CatalogError:
                     inc = None  # e.g. base_version vacuumed → full recompute
+                except AnalysisException:
+                    # e.g. a column the MV does not reference was renamed
+                    # between base_version and now, so old-snapshot names
+                    # no longer resolve against the change feed (round-9
+                    # advice): the incremental delta is unresolvable but
+                    # the MV itself is fine — recompute fully rather than
+                    # leave REFRESH permanently broken
+                    inc = None
                 if inc is not None:
                     new_df, n_groups = inc
                     mode = "incremental"
@@ -1013,14 +1031,30 @@ class Engine:
         new_keys = changes.select(*key_cols).distinct()
         old_man = self.catalog.manifest(mv["base_version"])
         if base_t in old_man["tables"]:
-            pk = next(
+            # PK IDENTITY is stable across ALTER TABLE RENAME (physical-
+            # name pinning) but its LOGICAL name may differ between the
+            # two manifests: the change feed speaks the CURRENT name, the
+            # base_version snapshot the OLD one (round-9 advice: resolving
+            # both from the old manifest broke REFRESH after a rename of
+            # a column the MV doesn't reference, e.g. the PK itself).
+            cur_man = self.catalog.manifest(self.catalog.current_version())
+            pk_new = next(
+                c["name"]
+                for c in cur_man["tables"][base_t]["columns"]
+                if c["primary_key"]
+            )
+            pk_old = next(
                 c["name"]
                 for c in old_man["tables"][base_t]["columns"]
                 if c["primary_key"]
             )
             old_keys = (
                 self.catalog.read_df(old_man, base_t)
-                .join(changes.select(pk).distinct(), pk, "left_semi")
+                .join(
+                    changes.select(F.col(pk_new).alias(pk_old)).distinct(),
+                    pk_old,
+                    "left_semi",
+                )
                 .select(*key_cols)
                 .distinct()
             )

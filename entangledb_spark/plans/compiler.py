@@ -703,13 +703,24 @@ class _RecursiveRef(Exception):
         self.name = name
 
 
+# Optional capabilities the engine's catalog-backed reader exposes as
+# attributes on the reader callable. EVERY wrapper reader must forward
+# ALL of them: a wrapper that copies only one silently strips the others
+# inside CTE/derived-table/view bodies (round-9 advice: `relations()`
+# failed inside a CTE because only .versioned was carried).
+READER_CAPABILITIES = ("versioned", "relations")
+
+
 def _carry_versioned(wrapper: TableReader, src: TableReader) -> TableReader:
-    """Reader wrappers must not strip the optional time-travel capability
-    (read.versioned — set by the engine's catalog-backed reader) or an
-    AS OF inside a CTE/derived-table/view body would spuriously error."""
-    v = getattr(src, "versioned", None)
-    if v is not None:
-        wrapper.versioned = v
+    """Forward every optional reader capability (READER_CAPABILITIES —
+    time-travel `versioned`, catalog-introspection `relations`, ...) from
+    the wrapped reader onto the wrapper, so an AS OF or a relations() TVF
+    inside a CTE/derived-table/view body sees the same catalog surface
+    the top-level query does."""
+    for cap in READER_CAPABILITIES:
+        v = getattr(src, cap, None)
+        if v is not None:
+            setattr(wrapper, cap, v)
     return wrapper
 
 

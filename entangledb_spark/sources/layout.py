@@ -59,8 +59,22 @@ def _bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
 
 def zvalue(buckets: list[Column], bits: int = ZORDER_BITS) -> Column:
     """Morton interleave: bit b of bucket i lands at position b*ncols+i.
-    Pure shifts and masks — stays inside whole-stage codegen."""
+    Pure shifts and masks — stays inside whole-stage codegen.
+
+    The interleave must fit a signed 64-bit long: bits*ncols <= 63, or
+    the top shift amounts would wrap mod 64 (Java shiftleft semantics)
+    and silently collide bits — clustering quality would degrade with no
+    error (round-9 advice). Rejected loudly instead; with the default 8
+    bits that caps ZORDER at 7 columns, which is also past the point
+    where Morton locality stops paying (each extra column halves the
+    per-column resolution of every prefix)."""
     ncols = len(buckets)
+    if bits * ncols > 63:
+        raise ValueError(
+            f"zvalue: {ncols} columns x {bits} bits = {bits * ncols} "
+            "interleaved bits exceeds the 63 a signed long can hold — "
+            "ZORDER BY fewer columns (or lower ZORDER_BITS)"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, col in enumerate(buckets):

@@ -426,3 +426,32 @@ def test_as_of_unsupported_without_catalog(spark):
         compile_statement(
             stmt, spark, lambda name: spark.range(1).toDF("id")
         )
+
+
+def test_reader_capabilities_survive_cte_and_view_wrappers(eng):
+    """Round-10 advice fix: reader wrappers (CTE chain readers, the
+    recursive-probe reader, the dependency-recording readers of CREATE
+    [MATERIALIZED] VIEW) must forward EVERY optional reader capability —
+    carrying only .versioned stripped .relations, so relations() failed
+    inside any CTE or view body while the bare SELECT worked."""
+    setup_groups(eng)
+    rows = eng.execute(
+        "WITH c AS (SELECT id FROM t) SELECT name FROM relations()"
+    ).rows
+    assert ("t",) in rows
+    eng.execute("CREATE VIEW rv AS SELECT name FROM relations()")
+    assert ("t",) in eng.execute("SELECT * FROM rv").rows
+    assert ("rv",) in eng.execute("SELECT * FROM rv").rows
+    eng.execute(
+        "CREATE MATERIALIZED VIEW rmv AS SELECT count(*) AS n FROM relations()"
+    )
+    (n,) = eng.execute("SELECT n FROM rmv").rows[0]
+    assert n >= 2
+    # AS OF (the capability the old code DID carry) still works in a CTE
+    v_now = eng.catalog.current_version()
+    eng.execute("INSERT INTO t VALUES (6,'d',9)")
+    rows = eng.execute(
+        f"WITH c AS (SELECT count(*) AS n FROM t AS OF SYSTEM TIME {v_now}) "
+        "SELECT n FROM c"
+    ).rows
+    assert rows == [(5,)]

@@ -204,3 +204,34 @@ def test_randomized_dml_refresh_equivalence(eng):
             fresh_equals_direct(eng)
     eng.execute("REFRESH MATERIALIZED VIEW mv")
     fresh_equals_direct(eng)
+
+
+def test_noop_refresh_does_not_mark_stale(eng):
+    """Round-10 advice fix: REFRESH of an already-fresh MV still publishes
+    a catalog version (auto-commit), so the early-return path must advance
+    base_version to match — otherwise the MV reads as STALE immediately
+    after its own no-op refresh, forever."""
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    for _ in range(3):  # each no-op refresh must leave the MV fresh
+        r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+        assert "already at" in r.status or "no base changes" in r.status
+        assert eng.get_matview("mv")["stale"] is False
+
+
+def test_refresh_survives_rename_of_unreferenced_pk(eng):
+    """Round-10 advice fix (medium): renaming a column the MV does NOT
+    reference (here the PK) passes dependency revalidation, but the
+    change feed then speaks the NEW name while the base_version snapshot
+    speaks the OLD one. REFRESH must keep working — resolving the PK from
+    the current manifest (and falling back to full recompute if the
+    incremental delta is unresolvable), not raise UNRESOLVED_COLUMN."""
+    eng.execute(f"CREATE MATERIALIZED VIEW mv AS {MV_DEF}")
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    eng.execute("ALTER TABLE t RENAME COLUMN id TO pk")
+    eng.execute("INSERT INTO t VALUES (6,'a',40),(7,'d',1)")
+    eng.execute("UPDATE t SET v = 99 WHERE pk = 1")
+    r = eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert "REFRESH MATERIALIZED VIEW mv" in r.status
+    fresh_equals_direct(eng)
+    assert eng.get_matview("mv")["stale"] is False

@@ -129,3 +129,31 @@ def test_optimize_errors(eng):
     with pytest.raises(EngineError, match="read-only"):
         eng.execute("OPTIMIZE pts")
     eng.execute("COMMIT")
+
+
+def test_zorder_rejects_interleave_wider_than_long():
+    """Round-10 advice fix: bit b of column i lands at b*ncols+i; with 8
+    bits a 9th column would shift past bit 63 and Java shiftleft wraps
+    mod 64 — bits would silently collide. Reject loudly instead."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from entangledb_spark.sources.layout import zvalue
+
+    cols = [F.lit(i).cast("long") for i in range(8)]
+    with _pytest.raises(ValueError, match="63"):
+        zvalue(cols)  # 8 cols x 8 bits = 64 > 63
+    zvalue(cols[:7])  # 56 bits — fine
+
+
+def test_optimize_zorder_too_many_columns_is_engine_error(spark, tmp_path):
+    """The engine surfaces the interleave cap as a statement error."""
+    import pytest as _pytest
+
+    from entangledb_spark.engine import Engine, EngineError
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute("CREATE TABLE t8 (a INT PRIMARY KEY, b INT, c INT, d INT, e INT, f INT, g INT, h INT)")
+    eng.execute("INSERT INTO t8 VALUES (1,2,3,4,5,6,7,8)")
+    with _pytest.raises(EngineError, match="63"):
+        eng.execute("OPTIMIZE t8 ZORDER BY (a,b,c,d,e,f,g,h)")
