@@ -54,13 +54,24 @@ would otherwise collapse ALL short docs into one content class; exact
 duplicates among them are corpus_dedup.py's job (compose both writers
 on the same stream for full closure).
 
-Batches are assumed pk-IMMUTABLE (the text_index "batches are
-id-disjoint" contract, adapted): redelivering an EXISTING pk with a
-CHANGED body upserts the document row but never retracts the old
-body's band keys, so the band table would keep keys for content the
-corpus no longer holds (which can later drop unrelated new docs). If a
-source can rewrite bodies under a stable pk, dedup upstream or use a
-fresh pk per revision.
+Changed-body redelivery (round 10): redelivering an EXISTING pk with
+a CHANGED body UPSERTS the document and, in the same CAS commit,
+RETRACTS the old body's band keys (a delete tombstone on the band
+table, whose rows carry the doc pk) and inserts the new body's keys —
+the band table never holds keys for content the corpus no longer
+stores, so stale keys can never drop unrelated future docs. With
+retraction on, a doc is also never dropped by ITS OWN old band rows
+(the upsert replaces that content). The rejected-collision anti-join
+likewise targets only band rows that REMAIN after the commit. Cost:
+one column-pruned, bucket-UNPRUNED scan of the band table per batch
+(old keys live in arbitrary buckets); sources that guarantee
+pk-immutable bodies can pass ``retract_upserted_bands=False`` to keep
+the legacy zero-extra-scan path, where a changed-body upsert leaves
+the old keys behind (the pre-round-10 documented gap). One bounded
+precision note, same class as the dropped-content caveat: a batch doc
+colliding with ANOTHER batch doc's retracted old row is still dropped
+against that old content (its comparison against the NEW content
+already happened within-batch).
 
 Band keys are parameter-bound: they are only comparable across runs
 because MINHASH_PERMS / LSH_BANDS / the shingle hash are module
@@ -167,6 +178,7 @@ def commit_near_dedup_batch(
     batch_id: int,
     text_col: str | None = None,
     min_est_jaccard: float = 0.5,
+    retract_upserted_bands: bool = True,
 ) -> Optional[dict]:
     """Commit one micro-batch with corpus-lifetime NEAR-dup closure,
     exactly once. Returns {"version", "n_new"} or None on redelivery.
@@ -176,7 +188,9 @@ def commit_near_dedup_batch(
     non-pk INTEGER ``bucket`` column for partition-pruned key reads,
     and a non-pk STRING ``sig`` column to enable TWO-STAGE verification
     of cross-batch collisions at ``min_est_jaccard`` (module docstring;
-    tests/test_near_dedup_stream.py has the CREATE TABLEs)."""
+    tests/test_near_dedup_stream.py has the CREATE TABLEs).
+    ``retract_upserted_bands`` (default True) implements the
+    changed-body redelivery contract — see the module docstring."""
     m = catalog.manifest()
     if batch_id <= m.get("streams", {}).get(stream_id, -1):
         return None
@@ -231,6 +245,7 @@ def commit_near_dedup_batch(
         return _commit_with_keys(
             catalog, docs_table, band_table, stream_id, batch_id,
             pk, batch_docs, surv_keys, min_est_jaccard,
+            retract_upserted_bands,
         )
     finally:
         keys.unpersist()
@@ -238,7 +253,7 @@ def commit_near_dedup_batch(
 
 def _commit_with_keys(
     catalog, docs_table, band_table, stream_id, batch_id, pk, batch_docs,
-    surv_keys, min_est_jaccard,
+    surv_keys, min_est_jaccard, retract_upserted_bands,
 ):
 
     def attempt(m, docs_meta, band_meta):
@@ -251,7 +266,7 @@ def _commit_with_keys(
             c["name"] == "sig" and not c["primary_key"]
             for c in band_meta["columns"]
         )
-        read_cols = ["band", "sig"] if verified else ["band"]
+        read_cols = (["band", "sig"] if verified else ["band"]) + [pk]
         if bucketed:
             band_meta["partition_by"] = ["bucket"]
             batch_buckets = [
@@ -265,17 +280,26 @@ def _commit_with_keys(
             ).select(*read_cols)
         else:
             existing = catalog.read_df(m, band_table).select(*read_cols)
+        stored = existing.withColumnRenamed(pk, "_stored_pk")
+        if verified:
+            stored = stored.withColumnRenamed("sig", "_stored_sig")
+        cand = surv_keys.join(stored, "band")
+        if retract_upserted_bands:
+            # a doc never collides with ITS OWN old band rows: that
+            # content is being replaced by this very commit (without
+            # retraction the self-collision drop is the idempotent
+            # redelivery skip of the pk-immutable contract — keep it)
+            cand = cand.filter(F.col("_stored_pk") != F.col(pk))
         if verified:
             # TWO-STAGE: a band collision is only a CANDIDATE; drop iff
             # the stored holder's signature estimates Jaccard >= the
             # threshold (the batch family's LSH-then-verify shape).
             # Collisions are rare by construction, so the pair relation
             # is tiny; the estimator is a narrow array expression.
-            stored = existing.withColumnRenamed("sig", "_stored_sig")
             hit_docs = (
-                surv_keys.join(stored, "band")
+                cand.withColumnRenamed("sig", "_new_sig")
                 .filter(
-                    _est_jaccard(F.col("sig"), F.col("_stored_sig"))
+                    _est_jaccard(F.col("_new_sig"), F.col("_stored_sig"))
                     >= F.lit(min_est_jaccard)
                 )
                 .select(pk)
@@ -283,9 +307,7 @@ def _commit_with_keys(
             )
         else:
             # band-only legacy rule: ANY persisted key drops the doc
-            hit_docs = (
-                surv_keys.join(existing, "band", "left_semi").select(pk).distinct()
-            )
+            hit_docs = cand.select(pk).distinct()
         survivors = batch_docs.join(hit_docs, pk, "left_anti")
         docs_rel = catalog.write_snapshot(docs_table, survivors)
         # band rows come from the files just written — one source of truth
@@ -293,12 +315,34 @@ def _commit_with_keys(
         # and fills ALTER-added columns itself)
         written = catalog._read_path(docs_rel, docs_meta["columns"])
         band_rows = written.select(pk).join(surv_keys, pk)
+        band_delta: dict = {}
+        reject_target = stored
+        if retract_upserted_bands:
+            # the changed-body contract: every UPSERTED pk's old band
+            # rows leave in this same commit (delete tombstones on the
+            # band pk). Bucket-UNPRUNED read: old keys live anywhere.
+            upserted = written.select(F.col(pk).alias("_w"))
+            old_rows = (
+                catalog.read_df(m, band_table)
+                .select("band", F.col(pk).alias("_w"))
+                .join(upserted, "_w", "left_semi")
+                .select("band")
+            )
+            # rejected-collision keys must stay out only of buckets that
+            # REMAIN held after this commit
+            reject_target = stored.join(
+                upserted, F.col("_stored_pk") == F.col("_w"), "left_anti"
+            )
+            if not old_rows.isEmpty():
+                band_delta["deletes"] = catalog.write_snapshot(
+                    band_table, old_rows
+                )
         if verified:
             # a verification-rejected collision keeps the doc but must
             # NOT persist the colliding key: ``band`` stays a true
             # PRIMARY KEY (the stored doc already holds that bucket)
             band_rows = band_rows.join(
-                existing.select("band"), "band", "left_anti"
+                reject_target.select("band"), "band", "left_anti"
             )
         if bucketed:
             band_rows = band_rows.withColumn("bucket", band_bucket(F.col("band")))
@@ -307,8 +351,9 @@ def _commit_with_keys(
             band_rows.select(*band_col_names),
             band_meta.get("partition_by"),
         )
+        band_delta["upserts"] = band_rel
         docs_meta.setdefault("deltas", []).append({"upserts": docs_rel})
-        band_meta.setdefault("deltas", []).append({"upserts": band_rel})
+        band_meta.setdefault("deltas", []).append(band_delta)
         return docs_rel
 
     return retry_cas_commit(
@@ -325,6 +370,7 @@ def stream_near_dedup_writer(
     checkpoint_dir: str,
     text_col: str | None = None,
     min_est_jaccard: float = 0.5,
+    retract_upserted_bands: bool = True,
 ):
     """``writeStream`` builder for near-dup ingest; caller picks the
     trigger:
@@ -337,7 +383,7 @@ def stream_near_dedup_writer(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit_near_dedup_batch(
             catalog, docs_table, band_table, stream_id, batch_df, batch_id,
-            text_col, min_est_jaccard,
+            text_col, min_est_jaccard, retract_upserted_bands,
         )
 
     return (

@@ -391,3 +391,80 @@ def test_missing_band_table_fails_loudly(spark, engine):
         commit_near_dedup_batch(
             engine.catalog, "corpus", "nope", "s1", _batch(spark, [(1, LONG)]), 0
         )
+
+
+OTHER = (
+    "an entirely new revision discussing glacier mass balance models and "
+    "the satellite altimetry campaigns that calibrate them across both "
+    "polar ice sheets during the melt season window"
+)
+OTHER_NEAR = OTHER.replace("window", "period")  # one-token edit of OTHER
+
+
+def test_changed_body_upsert_retracts_old_bands(spark, verified_engine):
+    """Round-10 contract (verdict ask #2): redelivering an EXISTING pk
+    with a CHANGED body upserts the doc AND retracts the old body's band
+    keys in the same CAS commit — the old keys are gone, the new keys
+    present, the band-PK invariant holds, no unrelated doc is dropped,
+    and a future doc similar to the RETIRED body lands while one similar
+    to the NEW body is dropped."""
+    e = verified_engine
+
+    def commit(rows, bid):
+        return commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, rows), bid
+        )
+
+    commit([(1, LONG), (2, FRESH)], 0)
+    old_bands = {b for b, d in _bands(e) if d == 1}
+    assert len(old_bands) == 4
+    # redeliver pk 1 with a completely different body (new batch id)
+    out = commit([(1, OTHER)], 1)
+    assert out is not None and out["n_new"] == 1
+    docs = dict(_docs(e))
+    assert docs[1] == OTHER and docs[2] == FRESH  # upserted; 2 untouched
+    bands_now = _bands(e)
+    new_bands = {b for b, d in bands_now if d == 1}
+    assert len(new_bands) == 4 and not (new_bands & old_bands)
+    assert not (old_bands & {b for b, _ in bands_now})  # old keys GONE
+    assert len({b for b, _ in bands_now}) == len(bands_now)  # band PK
+    assert sum(1 for _, d in bands_now if d == 2) == 4  # unrelated intact
+    # a near-dup of the RETIRED body now lands (stale keys can't drop it)
+    out = commit([(9, NEAR)], 2)
+    assert out["n_new"] == 1 and 9 in dict(_docs(e))
+    # a near-dup of the NEW body is dropped against the new keys
+    out = commit([(10, OTHER_NEAR)], 3)
+    assert out["n_new"] == 0 and 10 not in dict(_docs(e))
+
+
+def test_changed_body_same_batch_similar_revision_upserts(spark, verified_engine):
+    """A redelivered pk whose new body is a NEAR-DUP of its own old body
+    (the common small-edit revision) must UPSERT — with retraction on, a
+    doc never collides with its own old band rows — while a distinct doc
+    near the same content is still dropped."""
+    e = verified_engine
+
+    def commit(rows, bid):
+        return commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, rows), bid
+        )
+
+    commit([(1, LONG)], 0)
+    out = commit([(1, NEAR)], 1)  # small revision of its own body
+    assert out["n_new"] == 1
+    assert dict(_docs(e))[1] == NEAR
+    bands_now = _bands(e)
+    assert {d for _, d in bands_now} == {1}
+    assert len({b for b, _ in bands_now}) == len(bands_now)
+    # pk-immutable legacy mode keeps the old behavior: self-collision
+    # drops the redelivery, old row and keys stay
+    out = commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s2",
+        _batch(spark, [(1, LONG)]), 0,
+    )
+    out = commit_near_dedup_batch(
+        e.catalog, "corpus", "corpus_bands", "s2",
+        _batch(spark, [(1, NEAR)]), 1,
+        retract_upserted_bands=False,
+    )
+    assert out["n_new"] == 0
