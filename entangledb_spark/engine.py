@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from entangledb_spark.functions.expressions import CompileError, compile_expr
 from entangledb_spark.plans import ast
-from entangledb_spark.plans.compiler import _carry_versioned, compile_statement
+from entangledb_spark.plans.compiler import (
+    RECURSIVE_CTE_MAX_ITERS,
+    _carry_versioned,
+    compile_statement,
+)
 from entangledb_spark.plans.lexer import LexError
 from entangledb_spark.plans.parser import ParseError, parse
 from entangledb_spark.sources import constraints as con
@@ -887,6 +891,22 @@ class Engine:
         except CompileError as e:
             raise EngineError(f"CREATE MATERIALIZED VIEW {stmt.name}: {e}") from None
         shape = _matview_grouped_shape(stmt.query, deps)
+        if shape is None:
+            spj = _matview_spj_shape(stmt.query, deps)
+            # the SPJ path merges on the base PK, so the OUTPUT must
+            # carry it as a plain column — else full recompute
+            if spj is not None:
+                base_meta = manifest["tables"].get(spj["base"])
+                pk = (
+                    next(
+                        (c["name"] for c in base_meta["columns"] if c["primary_key"]),
+                        None,
+                    )
+                    if base_meta
+                    else None
+                )
+                if pk is not None and pk in spj["fields"]:
+                    shape = spj
         incremental = shape is not None and not (
             manifest["tables"].get(shape["base"], {}).get("external")
         ) and shape["base"] in manifest["tables"]
@@ -978,9 +998,18 @@ class Engine:
         mode, n_groups, new_df = "full", None, None
         if mv.get("incremental"):
             shape = _matview_grouped_shape(parsed, set(mv["deps"]))
-            if shape is not None:
+            spj = (
+                _matview_spj_shape(parsed, set(mv["deps"]))
+                if shape is None
+                else None
+            )
+            if shape is not None or spj is not None:
                 try:
-                    inc = self._incremental_mv_rows(mv, parsed, shape)
+                    inc = (
+                        self._incremental_mv_rows(mv, parsed, shape)
+                        if shape is not None
+                        else self._incremental_mv_spj_rows(mv, parsed, spj)
+                    )
                 except CatalogError:
                     inc = None  # e.g. base_version vacuumed → full recompute
                 except AnalysisException:
@@ -993,7 +1022,7 @@ class Engine:
                     inc = None
                 if inc is not None:
                     new_df, n_groups = inc
-                    mode = "incremental"
+                    mode = "incremental" if shape is not None else "incremental-spj"
                     if n_groups == 0:
                         # nothing changed in the base (e.g. only OTHER
                         # tables, or the MV's own last refresh, bumped the
@@ -1011,7 +1040,8 @@ class Engine:
         mv["data"] = rel
         mv["base_version"] = post_version
         n = self.catalog.count_rows(rel)
-        extra = f", {n_groups} group(s) recomputed" if n_groups is not None else ""
+        unit = "changed pk(s) applied" if mode == "incremental-spj" else "group(s) recomputed"
+        extra = f", {n_groups} {unit}" if n_groups is not None else ""
         return Result(
             status=(
                 f"REFRESH MATERIALIZED VIEW {stmt.name} ({mode}{extra}, {n} rows)"
@@ -1093,6 +1123,56 @@ class Engine:
             aff_out, _nullsafe_on(old_mv, aff_out, out_cols, out_cols), "left_anti"
         )
         return kept.unionByName(recomputed), k
+
+    def _incremental_mv_spj_rows(self, mv: dict, parsed, spj: dict):
+        """(merged DataFrame, changed-pk count) for the SPJ (no-aggregate)
+        incremental path (round 10): base rows map 1:1/1:0 to output rows,
+        so the CDF slice applies DIRECTLY — anti-join the changed PKs'
+        old output rows out of the snapshot, then append the post-images
+        compiled through the stored query itself (the WHERE predicate and
+        every select expression ride along for free). Cost scales with
+        the delta, never the table. Returns None to request a full
+        recompute (delta too large, or the output no longer carries the
+        current PK name)."""
+        base_t = spj["base"]
+        cur_man = self.catalog.manifest(self.catalog.current_version())
+        if base_t not in cur_man["tables"]:
+            return None
+        pk = next(
+            c["name"]
+            for c in cur_man["tables"][base_t]["columns"]
+            if c["primary_key"]
+        )
+        pk_out = spj["fields"].get(pk)
+        if pk_out is None:
+            # e.g. the PK was renamed after CREATE: the stored SQL's
+            # field map no longer names it — full recompute stays correct
+            return None
+        changes = self.catalog.changes_df(
+            base_t, mv["base_version"], self.catalog.current_version()
+        ).localCheckpoint(eager=True)
+        k = changes.count()
+        if k == 0:
+            return None, 0
+        if k > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+        base_read = self._reader()
+        post = changes.filter(F.col("_change_type") != "delete").drop(
+            "_change_type"
+        )
+
+        def spj_reader(name: str) -> DataFrame:
+            return post if name == base_t else base_read(name)
+
+        new_rows = compile_statement(parsed, self.spark, spj_reader)
+        old_mv = self.spark.read.parquet(
+            os.path.join(self.catalog.base, mv["data"])
+        )
+        changed_pks = F.broadcast(
+            changes.select(F.col(pk).alias(pk_out)).distinct()
+        )
+        kept = old_mv.join(changed_pks, pk_out, "left_anti")
+        return kept.unionByName(new_rows), k
 
     def list_matviews(self) -> list[str]:
         return sorted(self._manifest_for_read().get("matviews") or {})
@@ -1629,7 +1709,21 @@ class Engine:
             import contextlib
             import io
 
-            df = compile_statement(stmt, self.spark, self._reader())
+            # "unroll1": EXPLAIN of WITH RECURSIVE must not run the
+            # fixpoint (round-9 review: EXPLAIN was executing the query)
+            # — the recursive CTE compiles as a lazy anchor ∪ first-step
+            # plan instead, zero Spark jobs
+            df = compile_statement(
+                stmt, self.spark, self._reader(), recursive_cte_mode="unroll1"
+            )
+            if isinstance(stmt, ast.With) and stmt.recursive:
+                lines += [
+                    "",
+                    "Note: recursive CTE(s) shown as anchor UNION first "
+                    "step (EXPLAIN does not run the fixpoint; execution "
+                    f"iterates to convergence, cap "
+                    f"{RECURSIVE_CTE_MAX_ITERS} iterations)",
+                ]
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
@@ -1763,6 +1857,59 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     if deps != {f.name}:
         return None
     return {"base": f.name, "key_cols": key_cols, "out_cols": out_cols}
+
+
+def _matview_spj_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for the SELECT-project-filter (no aggregate)
+    incremental path (round 10): a single-SELECT over ONE managed table
+    with arbitrary scalar expressions and an optional WHERE — no GROUP
+    BY/aggregates/DISTINCT/windows/subqueries/ORDER/LIMIT.
+
+    Why this shape refreshes by delta application alone: base rows map
+    1:1 (or 1:0 through the WHERE) to output rows, so the CDF slice IS
+    the refresh — anti-join out the changed PKs' old output rows, then
+    append the post-images compiled through the stored query itself.
+    The merge key is the base PK, so the OUTPUT must carry it as a plain
+    column; the refresh path checks that against the CURRENT manifest
+    (``fields`` maps base column → output alias for every plain-Field
+    select item).
+
+    Returns {"base", "fields"} or None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.TableRef) or f.as_of is not None:
+        return None
+    if (
+        stmt.distinct
+        or stmt.group_by
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+    ):
+        return None
+    roots = [e for e, _ in stmt.select]
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.WindowFunc):
+                return None
+            if isinstance(sub, ast.FuncCall) and sub.name.lower() in _MV_AGGS:
+                return None
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != {f.name}:
+        return None
+    fields = {
+        expr.name: (alias or expr.name)
+        for expr, alias in stmt.select
+        if isinstance(expr, ast.Field)
+    }
+    return {"base": f.name, "fields": fields}
 
 
 def _is_constant_query(stmt: ast.Statement) -> bool:

@@ -235,3 +235,97 @@ def test_refresh_survives_rename_of_unreferenced_pk(eng):
     assert "REFRESH MATERIALIZED VIEW mv" in r.status
     fresh_equals_direct(eng)
     assert eng.get_matview("mv")["stale"] is False
+
+
+SPJ_DEF = "SELECT id, grp, v * 2 AS v2 FROM t WHERE v >= 10"
+
+
+def test_spj_mv_incremental_refresh(eng):
+    """Round-10: a no-aggregate filter+project MV over one table refreshes
+    by applying the CDF slice directly — labeled incremental at CREATE,
+    'incremental-spj ... changed pk(s) applied' at REFRESH, and equal to
+    re-running the defining query after inserts, updates (including rows
+    moving across the WHERE boundary), and deletes."""
+    r = eng.execute(f"CREATE MATERIALIZED VIEW smv AS {SPJ_DEF}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(eng.execute("SELECT * FROM smv").rows) == sorted(
+            eng.execute(SPJ_DEF).rows
+        )
+
+    fresh()
+    eng.execute("INSERT INTO t VALUES (10,'z',50)")       # insert, passes WHERE
+    eng.execute("INSERT INTO t VALUES (11,'z',1)")        # insert, filtered out
+    eng.execute("UPDATE t SET v = 3 WHERE id = 1")        # leaves the WHERE set
+    eng.execute("UPDATE t SET v = 40 WHERE id = 4")       # enters the WHERE set
+    eng.execute("DELETE FROM t WHERE id = 2")             # delete a member
+    r = eng.execute("REFRESH MATERIALIZED VIEW smv")
+    assert "incremental-spj" in r.status and "changed pk(s) applied" in r.status
+    fresh()
+    assert eng.get_matview("smv")["stale"] is False
+
+
+def test_spj_mv_without_pk_in_output_is_full(eng):
+    """The SPJ path merges on the base PK: an output that doesn't carry
+    it falls back (honestly labeled) to full recompute."""
+    r = eng.execute(
+        "CREATE MATERIALIZED VIEW nopk AS SELECT grp, v * 2 AS v2 FROM t"
+    )
+    assert "full-refresh" in r.status
+    eng.execute("INSERT INTO t VALUES (12,'q',77)")
+    r = eng.execute("REFRESH MATERIALIZED VIEW nopk")
+    assert "(full" in r.status
+    assert sorted(eng.execute("SELECT * FROM nopk").rows, key=repr) == sorted(
+        eng.execute("SELECT grp, v * 2 AS v2 FROM t").rows, key=repr
+    )
+
+
+def test_spj_mv_randomized_dml_equivalence(eng):
+    """The randomized-DML property test, SPJ flavor: after any workload
+    (inserts in/out of the WHERE set, boundary-crossing updates, deletes)
+    refresh makes the MV equal its defining query, always through the
+    incremental-spj path (delta stays under the cap)."""
+    rng = random.Random(23)
+    eng.execute(f"CREATE MATERIALIZED VIEW smv AS {SPJ_DEF}")
+    live = [1, 2, 3, 4]
+    next_id = 200
+    for step in range(24):
+        op = rng.random()
+        if op < 0.4 or not live:
+            eng.execute(
+                f"INSERT INTO t VALUES ({next_id}, 'g{rng.randint(0, 3)}', "
+                f"{rng.randint(-5, 45)})"
+            )
+            live.append(next_id)
+            next_id += 1
+        elif op < 0.75:
+            rid = rng.choice(live)
+            eng.execute(
+                f"UPDATE t SET v = {rng.randint(-5, 45)} WHERE id = {rid}"
+            )
+        else:
+            rid = rng.choice(live)
+            eng.execute(f"DELETE FROM t WHERE id = {rid}")
+            live.remove(rid)
+        if step % 6 == 5:
+            r = eng.execute("REFRESH MATERIALIZED VIEW smv")
+            assert "incremental-spj" in r.status, r.status
+            assert sorted(eng.execute("SELECT * FROM smv").rows) == sorted(
+                eng.execute(SPJ_DEF).rows
+            )
+
+
+def test_spj_mv_refresh_survives_rename_of_unreferenced_column(eng):
+    """Same resilience contract as the grouped path: renaming a column
+    the SPJ MV does not reference must not break REFRESH."""
+    eng.execute(
+        "CREATE MATERIALIZED VIEW smv2 AS SELECT id, v FROM t WHERE v > 0"
+    )
+    eng.execute("ALTER TABLE t RENAME COLUMN grp TO category")
+    eng.execute("INSERT INTO t VALUES (30,'x',15)")
+    r = eng.execute("REFRESH MATERIALIZED VIEW smv2")
+    assert "REFRESH MATERIALIZED VIEW smv2" in r.status
+    assert sorted(eng.execute("SELECT * FROM smv2").rows) == sorted(
+        eng.execute("SELECT id, v FROM t WHERE v > 0").rows
+    )
