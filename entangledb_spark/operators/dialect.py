@@ -113,7 +113,25 @@ dialect(
                 ELSE 'large' END AS size_class,
            coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
            abs(p_size - 25) AS dist_from_mid,
-           substr(p_name, 1, 4) AS prefix
+           substr(p_name, 1, 4) AS prefix,
+           replace(p_type, 'PROMO', 'P') AS rep,
+           split_part(p_type, ' ', 2) AS sp,
+           lpad(substr(p_name, 1, 3), 6, '.') AS lp,
+           rpad(substr(p_name, 1, 3), 6, '.') AS rp,
+           left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+           reverse(p_brand) AS rev,
+           strpos(p_name, 'a') AS pos,
+           contains(p_name, 'an') AS has_an,
+           starts_with(p_type, 'PROMO') AS sw,
+           ends_with(p_name, 'e') AS ew,
+           ltrim(lpad(substr(p_name, 1, 3), 6, ' ')) AS lt,
+           rtrim(rpad(substr(p_name, 1, 3), 6, ' ')) AS rt,
+           repeat(substr(p_brand, 1, 2), 2) AS rpt,
+           md5(p_brand) AS h,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS rex,
+           sign(p_size - 25) AS sg,
+           log2(2 ^ (p_size % 5 + 1)) AS lg2,
+           log10(10 ^ (p_size % 3 + 1)) AS lg10
     FROM part WHERE p_partkey <= 500
     """,
     oracle="""
@@ -133,7 +151,25 @@ dialect(
                 ELSE 'large' END AS size_class,
            coalesce(nullif(p_type, 'PROMO'), 'STANDARD') AS type_norm,
            CAST(abs(p_size - 25) AS BIGINT) AS dist_from_mid,
-           substr(p_name, 1, 4) AS prefix
+           substr(p_name, 1, 4) AS prefix,
+           replace(p_type, 'PROMO', 'P') AS rep,
+           split_part(p_type, ' ', 2) AS sp,
+           lpad(substr(p_name, 1, 3), 6, '.') AS lp,
+           rpad(substr(p_name, 1, 3), 6, '.') AS rp,
+           left(p_name, 3) AS l3, right(p_name, 3) AS r3,
+           reverse(p_brand) AS rev,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS pos,
+           contains(p_name, 'an') AS has_an,
+           starts_with(p_type, 'PROMO') AS sw,
+           ends_with(p_name, 'e') AS ew,
+           ltrim(lpad(substr(p_name, 1, 3), 6, ' ')) AS lt,
+           rtrim(rpad(substr(p_name, 1, 3), 6, ' ')) AS rt,
+           repeat(substr(p_brand, 1, 2), 2) AS rpt,
+           md5(p_brand) AS h,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS rex,
+           CAST(sign(p_size - 25) AS BIGINT) AS sg,
+           log2(2 ^ (p_size % 5 + 1)) AS lg2,
+           log10(10 ^ (p_size % 3 + 1)) AS lg10
     FROM part WHERE p_partkey <= 500
     """,
 )
@@ -186,6 +222,11 @@ dialect(
 )
 
 
+# Round-10: the round-9 window additions (ntile/percent_rank/cume_dist/
+# first_value/last_value) ride the SAME gate query, so the driver's hash
+# certifies them, not just the pytest parity tests. percent_rank and
+# cume_dist are small-integer ratios ((rank-1)/(n-1), rank/n) — bit-exact
+# on both engines, no rounding needed.
 dialect(
     "q59_dialect_window",
     """
@@ -193,7 +234,17 @@ dialect(
            row_number() OVER (PARTITION BY o_custkey
                               ORDER BY o_totalprice DESC, o_orderkey) AS rn,
            lag(o_orderkey) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS nt,
+           percent_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS pr,
+           cume_dist() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS cd,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS fv,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS lv
     FROM orders WHERE o_custkey < 100
     """,
     oracle="""
@@ -201,7 +252,17 @@ dialect(
            CAST(row_number() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
            lag(o_orderkey) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS prev_ok,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS nt,
+           percent_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS pr,
+           cume_dist() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS cd,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey) AS fv,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS lv
     FROM orders WHERE o_custkey < 100
     """,
 )
