@@ -751,6 +751,7 @@ def _chain_reader(read: TableReader, name: str, df: DataFrame) -> TableReader:
 def _compile_recursive_cte(
     cte: ast.Cte, spark: SparkSession, read: TableReader,
     max_iters: Optional[int] = None,
+    mode: str = "fixpoint",
 ) -> DataFrame:
     """WITH RECURSIVE evaluation: standard `base UNION [ALL] step`
     semantic-set iteration, run as a BOUNDED distributed fixpoint.
@@ -771,7 +772,10 @@ def _compile_recursive_cte(
     (like every Spark iterative algorithm: Lloyd refinement in
     similarity.py, the CC loop in dedup.py) but all data movement is
     cluster-side. NOTE: this means a recursive query EXECUTES during
-    compilation; EXPLAIN shows the final union-of-increments plan.
+    compilation — which is why EXPLAIN must NOT take this path:
+    ``mode="unroll1"`` (round 10) builds the LAZY plan `anchor UNION
+    first-step` instead — no checkpoint, no emptiness probe, zero Spark
+    jobs — a representative one-iteration plan preview for EXPLAIN.
     """
     if max_iters is None:
         # read the module attribute at CALL time (not def time) so tests
@@ -808,6 +812,19 @@ def _compile_recursive_cte(
     distinct = not q.all_rows
     if distinct:
         acc = acc.distinct()
+    if mode == "unroll1":  # EXPLAIN: lazy anchor ∪ first step, no jobs
+        step = compile_statement(
+            q.right, spark, _chain_reader(read, cte.name, acc)
+        )
+        if len(step.columns) != len(acc.columns):
+            raise CompileError(
+                f"recursive CTE {cte.name}: step returns {len(step.columns)} "
+                f"columns, anchor returned {len(acc.columns)}"
+            )
+        new = step.toDF(*acc.columns)
+        if distinct:
+            new = new.subtract(acc)
+        return acc.unionByName(new)
     acc = acc.localCheckpoint(eager=True)
     frontier = acc
     result = acc
@@ -835,10 +852,13 @@ def _compile_recursive_cte(
 
 
 def compile_statement(
-    stmt, spark: SparkSession, read: TableReader
+    stmt, spark: SparkSession, read: TableReader,
+    recursive_cte_mode: str = "fixpoint",
 ) -> DataFrame:
     """Compile a query statement (Select, SetOp chain, or With) to a
-    DataFrame."""
+    DataFrame. ``recursive_cte_mode``: "fixpoint" (execution — iterates
+    to convergence, runs Spark jobs) or "unroll1" (EXPLAIN — lazy
+    anchor ∪ first-step plan, zero jobs; see _compile_recursive_cte)."""
     if isinstance(stmt, ast.With):
         r = read
         for i, cte in enumerate(stmt.ctes):
@@ -864,7 +884,7 @@ def compile_statement(
                     raise CompileError(
                         f"CTE {cte.name} references itself — use WITH RECURSIVE"
                     ) from None
-                df = _compile_recursive_cte(cte, spark, r)
+                df = _compile_recursive_cte(cte, spark, r, mode=recursive_cte_mode)
             r = _chain_reader(r, cte.name, df)
         return compile_statement(stmt.body, spark, r)
     if isinstance(stmt, ast.SetOp):

@@ -455,3 +455,29 @@ def test_reader_capabilities_survive_cte_and_view_wrappers(eng):
         "SELECT n FROM c"
     ).rows
     assert rows == [(5,)]
+
+
+def test_explain_recursive_cte_runs_no_spark_jobs(eng, spark):
+    """Round-10 (round-9 review finding #2): EXPLAIN of a WITH RECURSIVE
+    query must not execute the fixpoint — the plan prints as a lazy
+    anchor UNION first-step preview with an explicit note, and ZERO
+    Spark jobs run (asserted via a job group)."""
+    sql = (
+        "WITH RECURSIVE r(n) AS ("
+        "SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 5) "
+        "SELECT n FROM r"
+    )
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "explain-recursive-probe")
+    try:
+        out = eng.execute("EXPLAIN " + sql)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("explain-recursive-probe")
+    assert list(jobs) == [], f"EXPLAIN ran Spark jobs: {list(jobs)}"
+    text = "\n".join(r[0] for r in out.rows)
+    assert "does not run the fixpoint" in text
+    assert "Physical (Catalyst):" in text
+    # and the same statement still EXECUTES to the right fixpoint
+    rows = eng.execute(sql).rows
+    assert sorted(rows) == [(1,), (2,), (3,), (4,), (5,)]
