@@ -580,8 +580,30 @@ class Engine:
                 if c.references not in manifest["tables"]:
                     raise EngineError(f"referenced table {c.references} does not exist")
             cols.append(column_to_dict(c, default_value, has_default))
-        manifest["tables"][stmt.name] = {"columns": cols, "data": None}
-        return Result(status=f"CREATE TABLE {stmt.name}")
+        meta: dict = {"columns": cols, "data": None}
+        if stmt.partition_by:
+            names = [c["name"] for c in cols]
+            for p in stmt.partition_by:
+                if p not in names:
+                    raise EngineError(f"unknown PARTITION BY column {p}")
+            if len(set(stmt.partition_by)) != len(stmt.partition_by):
+                raise EngineError("duplicate PARTITION BY column")
+            if len(stmt.partition_by) >= len(cols):
+                raise EngineError(
+                    "PARTITION BY must leave at least one data column"
+                )
+            # Hive-style directory layout: every snapshot/delta write of
+            # this table encodes these columns in the path (the catalog
+            # write funnel reads this field), so reads prune files by
+            # partition value
+            meta["partition_by"] = list(stmt.partition_by)
+        manifest["tables"][stmt.name] = meta
+        part = (
+            f" PARTITION BY ({', '.join(stmt.partition_by)})"
+            if stmt.partition_by
+            else ""
+        )
+        return Result(status=f"CREATE TABLE {stmt.name}{part}")
 
     def _drop_table(self, manifest: dict, stmt: ast.DropTable) -> Result:
         if stmt.name not in manifest["tables"]:
@@ -611,16 +633,31 @@ class Engine:
 
     # ---------------------------------------------------------- OPTIMIZE
 
+    # Small-file threshold for the scoped (bare) OPTIMIZE: files under
+    # this size bin-pack, larger files hard-link into the new base
+    # untouched. Delta's default minFileSize thinking at fixture scale;
+    # tune per deployment.
+    SMALL_FILE_BYTES = 32 * 1024 * 1024
+
     def _optimize(self, manifest: dict, stmt: ast.Optimize) -> Result:
-        """OPTIMIZE t [ZORDER BY (...)] [FILES n] (extension — Delta's
-        layout-maintenance contract): rewrite the table as ONE compacted
-        base snapshot, optionally Z-order-clustered so parquet min/max
-        statistics prune multi-dimensional predicates (sources/layout.py
-        for the mechanism and its honest limits). Content-identical: only
-        the file layout changes; the delta chain resets. Point-in-time —
-        later DML appends unclustered until the next OPTIMIZE. Partition
-        layouts (partition_by) already have their own placement and are
-        not re-clustered."""
+        """OPTIMIZE t [ZORDER BY (...)] [FILES n] [WHERE <partition eq>]
+        (extension — Delta's layout-maintenance contract), three scopes:
+
+        - bare ``OPTIMIZE t``: SCOPED small-file compaction (round 10) —
+          bin-pack only files under SMALL_FILE_BYTES, hard-link well-sized
+          files unchanged, keep the delta chain. On a mostly-well-laid-out
+          100 TB table this touches only the small-file tail, never the
+          table (catalog.compact_small_files).
+        - ``ZORDER BY (...)`` / ``FILES n``: FULL rewrite as one compacted
+          base snapshot, optionally Z-order-clustered so parquet min/max
+          statistics prune multi-dimensional predicates (sources/layout.py
+          for the mechanism and its honest limits). Content-identical;
+          the delta chain folds and resets. Point-in-time — later DML
+          appends unclustered until the next OPTIMIZE.
+        - ``WHERE col = lit [AND ...]`` on a partition_by table: rewrite
+          ONLY the matching partition directories, hard-link the rest
+          (catalog.compact_partitions); the delta chain is preserved.
+        """
         from entangledb_spark.sources.layout import zorder_frame
 
         meta = self._table_meta(manifest, stmt.table, writable=True)
@@ -633,6 +670,46 @@ class Engine:
                 "OPTIMIZE ZORDER is not supported on a partition_by table — "
                 "the directory layout already fixes file placement"
             )
+        if stmt.where is not None:
+            if stmt.zorder:
+                raise EngineError(
+                    "OPTIMIZE WHERE cannot combine with ZORDER BY "
+                    "(Z-ordering is a whole-table layout)"
+                )
+            part_by = meta.get("partition_by") or []
+            if not part_by:
+                raise EngineError(
+                    f"OPTIMIZE {stmt.table} WHERE requires a partition_by "
+                    "table — there are no partition directories to scope to"
+                )
+            eq = _partition_equalities(stmt.where, part_by)
+            stats = self.catalog.compact_partitions(
+                manifest, stmt.table, eq, files=stmt.files
+            )
+            n = self.catalog.count_rows(meta["data"])
+            scope = ", ".join(f"{c}={v}" for c, v in eq.items())
+            return Result(
+                status=(
+                    f"OPTIMIZE {stmt.table} (partitions {scope} rewritten, "
+                    f"{stats['kept']} file(s) kept by identity, {n} rows)"
+                )
+            )
+        if not stmt.zorder and stmt.files is None:
+            stats = self.catalog.compact_small_files(
+                manifest, stmt.table, self.SMALL_FILE_BYTES
+            )
+            if stats is None:
+                return Result(
+                    status=f"OPTIMIZE {stmt.table} (nothing to compact)"
+                )
+            n = self.catalog.count_rows(meta["data"])
+            return Result(
+                status=(
+                    f"OPTIMIZE {stmt.table} (small-file compaction: "
+                    f"{stats['rewritten']} packed, {stats['kept']} kept by "
+                    f"identity, {n} rows)"
+                )
+            )
         view = self.catalog.read_df(manifest, stmt.table)
         detail = "compacted"
         n_files = stmt.files
@@ -643,7 +720,7 @@ class Engine:
                 raise EngineError(f"OPTIMIZE {stmt.table}: {e}") from None
             meta["zorder"] = list(stmt.zorder)
             detail = f"zorder: {', '.join(stmt.zorder)}, {n_files} file(s)"
-        elif n_files is not None:
+        else:
             view = view.repartition(n_files)
             detail = f"compacted, {n_files} file(s)"
         self.catalog.compact(manifest, stmt.table, view=view)
@@ -1822,6 +1899,7 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
         or stmt.limit is not None
         or stmt.offset is not None
         or not stmt.group_by
+        or stmt.group_mode != "plain"  # super-aggregate rows don't merge by key
     ):
         return None
     if any(not isinstance(g, ast.Field) for g in stmt.group_by):
@@ -1857,6 +1935,47 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     if deps != {f.name}:
         return None
     return {"base": f.name, "key_cols": key_cols, "out_cols": out_cols}
+
+
+def _partition_equalities(e: ast.Expr, part_by: list) -> dict:
+    """Flatten an OPTIMIZE WHERE predicate — `col = literal [AND ...]` —
+    into {partition column: value}. Anything else is rejected with the
+    reason: partition scoping selects directory names, so only equality
+    conjunctions on partition columns are expressible."""
+    out: dict = {}
+
+    def visit(x):
+        if isinstance(x, ast.Op) and x.name == "AND":
+            visit(x.args[0])
+            visit(x.args[1])
+            return
+        if isinstance(x, ast.Op) and x.name == "EQ":
+            a, b = x.args
+            if isinstance(b, ast.Field) and isinstance(a, ast.Literal):
+                a, b = b, a
+            if (
+                isinstance(a, ast.Field)
+                and isinstance(b, ast.Literal)
+                and b.value is not None
+            ):
+                if a.name not in part_by:
+                    raise EngineError(
+                        f"OPTIMIZE WHERE may reference only partition "
+                        f"columns ({', '.join(part_by)}); {a.name} is not one"
+                    )
+                if a.name in out:
+                    raise EngineError(
+                        f"duplicate partition equality on {a.name}"
+                    )
+                out[a.name] = b.value
+                return
+        raise EngineError(
+            "OPTIMIZE WHERE supports only `partition_col = literal` "
+            "conjunctions (partition scoping selects directory names)"
+        )
+
+    visit(e)
+    return out
 
 
 def _matview_spj_shape(stmt, deps: set) -> Optional[dict]:

@@ -87,7 +87,7 @@ class Subquery:
 
 Expr = Union[Literal, Star, Field, Op, FuncCall, WindowFunc, Subquery]
 
-AGGREGATES = ("avg", "count", "max", "min", "sum")
+AGGREGATES = ("avg", "count", "max", "min", "sum", "grouping")
 
 
 def is_aggregate(e: Expr) -> bool:
@@ -130,6 +130,7 @@ class JoinType(str, Enum):
     INNER = "inner"
     LEFT = "left"
     RIGHT = "right"
+    FULL = "full"  # FULL [OUTER] JOIN (extension — the reference stops at RIGHT)
 
 
 @dataclass(frozen=True)
@@ -202,6 +203,10 @@ class ColumnDef:
 class CreateTable:
     name: str
     columns: tuple[ColumnDef, ...]
+    # CREATE TABLE ... PARTITION BY (c, ...) (extension): Hive-style
+    # directory layout on the named columns — every snapshot/delta write
+    # encodes them in the path so reads prune files by partition value.
+    partition_by: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -292,6 +297,13 @@ class Select:
     offset: Optional[Expr] = None
     limit: Optional[Expr] = None
     distinct: bool = False  # SELECT DISTINCT — extension
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS (extension): "plain" is ordinary
+    # GROUP BY; for "sets", `group_by` holds the DISTINCT union of every
+    # set's expressions (first-appearance order) and `grouping_sets` the
+    # per-set index tuples into group_by. grouping(expr) aggregates
+    # disambiguate super-aggregate NULLs, exactly SQL-standard.
+    group_mode: str = "plain"  # plain | rollup | cube | sets
+    grouping_sets: tuple[tuple[int, ...], ...] = ()
 
 
 @dataclass(frozen=True)
@@ -363,6 +375,9 @@ class Optimize:
     table: str
     zorder: tuple[str, ...] = ()
     files: Optional[int] = None  # FILES n — explicit output file count
+    # OPTIMIZE t WHERE <partition equalities> (extension): rewrite ONLY
+    # the matching partition directories, hard-link the rest unchanged.
+    where: Optional[Expr] = None
 
 
 @dataclass(frozen=True)

@@ -154,6 +154,7 @@ def compile_from(
         ast.JoinType.INNER: "inner",
         ast.JoinType.LEFT: "left",
         ast.JoinType.RIGHT: "right",
+        ast.JoinType.FULL: "full",
     }[item.join_type]
     return left.join(right, on=pred, how=how)
 
@@ -621,13 +622,56 @@ def compile_select(
     for j, fc in enumerate(agg_calls):
         if fc in mapping:
             continue
+        if fc.name.lower() == "grouping":
+            # SQL-standard grouping(col): 1 on super-aggregate rows where
+            # `col` was rolled away, 0 on regular rows — THE disambiguator
+            # between a rolled-up NULL and a real NULL group key.
+            if stmt.group_mode == "plain":
+                raise CompileError(
+                    "grouping() requires GROUP BY ROLLUP / CUBE / GROUPING SETS"
+                )
+            if len(fc.args) != 1 or fc.star:
+                raise CompileError("grouping() takes exactly one grouping column")
+            a = fc.args[0]
+            if isinstance(a, ast.Field) and a.table is None and a.name in alias_of:
+                a = alias_of[a.name]
+            try:
+                gi = group_exprs.index(a)
+            except ValueError:
+                raise CompileError(
+                    "grouping() argument must appear in the GROUP BY list"
+                ) from None
+            mapping[fc] = f"__a{j}"
+            agg_cols.append(
+                F.grouping(F.col(f"__g{gi}")).cast("long").alias(f"__a{j}")
+            )
+            continue
         mapping[fc] = f"__a{j}"
         agg_cols.append(_agg_column(fc, scope).alias(f"__a{j}"))
     if not agg_cols:
         # GROUP BY with no aggregates: still a grouping (DISTINCT-like)
         agg_cols = [F.count(F.lit(1)).alias("__dummy")]
 
-    grouped = df.groupBy(*group_cols).agg(*agg_cols) if group_cols else df.agg(*agg_cols)
+    if stmt.group_mode == "plain":
+        grouped = (
+            df.groupBy(*group_cols).agg(*agg_cols) if group_cols else df.agg(*agg_cols)
+        )
+    else:
+        # ROLLUP/CUBE/GROUPING SETS compile onto Spark's native grouping
+        # analytics (one Expand + one aggregate — the q90 DataFrame
+        # machinery, now reachable from the dialect). Group expressions
+        # are pre-projected as __gN columns so grouping(__gN) resolves
+        # against real input columns.
+        pre = df.select("*", *group_cols)
+        gcols = [F.col(f"__g{i}") for i in range(len(group_exprs))]
+        if stmt.group_mode == "rollup":
+            gd = pre.rollup(*gcols)
+        elif stmt.group_mode == "cube":
+            gd = pre.cube(*gcols)
+        else:
+            sets = [[gcols[i] for i in idxs] for idxs in stmt.grouping_sets]
+            gd = pre.groupingSets(sets, *gcols)
+        grouped = gd.agg(*agg_cols)
 
     # post-aggregation scope: internal columns only
     post = Scope()

@@ -56,8 +56,9 @@ class Parser:
 
     # ---- token helpers ----------------------------------------------------
 
-    def peek(self) -> Token:
-        return self.tokens[self.i]
+    def peek(self, ahead: int = 0) -> Token:
+        j = min(self.i + ahead, len(self.tokens) - 1)  # clamp to EOF token
+        return self.tokens[j]
 
     def next(self) -> Token:
         t = self.tokens[self.i]
@@ -121,7 +122,12 @@ class Parser:
                 files = int(self.expect("number").text)
                 if files < 1:
                     raise ParseError("OPTIMIZE FILES must be >= 1")
-            return ast.Optimize(table=table, zorder=zorder, files=files)
+            where = (
+                self.parse_expr() if self.accept("keyword", "where") else None
+            )
+            return ast.Optimize(
+                table=table, zorder=zorder, files=files, where=where
+            )
         if t.kind == "ident" and t.text.lower() == "refresh":
             # REFRESH MATERIALIZED VIEW name (contextual — `refresh` stays
             # a legal identifier everywhere else)
@@ -197,7 +203,18 @@ class Parser:
             if not self.accept("symbol", ","):
                 break
         self.expect("symbol", ")")
-        return ast.CreateTable(name=name, columns=tuple(cols))
+        partition_by: tuple = ()
+        if self.accept("keyword", "partition"):
+            self.expect("keyword", "by")
+            self.expect("symbol", "(")
+            pcols = [self.expect("ident").text]
+            while self.accept("symbol", ","):
+                pcols.append(self.expect("ident").text)
+            self.expect("symbol", ")")
+            partition_by = tuple(pcols)
+        return ast.CreateTable(
+            name=name, columns=tuple(cols), partition_by=partition_by
+        )
 
     def parse_column_def(self) -> ast.ColumnDef:
         name = self.expect("ident").text
@@ -576,12 +593,35 @@ class Parser:
         where = self.parse_expr() if self.accept("keyword", "where") else None
 
         group_by: tuple = ()
+        group_mode = "plain"
+        grouping_sets: tuple = ()
         if self.accept("keyword", "group"):
             self.expect("keyword", "by")
-            groups = [self.parse_expr()]
-            while self.accept("symbol", ","):
-                groups.append(self.parse_expr())
-            group_by = tuple(groups)
+            # ROLLUP / CUBE / GROUPING SETS are contextual words (a column
+            # named `rollup` keeps working when not followed by '(')
+            if self._peek_word_paren("rollup"):
+                self.next()
+                group_mode = "rollup"
+                group_by = tuple(self._parse_paren_expr_list())
+            elif self._peek_word_paren("cube"):
+                self.next()
+                group_mode = "cube"
+                group_by = tuple(self._parse_paren_expr_list())
+            elif (
+                self.peek().kind == "ident"
+                and self.peek().text.lower() == "grouping"
+                and self.peek(1).kind == "ident"
+                and self.peek(1).text.lower() == "sets"
+            ):
+                self.next()
+                self.next()
+                group_mode = "sets"
+                group_by, grouping_sets = self._parse_grouping_sets()
+            else:
+                groups = [self.parse_expr()]
+                while self.accept("symbol", ","):
+                    groups.append(self.parse_expr())
+                group_by = tuple(groups)
 
         having = self.parse_expr() if self.accept("keyword", "having") else None
 
@@ -592,8 +632,60 @@ class Parser:
         return ast.Select(
             select=tuple(select), from_=from_, where=where, group_by=group_by,
             having=having, order_by=order_by, offset=offset, limit=limit,
-            distinct=distinct,
+            distinct=distinct, group_mode=group_mode,
+            grouping_sets=grouping_sets,
         )
+
+    def _peek_word_paren(self, word: str) -> bool:
+        t, n = self.peek(), self.peek(1)
+        return (
+            t.kind == "ident"
+            and t.text.lower() == word
+            and n.kind == "symbol"
+            and n.text == "("
+        )
+
+    def _parse_paren_expr_list(self) -> list:
+        self.expect("symbol", "(")
+        exprs = [self.parse_expr()]
+        while self.accept("symbol", ","):
+            exprs.append(self.parse_expr())
+        self.expect("symbol", ")")
+        return exprs
+
+    def _parse_grouping_sets(self):
+        """GROUPING SETS ( <set> [, <set>]... ) where <set> is `(e, ...)`,
+        `()` (the grand total), or a bare expression. Returns (group_by,
+        set index tuples): group_by is the distinct union of every set's
+        expressions in first-appearance order; each set becomes a tuple
+        of indexes into it (the ast.Select contract)."""
+        self.expect("symbol", "(")
+        union: list = []
+        sets: list[tuple[int, ...]] = []
+
+        def index_of(e) -> int:
+            for i, u in enumerate(union):
+                if u == e:
+                    return i
+            union.append(e)
+            return len(union) - 1
+
+        while True:
+            if self.peek().kind == "symbol" and self.peek().text == "(":
+                self.next()
+                members: list = []
+                if not (self.peek().kind == "symbol" and self.peek().text == ")"):
+                    members.append(self.parse_expr())
+                    while self.accept("symbol", ","):
+                        members.append(self.parse_expr())
+                self.expect("symbol", ")")
+            else:
+                members = [self.parse_expr()]
+            sets.append(tuple(index_of(e) for e in members))
+            if not self.accept("symbol", ","):
+                break
+        self.expect("symbol", ")")
+        return tuple(union), tuple(sets)
 
     def parse_from_item(self) -> ast.FromItem:
         left: ast.FromItem = self.parse_table_ref()
@@ -613,6 +705,17 @@ class Parser:
                 self.accept("keyword", "outer")
                 self.expect("keyword", "join")
                 jt = ast.JoinType.RIGHT
+            elif (
+                self.peek().kind == "ident"
+                and self.peek().text.lower() == "full"
+                and (
+                    (self.peek(1).kind == "keyword" and self.peek(1).text in ("outer", "join"))
+                )
+            ):
+                self.next()
+                self.accept("keyword", "outer")
+                self.expect("keyword", "join")
+                jt = ast.JoinType.FULL
             elif self.accept("keyword", "join"):
                 jt = ast.JoinType.INNER
             else:
@@ -674,7 +777,14 @@ class Parser:
         alias = None
         if self.accept("keyword", "as"):
             alias = self.expect("ident").text
-        elif self.peek().kind == "ident":
+        elif self.peek().kind == "ident" and not (
+            # `t FULL [OUTER] JOIN ...`: FULL introduces a join, not an
+            # implicit alias (FULL is contextual — `t full` with no JOIN
+            # after it still aliases; same treatment other dialects give)
+            self.peek().text.lower() == "full"
+            and self.peek(1).kind == "keyword"
+            and self.peek(1).text in ("outer", "join")
+        ):
             alias = self.next().text
         if args is not None:
             if as_of is not None:

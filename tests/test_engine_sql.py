@@ -1419,3 +1419,92 @@ def test_relations_tvf_lists_catalog(eng):
     eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v1}")
     assert eng.execute("SELECT name FROM relations()").rows == [("t",)]
     eng.execute("COMMIT")
+
+
+def test_grouping_extensions_match_duckdb(eng):
+    """Round-10 dialect additions: GROUP BY ROLLUP / CUBE / GROUPING SETS
+    compile onto Spark's native grouping analytics, exact-row parity with
+    DuckDB on identical SQL — including grouping() disambiguating a
+    rolled-up NULL from a REAL NULL group key (the planted NULL grp)."""
+    import duckdb
+
+    eng.execute("CREATE TABLE g (id INTEGER PRIMARY KEY, grp STRING, sub STRING, v INTEGER)")
+    rows = [
+        (1, "a", "x", 10), (2, "a", "y", 20), (3, "b", "x", 30),
+        (4, "b", "y", 5), (5, None, "x", 7), (6, None, "y", 2),
+    ]
+    eng.execute(
+        "INSERT INTO g VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if g is None else repr(g)}, '{s}', {v})"
+            for i, g, s, v in rows
+        )
+    )
+    # NOTE: no ORDER BY — the dialect's default null ordering is the
+    # reference's (NULLS FIRST ASC), DuckDB's is NULLS LAST; rows compare
+    # as sorted multisets, which is also how the driver's hash gate works
+    queries = [
+        ("SELECT grp, sub, sum(v) AS s, grouping(grp) AS gg, grouping(sub) AS gs "
+         "FROM g GROUP BY ROLLUP (grp, sub)"),
+        ("SELECT grp, sub, sum(v) AS s, count(*) AS n, grouping(grp) AS gg "
+         "FROM g GROUP BY CUBE (grp, sub)"),
+        ("SELECT grp, sub, sum(v) AS s, grouping(grp) AS gg, grouping(sub) AS gs "
+         "FROM g GROUP BY GROUPING SETS ((grp), (sub), (grp, sub), ())"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (id INTEGER, grp VARCHAR, sub VARCHAR, v INTEGER)")
+    con.executemany("INSERT INTO g VALUES (?, ?, ?, ?)", rows)
+    for sql in queries:
+        got = sorted((tuple(r) for r in eng.execute(sql).rows), key=repr)
+        want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=repr)
+        assert got == want, (sql, got, want)
+    con.close()
+    # the real-NULL vs rolled-up-NULL distinction is visible: among rows
+    # with grp IS NULL in the ROLLUP result, grouping(grp)=0 rows carry
+    # the planted NULL group (sum 9), =1 rows the grand total (sum 74)
+    rows2 = eng.execute(
+        "SELECT grouping(grp) AS gg, sum(v) AS s FROM g GROUP BY ROLLUP (grp)"
+    ).rows
+    by_gg = {}
+    for gg, s_ in rows2:
+        by_gg.setdefault(gg, []).append(s_)
+    assert 9 in by_gg[0] and by_gg[1] == [74]
+
+
+def test_grouping_extension_errors(eng):
+    eng.execute("CREATE TABLE ge (id INTEGER PRIMARY KEY, a STRING, v INTEGER)")
+    eng.execute("INSERT INTO ge VALUES (1, 'x', 1)")
+    with pytest.raises(EngineError, match="ROLLUP"):
+        eng.execute("SELECT a, grouping(a) FROM ge GROUP BY a")
+    with pytest.raises(EngineError, match="GROUP BY list"):
+        eng.execute("SELECT a, grouping(v) AS gv FROM ge GROUP BY ROLLUP (a)")
+
+
+def test_full_outer_join_matches_duckdb(eng):
+    """FULL [OUTER] JOIN through the dialect (round 10 — beyond the
+    reference's CROSS/INNER/LEFT/RIGHT), exact parity with DuckDB."""
+    import duckdb
+
+    eng.execute("CREATE TABLE fa (id INTEGER PRIMARY KEY, k INTEGER)")
+    eng.execute("CREATE TABLE fb (id INTEGER PRIMARY KEY, k INTEGER)")
+    eng.execute("INSERT INTO fa VALUES (1, 10), (2, 20), (3, 30)")
+    eng.execute("INSERT INTO fb VALUES (7, 20), (8, 30), (9, 40)")
+    sql = (
+        "SELECT fa.id AS aid, fb.id AS bid, fa.k AS ak, fb.k AS bk "
+        "FROM fa FULL OUTER JOIN fb ON fa.k = fb.k "
+        "ORDER BY coalesce(fa.k, fb.k), aid"
+    )
+    got = [tuple(r) for r in eng.execute(sql).rows]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fa (id INTEGER, k INTEGER)")
+    con.execute("CREATE TABLE fb (id INTEGER, k INTEGER)")
+    con.execute("INSERT INTO fa VALUES (1, 10), (2, 20), (3, 30)")
+    con.execute("INSERT INTO fb VALUES (7, 20), (8, 30), (9, 40)")
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert got == want and len(got) == 4
+    # bare FULL JOIN spelling too; a column named `full` keeps working
+    got2 = eng.execute(
+        "SELECT count(*) AS n FROM fa FULL JOIN fb ON fa.k = fb.k"
+    ).rows
+    assert got2 == [(4,)]
