@@ -483,6 +483,142 @@ class SnapshotCatalog:
         )
         meta["deltas"] = []
 
+    def compact_small_files(
+        self, manifest: dict, name: str, threshold: int
+    ) -> Optional[dict]:
+        """Delta-style scoped compaction (round 10): bin-pack ONLY parquet
+        files under ``threshold`` bytes into one file per directory,
+        HARD-LINKING every well-sized file into the new base unchanged —
+        same inode, zero bytes read or rewritten (the local-filesystem
+        equivalent of an object store's file-manifest reuse: at 100 TB
+        this is the difference between OPTIMIZE costing O(small files)
+        and O(table)). Partition directories pack independently (files
+        under different partition values can never merge). The delta
+        chain is PRESERVED — base rows stay base rows, so merge-on-read
+        semantics and pending tombstones are untouched (unlike the full
+        rewrite, which folds and resets the chain).
+
+        Returns {"rewritten", "kept", "dirs"} after swapping meta["data"]
+        to the new base, or None when no directory holds two small files
+        (true no-op: the manifest is untouched, no version is wasted)."""
+        import shutil
+
+        meta = manifest["tables"][name]
+        if meta.get("data") is None or meta.get("external"):
+            return None
+        base_dir = os.path.join(self.base, meta["data"])
+        groups: dict[str, tuple[list, list]] = {}
+        for root, _dirs, fnames in os.walk(base_dir):
+            sub = os.path.relpath(root, base_dir)
+            for fn in fnames:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                g = groups.setdefault("" if sub == "." else sub, ([], []))
+                (g[0] if os.path.getsize(p) < threshold else g[1]).append(p)
+        if not any(len(small) >= 2 for small, _ in groups.values()):
+            return None
+        by_name = {c["name"]: c for c in meta["columns"]}
+        phys_part = {
+            physical_name(by_name.get(p, {"name": p}))
+            for p in (meta.get("partition_by") or [])
+        }
+        # files inside a Hive layout do NOT store the partition columns —
+        # read them with the file schema, the directory path keeps the
+        # partition values
+        file_cols = [
+            c for c in meta["columns"] if physical_name(c) not in phys_part
+        ]
+        fschema = schema_of(file_cols, physical=True)
+        new_rel = os.path.join("data", name, uuid.uuid4().hex[:12])
+        new_dir = os.path.join(self.base, new_rel)
+        n_rw = n_kept = 0
+        for sub, (small, kept) in sorted(groups.items()):
+            dst = os.path.join(new_dir, sub) if sub else new_dir
+            os.makedirs(dst, exist_ok=True)
+            if len(small) < 2:  # a lone small file isn't worth a rewrite
+                kept = kept + small
+                small = []
+            for p in kept:
+                os.link(p, os.path.join(dst, os.path.basename(p)))
+                n_kept += 1
+            if not small:
+                continue
+            tmp = os.path.join(self.base, "data", name, "_pack_" + uuid.uuid4().hex[:8])
+            (
+                self.spark.read.schema(fschema)
+                .parquet(*sorted(small))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for fn in os.listdir(tmp):
+                if fn.endswith(".parquet"):
+                    os.link(
+                        os.path.join(tmp, fn), os.path.join(dst, "packed-" + fn)
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+            n_rw += len(small)
+        meta["data"] = new_rel
+        return {"rewritten": n_rw, "kept": n_kept, "dirs": len(groups)}
+
+    def compact_partitions(
+        self, manifest: dict, name: str, equalities: dict, files: Optional[int] = None
+    ) -> dict:
+        """OPTIMIZE t WHERE <partition equalities> (round 10): rewrite the
+        MATCHING partition directories from the merged view (pending
+        deltas for those rows fold in — re-applying them on read stays
+        correct: a delta row outranks both base copies it may shadow, so
+        the window-by-PK merge is unaffected) and HARD-LINK every other
+        partition directory into the new base unchanged. The delta chain
+        is preserved. Cost scales with the matched partitions, never the
+        table — the scoped-OPTIMIZE contract at 100 TB.
+
+        ``equalities``: {logical partition column: literal value}."""
+        meta = manifest["tables"][name]
+        part_by = meta.get("partition_by") or []
+        by_name = {c["name"]: c for c in meta["columns"]}
+        want = {
+            f"{physical_name(by_name[c])}={v}" for c, v in equalities.items()
+        }
+
+        def matched(rel_path: str) -> bool:
+            segs = set(rel_path.split(os.sep))
+            return all(w in segs for w in want)
+
+        from pyspark.sql import functions as F
+
+        pred = None
+        for c, v in equalities.items():
+            term = F.col(c).eqNullSafe(F.lit(v))
+            pred = term if pred is None else (pred & term)
+        view = self.read_df(manifest, name).filter(pred)
+        if files is not None:
+            view = view.repartition(files)
+        phys_parts = [physical_name(by_name[p]) for p in part_by]
+        new_rel = os.path.join("data", name, uuid.uuid4().hex[:12])
+        new_dir = os.path.join(self.base, new_rel)
+        w = self._to_physical(view, meta["columns"])
+        if files is None:
+            w = w.repartition(*phys_parts)
+        w.write.mode("overwrite").partitionBy(*phys_parts).parquet(new_dir)
+        n_kept = 0
+        if meta.get("data") is not None:
+            old_dir = os.path.join(self.base, meta["data"])
+            for root, _dirs, fnames in os.walk(old_dir):
+                sub = os.path.relpath(root, old_dir)
+                if sub == "." or matched(sub):
+                    continue
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    dst = os.path.join(new_dir, sub)
+                    os.makedirs(dst, exist_ok=True)
+                    os.link(os.path.join(root, fn), os.path.join(dst, fn))
+                    n_kept += 1
+        meta["data"] = new_rel
+        return {"kept": n_kept}
+
     def vacuum(self, keep_last: int = 8) -> dict:
         """Retention GC: drop manifests older than the last `keep_last`
         versions and delete data directories no kept version references.

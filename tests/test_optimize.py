@@ -157,3 +157,145 @@ def test_optimize_zorder_too_many_columns_is_engine_error(spark, tmp_path):
     eng.execute("INSERT INTO t8 VALUES (1,2,3,4,5,6,7,8)")
     with _pytest.raises(EngineError, match="63"):
         eng.execute("OPTIMIZE t8 ZORDER BY (a,b,c,d,e,f,g,h)")
+
+
+def test_partition_scoped_optimize_links_untouched_partitions(spark, tmp_path):
+    """Round-10 scoped OPTIMIZE: `OPTIMIZE t WHERE grp = 'a'` on a
+    PARTITION BY table rewrites ONLY partition a; partitions b and c
+    survive into the new base as the SAME files (hard links — identical
+    inode and file name, zero bytes rewritten), the delta chain is
+    preserved, partition pruning still engages, and time travel sees the
+    old layout."""
+    from entangledb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute(
+        "CREATE TABLE pt (id INTEGER PRIMARY KEY, grp STRING, v INTEGER) "
+        "PARTITION BY (grp)"
+    )
+    rows = [(i, "abc"[i % 3], i * 10) for i in range(60)]
+    eng.execute(
+        "INSERT INTO pt VALUES "
+        + ", ".join(f"({i}, '{g}', {v})" for i, g, v in rows)
+    )
+    eng.execute("OPTIMIZE pt FILES 1")  # full rewrite -> partitioned base
+    m = eng.catalog.manifest()["tables"]["pt"]
+    base0 = os.path.join(eng.catalog.base, m["data"])
+    assert os.path.isdir(os.path.join(base0, "grp=a"))
+
+    def part_files(base, grp):
+        d = os.path.join(base, f"grp={grp}")
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    before_b, before_c = part_files(base0, "b"), part_files(base0, "c")
+    v0 = eng.catalog.current_version()
+    eng.execute("INSERT INTO pt VALUES (100, 'a', 999)")  # pending delta
+    r = eng.execute("OPTIMIZE pt WHERE grp = 'a'")
+    assert "kept by identity" in r.status
+    m = eng.catalog.manifest()["tables"]["pt"]
+    base1 = os.path.join(eng.catalog.base, m["data"])
+    assert base1 != base0
+    assert part_files(base1, "b") == before_b  # same names AND inodes
+    assert part_files(base1, "c") == before_c
+    assert len(m["deltas"]) > 0  # the chain survives a scoped optimize
+    # content correct, including the folded + still-pending delta row
+    assert eng.execute("SELECT count(*) AS n FROM pt").rows == [(61,)]
+    assert eng.execute("SELECT v FROM pt WHERE id = 100").rows == [(999,)]
+    assert eng.execute(
+        "SELECT count(*) AS n FROM pt WHERE grp = 'b'"
+    ).rows == [(20,)]
+    # partition pruning still engages on the new base
+    from pyspark.sql import functions as F
+
+    one = spark.read.parquet(base1).filter(F.col("grp") == "b")
+    assert "PartitionFilters" in one._jdf.queryExecution().executedPlan().toString()
+    # time travel sees the pre-optimize layout
+    eng.execute(f"BEGIN READ ONLY AS OF SYSTEM TIME {v0}")
+    assert eng.execute("SELECT count(*) AS n FROM pt").rows == [(60,)]
+    eng.execute("COMMIT")
+
+
+def test_bare_optimize_packs_only_small_files(spark, tmp_path):
+    """Round-10 scoped OPTIMIZE, size-scoped form: the bare statement
+    bin-packs only files under the threshold; well-sized files hard-link
+    into the new base unchanged (same name + inode); a base with nothing
+    to pack is a true no-op (manifest untouched, no wasted version)."""
+    from entangledb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute("CREATE TABLE st (id INTEGER PRIMARY KEY, pad STRING)")
+    eng.execute(
+        "INSERT INTO st VALUES "
+        + ", ".join(f"({i}, '{'x' * 200}')" for i in range(500))
+    )
+    eng.execute("OPTIMIZE st FILES 1")  # one well-sized base file
+    m = eng.catalog.manifest()["tables"]["st"]
+    base0 = os.path.join(eng.catalog.base, m["data"])
+    big = [f for f in os.listdir(base0) if f.endswith(".parquet")]
+    assert len(big) == 1
+    big_size = os.path.getsize(os.path.join(base0, big[0]))
+    # plant two files SMALLER than the big one into a fresh base dir
+    # (hard links keep this cheap), then point the catalog at it — the
+    # unit seam compact_small_files operates on
+    import uuid as _uuid
+
+    rel = os.path.join("data", "st", _uuid.uuid4().hex[:12])
+    staged = os.path.join(eng.catalog.base, rel)
+    os.makedirs(staged)
+    os.link(os.path.join(base0, big[0]), os.path.join(staged, big[0]))
+    small_df = spark.createDataFrame([(10_000, "tiny")], "id int, pad string")
+    for k in range(2):
+        tmp = os.path.join(eng.catalog.base, "data", "st", f"_tiny{k}")
+        small_df.replace("tiny", f"tiny{k}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fn = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.link(os.path.join(tmp, fn), os.path.join(staged, f"tiny{k}.parquet"))
+    m["data"] = rel
+    eng.SMALL_FILE_BYTES = big_size  # big file is AT the threshold -> kept
+    manifest = eng.catalog.manifest()
+    manifest["tables"]["st"]["data"] = rel
+    stats = eng.catalog.compact_small_files(manifest, "st", eng.SMALL_FILE_BYTES)
+    assert stats == {"rewritten": 2, "kept": 1, "dirs": 1}
+    new_base = os.path.join(eng.catalog.base, manifest["tables"]["st"]["data"])
+    kept = {
+        fn: os.stat(os.path.join(new_base, fn)).st_ino
+        for fn in os.listdir(new_base)
+        if fn.endswith(".parquet") and not fn.startswith("packed-")
+    }
+    assert kept == {big[0]: os.stat(os.path.join(base0, big[0])).st_ino}
+    packed = [f for f in os.listdir(new_base) if f.startswith("packed-")]
+    assert len(packed) == 1
+    # content: 500 originals + the 2 planted tiny rows' ids... the tiny
+    # files share id 10000, and base files are plain row sets — both
+    # survive the pack (dedup is the MERGE layer's job, not OPTIMIZE's)
+    got = spark.read.parquet(new_base).count()
+    assert got == 502
+    # a base with nothing to pack: true no-op
+    stats2 = eng.catalog.compact_small_files(manifest, "st", 10)
+    assert stats2 is None
+
+
+def test_optimize_where_errors(spark, tmp_path):
+    from entangledb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute("CREATE TABLE np (id INTEGER PRIMARY KEY, grp STRING)")
+    eng.execute("INSERT INTO np VALUES (1, 'a')")
+    with pytest.raises(EngineError, match="partition_by"):
+        eng.execute("OPTIMIZE np WHERE grp = 'a'")
+    eng.execute(
+        "CREATE TABLE pp (id INTEGER PRIMARY KEY, grp STRING, v INTEGER) "
+        "PARTITION BY (grp)"
+    )
+    eng.execute("INSERT INTO pp VALUES (1, 'a', 1)")
+    with pytest.raises(EngineError, match="only partition columns"):
+        eng.execute("OPTIMIZE pp WHERE v = 1")
+    with pytest.raises(EngineError, match="conjunctions"):
+        eng.execute("OPTIMIZE pp WHERE grp > 'a'")
+    with pytest.raises(EngineError, match="ZORDER"):
+        eng.execute("OPTIMIZE pp ZORDER BY (v) WHERE grp = 'a'")
