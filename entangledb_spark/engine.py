@@ -295,7 +295,12 @@ class Engine(DdlStatements, DmlStatements, MatviewStatements, ExplainStatements)
         t = self._manifest_for_read()["tables"].get(name)
         if t is None:
             raise EngineError(f"table {name} does not exist")
-        return {"name": name, "columns": [dict(c) for c in t["columns"]]}
+        out = {"name": name, "columns": [dict(c) for c in t["columns"]]}
+        # layout surface (round 10): PARTITION BY / last ZORDER, when set
+        for k in ("partition_by", "zorder"):
+            if t.get(k):
+                out[k] = list(t[k])
+        return out
 
     # ---------------------------------------------------------- dispatch
 
