@@ -81,26 +81,8 @@ class MatviewStatements:
             df = compile_statement(stmt.query, self.spark, recording)
         except CompileError as e:
             raise EngineError(f"CREATE MATERIALIZED VIEW {stmt.name}: {e}") from None
-        shape = _matview_grouped_shape(stmt.query, deps)
-        if shape is None:
-            spj = _matview_spj_shape(stmt.query, deps)
-            # the SPJ path merges on the base PK, so the OUTPUT must
-            # carry it as a plain column — else full recompute
-            if spj is not None:
-                base_meta = manifest["tables"].get(spj["base"])
-                pk = (
-                    next(
-                        (c["name"] for c in base_meta["columns"] if c["primary_key"]),
-                        None,
-                    )
-                    if base_meta
-                    else None
-                )
-                if pk is not None and pk in spj["fields"]:
-                    shape = spj
-        incremental = shape is not None and not (
-            manifest["tables"].get(shape["base"], {}).get("external")
-        ) and shape["base"] in manifest["tables"]
+        kind, shape = _choose_incremental_shape(stmt.query, deps)
+        incremental = _shape_is_incremental(manifest["tables"], kind, shape)
         rel = self.catalog.write_snapshot(f"__mv_{stmt.name}", df)
         n = self.catalog.count_rows(rel)
         mvs[stmt.name] = {
@@ -188,19 +170,15 @@ class MatviewStatements:
         parsed = parse(mv["sql"])
         mode, n_groups, new_df = "full", None, None
         if mv.get("incremental"):
-            shape = _matview_grouped_shape(parsed, set(mv["deps"]))
-            spj = (
-                _matview_spj_shape(parsed, set(mv["deps"]))
-                if shape is None
-                else None
-            )
-            if shape is not None or spj is not None:
+            kind, shape = _choose_incremental_shape(parsed, set(mv["deps"]))
+            if kind is not None:
+                runner = {
+                    "grouped": self._incremental_mv_rows,
+                    "spj": self._incremental_mv_spj_rows,
+                    "join": self._incremental_mv_join_rows,
+                }[kind]
                 try:
-                    inc = (
-                        self._incremental_mv_rows(mv, parsed, shape)
-                        if shape is not None
-                        else self._incremental_mv_spj_rows(mv, parsed, spj)
-                    )
+                    inc = runner(mv, parsed, shape)
                 except CatalogError:
                     inc = None  # e.g. base_version vacuumed → full recompute
                 except AnalysisException:
@@ -213,7 +191,11 @@ class MatviewStatements:
                     inc = None
                 if inc is not None:
                     new_df, n_groups = inc
-                    mode = "incremental" if shape is not None else "incremental-spj"
+                    mode = {
+                        "grouped": "incremental",
+                        "spj": "incremental-spj",
+                        "join": "incremental-join",
+                    }[kind]
                     if n_groups == 0:
                         # nothing changed in the base (e.g. only OTHER
                         # tables, or the MV's own last refresh, bumped the
@@ -231,7 +213,11 @@ class MatviewStatements:
         mv["data"] = rel
         mv["base_version"] = post_version
         n = self.catalog.count_rows(rel)
-        unit = "changed pk(s) applied" if mode == "incremental-spj" else "group(s) recomputed"
+        unit = (
+            "group(s) recomputed"
+            if mode in ("full", "incremental")
+            else "changed pk(s) applied"
+        )
         extra = f", {n_groups} {unit}" if n_groups is not None else ""
         return Result(
             status=(
@@ -365,6 +351,81 @@ class MatviewStatements:
         kept = old_mv.join(changed_pks, pk_out, "left_anti")
         return kept.unionByName(new_rows), k
 
+    def _incremental_mv_join_rows(self, mv: dict, parsed, j: dict):
+        """(merged DataFrame, changed-pk count) for the INNER-join SPJ
+        incremental path (round 10): the textbook join delta rule,
+        Δ(A ⋈ B) = ΔA ⋈ B_now  ∪  (A_now − ΔA) ⋈ ΔB — each term compiled
+        through the STORED QUERY itself with one side's reader substituted
+        (arbitrary join predicates and WHERE ride along), so pairs where
+        both sides changed count exactly once. Old output rows of any
+        changed PK (either side) anti-join out of the snapshot first;
+        both base PKs must therefore be output columns (the merge keys).
+        Cost scales with the deltas and the join's selectivity against
+        the OTHER side, never with |A| × |B|. Returns None to request a
+        full recompute."""
+        cur = self.catalog.current_version()
+        cur_man = self.catalog.manifest(cur)
+        pks = _join_pk_outs(cur_man["tables"], j)
+        if pks is None:
+            return None
+        pk_a, out_a, pk_b, out_b = pks
+        ch_a = self.catalog.changes_df(
+            j["a"], mv["base_version"], cur
+        ).localCheckpoint(eager=True)
+        ch_b = self.catalog.changes_df(
+            j["b"], mv["base_version"], cur
+        ).localCheckpoint(eager=True)
+        ka, kb = ch_a.count(), ch_b.count()
+        if ka == 0 and kb == 0:
+            return None, 0
+        if ka + kb > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+        base_read = self._reader()
+        pks_a = ch_a.select(pk_a).distinct()
+        pks_b = ch_b.select(pk_b).distinct()
+        post_a = ch_a.filter(F.col("_change_type") != "delete").drop(
+            "_change_type"
+        )
+        post_b = ch_b.filter(F.col("_change_type") != "delete").drop(
+            "_change_type"
+        )
+
+        def a_changed_reader(name: str) -> DataFrame:
+            return post_a if name == j["a"] else base_read(name)
+
+        new_rows = compile_statement(parsed, self.spark, a_changed_reader)
+        a_unchanged = base_read(j["a"]).join(
+            F.broadcast(pks_a), pk_a, "left_anti"
+        )
+
+        def b_changed_reader(name: str) -> DataFrame:
+            if name == j["a"]:
+                return a_unchanged
+            if name == j["b"]:
+                return post_b
+            return base_read(name)
+
+        new_rows = new_rows.unionByName(
+            compile_statement(parsed, self.spark, b_changed_reader)
+        )
+        old_mv = self.spark.read.parquet(
+            os.path.join(self.catalog.base, mv["data"])
+        )
+        kept = old_mv
+        if ka:
+            kept = kept.join(
+                F.broadcast(pks_a.select(F.col(pk_a).alias(out_a))),
+                out_a,
+                "left_anti",
+            )
+        if kb:
+            kept = kept.join(
+                F.broadcast(pks_b.select(F.col(pk_b).alias(out_b))),
+                out_b,
+                "left_anti",
+            )
+        return kept.unionByName(new_rows), ka + kb
+
     def list_matviews(self) -> list[str]:
         return sorted(self._manifest_for_read().get("matviews") or {})
 
@@ -450,6 +511,137 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     return {"base": f.name, "key_cols": key_cols, "out_cols": out_cols}
 
 
+
+
+def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for the INNER-join SPJ incremental path (round 10):
+    a single SELECT over exactly `TableRef INNER JOIN TableRef ON <any
+    predicate>` of two DISTINCT managed tables (a self-join can't split
+    sides by reader substitution), arbitrary scalar select expressions
+    and optional WHERE — no aggregates/DISTINCT/windows/subqueries/
+    ORDER/LIMIT. The join delta rule needs both base PKs as output
+    columns; `fields` records (table qualifier, column, output alias)
+    for every plain-Field item so the refresh path can resolve them
+    against the CURRENT manifest (_join_pk_outs).
+
+    Returns {"a", "alias_a", "b", "alias_b", "fields"} or None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.Join):
+        return None
+    left, right = f.left, f.right
+    if not (isinstance(left, ast.TableRef) and isinstance(right, ast.TableRef)):
+        return None
+    if left.as_of is not None or right.as_of is not None:
+        return None
+    if f.join_type != ast.JoinType.INNER or f.predicate is None:
+        return None
+    if left.name == right.name:
+        return None
+    if (
+        stmt.distinct
+        or stmt.group_by
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+    ):
+        return None
+    roots = [e for e, _ in stmt.select] + [f.predicate]
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.WindowFunc):
+                return None
+            if isinstance(sub, ast.FuncCall) and sub.name.lower() in _MV_AGGS:
+                return None
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != {left.name, right.name}:
+        return None
+    fields = tuple(
+        (expr.table, expr.name, (alias or expr.name))
+        for expr, alias in stmt.select
+        if isinstance(expr, ast.Field)
+    )
+    return {
+        "a": left.name,
+        "alias_a": left.alias or left.name,
+        "b": right.name,
+        "alias_b": right.alias or right.name,
+        "fields": fields,
+    }
+
+
+def _join_pk_outs(tables: dict, j: dict):
+    """Resolve both sides\' CURRENT primary keys to their output aliases
+    in a join-shape MV, or None when either is missing from the output
+    (then the snapshot has no merge key for that side). Bare (unqualified)
+    fields resolve by unique column ownership, mirroring the compiler\'s
+    scope rule."""
+    pk, cols = {}, {}
+    for side in ("a", "b"):
+        t = tables.get(j[side])
+        if t is None or t.get("external"):
+            return None
+        pk[side] = next(c["name"] for c in t["columns"] if c["primary_key"])
+        cols[side] = {c["name"] for c in t["columns"]}
+    out: dict = {}
+    for qual, name, alias in j["fields"]:
+        if qual in (j["alias_a"], j["a"]):
+            side = "a"
+        elif qual in (j["alias_b"], j["b"]):
+            side = "b"
+        elif qual is None:
+            in_a, in_b = name in cols["a"], name in cols["b"]
+            if in_a == in_b:
+                continue  # unknown or ambiguous — unusable as a key
+            side = "a" if in_a else "b"
+        else:
+            continue
+        if name == pk[side] and side not in out:
+            out[side] = alias
+    if "a" in out and "b" in out:
+        return pk["a"], out["a"], pk["b"], out["b"]
+    return None
+
+
+def _choose_incremental_shape(stmt, deps: set):
+    """(kind, shape) for the strongest incremental-refresh path the query
+    shape admits — "grouped" (affected-group recompute), "spj" (direct
+    CDF application), "join" (the two-term join delta rule) — else
+    (None, None) → full recompute."""
+    shape = _matview_grouped_shape(stmt, deps)
+    if shape is not None:
+        return "grouped", shape
+    shape = _matview_spj_shape(stmt, deps)
+    if shape is not None:
+        return "spj", shape
+    shape = _matview_join_shape(stmt, deps)
+    if shape is not None:
+        return "join", shape
+    return None, None
+
+
+def _shape_is_incremental(tables: dict, kind, shape) -> bool:
+    """Whether the chosen shape can actually refresh incrementally against
+    THIS catalog: managed (non-external) base tables, and the merge-key
+    requirement of the keyed paths (base PK(s) present in the output)."""
+    if kind is None:
+        return False
+    if kind == "join":
+        return _join_pk_outs(tables, shape) is not None
+    base = tables.get(shape["base"])
+    if base is None or base.get("external"):
+        return False
+    if kind == "spj":
+        pk = next((c["name"] for c in base["columns"] if c["primary_key"]), None)
+        return pk is not None and pk in shape["fields"]
+    return True
 
 
 def _matview_spj_shape(stmt, deps: set) -> Optional[dict]:

@@ -329,3 +329,97 @@ def test_spj_mv_refresh_survives_rename_of_unreferenced_column(eng):
     assert sorted(eng.execute("SELECT * FROM smv2").rows) == sorted(
         eng.execute("SELECT id, v FROM t WHERE v > 0").rows
     )
+
+
+JOIN_DEF = (
+    "SELECT t.id AS tid, u.id AS uid, grp, v * w AS vw "
+    "FROM t JOIN u ON t.id = u.id WHERE v >= 0"
+)
+
+
+@pytest.fixture()
+def jeng(eng):
+    eng.execute("CREATE TABLE u (id INT PRIMARY KEY, w INT)")
+    eng.execute("INSERT INTO u VALUES (1, 2), (2, 3), (3, 4), (9, 5)")
+    return eng
+
+
+def test_join_mv_incremental_refresh(jeng):
+    """Round-10: an INNER-join SPJ MV refreshes by the join delta rule —
+    ΔA ⋈ B_now ∪ (A_now − ΔA) ⋈ ΔB — labeled incremental at CREATE and
+    'incremental-join ... changed pk(s) applied' at REFRESH, equal to
+    re-running the defining query after DML on EITHER side (inserts,
+    updates crossing the WHERE boundary, deletes, and both-sides-changed
+    pairs counted exactly once)."""
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW jmv AS {JOIN_DEF}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(jeng.execute("SELECT * FROM jmv").rows, key=repr) == sorted(
+            jeng.execute(JOIN_DEF).rows, key=repr
+        )
+
+    fresh()
+    jeng.execute("INSERT INTO t VALUES (9,'j',70)")    # new pair via t
+    jeng.execute("INSERT INTO u VALUES (4, 6)")        # new pair via u
+    jeng.execute("UPDATE t SET v = -5 WHERE id = 2")   # leaves WHERE set
+    jeng.execute("UPDATE u SET w = 50 WHERE id = 3")   # value change, u side
+    jeng.execute("UPDATE t SET v = 1 WHERE id = 3")    # BOTH sides changed
+    jeng.execute("DELETE FROM u WHERE id = 1")         # pair drops via u
+    r = jeng.execute("REFRESH MATERIALIZED VIEW jmv")
+    assert "incremental-join" in r.status and "changed pk(s) applied" in r.status
+    fresh()
+    assert jeng.get_matview("jmv")["stale"] is False
+
+
+def test_join_mv_without_both_pks_is_full(jeng):
+    r = jeng.execute(
+        "CREATE MATERIALIZED VIEW jm2 AS "
+        "SELECT t.id AS tid, v * w AS vw FROM t JOIN u ON t.id = u.id"
+    )
+    assert "full-refresh" in r.status
+    jeng.execute("INSERT INTO u VALUES (5, 7)")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW jm2")
+    assert "(full" in r.status
+
+
+def test_join_mv_randomized_dml_equivalence(jeng):
+    """Randomized-DML property test, join flavor: interleaved DML on both
+    sides; after every refresh the MV equals its defining query, always
+    through the incremental-join path."""
+    rng = random.Random(41)
+    jeng.execute(f"CREATE MATERIALIZED VIEW jmv AS {JOIN_DEF}")
+    t_live, u_live = [1, 2, 3, 4], [1, 2, 3, 9]
+    nid = 300
+    for step in range(24):
+        op = rng.random()
+        if op < 0.25:
+            jeng.execute(
+                f"INSERT INTO t VALUES ({nid}, 'g{rng.randint(0,2)}', {rng.randint(-9, 60)})"
+            )
+            t_live.append(nid)
+            nid += 1
+        elif op < 0.5:
+            jeng.execute(f"INSERT INTO u VALUES ({nid}, {rng.randint(1, 9)})")
+            u_live.append(nid)
+            nid += 1
+        elif op < 0.7 and t_live:
+            rid = rng.choice(t_live)
+            jeng.execute(f"UPDATE t SET v = {rng.randint(-9, 60)} WHERE id = {rid}")
+        elif op < 0.85 and u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"UPDATE u SET w = {rng.randint(1, 9)} WHERE id = {rid}")
+        elif t_live and rng.random() < 0.5:
+            rid = rng.choice(t_live)
+            jeng.execute(f"DELETE FROM t WHERE id = {rid}")
+            t_live.remove(rid)
+        elif u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"DELETE FROM u WHERE id = {rid}")
+            u_live.remove(rid)
+        if step % 6 == 5:
+            r = jeng.execute("REFRESH MATERIALIZED VIEW jmv")
+            assert "incremental-join" in r.status, r.status
+            assert sorted(
+                jeng.execute("SELECT * FROM jmv").rows, key=repr
+            ) == sorted(jeng.execute(JOIN_DEF).rows, key=repr)
