@@ -19,13 +19,14 @@ from entangledb_spark import registry  # noqa: E402
 
 HEADER = """# Operator & query reference
 
-One row per driver-gate query ({total} total: {n_oracle} oracle-backed +
+One row per driver-gate query ({total} total: {n_oracle} oracle-backed,
 {n_rows_only} rows-only — within the driver's 50-row CORRECTNESS window,
 so EVERY query gets a correctness row each round). **oracle** =
-value-hash-compared against DuckDB at sf0.01; **rows-only** =
-seeded-hash/sketch/UDF internals the driver checks for stable execution
-only (quantitative gates live in tests/: LSH recall vs exact Jaccard, ANN
-recall vs brute force for BOTH the LSH and IVF branches).
+value-hash-compared against DuckDB at sf0.01 (since round 10 that is ALL
+of them: the seeded-hash gate queries run engine-portable md5/knuth twin
+primitives — docs/TWINS.md — while production callers keep xxhash64;
+quantitative gates additionally live in tests/: LSH recall vs exact
+Jaccard, ANN recall vs brute force for all three index branches).
 Implementations live in `entangledb_spark/operators/` and
 `entangledb_spark/streaming/`.
 
