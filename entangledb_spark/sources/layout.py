@@ -13,9 +13,12 @@ Spark-first:
 1. each key column is rank-normalized to an equi-depth bucket id —
    numerics via ONE approxQuantile pass (Greenwald-Khanna, no sort;
    equi-depth is what makes skewed columns cluster as well as uniform
-   ones), non-orderable-in-quantiles types (strings, booleans) via a
-   uniform hash (equality predicates still cluster; range locality is
-   not promised for them, and the docstring says so);
+   ones); non-orderable-in-quantiles types (strings, booleans) with
+   ≤ 2^bits distinct values get EXACT sorted-rank buckets scaled across
+   the bucket range (one bounded distinct collect — true range
+   locality for categorical keys, round 10), higher-NDV ones a uniform
+   hash (equality predicates still cluster; range locality is not
+   promised for them, and the docstring says so);
 2. bucket bits interleave arithmetically into one long `z` —
    whole-stage-codegen'd shifts, no UDF;
 3. `repartitionByRange(n_files, z)` + `sortWithinPartitions(z)` gives
@@ -51,9 +54,37 @@ def _bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
         arr = F.array(*[F.lit(float(c)) for c in cuts])
         bucket = F.size(F.filter(arr, lambda cut: F.col(col).cast("double") >= cut))
     else:
-        # no quantile support → uniform hash: equal values share a bucket
-        # (equality pruning works); range locality is not promised
-        bucket = F.pmod(F.crc32(F.col(col).cast("string")), F.lit(n))
+        # non-numeric keys have no quantile support. Low-NDV columns
+        # (≤ 2^bits distinct values — the common categorical/tag case)
+        # get EXACT sorted-rank buckets SCALED across the full bucket
+        # range, so the value order survives into the interleave's HIGH
+        # bits and min/max footer pruning truly works (a hash bucket
+        # only ever gave equality locality, and whether a range
+        # boundary separated two values was luck — round-10 fix). The
+        # distinct probe is a bounded collect (≤ 2^bits + 1 rows — at
+        # 100 TB that is one shuffle whose output fits a driver page).
+        # High-NDV columns keep the uniform-hash fallback: equal values
+        # share a bucket (equality pruning works); range locality is
+        # not promised.
+        distinct = [
+            r[0]
+            for r in df.select(F.col(col).cast("string")).distinct().limit(n + 1).collect()
+        ]
+        vals = sorted(v for v in distinct if v is not None)
+        if vals and len(distinct) <= n:
+            width = max(len(vals) - 1, 1)
+            expr = None
+            for i, v in enumerate(vals):
+                b = i * (n - 1) // width if len(vals) > 1 else 0
+                cond = F.col(col).cast("string") == F.lit(v)
+                expr = (
+                    F.when(cond, F.lit(b))
+                    if expr is None
+                    else expr.when(cond, F.lit(b))
+                )
+            bucket = expr.otherwise(F.lit(0))
+        else:
+            bucket = F.pmod(F.crc32(F.col(col).cast("string")), F.lit(n))
     return F.coalesce(bucket.cast("long"), F.lit(0))
 
 
