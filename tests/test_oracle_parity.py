@@ -19,8 +19,11 @@ def test_oracle_parity(name, spark, sf_dir):
     assert diff is None, diff
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema) > 0
+def test_every_registry_query_is_oracle_backed():
+    """Round-10 invariant: the registry is 50/50 oracle-backed — the four
+    formerly rows-only seeded-hash gate queries run md5/knuth twin
+    primitives (docs/TWINS.md). A new query registered without an oracle
+    would silently downgrade its driver row to rows-only; fail loudly
+    instead."""
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
+    assert len(QUERIES) == 50
