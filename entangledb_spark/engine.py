@@ -472,9 +472,15 @@ class Engine(DdlStatements, DmlStatements, MatviewStatements, ExplainStatements)
                             "view dependency cycle: "
                             + " -> ".join(stack + (name,))
                         )
-                    return compile_statement(
-                        parse(v["sql"]), self.spark, make_read(stack + (name,))
-                    )
+                    inner = make_read(stack + (name,))
+                    # EXPLAIN's recursive_cte_mode rides on the reader
+                    # (compiler.READER_CAPABILITIES); hand it down so a
+                    # WITH RECURSIVE inside a stored view still compiles
+                    # job-free under EXPLAIN (round-10 advice)
+                    mode = getattr(read, "recursive_cte_mode", None)
+                    if mode is not None:
+                        inner.recursive_cte_mode = mode
+                    return compile_statement(parse(v["sql"]), self.spark, inner)
                 mv = matviews.get(name)
                 if mv is not None:
                     # materialized: serve the stored snapshot — a plain

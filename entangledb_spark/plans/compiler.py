@@ -752,7 +752,7 @@ class _RecursiveRef(Exception):
 # ALL of them: a wrapper that copies only one silently strips the others
 # inside CTE/derived-table/view bodies (round-9 advice: `relations()`
 # failed inside a CTE because only .versioned was carried).
-READER_CAPABILITIES = ("versioned", "relations")
+READER_CAPABILITIES = ("versioned", "relations", "recursive_cte_mode")
 
 
 def _carry_versioned(wrapper: TableReader, src: TableReader) -> TableReader:
@@ -902,7 +902,18 @@ def compile_statement(
     """Compile a query statement (Select, SetOp chain, or With) to a
     DataFrame. ``recursive_cte_mode``: "fixpoint" (execution — iterates
     to convergence, runs Spark jobs) or "unroll1" (EXPLAIN — lazy
-    anchor ∪ first-step plan, zero jobs; see _compile_recursive_cte)."""
+    anchor ∪ first-step plan, zero jobs; see _compile_recursive_cte).
+
+    The mode rides ON THE READER (a READER_CAPABILITIES attribute) for
+    every nested compile — derived tables, CTE bodies, set-op arms, and
+    the engine's view-expanding reader — so an EXPLAIN of a WITH
+    RECURSIVE one nesting level down (inside a subquery or a stored
+    view) still compiles job-free (round-10 advice: the top-level
+    parameter alone left nested recursion in fixpoint mode)."""
+    if recursive_cte_mode != "fixpoint":
+        read.recursive_cte_mode = recursive_cte_mode
+    else:
+        recursive_cte_mode = getattr(read, "recursive_cte_mode", "fixpoint")
     if isinstance(stmt, ast.With):
         r = read
         for i, cte in enumerate(stmt.ctes):

@@ -563,28 +563,38 @@ class SnapshotCatalog:
         return {"rewritten": n_rw, "kept": n_kept, "dirs": len(groups)}
 
     def compact_partitions(
-        self, manifest: dict, name: str, equalities: dict, files: Optional[int] = None
+        self,
+        manifest: dict,
+        name: str,
+        equalities: dict,
+        files: Optional[int] = None,
+        zorder: Optional[list] = None,
     ) -> dict:
-        """OPTIMIZE t WHERE <partition equalities> (round 10): rewrite the
-        MATCHING partition directories from the merged view (pending
-        deltas for those rows fold in — re-applying them on read stays
-        correct: a delta row outranks both base copies it may shadow, so
-        the window-by-PK merge is unaffected) and HARD-LINK every other
-        partition directory into the new base unchanged. The delta chain
-        is preserved. Cost scales with the matched partitions, never the
-        table — the scoped-OPTIMIZE contract at 100 TB.
+        """OPTIMIZE t [ZORDER BY (...)] WHERE <partition equalities>
+        (round 10; ZORDER scope round 11): rewrite the MATCHING partition
+        directories from the merged view (pending deltas for those rows
+        fold in — re-applying them on read stays correct: a delta row
+        outranks both base copies it may shadow, so the window-by-PK
+        merge is unaffected) and HARD-LINK every other partition
+        directory into the new base unchanged. The delta chain is
+        preserved. Cost scales with the matched partitions, never the
+        table — the scoped-OPTIMIZE contract at 100 TB (re-clustering a
+        whole 100 TB table because one partition went stale is not
+        viable; this re-clusters exactly the stale directories).
+
+        ``zorder``: Z-order-cluster the REWRITTEN partitions on these
+        (non-partition) columns — zorder_frame's range shuffle on the
+        interleaved z-value replaces the plain repartition, so each
+        rewritten directory's files cover small key-space rectangles and
+        footer min/max pruning works inside the partition. Point-in-time
+        and partition-scoped: untouched directories keep their existing
+        layout (that is the point), so no table-level ``zorder`` marker
+        is set.
 
         ``equalities``: {logical partition column: literal value}."""
         meta = manifest["tables"][name]
         part_by = meta.get("partition_by") or []
         by_name = {c["name"]: c for c in meta["columns"]}
-        want = {
-            f"{physical_name(by_name[c])}={v}" for c, v in equalities.items()
-        }
-
-        def matched(rel_path: str) -> bool:
-            segs = set(rel_path.split(os.sep))
-            return all(w in segs for w in want)
 
         from pyspark.sql import functions as F
 
@@ -593,21 +603,41 @@ class SnapshotCatalog:
             term = F.col(c).eqNullSafe(F.lit(v))
             pred = term if pred is None else (pred & term)
         view = self.read_df(manifest, name).filter(pred)
-        if files is not None:
-            view = view.repartition(files)
         phys_parts = [physical_name(by_name[p]) for p in part_by]
+        if zorder:
+            from entangledb_spark.sources.layout import zorder_frame
+
+            # range-shuffle on the interleaved z-value; each task then
+            # writes its z-range into the partition dirs it touches, so
+            # files within a rewritten dir are z-clustered. May raise
+            # ValueError (>63 interleaved bits) — caller maps it to a
+            # statement error.
+            view, _ = zorder_frame(view, list(zorder), files)
+            w = self._to_physical(view, meta["columns"])
+        elif files is not None:
+            w = self._to_physical(view.repartition(files), meta["columns"])
+        else:
+            w = self._to_physical(view, meta["columns"]).repartition(*phys_parts)
         new_rel = os.path.join("data", name, uuid.uuid4().hex[:12])
         new_dir = os.path.join(self.base, new_rel)
-        w = self._to_physical(view, meta["columns"])
-        if files is None:
-            w = w.repartition(*phys_parts)
         w.write.mode("overwrite").partitionBy(*phys_parts).parquet(new_dir)
         n_kept = 0
         if meta.get("data") is not None:
             old_dir = os.path.join(self.base, meta["data"])
             for root, _dirs, fnames in os.walk(old_dir):
                 sub = os.path.relpath(root, old_dir)
-                if sub == "." or matched(sub):
+                # Identity is decided by the rewrite's OWN output paths,
+                # never by formatting Python literals into dir names:
+                # Spark/Hive path encoding (booleans lowercase, special
+                # chars percent-escaped, its own float formatting) is the
+                # canonical form both old and new bases are written in, so
+                # a partition the rewrite re-emitted exists under the same
+                # relative path in the new base — linking it too would
+                # duplicate every row of the partition (round-10 advice).
+                # A matched partition the rewrite emitted NO rows for
+                # (fully tombstoned) links back harmlessly: the preserved
+                # delta chain still shadows those rows on read.
+                if sub == "." or os.path.isdir(os.path.join(new_dir, sub)):
                     continue
                 for fn in fnames:
                     if not fn.endswith(".parquet"):

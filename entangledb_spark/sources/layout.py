@@ -66,12 +66,21 @@ def _bucket_expr(df: DataFrame, col: str, bits: int) -> Column:
         # High-NDV columns keep the uniform-hash fallback: equal values
         # share a bucket (equality pruning works); range locality is
         # not promised.
-        distinct = [
+        # NULLs are excluded BEFORE the limit: they map to bucket 0 via
+        # the coalesce regardless, so eligibility is decided on non-null
+        # NDV — counting NULL against the budget made a key with exactly
+        # 2^bits values plus NULLs silently lose exact-rank locality
+        # (round-10 advice), and an over-limit probe that happened to
+        # include NULL could truncate the value set nondeterministically.
+        vals = sorted(
             r[0]
-            for r in df.select(F.col(col).cast("string")).distinct().limit(n + 1).collect()
-        ]
-        vals = sorted(v for v in distinct if v is not None)
-        if vals and len(distinct) <= n:
+            for r in df.select(F.col(col).cast("string"))
+            .where(F.col(col).isNotNull())
+            .distinct()
+            .limit(n + 1)
+            .collect()
+        )
+        if vals and len(vals) <= n:
             width = max(len(vals) - 1, 1)
             expr = None
             for i, v in enumerate(vals):

@@ -481,3 +481,50 @@ def test_explain_recursive_cte_runs_no_spark_jobs(eng, spark):
     # and the same statement still EXECUTES to the right fixpoint
     rows = eng.execute(sql).rows
     assert sorted(rows) == [(1,), (2,), (3,), (4,), (5,)]
+
+
+def _assert_explain_job_free(eng, spark, sql, group):
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        out = eng.execute("EXPLAIN " + sql)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert list(jobs) == [], f"EXPLAIN ran Spark jobs: {list(jobs)}"
+    return "\n".join(r[0] for r in out.rows)
+
+
+def test_explain_recursive_cte_in_derived_table_runs_no_spark_jobs(eng, spark):
+    """Round-10 advice: the unroll1 mode rides ON THE READER, so a WITH
+    RECURSIVE one nesting level down — inside a derived table — must
+    also compile job-free under EXPLAIN (the top-level parameter alone
+    left nested recursion executing the fixpoint)."""
+    sql = (
+        "SELECT m FROM ("
+        "WITH RECURSIVE r(n) AS ("
+        "SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 5) "
+        "SELECT max(n) AS m FROM r) AS d"
+    )
+    text = _assert_explain_job_free(eng, spark, sql, "explain-rec-derived")
+    assert "Physical (Catalyst):" in text
+    assert eng.execute(sql).rows == [(5,)]
+
+
+def test_explain_recursive_view_runs_no_spark_jobs(eng, spark):
+    """Same advice, the stored-view half: the engine's view-expanding
+    reader hands the mode down to the nested reader, so EXPLAIN of a
+    SELECT over a recursive VIEW is job-free too."""
+    eng.execute(
+        "CREATE VIEW rview AS WITH RECURSIVE r(n) AS ("
+        "SELECT 1 AS n UNION ALL SELECT n + 1 FROM r WHERE n < 5) "
+        "SELECT n FROM r"
+    )
+    text = _assert_explain_job_free(
+        eng, spark, "SELECT n FROM rview", "explain-rec-view"
+    )
+    assert "Physical (Catalyst):" in text
+    # execution still runs the real fixpoint through the same view
+    assert sorted(eng.execute("SELECT n FROM rview").rows) == [
+        (1,), (2,), (3,), (4,), (5,),
+    ]

@@ -280,6 +280,186 @@ def test_bare_optimize_packs_only_small_files(spark, tmp_path):
     assert stats2 is None
 
 
+def test_exact_rank_buckets_keep_locality_with_nulls_at_capacity(spark):
+    """Round-10 advice: exact sorted-rank eligibility must be decided on
+    NON-NULL NDV — NULL maps to bucket 0 via the coalesce regardless, so
+    counting it against the 2^bits budget silently demoted a key with
+    exactly 2^bits values plus NULLs to hash bucketing (losing range
+    locality), and an over-limit probe could truncate nondeterministically."""
+    from entangledb_spark.sources.layout import _bucket_expr
+    from pyspark.sql import functions as F
+
+    rows = [(v,) for v in ("a", "b", "c", "d") for _ in range(3)] + [(None,)] * 3
+    df = spark.createDataFrame(rows, "s string")
+    bucket = _bucket_expr(df, "s", 2)  # n = 4 buckets, 4 non-null values + NULL
+    got = {
+        r["s"]: r["b"]
+        for r in df.select("s", bucket.alias("b")).distinct().collect()
+    }
+    # exact ORDER-PRESERVING map scaled across the bucket range — a crc32
+    # hash fallback could not produce this monotone assignment
+    assert got == {None: 0, "a": 0, "b": 1, "c": 2, "d": 3}, got
+
+
+def test_partition_scoped_zorder_reclusters_only_matched_partitions(spark, tmp_path):
+    """Round 11: `OPTIMIZE t ZORDER BY (cols) WHERE <partition eq>` —
+    re-cluster ONLY the matching partition directories; every other
+    directory survives by path identity (same files, same inodes), the
+    delta chain is preserved, content is identical, and footer min/max
+    statistics inside the re-clustered partition actually prune (the
+    whole point of clustering). Re-clustering a 100 TB table because one
+    partition went stale is not viable — this is the scoped contract."""
+    from entangledb_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute(
+        "CREATE TABLE zp (id INTEGER PRIMARY KEY, grp STRING, x INTEGER, "
+        "y INTEGER) PARTITION BY (grp)"
+    )
+    rows = [
+        (i, "ab"[i % 2], rng.randint(0, 9999), rng.randint(0, 9999))
+        for i in range(4000)
+    ]
+    eng.execute(
+        "INSERT INTO zp VALUES "
+        + ", ".join(f"({i}, '{g}', {x}, {y})" for i, g, x, y in rows)
+    )
+    eng.execute("OPTIMIZE zp FILES 8")  # arrival-order partitioned base
+    m = eng.catalog.manifest()["tables"]["zp"]
+    base0 = os.path.join(eng.catalog.base, m["data"])
+
+    def part_files(base, grp):
+        d = os.path.join(base, f"grp={grp}")
+        return {
+            fn: os.stat(os.path.join(d, fn)).st_ino
+            for fn in os.listdir(d)
+            if fn.endswith(".parquet")
+        }
+
+    def ranges_in(base, grp, col):
+        out = []
+        for f in glob.glob(os.path.join(base, f"grp={grp}") + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            mn = mx = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            out.append((mn, mx))
+        return out
+
+    before_b = part_files(base0, "b")
+    before = eng.execute(
+        "SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM zp"
+    ).rows
+    eng.execute("INSERT INTO zp VALUES (90000, 'a', 1, 1)")  # pending delta
+    r = eng.execute("OPTIMIZE zp ZORDER BY (x, y) FILES 8 WHERE grp = 'a'")
+    assert "zorder: x, y" in r.status and "kept by identity" in r.status
+    m = eng.catalog.manifest()["tables"]["zp"]
+    base1 = os.path.join(eng.catalog.base, m["data"])
+    assert base1 != base0
+    # untouched partition: identical files by name AND inode
+    assert part_files(base1, "b") == before_b
+    # delta chain preserved; content identical plus the pending row
+    assert len(m["deltas"]) > 0
+    assert eng.execute(
+        "SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy FROM zp"
+    ).rows == [(before[0][0] + 1, before[0][1] + 1, before[0][2] + 1)]
+    # no table-level zorder claim for a partition-scoped recluster
+    assert not m.get("zorder")
+    # footer stats inside the re-clustered partition now prune BOTH dims
+    n_files = len(part_files(base1, "a"))
+    assert n_files >= 4
+    for col in ("x", "y"):
+        rs = ranges_in(base1, "a", col)
+        width = sum(mx - mn for mn, mx in rs)
+        assert width < n_files * 9999 * 0.75, (col, width)
+        hit = sum(1 for mn, mx in rs if not (mx < 100 or mn > 600))
+        assert hit < n_files, f"no file skippable for {col}"
+
+
+def test_partition_scoped_optimize_boolean_values(spark, tmp_path):
+    """Round-10 advice: partition-dir identity must come from the
+    rewrite's OWN output paths, never from formatting Python literals —
+    `flag=True` (Python) vs `flag=true` (Spark/Hive canonical) made the
+    matched directory BOTH hard-link and rewrite, duplicating every row
+    of the partition (visible immediately after OPTIMIZE FILES, when the
+    empty delta chain skips the PK-dedup window)."""
+    from entangledb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute(
+        "CREATE TABLE bt (id INTEGER PRIMARY KEY, flag BOOLEAN, v INTEGER) "
+        "PARTITION BY (flag)"
+    )
+    eng.execute(
+        "INSERT INTO bt VALUES "
+        + ", ".join(f"({i}, {'TRUE' if i % 2 else 'FALSE'}, {i})" for i in range(40))
+    )
+    eng.execute("OPTIMIZE bt FILES 1")  # partitioned base, EMPTY delta chain
+    m = eng.catalog.manifest()["tables"]["bt"]
+    base0 = os.path.join(eng.catalog.base, m["data"])
+    # Spark's canonical boolean path encoding, the one identity must track
+    assert os.path.isdir(os.path.join(base0, "flag=true"))
+    false_files = {
+        fn: os.stat(os.path.join(base0, "flag=false", fn)).st_ino
+        for fn in os.listdir(os.path.join(base0, "flag=false"))
+        if fn.endswith(".parquet")
+    }
+    r = eng.execute("OPTIMIZE bt WHERE flag = TRUE")
+    assert "rewritten" in r.status
+    # no duplicated rows in the rewritten partition...
+    assert eng.execute(
+        "SELECT count(*) AS n FROM bt WHERE flag = TRUE"
+    ).rows == [(20,)]
+    assert eng.execute("SELECT count(*) AS n FROM bt").rows == [(40,)]
+    assert eng.execute(
+        "SELECT count(*) AS n FROM (SELECT id FROM bt GROUP BY id HAVING count(*) > 1) AS d"
+    ).rows == [(0,)]
+    # ...and the unmatched partition survived by identity (same inodes)
+    m = eng.catalog.manifest()["tables"]["bt"]
+    base1 = os.path.join(eng.catalog.base, m["data"])
+    got = {
+        fn: os.stat(os.path.join(base1, "flag=false", fn)).st_ino
+        for fn in os.listdir(os.path.join(base1, "flag=false"))
+        if fn.endswith(".parquet")
+    }
+    assert got == false_files
+
+
+def test_partition_scoped_optimize_hive_escaped_values(spark, tmp_path):
+    """Same advice, the percent-escaping half: a partition value holding
+    Hive-escaped characters (':' here) lives on disk as `grp=a%3Ab`;
+    literal formatting produced `grp=a:b` and double-counted the
+    partition."""
+    from entangledb_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "db"))
+    eng.execute(
+        "CREATE TABLE et (id INTEGER PRIMARY KEY, grp STRING, v INTEGER) "
+        "PARTITION BY (grp)"
+    )
+    eng.execute(
+        "INSERT INTO et VALUES "
+        + ", ".join(
+            f"({i}, '{'a:b' if i % 2 else 'plain'}', {i})" for i in range(20)
+        )
+    )
+    eng.execute("OPTIMIZE et FILES 1")
+    m = eng.catalog.manifest()["tables"]["et"]
+    base0 = os.path.join(eng.catalog.base, m["data"])
+    assert os.path.isdir(os.path.join(base0, "grp=a%3Ab"))
+    eng.execute("OPTIMIZE et WHERE grp = 'a:b'")
+    assert eng.execute(
+        "SELECT count(*) AS n FROM et WHERE grp = 'a:b'"
+    ).rows == [(10,)]
+    assert eng.execute("SELECT count(*) AS n FROM et").rows == [(20,)]
+
+
 def test_optimize_where_errors(spark, tmp_path):
     from entangledb_spark.engine import Engine
 
@@ -297,5 +477,9 @@ def test_optimize_where_errors(spark, tmp_path):
         eng.execute("OPTIMIZE pp WHERE v = 1")
     with pytest.raises(EngineError, match="conjunctions"):
         eng.execute("OPTIMIZE pp WHERE grp > 'a'")
-    with pytest.raises(EngineError, match="ZORDER"):
-        eng.execute("OPTIMIZE pp ZORDER BY (v) WHERE grp = 'a'")
+    # round 11: bare ZORDER on a partitioned table must be SCOPED...
+    with pytest.raises(EngineError, match="must be scoped"):
+        eng.execute("OPTIMIZE pp ZORDER BY (v)")
+    # ...and a partition column can never be a clustering key
+    with pytest.raises(EngineError, match="is a partition column"):
+        eng.execute("OPTIMIZE pp ZORDER BY (grp) WHERE grp = 'a'")
