@@ -37,6 +37,21 @@ after the headline loop. Its best time rides the printed line ("sentinel");
 round-over-round sentinel drift measures session/machine overhead, and a
 >15% query slowdown whose delta disappears after sentinel scaling is
 classified "env_gt_15pct" (environment), not a regression.
+
+IO SENTINEL (round-11, from the r10 regression postmortem): BENCH_r10
+flagged q17/q30/q50 as REAL +17-24% regressions on a same-CPU-speed machine
+(sentinel_ratio 1.015). The round-11 interleaved like-for-like A/B — r9
+tree vs r10 tree alternating in ONE session, best-of-4, the q93 precedent
+(tools/ab_bench.py; result in docs/bench_ab_r10_regressions.json) — showed
+the code-attributable deltas were −1.8% / −4.8% / +2.2%: all three flags
+were ENVIRONMENT, specifically a page-cache/IO dimension the pure-CPU range
+sentinel is blind to (every query got monotonically faster across the
+interleaved rounds as the cache warmed; the CPU sentinel moved 1.5%). The
+suite therefore now also times an IO sentinel — a fixed full-column scan of
+the largest fixture file ("sentinel_io" on the line) — and the taxonomy
+classifies a slowdown as env when EITHER sentinel's scaling explains it.
+The sidecar additionally records loadavg and /proc/meminfo page-cache state
+so cross-session artifact comparisons carry their machine context.
 """
 
 from __future__ import annotations
@@ -71,16 +86,12 @@ LINE_BYTE_BUDGET = 1900
 # "regressions_gt_15pct" — the slowdown is a scope change, not a plan
 # regression. Prune entries once a round's BENCH_r*.json reflects them.
 EXPECTED_REGRESSIONS: dict[str, str] = {
-    # round 8's q93 entry (two extra stride-1 passes) is retired: the
-    # single-pass composition (span_family_stats) measures FASTER
-    # like-for-like (interleaved best-of-4 at sf0.1: old shape 2.61s vs
-    # new 2.31s). The round-9 entry below declares the NEW scope only.
-    "q93_span_dedup": (
-        "round 9 scope: the contamination-ELIDED text itself "
-        "(ct_cleaned_text — tokenize + per-token span filter over every "
-        "doc) joined the gate per the round-8 verdict; ~+0.2s at sf0.1 "
-        "on top of the now-single-pass span composition"
-    ),
+    # round 9's q93 entry (contamination-elided text joined the gate) is
+    # retired: BENCH_r09 and r10 both reflect the new scope (2.48s/2.41s,
+    # delta negative), so the declaration served its purpose. Nothing is
+    # declared for round 11 — the r10 flags (q17/q30/q50) were shown to be
+    # environment by the interleaved A/B, not scope changes (see module
+    # docstring, IO SENTINEL).
 }
 
 # Per-query EXTRA untimed warm-up reps on top of the global ``warmup``:
@@ -140,6 +151,45 @@ def _sentinel_df(spark):
     return spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id % 7) AS s")
 
 
+def _io_sentinel_df(spark, sf_dir: str):
+    """Fixed IO-bound probe: full ALL-COLUMN scan of the largest fixture
+    file (per-column count(col) forces every column to decode; no shuffle,
+    near-zero CPU per value). Its plan is identical every round at a given
+    sf, and its cost is dominated by parquet column IO + decompression, so
+    its round-over-round ratio tracks the page-cache/disk dimension the CPU
+    sentinel cannot see (the r10 postmortem: three queries flagged +17-24%
+    "real" while the CPU sentinel read 1.015x — all environment under the
+    interleaved A/B)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return df.agg(*[F.count(c).alias(f"c{i}") for i, c in enumerate(df.columns)])
+
+
+def _machine_state() -> dict:
+    """Loadavg + page-cache context for the sidecar — the machine state a
+    cross-session artifact comparison needs to carry (round-10 verdict:
+    committed sidecar vs driver run differed by more than within-run spread
+    with no recorded explanation)."""
+    state: dict = {}
+    try:
+        state["loadavg"] = list(os.getloadavg())
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            mem = dict(
+                (k.strip(), v.strip())
+                for k, _, v in (line.partition(":") for line in f)
+            )
+        for k in ("MemAvailable", "Cached", "Buffers"):
+            if k in mem:
+                state[f"meminfo_{k.lower()}"] = mem[k]
+    except OSError:
+        pass
+    return state
+
+
 def measure(spark, sf_dir: str, reps: int, warmup: int = 1):
     """Run sentinel + headline suite; return (timings, rep_times, sentinel).
 
@@ -153,10 +203,15 @@ def measure(spark, sf_dir: str, reps: int, warmup: int = 1):
     variance only; best-of-N semantics are unchanged (min already discarded
     the cold rep — the warm-up just keeps it out of the spread).
 
-    ``sentinel`` = {"start": [...], "end": [...], "best": min-of-all} —
-    measured immediately before and immediately after the headline loop so
-    in-session drift is visible too."""
-    sent_start = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(min(reps, 3))]
+    ``sentinel`` = {"start": [...], "end": [...], "best": min-of-all,
+    "io_start": [...], "io_end": [...], "io_best": ..., "machine": {...}} —
+    both probes measured immediately before and immediately after the
+    headline loop so in-session drift is visible too (the r10 postmortem's
+    smoking gun was exactly start-vs-end sentinel asymmetry)."""
+    n_probe = min(reps, 3)
+    sent_start = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(n_probe)]
+    io_start = [_time_noop(lambda: _io_sentinel_df(spark, sf_dir)) for _ in range(n_probe)]
+    machine = _machine_state()
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -167,11 +222,16 @@ def measure(spark, sf_dir: str, reps: int, warmup: int = 1):
         ts = [_time_noop(lambda: fn(spark, sf_dir)) for _ in range(reps)]
         timings[name] = min(ts)
         rep_times[name] = ts
-    sent_end = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(min(reps, 3))]
+    sent_end = [_time_noop(lambda: _sentinel_df(spark)) for _ in range(n_probe)]
+    io_end = [_time_noop(lambda: _io_sentinel_df(spark, sf_dir)) for _ in range(n_probe)]
     sentinel = {
         "start": sent_start,
         "end": sent_end,
         "best": min(sent_start + sent_end),
+        "io_start": io_start,
+        "io_end": io_end,
+        "io_best": min(io_start + io_end),
+        "machine": machine,
     }
     return timings, rep_times, sentinel
 
@@ -183,8 +243,9 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
     artifact (each query lands in exactly one bucket):
       - expected_regressions: declared scope changes (EXPECTED_REGRESSIONS);
       - env_gt_15pct: the slowdown vanishes once this round's times are
-        rescaled by the sentinel ratio (session/machine drift, not a plan
-        change) — requires both artifacts to carry a sentinel;
+        rescaled by EITHER sentinel's ratio — CPU ("sentinel") or IO
+        ("sentinel_io", round 11) — session/machine drift, not a plan
+        change; requires both artifacts to carry that sentinel;
       - regressions_gt_15pct: absolute delta exceeds the measured rep
         spread of BOTH runs even after sentinel scaling — treat as real;
       - noise_gt_15pct: delta within the spread band — rep-to-rep noise.
@@ -202,6 +263,8 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
         "sf": sf,
         "sentinel": sentinel["best"],
     }
+    if sentinel.get("io_best") is not None:
+        out["sentinel_io"] = sentinel["io_best"]
     sidecar = {
         "rep_times": rep_times,
         "spread_by_query": spread,
@@ -222,12 +285,25 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
         # "no change" (round-7 review finding)
         out["delta_vs_prev"] = [delta.get(q) for q in timings]
         sidecar["delta_by_query"] = delta
-        # sentinel-based environment scaling (both rounds must carry one)
+        # sentinel-based environment scaling (both rounds must carry one);
+        # CPU and IO sentinels each contribute a candidate scaling ratio —
+        # a slowdown EITHER explains is machine state, not a plan change
         env = None
         if sentinel["best"] > 0 and isinstance(prev.get("sentinel"), (int, float)):
             if prev["sentinel"] > 0:
                 env = round(sentinel["best"] / prev["sentinel"], 3)
                 out["sentinel_ratio_vs_prev"] = env
+        env_io = None
+        io_best = sentinel.get("io_best")
+        if (
+            isinstance(io_best, (int, float))
+            and io_best > 0
+            and isinstance(prev.get("sentinel_io"), (int, float))
+            and prev["sentinel_io"] > 0
+        ):
+            env_io = round(io_best / prev["sentinel_io"], 3)
+            out["sentinel_io_ratio_vs_prev"] = env_io
+        ratios = [r for r in (env, env_io) if r is not None and r > 1.0]
         noise_band = {
             q: max(spread.get(q, 0.0), prev_spread.get(q, 0.0)) for q in delta
         }
@@ -239,7 +315,9 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
             abs_delta = timings[q] - prev_q[q]
             if abs_delta <= noise_band[q]:
                 noise.append(q)
-            elif env and env > 1.0 and (timings[q] / env - prev_q[q]) <= noise_band[q]:
+            elif any(
+                (timings[q] / r - prev_q[q]) <= noise_band[q] for r in ratios
+            ):
                 env_cls.append(q)
             else:
                 real.append(q)
@@ -261,6 +339,7 @@ def build_output(timings, rep_times, sentinel, prev, sf, detail_path=None):
             "noise_gt_15pct": noise,
             "noise_band": noise_band,
             "sentinel_ratio_vs_prev": env,
+            "sentinel_io_ratio_vs_prev": env_io,
         }
     if detail_path:
         out["detail"] = detail_path

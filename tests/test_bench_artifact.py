@@ -100,6 +100,38 @@ def test_classification_buckets_are_disjoint_and_sentinel_aware():
     assert env == set(timings) and not real
 
 
+def test_classification_io_sentinel_explains_cache_drift():
+    """Round-11 (r10 postmortem): a slowdown the CPU sentinel can NOT
+    explain (ratio ~1.0) but the IO sentinel CAN (page cache cold this
+    session) must classify env, not real — and absent an IO sentinel in
+    the PREVIOUS artifact the taxonomy must degrade to CPU-only, never
+    crash. The r10 flags (q17/q30/q50, +17-24% at cpu-ratio 1.015) were
+    exactly this shape; the interleaved A/B measured their code delta at
+    -4.8%..+2.2% (docs/bench_ab_r10_regressions.json)."""
+    timings, _, _ = _fake_run(6)
+    rep_times = {q: [t, t, t] for q, t in timings.items()}
+    sentinel = {
+        "start": [0.3], "end": [0.3], "best": 0.3,
+        "io_start": [0.6], "io_end": [0.45], "io_best": 0.45,
+    }
+    prev_q = {q: round(t / 1.4, 3) for q, t in timings.items()}  # all +40%
+    prev = _prev_from(prev_q, spread_arr=[0.0] * len(prev_q), sentinel=0.3)
+    prev["sentinel_io"] = 0.3  # this session's IO is 1.5x slower
+    out, sidecar = bench.build_output(timings, rep_times, sentinel, prev, 0.1)
+    assert out["sentinel_io"] == 0.45
+    assert out["sentinel_io_ratio_vs_prev"] == 1.5
+    assert out["sentinel_ratio_vs_prev"] == 1.0  # CPU sees nothing
+    assert set(out.get("env_gt_15pct", [])) == set(timings)
+    assert out["regressions_gt_15pct"] == []
+    assert sidecar["classification"]["sentinel_io_ratio_vs_prev"] == 1.5
+    # previous artifact without sentinel_io: CPU-only classification, the
+    # same queries now land in regressions (nothing explains them)
+    del prev["sentinel_io"]
+    out2, _ = bench.build_output(timings, rep_times, sentinel, prev, 0.1)
+    assert "sentinel_io_ratio_vs_prev" not in out2
+    assert set(out2["regressions_gt_15pct"]) == set(timings)
+
+
 def test_prev_bench_chain_survives_null_parsed():
     """BENCH_r06.json has parsed:null; _latest_prev_bench must fall through
     to the offline reconstruction, not return None (which would silently
