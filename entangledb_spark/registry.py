@@ -7,9 +7,13 @@ pipeline operators) registers:
   - optionally a DuckDB-runnable ANSI-SQL oracle string computing the same
     result with the same column names (the driver hash-compares them).
 
-Ops whose semantics aren't SQL-expressible (seeded-hash MinHash/SimHash
-signatures, LSH bucketing) register without an oracle; the driver records a
-weaker rows-only check for those, by design.
+Since round 10 EVERY registered query carries an oracle (50/50 hash-gated):
+the formerly seeded-hash families (MinHash/SimHash/LSH/IVF) run their gate
+instances on engine-portable hash primitives (md5 / Knuth multiplicative —
+see TWINS.md and operators/_minhash_params.py) with full-pipeline DuckDB
+oracles, while production callers keep seeded xxhash64; equivalence tests
+bind the two bases. tests/test_oracle_parity.py fails loudly if a query
+ever registers without an oracle again.
 """
 
 from __future__ import annotations
@@ -72,10 +76,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Fallback: the events fixture stores ts as timestamp[ns], which Spark's
     Parquet reader rejects (nanos aren't representable in Spark timestamps).
-    For that one case we load via pyarrow, truncate ns→µs, and parallelize —
-    acceptable because it's a fixture-format shim, not an operator: every
-    query only uses second-granularity time. A production events source is
-    Kafka / µs-parquet and takes the normal scan path.
+    read_parquet_any detects ns columns from the footer and runs a ONE-TIME
+    DISTRIBUTED ns→µs conversion (a Spark job writing a cached µs copy —
+    sources/parquet_io.py:34-41); every later read is a normal native scan
+    of the converted copy. No driver-side pyarrow load is involved.
     """
     from entangledb_spark.sources.parquet_io import read_parquet_any
 
