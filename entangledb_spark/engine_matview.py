@@ -147,7 +147,15 @@ class MatviewStatements:
         Falls back to full recompute when: the shape isn't incremental,
         more than MV_INCREMENTAL_MAX_GROUPS groups changed, or the
         base_version manifest was vacuumed away. The status line names
-        the path taken."""
+        the path taken.
+
+        NEVER runs inside an open transaction — dispatch rejects it
+        (engine._execute_statement): this method diffs COMMITTED versions
+        via the change data feed, and inside BEGIN current_version() is
+        the pre-txn version, so a refresh here would both miss the txn's
+        staged rows and advance base_version past their eventual commit,
+        silently excluding them from every future diff (round-10 advice).
+        Keep the guard at dispatch if this is ever refactored."""
         mvs = manifest.get("matviews") or {}
         mv = mvs.get(stmt.name)
         if mv is None:
@@ -176,6 +184,7 @@ class MatviewStatements:
                     "grouped": self._incremental_mv_rows,
                     "spj": self._incremental_mv_spj_rows,
                     "join": self._incremental_mv_join_rows,
+                    "grouped_join": self._incremental_mv_grouped_join_rows,
                 }[kind]
                 try:
                     inc = runner(mv, parsed, shape)
@@ -195,6 +204,7 @@ class MatviewStatements:
                         "grouped": "incremental",
                         "spj": "incremental-spj",
                         "join": "incremental-join",
+                        "grouped_join": "incremental-agg-join",
                     }[kind]
                     if n_groups == 0:
                         # nothing changed in the base (e.g. only OTHER
@@ -215,7 +225,7 @@ class MatviewStatements:
         n = self.catalog.count_rows(rel)
         unit = (
             "group(s) recomputed"
-            if mode in ("full", "incremental")
+            if mode in ("full", "incremental", "incremental-agg-join")
             else "changed pk(s) applied"
         )
         extra = f", {n_groups} {unit}" if n_groups is not None else ""
@@ -426,6 +436,158 @@ class MatviewStatements:
             )
         return kept.unionByName(new_rows), ka + kb
 
+    def _incremental_mv_grouped_join_rows(self, mv: dict, parsed, j: dict):
+        """(merged DataFrame, affected-group count) for the AGGREGATE-over-
+        INNER-JOIN incremental path (round 11) — the TPC-H Q3/Q10 MV shape,
+        composing the join delta rule with affected-group recompute:
+
+        1. AFFECTED GROUP KEYS — four delta-restricted compilations of the
+           STORED QUERY itself (so join predicate, WHERE, and key aliases
+           all ride along), keeping only the group-key columns:
+           post-image `Δa ⋈ B_now` and `A_now ⋈ Δb` on the current
+           manifest; pre-image `(A_old ⋉ Δpk_a) ⋈ B_old` and the symmetric
+           term on the base_version manifest (a row UPDATEd into a
+           different group must stale BOTH groups — same rule as the
+           single-table grouped path). Each term's cost scales with the
+           delta times the join's selectivity, never |A| × |B|.
+        2. RECOMPUTE — compile the stored query once more with each base
+           scan semi-joined (broadcast, null-safe) to the affected VALUES
+           of the group columns that side owns; a side owning no group
+           column stays unrestricted and is pruned by the join predicate
+           against the other, restricted side. The per-side restriction
+           is a superset (a group mixing an affected A-part with an
+           affected B-part recomputes although unchanged — idempotent,
+           so it costs work, never correctness); any group PRESENT in
+           the result is complete, because a group's rows are excluded
+           only when a side's whole key-part is excluded.
+        3. MERGE — semi-join the recomputed rows to the affected key
+           TUPLES (dropping the superset extras), anti-join the old
+           snapshot on the same tuples (an emptied group disappears), and
+           union. All joins eqNullSafe — NULL is a legal group key.
+
+        Returns None to request a full recompute (delta too large, or a
+        schema change broke old-name resolution — caller catches
+        AnalysisException the same way the grouped path does)."""
+        cur = self.catalog.current_version()
+        cur_man = self.catalog.manifest(cur)
+        old_man = self.catalog.manifest(mv["base_version"])
+        keys = _join_group_key_sides(cur_man["tables"], j)
+        if keys is None:
+            return None
+        ch_a = self.catalog.changes_df(
+            j["a"], mv["base_version"], cur
+        ).localCheckpoint(eager=True)
+        ch_b = self.catalog.changes_df(
+            j["b"], mv["base_version"], cur
+        ).localCheckpoint(eager=True)
+        if ch_a.isEmpty() and ch_b.isEmpty():
+            return None, 0
+        base_read = self._reader()
+        out_cols = [out for _, _, out in keys]
+
+        def keys_of(df: DataFrame) -> DataFrame:
+            return df.select(*out_cols)
+
+        affected = None
+
+        def add_keys(df: DataFrame) -> None:
+            nonlocal affected
+            k = keys_of(df)
+            affected = k if affected is None else affected.unionByName(k)
+
+        for side, tname, changes in (("a", j["a"], ch_a), ("b", j["b"], ch_b)):
+            if changes.isEmpty():
+                continue
+            post = changes.filter(F.col("_change_type") != "delete").drop(
+                "_change_type"
+            )
+
+            def post_reader(name: str, _t=tname, _post=post) -> DataFrame:
+                return _post if name == _t else base_read(name)
+
+            add_keys(compile_statement(parsed, self.spark, post_reader))
+            # pre-image keys: the OLD join rows of the changed PKs, read
+            # from the base_version manifest (both sides old — the join
+            # partner rows may have changed too)
+            if j["a"] in old_man["tables"] and j["b"] in old_man["tables"]:
+                pk_new = next(
+                    c["name"]
+                    for c in cur_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                pk_old = next(
+                    c["name"]
+                    for c in old_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                old_side = self.catalog.read_df(old_man, tname).join(
+                    F.broadcast(
+                        changes.select(F.col(pk_new).alias(pk_old)).distinct()
+                    ),
+                    pk_old,
+                    "left_semi",
+                )
+
+                def pre_reader(name: str, _t=tname, _old=old_side) -> DataFrame:
+                    if name == _t:
+                        return _old
+                    if name in (j["a"], j["b"]):
+                        return self.catalog.read_df(old_man, name)
+                    return base_read(name)
+
+                add_keys(compile_statement(parsed, self.spark, pre_reader))
+        affected = affected.distinct().localCheckpoint(eager=True)
+        k = affected.count()
+        if k == 0:
+            return None, 0
+        if k > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+
+        def _nullsafe_on(left: DataFrame, right: DataFrame, lcols, rcols):
+            cond = None
+            for lc, rc in zip(lcols, rcols):
+                c = left[lc].eqNullSafe(right[rc])
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        side_cols = {
+            "a": [(col, out) for s, col, out in keys if s == "a"],
+            "b": [(col, out) for s, col, out in keys if s == "b"],
+        }
+
+        def refresh_reader(name: str) -> DataFrame:
+            df = base_read(name)
+            for side, tname in (("a", j["a"]), ("b", j["b"])):
+                if name == tname and side_cols[side]:
+                    cols = side_cols[side]
+                    vals = affected.select(
+                        *[F.col(out).alias(col) for col, out in cols]
+                    ).distinct()
+                    df = df.join(
+                        F.broadcast(vals),
+                        _nullsafe_on(
+                            df, vals, [c for c, _ in cols], [c for c, _ in cols]
+                        ),
+                        "left_semi",
+                    )
+                    break
+            return df
+
+        recomputed = compile_statement(parsed, self.spark, refresh_reader)
+        aff_b = F.broadcast(affected)
+        recomputed = recomputed.join(
+            aff_b, _nullsafe_on(recomputed, affected, out_cols, out_cols),
+            "left_semi",
+        )
+        old_mv = self.spark.read.parquet(
+            os.path.join(self.catalog.base, mv["data"])
+        )
+        kept = old_mv.join(
+            aff_b, _nullsafe_on(old_mv, affected, out_cols, out_cols),
+            "left_anti",
+        )
+        return kept.unionByName(recomputed), k
+
     def list_matviews(self) -> list[str]:
         return sorted(self._manifest_for_read().get("matviews") or {})
 
@@ -577,6 +739,114 @@ def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
     }
 
 
+def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for the AGGREGATE-over-INNER-JOIN incremental path
+    (round 11): `SELECT <group cols and aggregates> FROM a INNER JOIN b
+    ON <any predicate> [WHERE ...] GROUP BY <plain columns>` over two
+    DISTINCT managed tables, every group column present in the output as
+    a plain field. This is the most common real-world MV shape (TPC-H
+    Q3/Q10). No HAVING/DISTINCT/ORDER/LIMIT/windows/subqueries/grouping
+    extensions — affected-group recompute needs mergeable plain keys.
+
+    Returns {"a","alias_a","b","alias_b","key_fields"} — key_fields is
+    ((qualifier, column, out_alias), ...) resolved against the CURRENT
+    manifest at refresh time (_join_group_key_sides) — or None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.Join):
+        return None
+    left, right = f.left, f.right
+    if not (isinstance(left, ast.TableRef) and isinstance(right, ast.TableRef)):
+        return None
+    if left.as_of is not None or right.as_of is not None:
+        return None
+    if f.join_type != ast.JoinType.INNER or f.predicate is None:
+        return None
+    if left.name == right.name:
+        return None
+    if (
+        stmt.distinct
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+        or not stmt.group_by
+        or stmt.group_mode != "plain"
+    ):
+        return None
+    if any(not isinstance(g, ast.Field) for g in stmt.group_by):
+        return None
+    group_keys = {(g.table, g.name) for g in stmt.group_by}
+    key_fields: list[tuple] = []
+    seen: set = set()
+    for expr, alias in stmt.select:
+        if isinstance(expr, ast.Field) and (expr.table, expr.name) in group_keys:
+            key_fields.append((expr.table, expr.name, alias or expr.name))
+            seen.add((expr.table, expr.name))
+        elif (
+            isinstance(expr, ast.FuncCall)
+            and expr.name.lower() in _MV_AGGS
+            and not isinstance(expr, ast.WindowFunc)
+        ):
+            continue
+        else:
+            return None
+    if seen != group_keys or len(key_fields) != len(group_keys):
+        return None
+    roots = [e for e, _ in stmt.select] + list(stmt.group_by) + [f.predicate]
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.WindowFunc):
+                return None
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != {left.name, right.name}:
+        return None
+    return {
+        "a": left.name,
+        "alias_a": left.alias or left.name,
+        "b": right.name,
+        "alias_b": right.alias or right.name,
+        "key_fields": tuple(key_fields),
+    }
+
+
+def _join_group_key_sides(tables: dict, j: dict):
+    """Resolve every group-key field of a grouped-join MV to
+    (side, base column, output alias) against the CURRENT manifest, or
+    None when any key is unresolvable/ambiguous or either table is gone/
+    external. Bare fields resolve by unique column ownership, mirroring
+    the compiler's scope rule (same convention as _join_pk_outs)."""
+    cols = {}
+    for side in ("a", "b"):
+        t = tables.get(j[side])
+        if t is None or t.get("external"):
+            return None
+        cols[side] = {c["name"] for c in t["columns"]}
+    out = []
+    for qual, name, alias in j["key_fields"]:
+        if qual in (j["alias_a"], j["a"]):
+            side = "a"
+        elif qual in (j["alias_b"], j["b"]):
+            side = "b"
+        elif qual is None:
+            in_a, in_b = name in cols["a"], name in cols["b"]
+            if in_a == in_b:
+                return None  # unknown or ambiguous — unusable as a key
+            side = "a" if in_a else "b"
+        else:
+            return None
+        if name not in cols[side]:
+            return None
+        out.append((side, name, alias))
+    return out
+
+
 def _join_pk_outs(tables: dict, j: dict):
     """Resolve both sides\' CURRENT primary keys to their output aliases
     in a join-shape MV, or None when either is missing from the output
@@ -613,8 +883,10 @@ def _join_pk_outs(tables: dict, j: dict):
 def _choose_incremental_shape(stmt, deps: set):
     """(kind, shape) for the strongest incremental-refresh path the query
     shape admits — "grouped" (affected-group recompute), "spj" (direct
-    CDF application), "join" (the two-term join delta rule) — else
-    (None, None) → full recompute."""
+    CDF application), "join" (the two-term join delta rule),
+    "grouped_join" (round 11: affected-group recompute over an inner
+    join, the TPC-H Q3/Q10 MV shape) — else (None, None) → full
+    recompute."""
     shape = _matview_grouped_shape(stmt, deps)
     if shape is not None:
         return "grouped", shape
@@ -624,6 +896,9 @@ def _choose_incremental_shape(stmt, deps: set):
     shape = _matview_join_shape(stmt, deps)
     if shape is not None:
         return "join", shape
+    shape = _matview_grouped_join_shape(stmt, deps)
+    if shape is not None:
+        return "grouped_join", shape
     return None, None
 
 
@@ -635,6 +910,8 @@ def _shape_is_incremental(tables: dict, kind, shape) -> bool:
         return False
     if kind == "join":
         return _join_pk_outs(tables, shape) is not None
+    if kind == "grouped_join":
+        return _join_group_key_sides(tables, shape) is not None
     base = tables.get(shape["base"])
     if base is None or base.get("external"):
         return False
