@@ -135,6 +135,11 @@ class DdlStatements:
         - ``WHERE col = lit [AND ...]`` on a partition_by table: rewrite
           ONLY the matching partition directories, hard-link the rest
           (catalog.compact_partitions); the delta chain is preserved.
+          With ``ZORDER BY (...)`` (round 11) the rewritten partitions
+          are additionally Z-order-clustered on non-partition columns —
+          re-clustering scoped to the stale directories, the only shape
+          that is viable at 100 TB (bare ZORDER on a partitioned table
+          is rejected with guidance to scope it).
         """
         from entangledb_spark.sources.layout import zorder_frame
 
@@ -143,33 +148,45 @@ class DdlStatements:
         for z in stmt.zorder:
             if z not in names:
                 raise EngineError(f"unknown column {z} in table {stmt.table}")
-        if stmt.zorder and meta.get("partition_by"):
+        if stmt.zorder and meta.get("partition_by") and stmt.where is None:
             raise EngineError(
-                "OPTIMIZE ZORDER is not supported on a partition_by table — "
-                "the directory layout already fixes file placement"
+                "OPTIMIZE ZORDER on a partition_by table must be scoped — "
+                "add WHERE <partition equalities> to re-cluster specific "
+                "partition directories (the directory layout fixes file "
+                "placement table-wide; within a partition, scoped ZORDER "
+                "re-clusters files for footer-stat pruning)"
             )
         if stmt.where is not None:
-            if stmt.zorder:
-                raise EngineError(
-                    "OPTIMIZE WHERE cannot combine with ZORDER BY "
-                    "(Z-ordering is a whole-table layout)"
-                )
             part_by = meta.get("partition_by") or []
             if not part_by:
                 raise EngineError(
                     f"OPTIMIZE {stmt.table} WHERE requires a partition_by "
                     "table — there are no partition directories to scope to"
                 )
+            for z in stmt.zorder:
+                if z in part_by:
+                    raise EngineError(
+                        f"ZORDER BY column {z} is a partition column — the "
+                        "directory layout already fixes its placement"
+                    )
             eq = _partition_equalities(stmt.where, part_by)
-            stats = self.catalog.compact_partitions(
-                manifest, stmt.table, eq, files=stmt.files
-            )
+            try:
+                stats = self.catalog.compact_partitions(
+                    manifest, stmt.table, eq, files=stmt.files,
+                    zorder=list(stmt.zorder) or None,
+                )
+            except ValueError as e:  # zvalue >63 interleaved bits
+                raise EngineError(f"OPTIMIZE {stmt.table}: {e}") from None
             n = self.catalog.count_rows(meta["data"])
             scope = ", ".join(f"{c}={v}" for c, v in eq.items())
+            zdetail = (
+                f", zorder: {', '.join(stmt.zorder)}" if stmt.zorder else ""
+            )
             return Result(
                 status=(
-                    f"OPTIMIZE {stmt.table} (partitions {scope} rewritten, "
-                    f"{stats['kept']} file(s) kept by identity, {n} rows)"
+                    f"OPTIMIZE {stmt.table} (partitions {scope} "
+                    f"rewritten{zdetail}, {stats['kept']} file(s) kept by "
+                    f"identity, {n} rows)"
                 )
             )
         if not stmt.zorder and stmt.files is None:
