@@ -67,11 +67,16 @@ one column-pruned, bucket-UNPRUNED scan of the band table per batch
 (old keys live in arbitrary buckets); sources that guarantee
 pk-immutable bodies can pass ``retract_upserted_bands=False`` to keep
 the legacy zero-extra-scan path, where a changed-body upsert leaves
-the old keys behind (the pre-round-10 documented gap). One bounded
-precision note, same class as the dropped-content caveat: a batch doc
-colliding with ANOTHER batch doc's retracted old row is still dropped
-against that old content (its comparison against the NEW content
-already happened within-batch).
+the old keys behind (the pre-round-10 documented gap). Round 11 closed
+the remaining precision caveat: a batch doc colliding with ANOTHER
+batch doc's about-to-be-retracted old row is no longer dropped against
+that departing content — stored rows held by any pk of the batch are
+exempt from the drop decision (the comparison against the holder's NEW
+content already happened within-batch). The one residual corner: when
+the holding doc is ITSELF dropped this batch (so its old rows in fact
+stay), the exemption over-KEEPS the collider — bounded, biased to
+keeping unique-looking content, and the band-PK invariant still holds
+(the kept doc's colliding key is withheld from persistence).
 
 Band keys are parameter-bound: they are only comparable across runs
 because MINHASH_PERMS / LSH_BANDS / the shingle hash are module
@@ -285,11 +290,26 @@ def _commit_with_keys(
             stored = stored.withColumnRenamed("sig", "_stored_sig")
         cand = surv_keys.join(stored, "band")
         if retract_upserted_bands:
-            # a doc never collides with ITS OWN old band rows: that
-            # content is being replaced by this very commit (without
-            # retraction the self-collision drop is the idempotent
-            # redelivery skip of the pk-immutable contract — keep it)
-            cand = cand.filter(F.col("_stored_pk") != F.col(pk))
+            # a doc never collides with a band row held by ANY pk of this
+            # batch — its own old rows (that content is being replaced by
+            # this very commit) or ANOTHER batch doc's old rows (round 11:
+            # if that doc survives, its old rows leave in this same
+            # commit, so dropping against them dropped a doc against
+            # content the corpus no longer stores; the comparison against
+            # the holder's NEW content already happened within-batch). In
+            # the rare case the holder is itself dropped, its old rows
+            # stay stored and the exemption over-keeps — bounded, and the
+            # band-PK invariant still holds because the kept doc's
+            # colliding key is then withheld via reject_target below.
+            # (Without retraction the self-collision drop is the
+            # idempotent redelivery skip of the pk-immutable contract —
+            # keep it there.)
+            batch_pks = batch_docs.select(F.col(pk).alias("_batch_pk"))
+            cand = cand.join(
+                F.broadcast(batch_pks),
+                F.col("_stored_pk") == F.col("_batch_pk"),
+                "left_anti",
+            )
         if verified:
             # TWO-STAGE: a band collision is only a CANDIDATE; drop iff
             # the stored holder's signature estimates Jaccard >= the

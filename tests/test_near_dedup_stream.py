@@ -437,6 +437,61 @@ def test_changed_body_upsert_retracts_old_bands(spark, verified_engine):
     assert out["n_new"] == 0 and 10 not in dict(_docs(e))
 
 
+def test_cross_doc_collision_with_just_retracted_row_survives(spark, verified_engine):
+    """Round 11 (verdict ask #4): a batch doc colliding with ANOTHER
+    batch doc's about-to-be-retracted old band rows must SURVIVE — the
+    colliding content leaves the corpus in this very commit. Here pk 1
+    is redelivered with a completely new body (retracting LONG's keys)
+    while new doc 9 arrives as a near-dup of that departing LONG body,
+    in the SAME batch."""
+    e = verified_engine
+
+    def commit(rows, bid):
+        return commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, rows), bid
+        )
+
+    commit([(1, LONG), (2, FRESH)], 0)
+    out = commit([(1, OTHER), (9, NEAR)], 1)
+    assert out is not None and out["n_new"] == 2, out
+    docs = dict(_docs(e))
+    assert docs == {1: OTHER, 2: FRESH, 9: NEAR}
+    bands_now = _bands(e)
+    # band stays a true PRIMARY KEY, and 9 holds its full key set (the
+    # stored rows it collided with left with pk 1's retraction)
+    assert len({b for b, _ in bands_now}) == len(bands_now)
+    assert sum(1 for _, d in bands_now if d == 9) == 4
+
+
+def test_collision_with_unretracted_row_of_dropped_holder_over_keeps(spark, verified_engine):
+    """The documented residual corner of the round-11 exemption: when the
+    would-be retractor is ITSELF dropped this batch (its new body is a
+    true near-dup of other stored content), its old rows in fact stay —
+    the exempted collider is over-KEPT (biased toward keeping content),
+    and the band-PK invariant still holds because the kept doc's
+    colliding keys are withheld from persistence."""
+    e = verified_engine
+
+    def commit(rows, bid):
+        return commit_near_dedup_batch(
+            e.catalog, "corpus", "corpus_bands", "s1", _batch(spark, rows), bid
+        )
+
+    commit([(1, LONG), (5, OTHER)], 0)
+    # pk 1's new body near-dups STORED doc 5 -> the redelivery is dropped
+    # (holder keeps LONG); doc 9 collides with pk 1's old rows but pk 1
+    # is a batch pk -> exempt -> kept although LONG remains stored
+    out = commit([(1, OTHER_NEAR), (9, NEAR)], 1)
+    assert out is not None and out["n_new"] == 1, out
+    docs = dict(_docs(e))
+    assert docs == {1: LONG, 5: OTHER, 9: NEAR}
+    bands_now = _bands(e)
+    # invariant: pairwise-distinct band keys; 9's colliding keys withheld
+    assert len({b for b, _ in bands_now}) == len(bands_now)
+    assert sum(1 for _, d in bands_now if d == 1) == 4  # holder's keys stay
+    assert sum(1 for _, d in bands_now if d == 9) < 4
+
+
 def test_changed_body_same_batch_similar_revision_upserts(spark, verified_engine):
     """A redelivered pk whose new body is a NEAR-DUP of its own old body
     (the common small-edit revision) must UPSERT — with retraction on, a
