@@ -34,9 +34,16 @@ from entangledb_spark.plans import ast
 
 @dataclass
 class Scope:
-    """alias → (DataFrame, [column names]); insertion-ordered."""
+    """alias → (DataFrame, [column names]); insertion-ordered.
+
+    ``hidden`` holds internal relations joined onto the frame by the
+    decorrelation pass (round 11): their columns resolve ONLY through an
+    explicit qualifier (the compiler generates those references itself),
+    never through `SELECT *` expansion or unqualified-name ownership —
+    user-visible semantics are untouched."""
 
     tables: dict[str, tuple[DataFrame, list[str]]] = field(default_factory=dict)
+    hidden: dict[str, tuple[DataFrame, list[str]]] = field(default_factory=dict)
 
     def add(self, alias: str, df: DataFrame) -> DataFrame:
         if alias in self.tables:
@@ -45,8 +52,15 @@ class Scope:
         self.tables[alias] = (aliased, list(df.columns))
         return aliased
 
+    def add_hidden(self, alias: str, df: DataFrame) -> DataFrame:
+        aliased = df.alias(alias)
+        self.hidden[alias] = (aliased, list(df.columns))
+        return aliased
+
     def resolve(self, f: ast.Field) -> Column:
         if f.table is not None:
+            if f.table in self.hidden:
+                return F.col(f"{f.table}.{f.name}")
             if f.table not in self.tables:
                 raise CompileError(f"unknown table: {f.table}")
             if f.name not in self.tables[f.table][1]:
@@ -215,9 +229,11 @@ def _split_semi_anti(
     Top-level `x IN (SELECT ...)` / `x NOT IN (SELECT ...)` /
     `[NOT] EXISTS (SELECT ...)` conjuncts are extracted as semi/anti join
     specs — the scale-safe plan (no driver round-trip, no value-count
-    limit), and the only placement where EXISTS may be CORRELATED.
-    Subqueries in any other position (inside OR, in the select list, ...)
-    stay in the tree and go through the bounded uncorrelated fold."""
+    limit); conjunct-EXISTS and conjunct-IN support arbitrary theta
+    correlation. Subqueries in any other position (inside OR, in the
+    select list, ...) stay in the tree: correlated scalar and [NOT]
+    EXISTS forms decorrelate into LEFT joins (_decorrelate, round 11),
+    the rest go through the bounded uncorrelated fold."""
     if where is None:
         return [], None
 
@@ -287,6 +303,11 @@ def _apply_semi_anti(
         if kind in ("exists", "not_exists"):
             df = _apply_exists(df, kind, sub, scope, spark, read)
             continue
+        info = _subquery_correlation(sub, scope, spark, read)
+        if info is not None:
+            # round 11: correlated [NOT] IN as a WHERE conjunct
+            df = _apply_corr_in(df, kind, lhs, sub, info, scope, spark, read)
+            continue
         lhs = _resolve_subqueries(lhs, spark, read)
         inner = compile_select(sub.select, spark, read)
         if len(inner.columns) != 1:
@@ -309,6 +330,92 @@ def _apply_semi_anti(
             continue
         df = df.filter(lhs_col.isNotNull()).join(inner_a, cond, "left_anti")
     return df
+
+
+def _apply_corr_in(
+    df: DataFrame,
+    kind: str,
+    lhs: ast.Expr,
+    sub: ast.Subquery,
+    info: dict,
+    outer: Scope,
+    spark: SparkSession,
+    read: TableReader,
+) -> DataFrame:
+    """Correlated `x IN (SELECT e FROM i WHERE ... outer refs ...)` as a
+    WHERE conjunct (round 11): semantically EXISTS(i WHERE corr AND
+    e = x), so it compiles to ONE left_semi join whose condition carries
+    the value equality AND the correlated predicates (theta allowed —
+    same strength as conjunct-EXISTS; no groupBy needed because IN is
+    per-row). No driver round-trip, no value-count limit.
+
+    Correlated NOT IN is rejected with guidance: its null-aware
+    semantics need a per-outer-row NULL probe of the subquery result
+    (any NULL value makes NOT IN never TRUE for that row), which has no
+    single-join form — NOT EXISTS with an explicit equality expresses
+    what users almost always mean."""
+    if kind == "anti":
+        raise CompileError(
+            "correlated NOT IN is not supported (its null-aware semantics "
+            "need a per-row NULL probe) — rewrite as NOT EXISTS with the "
+            "equality in the subquery's WHERE"
+        )
+    sel = sub.select
+    if sel.limit is not None or sel.offset is not None:
+        raise CompileError("LIMIT/OFFSET in a correlated IN subquery is not supported")
+    if sel.group_by or sel.having is not None or any(
+        ast.contains_aggregate(e) for e, _ in sel.select
+    ):
+        raise CompileError(
+            "aggregates in a correlated IN subquery are not supported — "
+            "rewrite as a comparison with a correlated scalar subquery"
+        )
+    if len(sel.select) != 1 or isinstance(sel.select[0][0], ast.Star):
+        raise CompileError("IN subquery must return exactly one column")
+    inner_scope, inner_df = info["inner_scope"], info["inner_df"]
+    inner_where: Optional[ast.Expr] = None
+    for c in info["inner_conjs"]:
+        inner_where = c if inner_where is None else ast.Op("AND", (inner_where, c))
+    inner_where = _resolve_subqueries(inner_where, spark, read)
+    if inner_where is not None:
+        inner_df = inner_df.filter(
+            compile_expr(inner_where, inner_scope.resolve, inner_scope.dtype_of)
+        )
+
+    def owner_scope(f: ast.Field) -> Optional[Scope]:
+        if f.table is not None:
+            if f.table in inner_scope.tables:
+                return inner_scope if f.name in inner_scope.tables[f.table][1] else None
+            if f.table in outer.tables:
+                return outer if f.name in outer.tables[f.table][1] else None
+            return None
+        if any(f.name in cols for _, cols in inner_scope.tables.values()):
+            return inner_scope
+        if any(f.name in cols for _, cols in outer.tables.values()):
+            return outer
+        return None
+
+    def dual_resolve(f: ast.Field) -> Column:
+        s = owner_scope(f)
+        if s is None:
+            raise CompileError(f"unknown column: {f.name}")
+        return s.resolve(f)
+
+    def dual_dtype(f: ast.Field) -> Optional[str]:
+        s = owner_scope(f)
+        return s.dtype_of(f) if s is not None else None
+
+    lhs = _resolve_subqueries(lhs, spark, read)
+    lhs_col = compile_expr(lhs, outer.resolve, outer.dtype_of)
+    inval = compile_expr(
+        sel.select[0][0], inner_scope.resolve, inner_scope.dtype_of
+    )
+    cond = lhs_col == inval
+    for c in info["corr_conjs"]:
+        if any(isinstance(x, ast.Subquery) for x in ast.walk(c)):
+            raise CompileError("nested subqueries in correlated IN predicates")
+        cond = cond & compile_expr(c, dual_resolve, dual_dtype)
+    return df.join(inner_df, cond, "left_semi")
 
 
 def _apply_exists(
@@ -441,8 +548,12 @@ def _resolve_subqueries(
       by IN_SUBQUERY_LIMIT — beyond that, rewrite as a JOIN);
     - `EXISTS (SELECT ...)` → TRUE/FALSE via LIMIT 1.
 
-    Correlated subqueries surface as unknown-column errors from the inner
-    compile, which is the accurate message for this engine.
+    Only UNCORRELATED subqueries reach this fold: correlated scalar and
+    EXISTS forms were decorrelated into LEFT joins earlier
+    (_decorrelate), correlated conjunct-IN/EXISTS became semi/anti joins
+    (_apply_semi_anti / _apply_exists / _apply_corr_in). A correlated
+    reference that slips past those (e.g. two-level correlation) still
+    surfaces here as an unknown-column error — the accurate message.
     """
     if e is None:
         return None
@@ -478,10 +589,406 @@ def _resolve_subqueries(
             return ast.Literal(len(df.limit(1).collect()) > 0)
         return ast.Op(e.name, tuple(_resolve_subqueries(a, spark, read) for a in e.args))
     if isinstance(e, ast.FuncCall):
-        return ast.FuncCall(
-            e.name, tuple(_resolve_subqueries(a, spark, read) for a in e.args), e.star
+        # dataclasses.replace keeps star/distinct (positional rebuild
+        # silently dropped the distinct flag — round-11 fix)
+        return dataclasses.replace(
+            e, args=tuple(_resolve_subqueries(a, spark, read) for a in e.args)
         )
     return e
+
+
+def _shallow_walk(e: ast.Expr):
+    """ast.walk that does NOT descend into nested Subquery nodes — each
+    subquery's fields belong to its own (deeper) resolution scope."""
+    yield e
+    if isinstance(e, ast.Subquery):
+        return
+    if isinstance(e, ast.Op):
+        for a in e.args:
+            if isinstance(a, ast.Expr):
+                yield from _shallow_walk(a)
+    elif isinstance(e, ast.FuncCall):
+        for a in e.args:
+            if isinstance(a, ast.Expr):
+                yield from _shallow_walk(a)
+
+
+def _subquery_correlation(sub: ast.Subquery, outer: Scope, spark, read):
+    """Classify ``sub`` against the outer scope (round 11 decorrelation).
+
+    Returns None when the subquery has no FROM or references nothing from
+    the outer scope (→ the bounded uncorrelated fold applies), else
+    {"inner_scope", "inner_df", "inner_conjs", "corr_conjs"} with the
+    subquery's WHERE split into inner-only and correlated conjuncts.
+    Correlated references anywhere OUTSIDE the WHERE (select list, GROUP
+    BY, HAVING, ORDER BY) are rejected — same placement rule as
+    correlated EXISTS. Aliases shared between the scopes are rejected
+    (rename one side), as in _apply_exists."""
+    sel = sub.select
+    if sel.from_ is None:
+        return None
+
+    def outer_owns(f: ast.Field) -> bool:
+        if f.table is not None:
+            return f.table in outer.tables and f.name in outer.tables[f.table][1]
+        return any(f.name in cols for _, cols in outer.tables.values())
+
+    # cheap pre-pass: no field can possibly be an outer reference → skip
+    # building the inner scope at all (the common uncorrelated case)
+    roots = [e for e, _ in sel.select] + list(sel.group_by) + [
+        x for x in (sel.where, sel.having) if x is not None
+    ] + [o.expr for o in sel.order_by]
+    if not any(
+        isinstance(x, ast.Field) and outer_owns(x)
+        for root in roots
+        for x in _shallow_walk(root)
+    ):
+        return None
+
+    inner_scope = Scope()
+    inner_df = compile_from(sel.from_, read, inner_scope, spark)
+
+    def inner_owns(f: ast.Field) -> bool:
+        if f.table is not None:
+            return (
+                f.table in inner_scope.tables
+                and f.name in inner_scope.tables[f.table][1]
+            )
+        return any(
+            f.name in cols for _, cols in inner_scope.tables.values()
+        )
+
+    def is_corr_field(f: ast.Field) -> bool:
+        # innermost scope wins for unqualified names (standard SQL)
+        return not inner_owns(f) and outer_owns(f)
+
+    non_where = [e for e, _ in sel.select] + list(sel.group_by) + [
+        x for x in (sel.having,) if x is not None
+    ] + [o.expr for o in sel.order_by]
+    for root in non_where:
+        for x in _shallow_walk(root):
+            if isinstance(x, ast.Field) and is_corr_field(x):
+                raise CompileError(
+                    f"correlated reference {x.name} is only supported in "
+                    "the subquery's WHERE clause"
+                )
+
+    inner_conjs: list[ast.Expr] = []
+    corr_conjs: list[ast.Expr] = []
+    if sel.where is not None:
+        def conjuncts(e: ast.Expr):
+            if isinstance(e, ast.Op) and e.name == "AND":
+                for a in e.args:
+                    yield from conjuncts(a)
+            else:
+                yield e
+
+        for c in conjuncts(sel.where):
+            fields = [
+                x for x in _shallow_walk(c) if isinstance(x, ast.Field)
+            ]
+            if any(is_corr_field(f) for f in fields):
+                corr_conjs.append(c)
+            else:
+                inner_conjs.append(c)
+    if not corr_conjs:
+        # genuinely uncorrelated — inner-first resolution means a table
+        # (or alias) shared with the outer query shadows it entirely, the
+        # ordinary self-referencing-subquery case
+        return None
+    shared = set(inner_scope.tables) & set(outer.tables)
+    if shared:
+        # correlated through OTHER fields while an alias is shared: the
+        # decorrelation join would carry two frames under one alias
+        raise CompileError(
+            f"alias used in both outer query and subquery: "
+            f"{', '.join(sorted(shared))} (alias one of them)"
+        )
+    return {
+        "inner_scope": inner_scope,
+        "inner_df": inner_df,
+        "inner_conjs": inner_conjs,
+        "corr_conjs": corr_conjs,
+    }
+
+
+def _split_corr_equalities(info, outer: Scope):
+    """Split the correlated conjuncts of a groupBy-decorrelatable subquery
+    into ([(inner_key_expr, outer_side_expr)], [outer-only conjunct]).
+
+    A correlated conjunct must be either (a) an EQUALITY with one side
+    built entirely from inner columns (the group key) and the other free
+    of them, or (b) free of inner columns altogether (an outer-side
+    filter that rides the join condition). Anything else — a non-equality
+    predicate mixing inner and outer columns — would make the aggregate
+    depend on WHICH rows match each outer row, which groupBy
+    decorrelation cannot express; rejected with that explanation."""
+    inner_scope = info["inner_scope"]
+
+    def inner_owns(f: ast.Field) -> bool:
+        if f.table is not None:
+            return (
+                f.table in inner_scope.tables
+                and f.name in inner_scope.tables[f.table][1]
+            )
+        return any(f.name in cols for _, cols in inner_scope.tables.values())
+
+    def has_inner(e: ast.Expr) -> bool:
+        return any(
+            isinstance(x, ast.Field) and inner_owns(x) for x in _shallow_walk(e)
+        )
+
+    keys: list[tuple[ast.Expr, ast.Expr]] = []
+    outer_only: list[ast.Expr] = []
+    for c in info["corr_conjs"]:
+        if not has_inner(c):
+            outer_only.append(c)
+            continue
+        if isinstance(c, ast.Op) and c.name == "EQ":
+            a, b = c.args
+            if has_inner(a) and not has_inner(b):
+                keys.append((a, b))
+                continue
+            if has_inner(b) and not has_inner(a):
+                keys.append((b, a))
+                continue
+        raise CompileError(
+            "correlated predicates in a scalar subquery must be equalities "
+            "between an inner expression and an outer expression (the "
+            "aggregate would otherwise depend on which rows match each "
+            "outer row, which groupBy decorrelation cannot express)"
+        )
+    return keys, outer_only
+
+
+def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
+    """Round 11: compile correlated scalar subqueries and non-conjunct
+    correlated EXISTS as DECORRELATED LEFT JOINS instead of erroring
+    through the bounded uncorrelated fold — the classic groupBy+join
+    rewrite, executed as ONE distributed join per subquery (no per-row
+    re-execution, no driver round-trip, cost scales with |outer| +
+    |distinct correlation keys|, the 100 TB shape).
+
+    - Scalar `(SELECT <agg expr> FROM i WHERE i.k = o.k AND ...)` in the
+      select list, WHERE, HAVING or ORDER BY: the subquery recompiles as
+      `SELECT k AS __ck, <agg expr> AS __scalar ... GROUP BY k` through
+      compile_select itself (arbitrary aggregate expressions, e.g. TPC-H
+      Q17's `0.2 * avg(l_quantity)`, ride along), LEFT-joins on the
+      equality keys, and the node is replaced by a reference to the
+      joined column — NULL for no-match outer rows, exactly the empty
+      subquery's value. A bare count(...) top-level expression coalesces
+      to 0 (SQL: COUNT over the empty set is 0, not NULL); count nested
+      INSIDE a larger expression is rejected (its empty-group identity
+      can't be recovered after the join).
+    - `[NOT] EXISTS (...)` in any boolean position (inside OR, in a
+      select list) with equality correlation: LEFT join against the
+      DISTINCT correlation keys of the filtered inner frame plus a TRUE
+      flag; EXISTS ⇔ the flag is non-NULL. (Top-level WHERE conjuncts
+      keep the stronger semi/anti-join path, which supports arbitrary
+      theta correlation.)
+    - Correlated IN outside a WHERE conjunct is rejected with guidance
+      (rewrite as EXISTS); correlated NOT IN likewise (its null-aware
+      semantics need a per-group NULL probe).
+
+    Returns (rewritten stmt, joined df). Subqueries classified
+    uncorrelated are left in place for _resolve_subqueries."""
+    state = {"df": df, "n": 0}
+
+    def scalar_marker(sub: ast.Subquery) -> ast.Expr:
+        info = _subquery_correlation(sub, scope, spark, read)
+        if info is None:
+            return sub  # uncorrelated → bounded fold
+        sel = sub.select
+        if len(sel.select) != 1:
+            raise CompileError("scalar subquery must return exactly one column")
+        for bad, what in (
+            (sel.group_by, "GROUP BY"),
+            (sel.having, "HAVING"),
+            (sel.order_by, "ORDER BY"),
+            (sel.limit, "LIMIT"),
+            (sel.offset, "OFFSET"),
+        ):
+            if bad:
+                raise CompileError(
+                    f"{what} in a correlated scalar subquery is not supported"
+                )
+        expr, _alias = sel.select[0]
+        if not ast.contains_aggregate(expr):
+            raise CompileError(
+                "a correlated scalar subquery must compute a global "
+                "aggregate (a single-row guarantee for arbitrary rows "
+                "cannot be enforced distributively)"
+            )
+        count_top = (
+            isinstance(expr, ast.FuncCall)
+            and ast.is_aggregate(expr)
+            and expr.name.lower() == "count"
+        )
+        if not count_top and any(
+            isinstance(x, ast.FuncCall)
+            and ast.is_aggregate(x)
+            and x.name.lower() == "count"
+            for x in _shallow_walk(expr)
+        ):
+            raise CompileError(
+                "count(...) nested inside a larger expression is not "
+                "supported in a correlated scalar subquery (its empty-"
+                "group value of 0 cannot be recovered after the join) — "
+                "compute the count in its own subquery"
+            )
+        keys, outer_only = _split_corr_equalities(info, scope)
+        inner_where: Optional[ast.Expr] = None
+        for c in info["inner_conjs"]:
+            inner_where = (
+                c if inner_where is None else ast.Op("AND", (inner_where, c))
+            )
+        new_sel = dataclasses.replace(
+            sel,
+            select=tuple(
+                (k, f"__ck{i}") for i, (k, _) in enumerate(keys)
+            )
+            + ((expr, "__scalar"),),
+            where=inner_where,
+            group_by=tuple(k for k, _ in keys),
+            having=None,
+            order_by=(),
+            limit=None,
+            offset=None,
+            distinct=False,
+        )
+        gdf = compile_select(new_sel, spark, read)
+        marker = f"__sq{state['n']}"
+        state["n"] += 1
+        aliased = scope.add_hidden(marker, gdf)
+        cond = None
+        for i, (_, outer_e) in enumerate(keys):
+            term = F.col(f"{marker}.__ck{i}") == compile_expr(
+                outer_e, scope.resolve, scope.dtype_of
+            )
+            cond = term if cond is None else (cond & term)
+        for c in outer_only:
+            term = compile_expr(c, scope.resolve, scope.dtype_of)
+            cond = term if cond is None else (cond & term)
+        if cond is None:  # unreachable: corr_conjs was non-empty
+            cond = F.lit(True)
+        state["df"] = state["df"].join(aliased, cond, "left")
+        ref = ast.Field(name="__scalar", table=marker)
+        if count_top:
+            return ast.FuncCall("coalesce", (ref, ast.Literal(0)))
+        return ref
+
+    def exists_marker(sub: ast.Subquery) -> ast.Expr:
+        info = _subquery_correlation(sub, scope, spark, read)
+        if info is None:
+            return ast.Op("EXISTS", (sub,))  # uncorrelated → bounded fold
+        sel = sub.select
+        if sel.limit is not None or sel.offset is not None:
+            raise CompileError(
+                "LIMIT/OFFSET inside [NOT] EXISTS is not supported"
+            )
+        if sel.group_by or sel.having is not None or any(
+            ast.contains_aggregate(e) for e, _ in sel.select
+        ):
+            raise CompileError(
+                "aggregates in a correlated EXISTS outside a WHERE "
+                "conjunct are not supported"
+            )
+        keys, outer_only = _split_corr_equalities(info, scope)
+        inner_scope, inner_df = info["inner_scope"], info["inner_df"]
+        inner_where = None
+        for c in info["inner_conjs"]:
+            inner_where = (
+                c if inner_where is None else ast.Op("AND", (inner_where, c))
+            )
+        inner_where = _resolve_subqueries(inner_where, spark, read)
+        if inner_where is not None:
+            inner_df = inner_df.filter(
+                compile_expr(
+                    inner_where, inner_scope.resolve, inner_scope.dtype_of
+                )
+            )
+        if keys:
+            flag = inner_df.select(
+                *[
+                    compile_expr(k, inner_scope.resolve, inner_scope.dtype_of)
+                    .alias(f"__ck{i}")
+                    for i, (k, _) in enumerate(keys)
+                ]
+            ).distinct().withColumn("__flag", F.lit(True))
+        else:
+            # only outer-side filters correlate: emptiness of the inner
+            # frame is the single fact needed — one-row flag relation
+            flag = inner_df.select(F.lit(True).alias("__flag")).limit(1)
+        marker = f"__sq{state['n']}"
+        state["n"] += 1
+        aliased = scope.add_hidden(marker, flag)
+        cond = None
+        for i, (_, outer_e) in enumerate(keys):
+            term = F.col(f"{marker}.__ck{i}") == compile_expr(
+                outer_e, scope.resolve, scope.dtype_of
+            )
+            cond = term if cond is None else (cond & term)
+        for c in outer_only:
+            term = compile_expr(c, scope.resolve, scope.dtype_of)
+            cond = term if cond is None else (cond & term)
+        if cond is None:
+            cond = F.lit(True)
+        state["df"] = state["df"].join(aliased, cond, "left")
+        # EXISTS ⇔ a flag row matched; NOT folds naturally around it
+        return ast.Op(
+            "NOT",
+            (ast.Op("IS_NULL", (ast.Field(name="__flag", table=marker),)),),
+        )
+
+    def rewrite(e: Optional[ast.Expr]) -> Optional[ast.Expr]:
+        if e is None:
+            return None
+        if isinstance(e, ast.Subquery):
+            return scalar_marker(e)
+        if isinstance(e, ast.Op):
+            if e.name == "EXISTS":
+                sub = e.args[0]
+                assert isinstance(sub, ast.Subquery)
+                return exists_marker(sub)
+            if e.name == "IN_SUBQ":
+                sub = e.args[1]
+                assert isinstance(sub, ast.Subquery)
+                if _subquery_correlation(sub, scope, spark, read) is not None:
+                    raise CompileError(
+                        "a correlated IN subquery is supported only as a "
+                        "top-level WHERE conjunct — elsewhere rewrite it "
+                        "as EXISTS"
+                    )
+                return ast.Op("IN_SUBQ", (rewrite(e.args[0]), sub))
+            return ast.Op(e.name, tuple(rewrite(a) for a in e.args))
+        if isinstance(e, ast.FuncCall):
+            # dataclasses.replace keeps star/distinct (and subclass type)
+            return dataclasses.replace(e, args=tuple(rewrite(a) for a in e.args))
+        return e
+
+    has_subq = any(
+        isinstance(x, ast.Subquery)
+        for root in (
+            [e for e, _ in stmt.select]
+            + [x for x in (stmt.where, stmt.having) if x is not None]
+            + list(stmt.group_by)
+            + [o.expr for o in stmt.order_by]
+        )
+        for x in ast.walk(root)
+    )
+    if not has_subq:
+        return stmt, df
+    stmt = dataclasses.replace(
+        stmt,
+        select=tuple((rewrite(e), a) for e, a in stmt.select),
+        where=rewrite(stmt.where),
+        group_by=tuple(rewrite(g) for g in stmt.group_by),
+        having=rewrite(stmt.having),
+        order_by=tuple(
+            ast.OrderItem(rewrite(o.expr), o.desc) for o in stmt.order_by
+        ),
+    )
+    return stmt, state["df"]
 
 
 def compile_select(
@@ -495,6 +1002,17 @@ def compile_select(
         semi_specs, remaining_where = _split_semi_anti(stmt.where)
         if semi_specs:
             stmt = dataclasses.replace(stmt, where=remaining_where)
+
+    scope = Scope()
+    if stmt.from_ is not None:
+        df = compile_from(stmt.from_, read, scope, spark)
+        # round 11: correlated scalar / non-conjunct EXISTS subqueries
+        # decorrelate into LEFT joins here — BEFORE the uncorrelated fold,
+        # which cannot compile them (their fields resolve only against
+        # this scope)
+        stmt, df = _decorrelate(stmt, df, scope, spark, read)
+    else:
+        df = spark.range(1).drop("id")  # Nothing node: one empty row
 
     # fold remaining uncorrelated subqueries (no-op when none are present)
     def rs(x):
@@ -518,11 +1036,6 @@ def compile_select(
             having=rs(stmt.having),
             order_by=tuple(ast.OrderItem(rs(o.expr), o.desc) for o in stmt.order_by),
         )
-    scope = Scope()
-    if stmt.from_ is not None:
-        df = compile_from(stmt.from_, read, scope, spark)
-    else:
-        df = spark.range(1).drop("id")  # Nothing node: one empty row
 
     if semi_specs:
         df = _apply_semi_anti(df, semi_specs, scope, spark, read)

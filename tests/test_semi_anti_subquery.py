@@ -141,3 +141,134 @@ def test_exists_rejects_limit_and_shared_alias(ceng):
 def test_correlated_exists_mixed_conjuncts(ceng):
     sql = "SELECT id FROM c WHERE id > 1 AND EXISTS (SELECT 1 FROM o WHERE o.cid = c.id)"
     assert rows(ceng, sql) == [(3,)]
+
+
+# --- round 11: correlated scalar / non-conjunct EXISTS / correlated IN ----
+#
+# The classic groupBy+join decorrelation (compiler._decorrelate): one
+# distributed LEFT join per subquery, no per-row re-execution, no driver
+# round-trip. Parity oracle: DuckDB on IDENTICAL SQL and identical rows.
+
+DC_ROWS_C = [(1, "a", "x"), (2, "b", "y"), (3, "nil", "z"), (4, "dup", "x")]
+DC_ROWS_O = [(10, 1, 5), (11, 1, 7), (12, 2, 9), (13, 4, 7), (14, 4, None)]
+
+
+@pytest.fixture()
+def deng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path / "ddb"))
+    e.execute("CREATE TABLE c (ck INTEGER PRIMARY KEY, name STRING, grp STRING)")
+    e.execute("CREATE TABLE o (ok INTEGER PRIMARY KEY, ck INTEGER, amt INTEGER)")
+    e.execute(
+        "INSERT INTO c VALUES "
+        + ", ".join(f"({i}, '{n}', '{g}')" for i, n, g in DC_ROWS_C)
+    )
+    e.execute(
+        "INSERT INTO o VALUES "
+        + ", ".join(
+            f"({i}, {k}, {'NULL' if a is None else a})" for i, k, a in DC_ROWS_O
+        )
+    )
+    return e
+
+
+def _duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (ck INTEGER, name VARCHAR, grp VARCHAR)")
+    con.execute("CREATE TABLE o (ok INTEGER, ck INTEGER, amt INTEGER)")
+    con.executemany("INSERT INTO c VALUES (?, ?, ?)", DC_ROWS_C)
+    con.executemany("INSERT INTO o VALUES (?, ?, ?)", DC_ROWS_O)
+    return con
+
+
+DECORRELATED_PARITY_SQL = [
+    # scalar aggregates in the select list; empty group -> NULL
+    "SELECT name, (SELECT sum(amt) FROM o WHERE o.ck = c.ck) AS t FROM c",
+    "SELECT name, (SELECT avg(amt) FROM o WHERE o.ck = c.ck) AS a FROM c",
+    "SELECT name, (SELECT min(amt) FROM o WHERE o.ck = c.ck) AS m FROM c",
+    # count over the empty set is 0, not NULL
+    "SELECT name, (SELECT count(*) FROM o WHERE o.ck = c.ck) AS n FROM c",
+    "SELECT name, (SELECT count(amt) FROM o WHERE o.ck = c.ck) AS n FROM c",
+    # expression-wrapped aggregate (TPC-H Q17's shape) in a WHERE comparison
+    "SELECT ok FROM o WHERE amt > (SELECT 0.5 * sum(amt) FROM o AS o2 WHERE o2.ck = o.ck)",
+    # inner-only conjunct rides along; group keys may be expressions
+    "SELECT name, (SELECT sum(amt) FROM o WHERE o.ck = c.ck AND amt > 5) AS t FROM c",
+    "SELECT name, (SELECT sum(amt) FROM o WHERE o.ck + 0 = c.ck) AS t FROM c",
+    # outer-only correlated filter rides the join condition
+    "SELECT name, (SELECT sum(amt) FROM o WHERE o.ck = c.ck AND c.grp = 'x') AS t FROM c",
+    # [NOT] EXISTS beyond top-level conjuncts: inside OR, in a select list
+    "SELECT name FROM c WHERE grp = 'z' OR EXISTS (SELECT 1 FROM o WHERE o.ck = c.ck AND amt > 8)",
+    "SELECT name FROM c WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.ck = c.ck) OR grp = 'x'",
+    "SELECT name, EXISTS (SELECT 1 FROM o WHERE o.ck = c.ck) AS has_o FROM c",
+    # correlated IN as a WHERE conjunct (semi join; NULL inner values drop out)
+    "SELECT name FROM c WHERE 7 IN (SELECT amt FROM o WHERE o.ck = c.ck)",
+    # scalar subquery inside a larger outer expression
+    "SELECT name, 1 + (SELECT sum(amt) FROM o WHERE o.ck = c.ck) AS t1 FROM c",
+]
+
+
+def test_decorrelated_subqueries_match_duckdb(deng):
+    """Round 11: correlated scalar subqueries (select list, WHERE),
+    [NOT] EXISTS in non-conjunct positions, and correlated IN conjuncts —
+    exact-row parity with DuckDB on identical SQL."""
+    con = _duck()
+    try:
+        for sql in DECORRELATED_PARITY_SQL:
+            got = sorted((tuple(r) for r in deng.execute(sql).rows), key=repr)
+            want = sorted(
+                (tuple(r) for r in con.execute(sql).fetchall()), key=repr
+            )
+            assert got == want, (sql, got, want)
+    finally:
+        con.close()
+
+
+def test_decorrelated_scalar_is_one_join_no_cartesian(deng):
+    sql = "SELECT name, (SELECT sum(amt) FROM o WHERE o.ck = c.ck) AS t FROM c"
+    p = plan_of(deng, sql)
+    assert "Join" in p and "CartesianProduct" not in p
+
+
+def test_decorrelation_rejections(deng):
+    """The honest edges: each unsupported correlated form errors with
+    guidance instead of silently computing something else."""
+    from entangledb_spark.engine import EngineError
+
+    cases = [
+        # non-aggregate correlated scalar: no distributed 1-row guarantee
+        ("SELECT name, (SELECT amt FROM o WHERE o.ck = c.ck) AS a FROM c",
+         "global[ \\n]+aggregate"),
+        # count nested inside a larger expression: empty-group 0 is lost
+        ("SELECT name, (SELECT 1 + count(*) FROM o WHERE o.ck = c.ck) AS a FROM c",
+         "count"),
+        # non-equality correlated predicate on a scalar subquery
+        ("SELECT name, (SELECT sum(amt) FROM o WHERE o.ck < c.ck) AS a FROM c",
+         "equalities"),
+        # correlated NOT IN: null-aware semantics need a per-row probe
+        ("SELECT name FROM c WHERE 7 NOT IN (SELECT amt FROM o WHERE o.ck = c.ck)",
+         "NOT EXISTS"),
+        # correlated IN outside a conjunct
+        ("SELECT name FROM c WHERE grp = 'z' OR 7 IN (SELECT amt FROM o WHERE o.ck = c.ck)",
+         "EXISTS"),
+        # correlated reference outside the subquery's WHERE
+        ("SELECT name, (SELECT sum(amt + c.ck) FROM o WHERE o.ck = c.ck) AS a FROM c",
+         "WHERE clause"),
+    ]
+    for sql, pat in cases:
+        with pytest.raises(EngineError, match=pat):
+            deng.execute(sql)
+
+
+def test_decorrelated_scalar_under_outer_aggregate(deng):
+    """A correlated scalar marker may feed an OUTER aggregate."""
+    sql = (
+        "SELECT sum((SELECT count(*) FROM o WHERE o.ck = c.ck)) AS total "
+        "FROM c"
+    )
+    con = _duck()
+    try:
+        want = con.execute(sql).fetchall()
+    finally:
+        con.close()
+    assert [tuple(r) for r in deng.execute(sql).rows] == [tuple(want[0])]
