@@ -174,6 +174,12 @@ dialect(
     """,
 )
 
+# Round 11: the decorrelation surface rides this gate too — the second
+# UNION arm computes a correlated scalar COUNT subquery in the select
+# list (empty group → 0) and a correlated EXISTS inside an OR (the
+# non-conjunct position), both compiled as decorrelated LEFT joins
+# (plans/compiler._decorrelate) and hash-certified against DuckDB on
+# identical SQL. Off-headline: zero bench cost.
 dialect(
     "q35_dialect_having_hidden",
     """
@@ -181,13 +187,27 @@ dialect(
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     HAVING count(*) > 2
-    ORDER BY n_customers DESC, n_name
+    UNION ALL
+    SELECT c_name AS n_name,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_customers
+    FROM customer
+    WHERE c_custkey <= 20
+      AND (c_acctbal < 0 OR
+           EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 150000))
     """,
     oracle="""
     SELECT n_name, count(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name HAVING count(*) > 2
-    ORDER BY n_customers DESC, n_name
+    UNION ALL
+    SELECT c_name AS n_name,
+           (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_customers
+    FROM customer
+    WHERE c_custkey <= 20
+      AND (c_acctbal < 0 OR
+           EXISTS (SELECT 1 FROM orders
+                   WHERE o_custkey = c_custkey AND o_totalprice > 150000))
     """,
 )
 
