@@ -441,15 +441,18 @@ class MatviewStatements:
         INNER-JOIN incremental path (round 11) — the TPC-H Q3/Q10 MV shape,
         composing the join delta rule with affected-group recompute:
 
-        1. AFFECTED GROUP KEYS — four delta-restricted compilations of the
-           STORED QUERY itself (so join predicate, WHERE, and key aliases
-           all ride along), keeping only the group-key columns:
-           post-image `Δa ⋈ B_now` and `A_now ⋈ Δb` on the current
-           manifest; pre-image `(A_old ⋉ Δpk_a) ⋈ B_old` and the symmetric
-           term on the base_version manifest (a row UPDATEd into a
-           different group must stale BOTH groups — same rule as the
-           single-table grouped path). Each term's cost scales with the
-           delta times the join's selectivity, never |A| × |B|.
+        1. AFFECTED GROUP KEYS — up to 2 delta-restricted compilations of
+           the STORED QUERY itself PER CHANGED TABLE (so join predicates,
+           WHERE, and key aliases all ride along), keeping only the
+           group-key columns: the post-image term substitutes that
+           table's CDF post-images into the current-manifest join
+           (`ΔT ⋈ others_now`); the pre-image term reads EVERY table from
+           the base_version manifest with the changed table semi-joined
+           to its changed PKs (a row UPDATEd into a different group must
+           stale BOTH groups — same rule as the single-table grouped
+           path). Works for ANY number of inner-joined tables (TPC-H Q3
+           joins three); each term's cost scales with the delta times the
+           join's selectivity, never the table product.
         2. RECOMPUTE — compile the stored query once more with each base
            scan semi-joined (broadcast, null-safe) to the affected VALUES
            of the group columns that side owns; a side owning no group
@@ -474,28 +477,28 @@ class MatviewStatements:
         keys = _join_group_key_sides(cur_man["tables"], j)
         if keys is None:
             return None
-        ch_a = self.catalog.changes_df(
-            j["a"], mv["base_version"], cur
-        ).localCheckpoint(eager=True)
-        ch_b = self.catalog.changes_df(
-            j["b"], mv["base_version"], cur
-        ).localCheckpoint(eager=True)
-        if ch_a.isEmpty() and ch_b.isEmpty():
+        names = [name for name, _ in j["tables"]]
+        changes_by = {
+            name: self.catalog.changes_df(
+                name, mv["base_version"], cur
+            ).localCheckpoint(eager=True)
+            for name in names
+        }
+        if all(ch.isEmpty() for ch in changes_by.values()):
             return None, 0
         base_read = self._reader()
         out_cols = [out for _, _, out in keys]
-
-        def keys_of(df: DataFrame) -> DataFrame:
-            return df.select(*out_cols)
 
         affected = None
 
         def add_keys(df: DataFrame) -> None:
             nonlocal affected
-            k = keys_of(df)
+            k = df.select(*out_cols)
             affected = k if affected is None else affected.unionByName(k)
 
-        for side, tname, changes in (("a", j["a"], ch_a), ("b", j["b"], ch_b)):
+        all_in_old = all(name in old_man["tables"] for name in names)
+        for tname in names:
+            changes = changes_by[tname]
             if changes.isEmpty():
                 continue
             post = changes.filter(F.col("_change_type") != "delete").drop(
@@ -507,9 +510,9 @@ class MatviewStatements:
 
             add_keys(compile_statement(parsed, self.spark, post_reader))
             # pre-image keys: the OLD join rows of the changed PKs, read
-            # from the base_version manifest (both sides old — the join
-            # partner rows may have changed too)
-            if j["a"] in old_man["tables"] and j["b"] in old_man["tables"]:
+            # from the base_version manifest (ALL sides old — any join
+            # partner row may have changed too)
+            if all_in_old:
                 pk_new = next(
                     c["name"]
                     for c in cur_man["tables"][tname]["columns"]
@@ -531,7 +534,7 @@ class MatviewStatements:
                 def pre_reader(name: str, _t=tname, _old=old_side) -> DataFrame:
                     if name == _t:
                         return _old
-                    if name in (j["a"], j["b"]):
+                    if name in names:
                         return self.catalog.read_df(old_man, name)
                     return base_read(name)
 
@@ -550,27 +553,25 @@ class MatviewStatements:
                 cond = c if cond is None else (cond & c)
             return cond
 
-        side_cols = {
-            "a": [(col, out) for s, col, out in keys if s == "a"],
-            "b": [(col, out) for s, col, out in keys if s == "b"],
+        table_cols = {
+            name: [(col, out) for t, col, out in keys if t == name]
+            for name in names
         }
 
         def refresh_reader(name: str) -> DataFrame:
             df = base_read(name)
-            for side, tname in (("a", j["a"]), ("b", j["b"])):
-                if name == tname and side_cols[side]:
-                    cols = side_cols[side]
-                    vals = affected.select(
-                        *[F.col(out).alias(col) for col, out in cols]
-                    ).distinct()
-                    df = df.join(
-                        F.broadcast(vals),
-                        _nullsafe_on(
-                            df, vals, [c for c, _ in cols], [c for c, _ in cols]
-                        ),
-                        "left_semi",
-                    )
-                    break
+            cols = table_cols.get(name)
+            if cols:
+                vals = affected.select(
+                    *[F.col(out).alias(col) for col, out in cols]
+                ).distinct()
+                df = df.join(
+                    F.broadcast(vals),
+                    _nullsafe_on(
+                        df, vals, [c for c, _ in cols], [c for c, _ in cols]
+                    ),
+                    "left_semi",
+                )
             return df
 
         recomputed = compile_statement(parsed, self.spark, refresh_reader)
@@ -739,32 +740,56 @@ def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
     }
 
 
+def _flatten_inner_joins(f) -> Optional[list[tuple]]:
+    """[(table name, alias), ...] leaves of an all-INNER predicated join
+    tree of plain TableRefs (no AS OF), or None for any other shape."""
+    if isinstance(f, ast.TableRef):
+        if f.as_of is not None:
+            return None
+        return [(f.name, f.alias or f.name)]
+    if isinstance(f, ast.Join):
+        if f.join_type != ast.JoinType.INNER or f.predicate is None:
+            return None
+        left = _flatten_inner_joins(f.left)
+        right = _flatten_inner_joins(f.right)
+        if left is None or right is None:
+            return None
+        return left + right
+    return None
+
+
+def _join_predicates(f) -> list:
+    out = []
+    if isinstance(f, ast.Join):
+        out.append(f.predicate)
+        out += _join_predicates(f.left) + _join_predicates(f.right)
+    return out
+
+
 def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
     """Shape analysis for the AGGREGATE-over-INNER-JOIN incremental path
-    (round 11): `SELECT <group cols and aggregates> FROM a INNER JOIN b
-    ON <any predicate> [WHERE ...] GROUP BY <plain columns>` over two
-    DISTINCT managed tables, every group column present in the output as
-    a plain field. This is the most common real-world MV shape (TPC-H
-    Q3/Q10). No HAVING/DISTINCT/ORDER/LIMIT/windows/subqueries/grouping
+    (round 11): `SELECT <group cols and aggregates> FROM t1 INNER JOIN
+    t2 ON ... [INNER JOIN t3 ON ...]* [WHERE ...] GROUP BY <plain
+    columns>` over ANY number of DISTINCT managed tables, every group
+    column present in the output as a plain field. This is the most
+    common real-world MV shape (TPC-H Q3 joins three tables, Q10 four).
+    No HAVING/DISTINCT/ORDER/LIMIT/windows/subqueries/grouping
     extensions — affected-group recompute needs mergeable plain keys.
 
-    Returns {"a","alias_a","b","alias_b","key_fields"} — key_fields is
-    ((qualifier, column, out_alias), ...) resolved against the CURRENT
-    manifest at refresh time (_join_group_key_sides) — or None."""
+    Returns {"tables": ((name, alias), ...), "key_fields": ((qualifier,
+    column, out_alias), ...)} — resolved against the CURRENT manifest at
+    refresh time (_join_group_key_sides) — or None."""
     if not isinstance(stmt, ast.Select):
         return None
     f = stmt.from_
     if not isinstance(f, ast.Join):
         return None
-    left, right = f.left, f.right
-    if not (isinstance(left, ast.TableRef) and isinstance(right, ast.TableRef)):
+    tables = _flatten_inner_joins(f)
+    if tables is None or len(tables) < 2:
         return None
-    if left.as_of is not None or right.as_of is not None:
-        return None
-    if f.join_type != ast.JoinType.INNER or f.predicate is None:
-        return None
-    if left.name == right.name:
-        return None
+    names = [n for n, _ in tables]
+    if len(set(names)) != len(names):
+        return None  # a self-join can't split sides by reader substitution
     if (
         stmt.distinct
         or stmt.having is not None
@@ -794,7 +819,9 @@ def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
             return None
     if seen != group_keys or len(key_fields) != len(group_keys):
         return None
-    roots = [e for e, _ in stmt.select] + list(stmt.group_by) + [f.predicate]
+    roots = (
+        [e for e, _ in stmt.select] + list(stmt.group_by) + _join_predicates(f)
+    )
     if stmt.where is not None:
         roots.append(stmt.where)
     for root in roots:
@@ -805,45 +832,37 @@ def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
                 isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
             ):
                 return None
-    if deps != {left.name, right.name}:
+    if deps != set(names):
         return None
-    return {
-        "a": left.name,
-        "alias_a": left.alias or left.name,
-        "b": right.name,
-        "alias_b": right.alias or right.name,
-        "key_fields": tuple(key_fields),
-    }
+    return {"tables": tuple(tables), "key_fields": tuple(key_fields)}
 
 
 def _join_group_key_sides(tables: dict, j: dict):
     """Resolve every group-key field of a grouped-join MV to
-    (side, base column, output alias) against the CURRENT manifest, or
-    None when any key is unresolvable/ambiguous or either table is gone/
-    external. Bare fields resolve by unique column ownership, mirroring
-    the compiler's scope rule (same convention as _join_pk_outs)."""
-    cols = {}
-    for side in ("a", "b"):
-        t = tables.get(j[side])
+    (owning table name, base column, output alias) against the CURRENT
+    manifest, or None when any key is unresolvable/ambiguous or any
+    joined table is gone/external. Bare fields resolve by unique column
+    ownership, mirroring the compiler's scope rule (same convention as
+    _join_pk_outs)."""
+    cols: dict[tuple, set] = {}
+    for name, alias in j["tables"]:
+        t = tables.get(name)
         if t is None or t.get("external"):
             return None
-        cols[side] = {c["name"] for c in t["columns"]}
+        cols[(name, alias)] = {c["name"] for c in t["columns"]}
     out = []
-    for qual, name, alias in j["key_fields"]:
-        if qual in (j["alias_a"], j["a"]):
-            side = "a"
-        elif qual in (j["alias_b"], j["b"]):
-            side = "b"
-        elif qual is None:
-            in_a, in_b = name in cols["a"], name in cols["b"]
-            if in_a == in_b:
-                return None  # unknown or ambiguous — unusable as a key
-            side = "a" if in_a else "b"
+    for qual, name, out_alias in j["key_fields"]:
+        if qual is not None:
+            owners = [
+                tn
+                for (tn, ta), cs in cols.items()
+                if qual in (tn, ta) and name in cs
+            ]
         else:
-            return None
-        if name not in cols[side]:
-            return None
-        out.append((side, name, alias))
+            owners = [tn for (tn, _ta), cs in cols.items() if name in cs]
+        if len(owners) != 1:
+            return None  # unknown or ambiguous — unusable as a key
+        out.append((owners[0], name, out_alias))
     return out
 
 

@@ -479,6 +479,48 @@ def test_grouped_join_mv_null_group_keys(jeng):
     assert rows == [(None, 2, 2, 17)], rows
 
 
+Q3_DEF = (
+    "SELECT ok, odate, sum(rev) AS revenue, count(*) AS n "
+    "FROM cust JOIN ord ON cust.ck = ord.ck JOIN li ON ord.ok = li.lok "
+    "WHERE mkt = 'B' GROUP BY ok, odate"
+)
+
+
+def test_grouped_join_mv_three_tables_tpch_q3_shape(eng):
+    """The shape the feature exists for: TPC-H Q3 — an aggregate over a
+    THREE-table inner join — refreshes incrementally, with DML on any of
+    the three tables, group keys all owned by the middle table."""
+    eng.execute("CREATE TABLE cust (ck INT PRIMARY KEY, mkt STRING)")
+    eng.execute("CREATE TABLE ord (ok INT PRIMARY KEY, ck INT, odate INT)")
+    eng.execute("CREATE TABLE li (lk INT PRIMARY KEY, lok INT, rev INT)")
+    eng.execute("INSERT INTO cust VALUES (1,'B'),(2,'A'),(3,'B')")
+    eng.execute("INSERT INTO ord VALUES (10,1,100),(11,2,101),(12,3,102)")
+    eng.execute(
+        "INSERT INTO li VALUES (20,10,5),(21,10,7),(22,11,9),(23,12,4)"
+    )
+    r = eng.execute(f"CREATE MATERIALIZED VIEW q3mv AS {Q3_DEF}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(
+            eng.execute("SELECT * FROM q3mv").rows, key=repr
+        ) == sorted(eng.execute(Q3_DEF).rows, key=repr)
+
+    fresh()
+    eng.execute("INSERT INTO li VALUES (24,12,6)")       # leaf-table delta
+    eng.execute("UPDATE cust SET mkt = 'A' WHERE ck = 1")  # root leaves WHERE
+    eng.execute("INSERT INTO ord VALUES (13,3,103)")     # middle-table delta
+    eng.execute("INSERT INTO li VALUES (25,13,2)")
+    r = eng.execute("REFRESH MATERIALIZED VIEW q3mv")
+    assert "incremental-agg-join" in r.status, r.status
+    fresh()
+    # a single leaf change touches exactly one group
+    eng.execute("UPDATE li SET rev = 40 WHERE lk = 23")
+    r = eng.execute("REFRESH MATERIALIZED VIEW q3mv")
+    assert "1 group(s) recomputed" in r.status, r.status
+    fresh()
+
+
 def test_grouped_join_mv_fallback_shapes(jeng):
     """HAVING / outer joins stay honestly full-refresh."""
     r = jeng.execute(
