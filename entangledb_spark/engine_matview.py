@@ -359,82 +359,98 @@ class MatviewStatements:
             changes.select(F.col(pk).alias(pk_out)).distinct()
         )
         kept = old_mv.join(changed_pks, pk_out, "left_anti")
-        return kept.unionByName(new_rows), k
+        # the name-based join rotates pk_out to the front: restore the
+        # MV's canonical column order (round-11 fix, see the join path)
+        return kept.unionByName(new_rows).select(*mv["columns"]), k
 
     def _incremental_mv_join_rows(self, mv: dict, parsed, j: dict):
         """(merged DataFrame, changed-pk count) for the INNER-join SPJ
-        incremental path (round 10): the textbook join delta rule,
-        Δ(A ⋈ B) = ΔA ⋈ B_now  ∪  (A_now − ΔA) ⋈ ΔB — each term compiled
-        through the STORED QUERY itself with one side's reader substituted
-        (arbitrary join predicates and WHERE ride along), so pairs where
-        both sides changed count exactly once. Old output rows of any
-        changed PK (either side) anti-join out of the snapshot first;
-        both base PKs must therefore be output columns (the merge keys).
-        Cost scales with the deltas and the join's selectivity against
-        the OTHER side, never with |A| × |B|. Returns None to request a
-        full recompute."""
+        incremental path (round 10; N tables round 11): the textbook join
+        delta rule, generalized —
+
+            Δ(T1 ⋈ … ⋈ Tn) = Σ_i  U1 ⋈ … ⋈ U_{i-1} ⋈ ΔTi ⋈ T_{i+1,now}
+                                   ⋈ … ⋈ T_{n,now}
+            where U_j = T_{j,now} − ΔT_j
+
+        — each term compiled through the STORED QUERY itself with the
+        per-table readers substituted (arbitrary join predicates and
+        WHERE ride along), so output rows where SEVERAL tables changed
+        count exactly once (the prefix-unchanged/suffix-current
+        construction). Old output rows of any changed PK (any side)
+        anti-join out of the snapshot first; every base PK must
+        therefore be an output column (the merge keys). Terms for
+        tables with an empty delta are skipped. Cost scales with the
+        deltas and the join's selectivity against the OTHER sides,
+        never the table product. Returns None to request a full
+        recompute."""
         cur = self.catalog.current_version()
         cur_man = self.catalog.manifest(cur)
         pks = _join_pk_outs(cur_man["tables"], j)
         if pks is None:
             return None
-        pk_a, out_a, pk_b, out_b = pks
-        ch_a = self.catalog.changes_df(
-            j["a"], mv["base_version"], cur
-        ).localCheckpoint(eager=True)
-        ch_b = self.catalog.changes_df(
-            j["b"], mv["base_version"], cur
-        ).localCheckpoint(eager=True)
-        ka, kb = ch_a.count(), ch_b.count()
-        if ka == 0 and kb == 0:
+        names = [name for name, _ in j["tables"]]
+        ch = {
+            name: self.catalog.changes_df(
+                name, mv["base_version"], cur
+            ).localCheckpoint(eager=True)
+            for name in names
+        }
+        counts = {name: ch[name].count() for name in names}
+        total = sum(counts.values())
+        if total == 0:
             return None, 0
-        if ka + kb > self.MV_INCREMENTAL_MAX_GROUPS:
+        if total > self.MV_INCREMENTAL_MAX_GROUPS:
             return None
         base_read = self._reader()
-        pks_a = ch_a.select(pk_a).distinct()
-        pks_b = ch_b.select(pk_b).distinct()
-        post_a = ch_a.filter(F.col("_change_type") != "delete").drop(
-            "_change_type"
-        )
-        post_b = ch_b.filter(F.col("_change_type") != "delete").drop(
-            "_change_type"
-        )
+        pk_of = {name: pk for name, pk, _out in pks}
+        pks_df = {
+            name: ch[name].select(pk_of[name]).distinct() for name in names
+        }
+        post = {
+            name: ch[name]
+            .filter(F.col("_change_type") != "delete")
+            .drop("_change_type")
+            for name in names
+        }
+        unchanged = {
+            name: base_read(name).join(
+                F.broadcast(pks_df[name]), pk_of[name], "left_anti"
+            )
+            if counts[name]
+            else base_read(name)
+            for name in names
+        }
+        new_rows = None
+        for i, tname in enumerate(names):
+            if counts[tname] == 0:
+                continue
 
-        def a_changed_reader(name: str) -> DataFrame:
-            return post_a if name == j["a"] else base_read(name)
+            def term_reader(name: str, _i=i, _t=tname) -> DataFrame:
+                if name == _t:
+                    return post[_t]
+                if name in names and names.index(name) < _i:
+                    return unchanged[name]
+                return base_read(name)
 
-        new_rows = compile_statement(parsed, self.spark, a_changed_reader)
-        a_unchanged = base_read(j["a"]).join(
-            F.broadcast(pks_a), pk_a, "left_anti"
-        )
-
-        def b_changed_reader(name: str) -> DataFrame:
-            if name == j["a"]:
-                return a_unchanged
-            if name == j["b"]:
-                return post_b
-            return base_read(name)
-
-        new_rows = new_rows.unionByName(
-            compile_statement(parsed, self.spark, b_changed_reader)
-        )
+            term = compile_statement(parsed, self.spark, term_reader)
+            new_rows = term if new_rows is None else new_rows.unionByName(term)
         old_mv = self.spark.read.parquet(
             os.path.join(self.catalog.base, mv["data"])
         )
         kept = old_mv
-        if ka:
-            kept = kept.join(
-                F.broadcast(pks_a.select(F.col(pk_a).alias(out_a))),
-                out_a,
-                "left_anti",
-            )
-        if kb:
-            kept = kept.join(
-                F.broadcast(pks_b.select(F.col(pk_b).alias(out_b))),
-                out_b,
-                "left_anti",
-            )
-        return kept.unionByName(new_rows), ka + kb
+        for name, pk, out in pks:
+            if counts[name]:
+                kept = kept.join(
+                    F.broadcast(pks_df[name].select(F.col(pk).alias(out))),
+                    out,
+                    "left_anti",
+                )
+        # name-based joins rotate the USING key to the front of the output;
+        # project the MV's canonical column order so the snapshot's layout
+        # is stable across refreshes (round-11 fix — with 2 tables the
+        # rotation was masked because the equi-joined pk aliases carried
+        # equal values)
+        return kept.unionByName(new_rows).select(*mv["columns"]), total
 
     def _incremental_mv_grouped_join_rows(self, mv: dict, parsed, j: dict):
         """(merged DataFrame, affected-group count) for the AGGREGATE-over-
@@ -677,30 +693,27 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
 
 
 def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
-    """Shape analysis for the INNER-join SPJ incremental path (round 10):
-    a single SELECT over exactly `TableRef INNER JOIN TableRef ON <any
-    predicate>` of two DISTINCT managed tables (a self-join can't split
-    sides by reader substitution), arbitrary scalar select expressions
-    and optional WHERE — no aggregates/DISTINCT/windows/subqueries/
-    ORDER/LIMIT. The join delta rule needs both base PKs as output
-    columns; `fields` records (table qualifier, column, output alias)
+    """Shape analysis for the INNER-join SPJ incremental path (round 10;
+    N tables round 11): a single SELECT over an all-INNER predicated join
+    tree of DISTINCT managed tables (a self-join can't split sides by
+    reader substitution), arbitrary scalar select expressions and
+    optional WHERE — no aggregates/DISTINCT/windows/subqueries/
+    ORDER/LIMIT. The join delta rule needs every base PK as an output
+    column; `fields` records (table qualifier, column, output alias)
     for every plain-Field item so the refresh path can resolve them
     against the CURRENT manifest (_join_pk_outs).
 
-    Returns {"a", "alias_a", "b", "alias_b", "fields"} or None."""
+    Returns {"tables": ((name, alias), ...), "fields"} or None."""
     if not isinstance(stmt, ast.Select):
         return None
     f = stmt.from_
     if not isinstance(f, ast.Join):
         return None
-    left, right = f.left, f.right
-    if not (isinstance(left, ast.TableRef) and isinstance(right, ast.TableRef)):
+    tables = _flatten_inner_joins(f)
+    if tables is None or len(tables) < 2:
         return None
-    if left.as_of is not None or right.as_of is not None:
-        return None
-    if f.join_type != ast.JoinType.INNER or f.predicate is None:
-        return None
-    if left.name == right.name:
+    names = [n for n, _ in tables]
+    if len(set(names)) != len(names):
         return None
     if (
         stmt.distinct
@@ -711,7 +724,7 @@ def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
         or stmt.offset is not None
     ):
         return None
-    roots = [e for e, _ in stmt.select] + [f.predicate]
+    roots = [e for e, _ in stmt.select] + _join_predicates(f)
     if stmt.where is not None:
         roots.append(stmt.where)
     for root in roots:
@@ -724,20 +737,14 @@ def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
                 isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
             ):
                 return None
-    if deps != {left.name, right.name}:
+    if deps != set(names):
         return None
     fields = tuple(
         (expr.table, expr.name, (alias or expr.name))
         for expr, alias in stmt.select
         if isinstance(expr, ast.Field)
     )
-    return {
-        "a": left.name,
-        "alias_a": left.alias or left.name,
-        "b": right.name,
-        "alias_b": right.alias or right.name,
-        "fields": fields,
-    }
+    return {"tables": tuple(tables), "fields": fields}
 
 
 def _flatten_inner_joins(f) -> Optional[list[tuple]]:
@@ -867,42 +874,43 @@ def _join_group_key_sides(tables: dict, j: dict):
 
 
 def _join_pk_outs(tables: dict, j: dict):
-    """Resolve both sides\' CURRENT primary keys to their output aliases
-    in a join-shape MV, or None when either is missing from the output
-    (then the snapshot has no merge key for that side). Bare (unqualified)
-    fields resolve by unique column ownership, mirroring the compiler\'s
-    scope rule."""
+    """Resolve every joined table's CURRENT primary key to its output
+    alias in a join-shape MV — [(table name, pk column, output alias),
+    ...] — or None when any is missing from the output (then the
+    snapshot has no merge key for that side) or any table is gone/
+    external. Bare (unqualified) fields resolve by unique column
+    ownership, mirroring the compiler's scope rule."""
     pk, cols = {}, {}
-    for side in ("a", "b"):
-        t = tables.get(j[side])
+    for name, alias in j["tables"]:
+        t = tables.get(name)
         if t is None or t.get("external"):
             return None
-        pk[side] = next(c["name"] for c in t["columns"] if c["primary_key"])
-        cols[side] = {c["name"] for c in t["columns"]}
+        pk[name] = next(c["name"] for c in t["columns"] if c["primary_key"])
+        cols[(name, alias)] = {c["name"] for c in t["columns"]}
     out: dict = {}
-    for qual, name, alias in j["fields"]:
-        if qual in (j["alias_a"], j["a"]):
-            side = "a"
-        elif qual in (j["alias_b"], j["b"]):
-            side = "b"
-        elif qual is None:
-            in_a, in_b = name in cols["a"], name in cols["b"]
-            if in_a == in_b:
-                continue  # unknown or ambiguous — unusable as a key
-            side = "a" if in_a else "b"
+    for qual, fname, falias in j["fields"]:
+        if qual is not None:
+            owners = [
+                tn
+                for (tn, ta), cs in cols.items()
+                if qual in (tn, ta) and fname in cs
+            ]
         else:
-            continue
-        if name == pk[side] and side not in out:
-            out[side] = alias
-    if "a" in out and "b" in out:
-        return pk["a"], out["a"], pk["b"], out["b"]
+            owners = [tn for (tn, _ta), cs in cols.items() if fname in cs]
+        if len(owners) != 1:
+            continue  # unknown or ambiguous — unusable as a key
+        tn = owners[0]
+        if fname == pk[tn] and tn not in out:
+            out[tn] = falias
+    if all(name in out for name, _ in j["tables"]):
+        return [(name, pk[name], out[name]) for name, _ in j["tables"]]
     return None
 
 
 def _choose_incremental_shape(stmt, deps: set):
     """(kind, shape) for the strongest incremental-refresh path the query
     shape admits — "grouped" (affected-group recompute), "spj" (direct
-    CDF application), "join" (the two-term join delta rule),
+    CDF application), "join" (the N-term join delta rule),
     "grouped_join" (round 11: affected-group recompute over an inner
     join, the TPC-H Q3/Q10 MV shape) — else (None, None) → full
     recompute."""

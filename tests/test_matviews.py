@@ -535,6 +535,52 @@ def test_grouped_join_mv_fallback_shapes(jeng):
     assert "full-refresh" in r.status
 
 
+def test_join_mv_three_tables_incremental(eng):
+    """Round 11: the SPJ join delta rule generalizes to N tables — the
+    prefix-unchanged/suffix-current construction counts multi-table
+    changes exactly once. All three PKs ride the output as merge keys."""
+    eng.execute("CREATE TABLE ta (ak INT PRIMARY KEY, av INT)")
+    eng.execute("CREATE TABLE tb (bk INT PRIMARY KEY, ak INT, bv INT)")
+    eng.execute("CREATE TABLE tc (ck INT PRIMARY KEY, bk INT, cv INT)")
+    eng.execute("INSERT INTO ta VALUES (1,10),(2,20)")
+    eng.execute("INSERT INTO tb VALUES (5,1,50),(6,2,60)")
+    eng.execute("INSERT INTO tc VALUES (7,5,70),(8,6,80),(9,5,90)")
+    defn = (
+        "SELECT ta.ak AS ak, tb.bk AS bk, tc.ck AS ck, av + bv + cv AS s "
+        "FROM ta JOIN tb ON ta.ak = tb.ak JOIN tc ON tb.bk = tc.bk "
+        "WHERE av > 0"
+    )
+    r = eng.execute(f"CREATE MATERIALIZED VIEW j3 AS {defn}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        r2 = eng.execute("SELECT * FROM j3")
+        # column ORDER is part of the MV contract and must survive
+        # refreshes (name-joins rotate USING keys to the front; the
+        # refresh path re-projects the canonical order)
+        assert r2.columns == ["ak", "bk", "ck", "s"], r2.columns
+        assert sorted(r2.rows, key=repr) == sorted(
+            eng.execute(defn).rows, key=repr
+        )
+
+    fresh()
+    # change ALL THREE tables in one refresh window, including a row pair
+    # where two joined sides changed (must count once, not twice)
+    eng.execute("UPDATE ta SET av = 11 WHERE ak = 1")
+    eng.execute("UPDATE tb SET bv = 51 WHERE bk = 5")
+    eng.execute("INSERT INTO tc VALUES (10,6,100)")
+    eng.execute("DELETE FROM tc WHERE ck = 8")
+    r = eng.execute("REFRESH MATERIALIZED VIEW j3")
+    assert "incremental-join" in r.status, r.status
+    assert "changed pk(s) applied" in r.status
+    fresh()
+    # WHERE-crossing update on the root table
+    eng.execute("UPDATE ta SET av = -1 WHERE ak = 2")
+    r = eng.execute("REFRESH MATERIALIZED VIEW j3")
+    assert "incremental-join" in r.status, r.status
+    fresh()
+
+
 def test_grouped_join_mv_randomized_dml_equivalence(jeng):
     """Randomized-DML property test, aggregate-over-join flavor:
     interleaved DML on both sides including group moves on each side;
