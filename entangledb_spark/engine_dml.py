@@ -200,9 +200,10 @@ class DmlStatements:
                     f"invalid value of type {st} for {by_name[cname]['datatype'].lower()} "
                     f"column {cname} in table {stmt.table}"
                 )
+        where = self._fold_dml_subqueries(manifest, stmt.where)
         pred = (
-            compile_expr(stmt.where, scope_resolve, scope_type)
-            if stmt.where is not None
+            compile_expr(where, scope_resolve, scope_type)
+            if where is not None
             else F.lit(True)
         )
         updates = {
@@ -478,14 +479,30 @@ class DmlStatements:
 
     # ---------------------------------------------------------- DELETE
 
+    def _fold_dml_subqueries(self, manifest: dict, where):
+        """UPDATE/DELETE WHERE may carry UNCORRELATED subqueries —
+        `pk IN (SELECT ...)`, comparisons against scalar subqueries,
+        `[NOT] EXISTS (...)` — folded by the same bounded resolver the
+        SELECT path uses (round 11: previously these crashed with a raw
+        AssertionError / 'unknown operator IN_SUBQ'). The subquery reads
+        THIS mutation's manifest, so a transaction's staged changes are
+        visible to its own DML predicates. Correlated references surface
+        as unknown-column errors from the inner compile."""
+        if where is None:
+            return None
+        from entangledb_spark.plans.compiler import _resolve_subqueries
+
+        return _resolve_subqueries(where, self.spark, self._reader_for(manifest))
+
     def _delete(self, manifest: dict, stmt: ast.Delete) -> Result:
         meta = self._table_meta(manifest, stmt.table, writable=True)
         pk = self._pk_of(meta)
         df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
         scope_resolve, scope_type = _single_table_scope(stmt.table, df)
+        where = self._fold_dml_subqueries(manifest, stmt.where)
         pred = (
-            compile_expr(stmt.where, scope_resolve, scope_type)
-            if stmt.where is not None
+            compile_expr(where, scope_resolve, scope_type)
+            if where is not None
             else F.lit(True)
         )
         remaining = df.filter(~F.coalesce(pred, F.lit(False)))

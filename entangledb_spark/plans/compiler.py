@@ -940,15 +940,39 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
             (ast.Op("IS_NULL", (ast.Field(name="__flag", table=marker),)),),
         )
 
-    def rewrite(e: Optional[ast.Expr]) -> Optional[ast.Expr]:
+    # In an AGGREGATING outer query the marker column exists only on the
+    # pre-aggregation frame, so a correlated subquery can ride the WHERE
+    # clause (pre-agg) or sit INSIDE an aggregate call (its argument
+    # compiles pre-agg) — anywhere else the marker would not survive the
+    # groupBy, and letting it through leaked an internal 'unknown table
+    # __sqN' error. Reject those positions with guidance instead.
+    outer_is_agg = bool(stmt.group_by) or stmt.having is not None or any(
+        ast.contains_aggregate(e) for e, _ in stmt.select
+    )
+
+    def check_position(sub: ast.Subquery, pre_agg: bool, in_agg: bool):
+        if outer_is_agg and not pre_agg and not in_agg:
+            if _subquery_correlation(sub, scope, spark, read) is not None:
+                raise CompileError(
+                    "in an aggregating query, a correlated subquery may "
+                    "appear in the WHERE clause or inside an aggregate "
+                    "function — for other positions compute it in a "
+                    "derived table first"
+                )
+
+    def rewrite(
+        e: Optional[ast.Expr], pre_agg: bool = True, in_agg: bool = False
+    ) -> Optional[ast.Expr]:
         if e is None:
             return None
         if isinstance(e, ast.Subquery):
+            check_position(e, pre_agg, in_agg)
             return scalar_marker(e)
         if isinstance(e, ast.Op):
             if e.name == "EXISTS":
                 sub = e.args[0]
                 assert isinstance(sub, ast.Subquery)
+                check_position(sub, pre_agg, in_agg)
                 return exists_marker(sub)
             if e.name == "IN_SUBQ":
                 sub = e.args[1]
@@ -959,11 +983,18 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
                         "top-level WHERE conjunct — elsewhere rewrite it "
                         "as EXISTS"
                     )
-                return ast.Op("IN_SUBQ", (rewrite(e.args[0]), sub))
-            return ast.Op(e.name, tuple(rewrite(a) for a in e.args))
+                return ast.Op(
+                    "IN_SUBQ", (rewrite(e.args[0], pre_agg, in_agg), sub)
+                )
+            return ast.Op(
+                e.name, tuple(rewrite(a, pre_agg, in_agg) for a in e.args)
+            )
         if isinstance(e, ast.FuncCall):
+            inside = in_agg or ast.is_aggregate(e)
             # dataclasses.replace keeps star/distinct (and subclass type)
-            return dataclasses.replace(e, args=tuple(rewrite(a) for a in e.args))
+            return dataclasses.replace(
+                e, args=tuple(rewrite(a, pre_agg, inside) for a in e.args)
+            )
         return e
 
     has_subq = any(
@@ -978,14 +1009,16 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
     )
     if not has_subq:
         return stmt, df
+    post = not outer_is_agg  # non-aggregate queries: every position rides
     stmt = dataclasses.replace(
         stmt,
-        select=tuple((rewrite(e), a) for e, a in stmt.select),
-        where=rewrite(stmt.where),
-        group_by=tuple(rewrite(g) for g in stmt.group_by),
-        having=rewrite(stmt.having),
+        select=tuple((rewrite(e, pre_agg=post), a) for e, a in stmt.select),
+        where=rewrite(stmt.where, pre_agg=True),
+        group_by=tuple(rewrite(g, pre_agg=post) for g in stmt.group_by),
+        having=rewrite(stmt.having, pre_agg=False),
         order_by=tuple(
-            ast.OrderItem(rewrite(o.expr), o.desc) for o in stmt.order_by
+            ast.OrderItem(rewrite(o.expr, pre_agg=post), o.desc)
+            for o in stmt.order_by
         ),
     )
     return stmt, state["df"]

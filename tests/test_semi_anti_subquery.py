@@ -272,3 +272,70 @@ def test_decorrelated_scalar_under_outer_aggregate(deng):
     finally:
         con.close()
     assert [tuple(r) for r in deng.execute(sql).rows] == [tuple(want[0])]
+
+
+def test_correlated_subquery_positions_in_aggregating_query(deng):
+    """In an aggregating outer query the decorrelation marker lives on
+    the pre-aggregation frame: WHERE and inside-an-aggregate positions
+    work; select-list/HAVING positions reject with guidance (previously
+    an internal 'unknown table __sqN' leaked)."""
+    from entangledb_spark.engine import EngineError
+
+    got = sorted(
+        deng.execute(
+            "SELECT grp, count(*) AS n FROM c "
+            "WHERE (SELECT count(*) FROM o WHERE o.ck = c.ck) > 0 "
+            "GROUP BY grp"
+        ).rows
+    )
+    assert got == [("x", 2), ("y", 1)], got
+    got = sorted(
+        deng.execute(
+            "SELECT grp, sum((SELECT count(*) FROM o WHERE o.ck = c.ck)) AS t "
+            "FROM c GROUP BY grp"
+        ).rows
+    )
+    assert got == [("x", 4), ("y", 1), ("z", 0)], got
+    for sql in (
+        "SELECT grp, count(*) AS n FROM c GROUP BY grp "
+        "HAVING count(*) > (SELECT sum(amt) FROM o WHERE o.ck = c.ck)",
+        "SELECT grp, (SELECT sum(amt) FROM o WHERE o.ck = c.ck) AS t "
+        "FROM c GROUP BY grp",
+    ):
+        with pytest.raises(EngineError, match="derived table"):
+            deng.execute(sql)
+
+
+def test_dml_where_subqueries_fold(spark, tmp_path):
+    """Round 11: UPDATE/DELETE WHERE accepts UNCORRELATED subqueries —
+    IN (SELECT ...), scalar comparisons, EXISTS — through the same
+    bounded fold the SELECT path uses (previously a raw AssertionError /
+    'unknown operator IN_SUBQ'). Correlated references error cleanly."""
+    e = Engine(spark, str(tmp_path / "dmldb"))
+    e.execute("CREATE TABLE c (ck INTEGER PRIMARY KEY, name STRING)")
+    e.execute("CREATE TABLE o (ok INTEGER PRIMARY KEY, ck INTEGER, amt INTEGER)")
+    e.execute("INSERT INTO c VALUES (1,'a'),(2,'b'),(3,'c')")
+    e.execute("INSERT INTO o VALUES (10,1,5),(11,1,7),(12,2,9)")
+    r = e.execute("DELETE FROM c WHERE ck IN (SELECT ck FROM o WHERE amt > 8)")
+    assert r.status == "DELETE 1"
+    assert sorted(t[0] for t in e.execute("SELECT ck FROM c").rows) == [1, 3]
+    r = e.execute("UPDATE c SET name = 'top' WHERE ck = (SELECT min(ck) FROM o)")
+    assert r.status == "UPDATE 1"
+    assert ("top",) in e.execute("SELECT name FROM c WHERE ck = 1").rows
+    r = e.execute(
+        "DELETE FROM c WHERE EXISTS (SELECT 1 FROM o WHERE amt > 100)"
+    )
+    assert r.status == "DELETE 0"
+    # a transaction's staged changes are visible to its own DML subqueries
+    e.execute("BEGIN")
+    e.execute("INSERT INTO o VALUES (13, 3, 200)")
+    e.execute("DELETE FROM c WHERE ck IN (SELECT ck FROM o WHERE amt > 100)")
+    e.execute("COMMIT")
+    assert sorted(t[0] for t in e.execute("SELECT ck FROM c").rows) == [1]
+    # correlated DML WHERE: clean engine error, not a crash
+    from entangledb_spark.engine import EngineError
+
+    with pytest.raises(EngineError):
+        e.execute(
+            "DELETE FROM c WHERE 0 = (SELECT count(*) FROM o WHERE o.ck = c.ck)"
+        )
