@@ -184,6 +184,17 @@ class DmlStatements:
         by_name = {c["name"]: c for c in meta["columns"]}
         df = self.catalog.read_df(manifest, stmt.table).alias(stmt.table)
         scope_resolve, scope_type = _single_table_scope(stmt.table, df)
+        # SET expressions may carry uncorrelated subqueries too
+        # (`SET v = (SELECT max(v) FROM s)`) — fold before type-checking
+        import dataclasses as _dc
+
+        stmt = _dc.replace(
+            stmt,
+            sets=tuple(
+                (c, self._fold_dml_subqueries(manifest, e))
+                for c, e in stmt.sets
+            ),
+        )
         for cname, expr in stmt.sets:
             if cname not in by_name:
                 raise EngineError(f"unknown column {cname} in table {stmt.table}")
@@ -297,8 +308,27 @@ class DmlStatements:
         Catalyst plans like any other; updates/inserts land as upsert
         rows and deletes as key tombstones in ONE merge-on-read delta —
         no row loops, no driver materialization."""
+        import dataclasses as _dc
+
         from entangledb_spark.functions.expressions import static_type
 
+        # uncorrelated subqueries in ON / WHEN conditions / SET / INSERT
+        # values fold to literals exactly as in UPDATE/DELETE WHERE
+        # (round 11; previously a raw AssertionError)
+        fold = lambda e: self._fold_dml_subqueries(manifest, e)  # noqa: E731
+        stmt = _dc.replace(
+            stmt,
+            on=fold(stmt.on),
+            whens=tuple(
+                _dc.replace(
+                    w,
+                    condition=fold(w.condition),
+                    sets=tuple((c, fold(e)) for c, e in w.sets),
+                    values=tuple(fold(e) for e in w.values),
+                )
+                for w in stmt.whens
+            ),
+        )
         meta = self._table_meta(manifest, stmt.target, writable=True)
         pk = self._pk_of(meta)
         by_name = {c["name"]: c for c in meta["columns"]}

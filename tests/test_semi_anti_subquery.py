@@ -339,3 +339,24 @@ def test_dml_where_subqueries_fold(spark, tmp_path):
         e.execute(
             "DELETE FROM c WHERE 0 = (SELECT count(*) FROM o WHERE o.ck = c.ck)"
         )
+
+
+def test_merge_and_set_subqueries_fold(spark, tmp_path):
+    """Uncorrelated subqueries in MERGE ON/WHEN conditions, UPDATE SET
+    values, and INSERT-arm values fold like DML WHERE (round 11;
+    previously a raw AssertionError)."""
+    e = Engine(spark, str(tmp_path / "mdb"))
+    e.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+    e.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    e.execute("CREATE TABLE s (id INTEGER PRIMARY KEY, v INTEGER)")
+    e.execute("INSERT INTO s VALUES (1, 99), (3, 30)")
+    r = e.execute(
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.v > (SELECT avg(v) FROM t) THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v)"
+    )
+    assert "1 updated, 1 inserted" in r.status
+    assert sorted(e.execute("SELECT * FROM t").rows) == [(1, 99), (2, 20), (3, 30)]
+    r = e.execute("UPDATE t SET v = (SELECT max(v) FROM s) WHERE id = 2")
+    assert r.status == "UPDATE 1"
+    assert e.execute("SELECT v FROM t WHERE id = 2").rows == [(99,)]
