@@ -7,6 +7,7 @@ for grouped and SPJ shapes. Split out of engine.py in round 10
 from __future__ import annotations
 
 import os
+from dataclasses import replace
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame
@@ -81,8 +82,10 @@ class MatviewStatements:
             df = compile_statement(stmt.query, self.spark, recording)
         except CompileError as e:
             raise EngineError(f"CREATE MATERIALIZED VIEW {stmt.name}: {e}") from None
-        kind, shape = _choose_incremental_shape(stmt.query, deps)
-        incremental = _shape_is_incremental(manifest["tables"], kind, shape)
+        kind, _shape = _choose_incremental_shape(
+            stmt.query, deps, manifest["tables"]
+        )
+        incremental = kind is not None
         rel = self.catalog.write_snapshot(f"__mv_{stmt.name}", df)
         n = self.catalog.count_rows(rel)
         mvs[stmt.name] = {
@@ -178,13 +181,16 @@ class MatviewStatements:
         parsed = parse(mv["sql"])
         mode, n_groups, new_df = "full", None, None
         if mv.get("incremental"):
-            kind, shape = _choose_incremental_shape(parsed, set(mv["deps"]))
+            kind, shape = _choose_incremental_shape(
+                parsed, set(mv["deps"]), manifest["tables"]
+            )
             if kind is not None:
                 runner = {
                     "grouped": self._incremental_mv_rows,
                     "spj": self._incremental_mv_spj_rows,
                     "join": self._incremental_mv_join_rows,
                     "grouped_join": self._incremental_mv_grouped_join_rows,
+                    "anchor_join": self._incremental_mv_anchor_join_rows,
                 }[kind]
                 try:
                     inc = runner(mv, parsed, shape)
@@ -205,6 +211,7 @@ class MatviewStatements:
                         "spj": "incremental-spj",
                         "join": "incremental-join",
                         "grouped_join": "incremental-agg-join",
+                        "anchor_join": "incremental-anchor-join",
                     }[kind]
                     if n_groups == 0:
                         # nothing changed in the base (e.g. only OTHER
@@ -223,11 +230,12 @@ class MatviewStatements:
         mv["data"] = rel
         mv["base_version"] = post_version
         n = self.catalog.count_rows(rel)
-        unit = (
-            "group(s) recomputed"
-            if mode in ("full", "incremental", "incremental-agg-join")
-            else "changed pk(s) applied"
-        )
+        unit = {
+            "full": "group(s) recomputed",
+            "incremental": "group(s) recomputed",
+            "incremental-agg-join": "group(s) recomputed",
+            "incremental-anchor-join": "anchor pk(s) recomputed",
+        }.get(mode, "changed pk(s) applied")
         extra = f", {n_groups} {unit}" if n_groups is not None else ""
         return Result(
             status=(
@@ -605,6 +613,151 @@ class MatviewStatements:
         )
         return kept.unionByName(recomputed), k
 
+    def _incremental_mv_anchor_join_rows(self, mv: dict, parsed, j: dict):
+        """(merged DataFrame, affected-anchor count) for the ANCHOR-KEYED
+        join incremental path (round 11) — left-deep chains of LEFT/INNER
+        predicated joins, merged by ONE table's primary key (the
+        "anchor"). Covers the two shapes the stricter paths reject:
+        LEFT-OUTER-join MVs (any outer join broke the N-term delta rule's
+        symmetry) and INNER-join MVs that expose only one side's PK.
+
+        Every output row carries exactly one anchor row's PK (non-NULL:
+        the anchor is the preserved side of every LEFT join, or any side
+        of an all-INNER chain), so the output partitions by anchor PK and
+        "affected-anchor recompute" mirrors the grouped path's
+        affected-group recompute:
+
+        1. AFFECTED ANCHORS — for the anchor table itself, the changed
+           PKs straight from the CDF (a join pass can't see rows that are
+           currently NULL-extended or WHERE-filtered). For every OTHER
+           changed table Ti, two delta-restricted compilations of a
+           KEY-PASS VARIANT of the stored query — the join to Ti forced
+           INNER (so ΔTi actually restricts; all other joins keep their
+           original types, preserving IS-NULL-style ON predicates over
+           NULL-extended prior sides), the WHERE dropped (a changed row
+           may move an anchor ACROSS the WHERE boundary; the superset
+           only costs idempotent recompute), projecting only the anchor
+           PK. The post term substitutes Ti's CDF post-images into the
+           current manifest; the pre term reads every table from the
+           base_version manifest with Ti semi-joined to its changed PKs.
+           Any match-set transition (insert/delete/update, including
+           NULL-extension flips) involves a changed Ti row on exactly one
+           of those two sides, so the union is a superset of the anchors
+           whose output changes.
+        2. RECOMPUTE — compile the stored query (original join types —
+           NULL-extension semantics intact) with the anchor scan
+           semi-joined (broadcast) to the affected PKs; the restriction
+           prunes the other sides through the join predicates.
+        3. MERGE — anti-join the old snapshot on the affected PKs' output
+           alias (an anchor whose rows all disappeared, e.g. behind a
+           WHERE s.x IS NULL anti-join idiom gaining a match, vanishes),
+           union the recomputed rows, restore canonical column order.
+
+        Cost scales with the deltas times the join's selectivity, never
+        the table product. Returns None to request a full recompute."""
+        cur = self.catalog.current_version()
+        cur_man = self.catalog.manifest(cur)
+        anchor_out = _anchor_pk_out(cur_man["tables"], j)
+        if anchor_out is None:
+            return None
+        anchor, anchor_pk, out_alias = anchor_out
+        names = [name for name, _ in j["tables"]]
+        ch = {
+            name: self.catalog.changes_df(
+                name, mv["base_version"], cur
+            ).localCheckpoint(eager=True)
+            for name in names
+        }
+        if all(c.isEmpty() for c in ch.values()):
+            return None, 0
+        base_read = self._reader()
+        old_man = self.catalog.manifest(mv["base_version"])
+        all_in_old = all(name in old_man["tables"] for name in names)
+
+        affected = None
+
+        def add(df: DataFrame) -> None:
+            nonlocal affected
+            affected = df if affected is None else affected.unionByName(df)
+
+        for tname in names:
+            changes = ch[tname]
+            if changes.isEmpty():
+                continue
+            if tname == anchor:
+                add(
+                    changes.select(F.col(anchor_pk).alias("__anchor")).distinct()
+                )
+                continue
+            variant = _anchor_key_pass_variant(parsed, j, tname, anchor, anchor_pk)
+            post = changes.filter(F.col("_change_type") != "delete").drop(
+                "_change_type"
+            )
+
+            def post_reader(name: str, _t=tname, _post=post) -> DataFrame:
+                return _post if name == _t else base_read(name)
+
+            add(compile_statement(variant, self.spark, post_reader))
+            if all_in_old:
+                pk_new = next(
+                    c["name"]
+                    for c in cur_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                pk_old = next(
+                    c["name"]
+                    for c in old_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                old_side = self.catalog.read_df(old_man, tname).join(
+                    F.broadcast(
+                        changes.select(F.col(pk_new).alias(pk_old)).distinct()
+                    ),
+                    pk_old,
+                    "left_semi",
+                )
+
+                def pre_reader(name: str, _t=tname, _old=old_side) -> DataFrame:
+                    if name == _t:
+                        return _old
+                    if name in names:
+                        return self.catalog.read_df(old_man, name)
+                    return base_read(name)
+
+                add(compile_statement(variant, self.spark, pre_reader))
+        affected = affected.distinct().localCheckpoint(eager=True)
+        k = affected.count()
+        if k == 0:
+            return None, 0
+        if k > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+
+        def refresh_reader(name: str) -> DataFrame:
+            df = base_read(name)
+            if name == anchor:
+                df = df.join(
+                    F.broadcast(
+                        affected.select(F.col("__anchor").alias(anchor_pk))
+                    ),
+                    anchor_pk,
+                    "left_semi",
+                )
+            return df
+
+        recomputed = compile_statement(parsed, self.spark, refresh_reader)
+        old_mv = self.spark.read.parquet(
+            os.path.join(self.catalog.base, mv["data"])
+        )
+        kept = old_mv.join(
+            F.broadcast(affected.select(F.col("__anchor").alias(out_alias))),
+            out_alias,
+            "left_anti",
+        )
+        # the name-based anti-join rotates the key column to the front:
+        # restore the MV's canonical column order (same round-11 fix as
+        # the other join paths)
+        return kept.unionByName(recomputed).select(*mv["columns"]), k
+
     def list_matviews(self) -> list[str]:
         return sorted(self._manifest_for_read().get("matviews") or {})
 
@@ -907,25 +1060,185 @@ def _join_pk_outs(tables: dict, j: dict):
     return None
 
 
-def _choose_incremental_shape(stmt, deps: set):
+def _flatten_anchor_chain(f) -> Optional[tuple]:
+    """([(table name, alias), ...], has_left) leaves of a LEFT-DEEP chain
+    of INNER/LEFT predicated joins over plain TableRefs (each join's right
+    side a single table, no AS OF), or None for any other shape. Left-deep
+    matters: it makes the leftmost table the preserved side of every LEFT
+    join in the chain, so its PK is non-NULL on every output row."""
+    tables: list[tuple] = []
+    has_left = False
+    while isinstance(f, ast.Join):
+        if f.join_type not in (ast.JoinType.INNER, ast.JoinType.LEFT):
+            return None
+        if f.predicate is None:
+            return None
+        r = f.right
+        if not isinstance(r, ast.TableRef) or r.as_of is not None:
+            return None
+        tables.append((r.name, r.alias or r.name))
+        has_left = has_left or f.join_type == ast.JoinType.LEFT
+        f = f.left
+    if not isinstance(f, ast.TableRef) or f.as_of is not None:
+        return None
+    tables.append((f.name, f.alias or f.name))
+    tables.reverse()
+    return tables, has_left
+
+
+def _matview_anchor_join_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for the ANCHOR-KEYED join incremental path
+    (round 11): a single SELECT over a left-deep chain of LEFT/INNER
+    predicated joins of DISTINCT managed tables, arbitrary scalar select
+    expressions and optional WHERE — no aggregates/DISTINCT/windows/
+    subqueries/ORDER/LIMIT. Unlike the all-INNER join-delta shape it
+    needs only ONE primary key in the output (the merge anchor): the
+    leftmost table's when any join is LEFT, else any side's
+    (_anchor_pk_out resolves which against the CURRENT manifest).
+
+    Returns {"tables": ((name, alias), ...), "fields", "has_left"} or
+    None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.Join):
+        return None
+    flat = _flatten_anchor_chain(f)
+    if flat is None:
+        return None
+    tables, has_left = flat
+    if len(tables) < 2:
+        return None
+    names = [n for n, _ in tables]
+    if len(set(names)) != len(names):
+        return None  # a self-join can't split sides by reader substitution
+    if (
+        stmt.distinct
+        or stmt.group_by
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+    ):
+        return None
+    roots = [e for e, _ in stmt.select] + _join_predicates(f)
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.WindowFunc):
+                return None
+            if isinstance(sub, ast.FuncCall) and sub.name.lower() in _MV_AGGS:
+                return None
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != set(names):
+        return None
+    fields = tuple(
+        (expr.table, expr.name, (alias or expr.name))
+        for expr, alias in stmt.select
+        if isinstance(expr, ast.Field)
+    )
+    return {"tables": tuple(tables), "fields": fields, "has_left": has_left}
+
+
+def _anchor_pk_out(tables: dict, j: dict):
+    """Resolve the merge anchor of an anchor-join MV against the CURRENT
+    manifest: (table name, pk column, output alias) for the first chain
+    table whose primary key appears in the output — restricted to the
+    LEFTMOST table when any join in the chain is LEFT (only the preserved
+    side's PK is non-NULL on every output row) — or None when no such
+    anchor exists or any joined table is gone/external. Bare fields
+    resolve by unique column ownership (same convention as
+    _join_pk_outs)."""
+    pk, cols = {}, {}
+    for name, alias in j["tables"]:
+        t = tables.get(name)
+        if t is None or t.get("external"):
+            return None
+        pk[name] = next(c["name"] for c in t["columns"] if c["primary_key"])
+        cols[(name, alias)] = {c["name"] for c in t["columns"]}
+    candidates = (
+        j["tables"][:1] if j.get("has_left") else j["tables"]
+    )
+    for qual, fname, falias in j["fields"]:
+        if qual is not None:
+            owners = [
+                tn
+                for (tn, ta), cs in cols.items()
+                if qual in (tn, ta) and fname in cs
+            ]
+        else:
+            owners = [tn for (tn, _ta), cs in cols.items() if fname in cs]
+        if len(owners) != 1:
+            continue  # unknown or ambiguous — unusable as a key
+        tn = owners[0]
+        if fname == pk[tn] and tn in (n for n, _ in candidates):
+            return (tn, pk[tn], falias)
+    return None
+
+
+def _anchor_key_pass_variant(parsed, j: dict, changed: str, anchor: str, anchor_pk: str):
+    """The KEY-PASS VARIANT of an anchor-join MV's stored query for
+    changed table `changed`: the join whose right side is `changed`
+    forced INNER (so the substituted delta actually restricts the
+    output), every other join type preserved (IS-NULL-style ON predicates
+    over NULL-extended prior sides keep their semantics), the WHERE
+    dropped (affected-anchor discovery must see rows on BOTH sides of the
+    WHERE boundary), and the select list reduced to the anchor table's
+    primary key AS __anchor."""
+
+    def innerize(f):
+        if not isinstance(f, ast.Join):
+            return f
+        jt = f.join_type
+        if isinstance(f.right, ast.TableRef) and f.right.name == changed:
+            jt = ast.JoinType.INNER
+        return ast.Join(
+            left=innerize(f.left),
+            right=f.right,
+            join_type=jt,
+            predicate=f.predicate,
+        )
+
+    # anchor/anchor_pk were resolved at refresh time against the current
+    # manifest; qualify by the anchor's alias so the compiler's scope
+    # rule can't mis-bind a same-named column of another side
+    anchor_alias = next(a for n, a in j["tables"] if n == anchor)
+    return replace(
+        parsed,
+        select=((ast.Field(name=anchor_pk, table=anchor_alias), "__anchor"),),
+        from_=innerize(parsed.from_),
+        where=None,
+    )
+
+
+def _choose_incremental_shape(stmt, deps: set, tables: Optional[dict] = None):
     """(kind, shape) for the strongest incremental-refresh path the query
     shape admits — "grouped" (affected-group recompute), "spj" (direct
     CDF application), "join" (the N-term join delta rule),
-    "grouped_join" (round 11: affected-group recompute over an inner
-    join, the TPC-H Q3/Q10 MV shape) — else (None, None) → full
-    recompute."""
-    shape = _matview_grouped_shape(stmt, deps)
-    if shape is not None:
-        return "grouped", shape
-    shape = _matview_spj_shape(stmt, deps)
-    if shape is not None:
-        return "spj", shape
-    shape = _matview_join_shape(stmt, deps)
-    if shape is not None:
-        return "join", shape
-    shape = _matview_grouped_join_shape(stmt, deps)
-    if shape is not None:
-        return "grouped_join", shape
+    "grouped_join" (affected-group recompute over an inner join, the
+    TPC-H Q3/Q10 MV shape), "anchor_join" (round 11: affected-anchor
+    recompute for LEFT/INNER chains keyed by one side's PK) — else
+    (None, None) → full recompute. When `tables` (a manifest's table
+    dict) is given, a shape that matches syntactically but cannot
+    refresh against THIS catalog (missing merge key, external table)
+    falls through to the next weaker shape instead of pinning the MV to
+    full recompute."""
+    for kind, detect in (
+        ("grouped", _matview_grouped_shape),
+        ("spj", _matview_spj_shape),
+        ("join", _matview_join_shape),
+        ("grouped_join", _matview_grouped_join_shape),
+        ("anchor_join", _matview_anchor_join_shape),
+    ):
+        shape = detect(stmt, deps)
+        if shape is None:
+            continue
+        if tables is None or _shape_is_incremental(tables, kind, shape):
+            return kind, shape
     return None, None
 
 
@@ -939,6 +1252,8 @@ def _shape_is_incremental(tables: dict, kind, shape) -> bool:
         return _join_pk_outs(tables, shape) is not None
     if kind == "grouped_join":
         return _join_group_key_sides(tables, shape) is not None
+    if kind == "anchor_join":
+        return _anchor_pk_out(tables, shape) is not None
     base = tables.get(shape["base"])
     if base is None or base.get("external"):
         return False

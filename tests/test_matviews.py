@@ -96,17 +96,26 @@ def test_filtered_mv_where_rides_the_refresh(eng):
 
 
 def test_full_recompute_shapes(eng):
+    """Shapes no incremental path covers refresh by honest full
+    recompute. (A join exposing one side's PK — this test's former
+    example — is now incremental via the round-11 anchor path.)"""
     eng.execute("CREATE TABLE u (id INT PRIMARY KEY, w INT)")
     eng.execute("INSERT INTO u VALUES (1, 2), (2, 3)")
     r = eng.execute(
-        "CREATE MATERIALIZED VIEW mvj AS "
-        "SELECT t.id AS id, v * w AS vw FROM t JOIN u ON t.id = u.id"
+        "CREATE MATERIALIZED VIEW mvj AS SELECT DISTINCT grp FROM t"
     )
     assert "full-refresh" in r.status
-    eng.execute("UPDATE u SET w = 10 WHERE id = 1")
+    eng.execute("INSERT INTO t VALUES (90, 'q', 1)")
     r = eng.execute("REFRESH MATERIALIZED VIEW mvj")
     assert "(full" in r.status
-    assert sorted(eng.execute("SELECT * FROM mvj").rows) == [(1, 100), (2, 60)]
+    assert ("q",) in eng.execute("SELECT * FROM mvj").rows
+    # FULL OUTER join: neither side's PK is non-NULL on every row —
+    # no merge anchor exists, full recompute
+    r = eng.execute(
+        "CREATE MATERIALIZED VIEW mvf AS "
+        "SELECT t.id AS tid, u.id AS uid FROM t FULL JOIN u ON t.id = u.id"
+    )
+    assert "full-refresh" in r.status
 
 
 def test_guards_and_conflicts(eng):
@@ -392,14 +401,35 @@ def test_join_mv_incremental_refresh(jeng):
     assert jeng.get_matview("jmv")["stale"] is False
 
 
-def test_join_mv_without_both_pks_is_full(jeng):
+def test_join_mv_with_one_pk_takes_anchor_path(jeng):
+    """Round-11: an INNER-join MV exposing only ONE side's PK no longer
+    pins to full recompute — it falls through the all-PKs join-delta
+    shape to the anchor-keyed path, merging by that PK."""
     r = jeng.execute(
         "CREATE MATERIALIZED VIEW jm2 AS "
         "SELECT t.id AS tid, v * w AS vw FROM t JOIN u ON t.id = u.id"
     )
+    assert "incremental-refresh" in r.status
+    jeng.execute("INSERT INTO u VALUES (5, 7)")
+    jeng.execute("UPDATE u SET w = 40 WHERE id = 2")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW jm2")
+    assert "incremental-anchor-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM jm2").rows, key=repr) == sorted(
+        jeng.execute(
+            "SELECT t.id AS tid, v * w AS vw FROM t JOIN u ON t.id = u.id"
+        ).rows,
+        key=repr,
+    )
+
+
+def test_join_mv_without_any_pk_is_full(jeng):
+    r = jeng.execute(
+        "CREATE MATERIALIZED VIEW jm3 AS "
+        "SELECT grp, v * w AS vw FROM t JOIN u ON t.id = u.id"
+    )
     assert "full-refresh" in r.status
     jeng.execute("INSERT INTO u VALUES (5, 7)")
-    r = jeng.execute("REFRESH MATERIALIZED VIEW jm2")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW jm3")
     assert "(full" in r.status
 
 
@@ -669,3 +699,151 @@ def test_join_mv_randomized_dml_equivalence(jeng):
             assert sorted(
                 jeng.execute("SELECT * FROM jmv").rows, key=repr
             ) == sorted(jeng.execute(JOIN_DEF).rows, key=repr)
+
+
+LJ_DEF = (
+    "SELECT t.id AS tid, u.id AS uid, grp, v, w "
+    "FROM t LEFT JOIN u ON t.id = u.id"
+)
+
+
+def test_left_join_mv_incremental_refresh(jeng):
+    """Round-11: a LEFT-OUTER-join MV refreshes via the anchor-keyed path
+    — affected-anchor recompute keyed by the preserved side's PK — and
+    survives every NULL-extension transition: a NULL-extended anchor
+    gaining its first match, an anchor losing its last match (back to
+    NULL-extended), plain value changes, and new/deleted anchors."""
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW lmv AS {LJ_DEF}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(
+            jeng.execute("SELECT * FROM lmv").rows, key=repr
+        ) == sorted(jeng.execute(LJ_DEF).rows, key=repr)
+
+    fresh()
+    jeng.execute("INSERT INTO u VALUES (4, 7)")        # t.4 gains first match
+    jeng.execute("DELETE FROM u WHERE id = 1")         # t.1 loses last match
+    jeng.execute("UPDATE u SET w = 30 WHERE id = 2")   # value change, null side
+    jeng.execute("INSERT INTO t VALUES (5,'c',50)")    # new NULL-extended anchor
+    jeng.execute("DELETE FROM t WHERE id = 3")         # anchor disappears
+    r = jeng.execute("REFRESH MATERIALIZED VIEW lmv")
+    assert (
+        "incremental-anchor-join" in r.status
+        and "anchor pk(s) recomputed" in r.status
+    ), r.status
+    fresh()
+    assert jeng.get_matview("lmv")["stale"] is False
+
+
+def test_left_join_mv_where_is_null_anti_join_idiom(jeng):
+    """The WHERE right.pk IS NULL anti-join idiom: a new matching right
+    row must REMOVE the anchor's row from the MV (the key pass drops the
+    WHERE precisely so it sees anchors crossing the boundary), and a
+    deleted right row must bring the anchor's row BACK."""
+    aj = "SELECT t.id AS tid, grp, v FROM t LEFT JOIN u ON t.id = u.id WHERE u.id IS NULL"
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW ajmv AS {aj}")
+    assert "incremental-refresh" in r.status
+    assert sorted(jeng.execute("SELECT tid FROM ajmv").rows) == [(4,)]
+    jeng.execute("INSERT INTO u VALUES (4, 7)")   # t.4 leaves the MV
+    jeng.execute("DELETE FROM u WHERE id = 1")    # t.1 re-enters
+    r = jeng.execute("REFRESH MATERIALIZED VIEW ajmv")
+    assert "incremental-anchor-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT tid FROM ajmv").rows) == [(1,)]
+
+
+def test_left_join_mv_requires_anchor_pk(jeng):
+    """With a LEFT join in the chain only the PRESERVED side's PK is a
+    legal merge key (the right side's is NULL on extended rows) — an MV
+    exposing only u.id stays full-recompute."""
+    r = jeng.execute(
+        "CREATE MATERIALIZED VIEW lm2 AS "
+        "SELECT u.id AS uid, grp, w FROM t LEFT JOIN u ON t.id = u.id"
+    )
+    assert "full-refresh" in r.status
+
+
+def test_left_join_mv_three_table_mixed_chain(eng):
+    """A 3-table mixed INNER+LEFT chain where the LEFT predicate
+    references the MIDDLE table's columns: changes to the rightmost
+    table must stale exactly the anchors reachable through the chain."""
+    eng.execute("CREATE TABLE m (id INT PRIMARY KEY, tid INT, tag STRING)")
+    eng.execute("INSERT INTO m VALUES (10, 1, 'x'), (11, 2, 'y'), (12, 3, 'x')")
+    eng.execute("CREATE TABLE r (id INT PRIMARY KEY, tag STRING, score INT)")
+    eng.execute("INSERT INTO r VALUES (100, 'x', 7)")
+    q = (
+        "SELECT t.id AS tid, m.id AS mid, r.score AS score "
+        "FROM t JOIN m ON t.id = m.tid LEFT JOIN r ON m.tag = r.tag"
+    )
+    res = eng.execute(f"CREATE MATERIALIZED VIEW c3 AS {q}")
+    assert "incremental-refresh" in res.status
+
+    def fresh():
+        assert sorted(
+            eng.execute("SELECT * FROM c3").rows, key=repr
+        ) == sorted(eng.execute(q).rows, key=repr)
+
+    fresh()
+    eng.execute("INSERT INTO r VALUES (101, 'y', 9)")   # m.11's anchor t.2 affected
+    eng.execute("UPDATE r SET score = 8 WHERE id = 100")
+    res = eng.execute("REFRESH MATERIALIZED VIEW c3")
+    assert "incremental-anchor-join" in res.status, res.status
+    fresh()
+    eng.execute("UPDATE m SET tag = 'y' WHERE id = 10")  # middle change flips match
+    eng.execute("DELETE FROM r WHERE id = 100")
+    res = eng.execute("REFRESH MATERIALIZED VIEW c3")
+    assert "incremental-anchor-join" in res.status, res.status
+    fresh()
+
+
+def test_left_join_mv_randomized_dml_equivalence(jeng):
+    """Randomized-DML property test, left-join flavor: interleaved DML on
+    both sides with a WHERE that rows cross; after every refresh the MV
+    equals its defining query, always through the anchor path."""
+    ldef = (
+        "SELECT t.id AS tid, u.id AS uid, grp, v, w "
+        "FROM t LEFT JOIN u ON t.id = u.id WHERE v >= 0"
+    )
+    rng = random.Random(47)
+    jeng.execute(f"CREATE MATERIALIZED VIEW rlmv AS {ldef}")
+    t_live, u_live = [1, 2, 3, 4], [1, 2, 3, 9]
+    nid = 500
+    for step in range(24):
+        op = rng.random()
+        if op < 0.25:
+            jeng.execute(
+                f"INSERT INTO t VALUES ({nid}, 'g{rng.randint(0,2)}', {rng.randint(-9, 60)})"
+            )
+            t_live.append(nid)
+            nid += 1
+        elif op < 0.45:
+            # right-side ids overlap the live t range so matches flip
+            rid = rng.randint(1, 8) if rng.random() < 0.6 else nid
+            if rid == nid:
+                nid += 1
+            if rid not in u_live:
+                jeng.execute(f"INSERT INTO u VALUES ({rid}, {rng.randint(1, 9)})")
+                u_live.append(rid)
+        elif op < 0.65 and t_live:
+            rid = rng.choice(t_live)
+            jeng.execute(f"UPDATE t SET v = {rng.randint(-9, 60)} WHERE id = {rid}")
+        elif op < 0.8 and u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"UPDATE u SET w = {rng.randint(1, 9)} WHERE id = {rid}")
+        elif t_live and rng.random() < 0.5:
+            rid = rng.choice(t_live)
+            jeng.execute(f"DELETE FROM t WHERE id = {rid}")
+            t_live.remove(rid)
+        elif u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"DELETE FROM u WHERE id = {rid}")
+            u_live.remove(rid)
+        if step % 6 == 5:
+            r = jeng.execute("REFRESH MATERIALIZED VIEW rlmv")
+            assert (
+                "incremental-anchor-join" in r.status
+                or "no base changes" in r.status
+            ), r.status
+            assert sorted(
+                jeng.execute("SELECT * FROM rlmv").rows, key=repr
+            ) == sorted(jeng.execute(ldef).rows, key=repr)
