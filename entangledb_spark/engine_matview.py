@@ -191,6 +191,7 @@ class MatviewStatements:
                     "join": self._incremental_mv_join_rows,
                     "grouped_join": self._incremental_mv_grouped_join_rows,
                     "anchor_join": self._incremental_mv_anchor_join_rows,
+                    "grouped_anchor": self._incremental_mv_grouped_anchor_rows,
                 }[kind]
                 try:
                     inc = runner(mv, parsed, shape)
@@ -212,6 +213,7 @@ class MatviewStatements:
                         "join": "incremental-join",
                         "grouped_join": "incremental-agg-join",
                         "anchor_join": "incremental-anchor-join",
+                        "grouped_anchor": "incremental-agg-left-join",
                     }[kind]
                     if n_groups == 0:
                         # nothing changed in the base (e.g. only OTHER
@@ -234,6 +236,7 @@ class MatviewStatements:
             "full": "group(s) recomputed",
             "incremental": "group(s) recomputed",
             "incremental-agg-join": "group(s) recomputed",
+            "incremental-agg-left-join": "group(s) recomputed",
             "incremental-anchor-join": "anchor pk(s) recomputed",
         }.get(mode, "changed pk(s) applied")
         extra = f", {n_groups} {unit}" if n_groups is not None else ""
@@ -758,6 +761,175 @@ class MatviewStatements:
         # the other join paths)
         return kept.unionByName(recomputed).select(*mv["columns"]), k
 
+    def _incremental_mv_grouped_anchor_rows(self, mv: dict, parsed, j: dict):
+        """(merged DataFrame, affected-group count) for the AGGREGATE-over-
+        LEFT-join incremental path (round 11) — GROUP BY over a left-deep
+        LEFT/INNER chain, all group keys owned by the ANCHOR (leftmost,
+        preserved) table. Composes the anchor path's affected-anchor
+        discovery with the grouped path's affected-group recompute:
+
+        1. AFFECTED ANCHORS — exactly the anchor path's key passes (Δpk
+           for the anchor; per other changed table, the key-pass variant
+           with the join to it forced INNER, WHERE and GROUP BY dropped,
+           projecting the anchor PK) — a superset of anchors whose output
+           rows change, NULL-extension flips included.
+        2. AFFECTED GROUPS — the stored query compiled twice restricted
+           to those anchors, keeping only the group-key columns: once
+           against the current manifest (groups they contribute to now),
+           once with every chain table read from the base_version
+           manifest (groups they used to contribute to — an anchor
+           UPDATEd into a different group must stale BOTH).
+        3. RECOMPUTE — the stored query with the anchor scan semi-joined
+           (broadcast, null-safe) to the affected key VALUES. Because
+           every group key is an anchor column, that restriction is
+           EXACT: it admits all rows of every affected group and no row
+           of any other, so present groups are complete and no post-
+           filter is needed. LEFT joins run intact — NULL-extended rows
+           aggregate exactly as in a full recompute.
+        4. MERGE — anti-join the old snapshot on the affected key tuples
+           (null-safe; an emptied group disappears), union.
+
+        Returns None to request a full recompute."""
+        cur = self.catalog.current_version()
+        cur_man = self.catalog.manifest(cur)
+        old_man = self.catalog.manifest(mv["base_version"])
+        resolved = _grouped_anchor_keys(cur_man["tables"], j)
+        if resolved is None:
+            return None
+        anchor, anchor_pk, key_cols = resolved
+        out_cols = [out for _, out in key_cols]
+        names = [name for name, _ in j["tables"]]
+        ch = {
+            name: self.catalog.changes_df(
+                name, mv["base_version"], cur
+            ).localCheckpoint(eager=True)
+            for name in names
+        }
+        if all(c.isEmpty() for c in ch.values()):
+            return None, 0
+        base_read = self._reader()
+        all_in_old = all(name in old_man["tables"] for name in names)
+
+        anchors = None
+
+        def add_anchor(df: DataFrame) -> None:
+            nonlocal anchors
+            anchors = df if anchors is None else anchors.unionByName(df)
+
+        for tname in names:
+            changes = ch[tname]
+            if changes.isEmpty():
+                continue
+            if tname == anchor:
+                add_anchor(
+                    changes.select(F.col(anchor_pk).alias("__anchor")).distinct()
+                )
+                continue
+            variant = _anchor_key_pass_variant(parsed, j, tname, anchor, anchor_pk)
+            post = changes.filter(F.col("_change_type") != "delete").drop(
+                "_change_type"
+            )
+
+            def post_reader(name: str, _t=tname, _post=post) -> DataFrame:
+                return _post if name == _t else base_read(name)
+
+            add_anchor(compile_statement(variant, self.spark, post_reader))
+            if all_in_old:
+                pk_new = next(
+                    c["name"]
+                    for c in cur_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                pk_old = next(
+                    c["name"]
+                    for c in old_man["tables"][tname]["columns"]
+                    if c["primary_key"]
+                )
+                old_side = self.catalog.read_df(old_man, tname).join(
+                    F.broadcast(
+                        changes.select(F.col(pk_new).alias(pk_old)).distinct()
+                    ),
+                    pk_old,
+                    "left_semi",
+                )
+
+                def pre_reader(name: str, _t=tname, _old=old_side) -> DataFrame:
+                    if name == _t:
+                        return _old
+                    if name in names:
+                        return self.catalog.read_df(old_man, name)
+                    return base_read(name)
+
+                add_anchor(compile_statement(variant, self.spark, pre_reader))
+        anchors = anchors.distinct().localCheckpoint(eager=True)
+        if anchors.isEmpty():
+            return None, 0
+        anchor_keys = F.broadcast(anchors.select(F.col("__anchor").alias(anchor_pk)))
+
+        def new_state_reader(name: str) -> DataFrame:
+            df = base_read(name)
+            if name == anchor:
+                df = df.join(anchor_keys, anchor_pk, "left_semi")
+            return df
+
+        affected = compile_statement(parsed, self.spark, new_state_reader).select(
+            *out_cols
+        )
+        if all_in_old:
+
+            def old_state_reader(name: str) -> DataFrame:
+                if name in names:
+                    df = self.catalog.read_df(old_man, name)
+                    if name == anchor:
+                        df = df.join(anchor_keys, anchor_pk, "left_semi")
+                    return df
+                return base_read(name)
+
+            affected = affected.unionByName(
+                compile_statement(parsed, self.spark, old_state_reader).select(
+                    *out_cols
+                )
+            )
+        affected = affected.distinct().localCheckpoint(eager=True)
+        k = affected.count()
+        if k == 0:
+            return None, 0
+        if k > self.MV_INCREMENTAL_MAX_GROUPS:
+            return None
+
+        def _nullsafe_on(left: DataFrame, right: DataFrame, lcols, rcols):
+            cond = None
+            for lc, rc in zip(lcols, rcols):
+                c = left[lc].eqNullSafe(right[rc])
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        def refresh_reader(name: str) -> DataFrame:
+            df = base_read(name)
+            if name == anchor:
+                vals = affected.select(
+                    *[F.col(out).alias(col) for col, out in key_cols]
+                ).distinct()
+                df = df.join(
+                    F.broadcast(vals),
+                    _nullsafe_on(
+                        df, vals, [c for c, _ in key_cols], [c for c, _ in key_cols]
+                    ),
+                    "left_semi",
+                )
+            return df
+
+        recomputed = compile_statement(parsed, self.spark, refresh_reader)
+        old_mv = self.spark.read.parquet(
+            os.path.join(self.catalog.base, mv["data"])
+        )
+        kept = old_mv.join(
+            F.broadcast(affected),
+            _nullsafe_on(old_mv, affected, out_cols, out_cols),
+            "left_anti",
+        )
+        return kept.unionByName(recomputed), k
+
     def list_matviews(self) -> list[str]:
         return sorted(self._manifest_for_read().get("matviews") or {})
 
@@ -1187,8 +1359,9 @@ def _anchor_key_pass_variant(parsed, j: dict, changed: str, anchor: str, anchor_
     output), every other join type preserved (IS-NULL-style ON predicates
     over NULL-extended prior sides keep their semantics), the WHERE
     dropped (affected-anchor discovery must see rows on BOTH sides of the
-    WHERE boundary), and the select list reduced to the anchor table's
-    primary key AS __anchor."""
+    WHERE boundary), any GROUP BY/HAVING dropped (the grouped-anchor
+    path shares this pass), and the select list reduced to the anchor
+    table's primary key AS __anchor."""
 
     def innerize(f):
         if not isinstance(f, ast.Join):
@@ -1212,7 +1385,122 @@ def _anchor_key_pass_variant(parsed, j: dict, changed: str, anchor: str, anchor_
         select=((ast.Field(name=anchor_pk, table=anchor_alias), "__anchor"),),
         from_=innerize(parsed.from_),
         where=None,
+        group_by=(),
+        having=None,
+        group_mode="plain",
+        grouping_sets=(),
     )
+
+
+def _matview_grouped_anchor_shape(stmt, deps: set) -> Optional[dict]:
+    """Shape analysis for the AGGREGATE-over-LEFT-join incremental path
+    (round 11): `SELECT <group cols and aggregates> FROM <left-deep
+    LEFT/INNER chain> [WHERE ...] GROUP BY <plain columns>` with at
+    least one LEFT join (all-INNER aggregates take the finer
+    grouped_join path) and every group column present in the output.
+    Whether every group key is owned by the ANCHOR table — the condition
+    that makes anchor-side restriction exact — is resolved against the
+    CURRENT manifest at create/refresh time (_grouped_anchor_keys).
+
+    Returns {"tables": ((name, alias), ...), "key_fields", "has_left"}
+    or None."""
+    if not isinstance(stmt, ast.Select):
+        return None
+    f = stmt.from_
+    if not isinstance(f, ast.Join):
+        return None
+    flat = _flatten_anchor_chain(f)
+    if flat is None:
+        return None
+    tables, has_left = flat
+    if len(tables) < 2 or not has_left:
+        return None
+    names = [n for n, _ in tables]
+    if len(set(names)) != len(names):
+        return None  # a self-join can't split sides by reader substitution
+    if (
+        stmt.distinct
+        or stmt.having is not None
+        or stmt.order_by
+        or stmt.limit is not None
+        or stmt.offset is not None
+        or not stmt.group_by
+        or stmt.group_mode != "plain"
+    ):
+        return None
+    if any(not isinstance(g, ast.Field) for g in stmt.group_by):
+        return None
+    group_keys = {(g.table, g.name) for g in stmt.group_by}
+    key_fields: list[tuple] = []
+    seen: set = set()
+    for expr, alias in stmt.select:
+        if isinstance(expr, ast.Field) and (expr.table, expr.name) in group_keys:
+            key_fields.append((expr.table, expr.name, alias or expr.name))
+            seen.add((expr.table, expr.name))
+        elif (
+            isinstance(expr, ast.FuncCall)
+            and expr.name.lower() in _MV_AGGS
+            and not isinstance(expr, ast.WindowFunc)
+        ):
+            continue
+        else:
+            return None
+    if seen != group_keys or len(key_fields) != len(group_keys):
+        return None
+    roots = (
+        [e for e, _ in stmt.select] + list(stmt.group_by) + _join_predicates(f)
+    )
+    if stmt.where is not None:
+        roots.append(stmt.where)
+    for root in roots:
+        for sub in ast.walk(root):
+            if isinstance(sub, ast.WindowFunc):
+                return None
+            if isinstance(sub, ast.Subquery) or (
+                isinstance(sub, ast.Op) and sub.name in ("IN_SUBQ", "EXISTS")
+            ):
+                return None
+    if deps != set(names):
+        return None
+    return {
+        "tables": tuple(tables),
+        "key_fields": tuple(key_fields),
+        "has_left": has_left,
+    }
+
+
+def _grouped_anchor_keys(tables: dict, j: dict):
+    """Resolve a grouped-anchor MV's merge machinery against the CURRENT
+    manifest: (anchor table name, anchor pk column, [(anchor column,
+    output alias), ...]) — or None when any joined table is gone/
+    external or any group key is NOT owned by the anchor (restricting a
+    non-preserved side by key values would break NULL-extension
+    semantics, so such MVs stay full-recompute). Bare fields resolve by
+    unique column ownership (same convention as _join_pk_outs)."""
+    cols = {}
+    for name, alias in j["tables"]:
+        t = tables.get(name)
+        if t is None or t.get("external"):
+            return None
+        cols[(name, alias)] = {c["name"] for c in t["columns"]}
+    anchor = j["tables"][0][0]
+    anchor_pk = next(
+        c["name"] for c in tables[anchor]["columns"] if c["primary_key"]
+    )
+    key_cols = []
+    for qual, fname, falias in j["key_fields"]:
+        if qual is not None:
+            owners = [
+                tn
+                for (tn, ta), cs in cols.items()
+                if qual in (tn, ta) and fname in cs
+            ]
+        else:
+            owners = [tn for (tn, _ta), cs in cols.items() if fname in cs]
+        if len(owners) != 1 or owners[0] != anchor:
+            return None
+        key_cols.append((fname, falias))
+    return anchor, anchor_pk, key_cols
 
 
 def _choose_incremental_shape(stmt, deps: set, tables: Optional[dict] = None):
@@ -1233,6 +1521,7 @@ def _choose_incremental_shape(stmt, deps: set, tables: Optional[dict] = None):
         ("join", _matview_join_shape),
         ("grouped_join", _matview_grouped_join_shape),
         ("anchor_join", _matview_anchor_join_shape),
+        ("grouped_anchor", _matview_grouped_anchor_shape),
     ):
         shape = detect(stmt, deps)
         if shape is None:
@@ -1254,6 +1543,8 @@ def _shape_is_incremental(tables: dict, kind, shape) -> bool:
         return _join_group_key_sides(tables, shape) is not None
     if kind == "anchor_join":
         return _anchor_pk_out(tables, shape) is not None
+    if kind == "grouped_anchor":
+        return _grouped_anchor_keys(tables, shape) is not None
     base = tables.get(shape["base"])
     if base is None or base.get("external"):
         return False

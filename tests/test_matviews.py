@@ -847,3 +847,118 @@ def test_left_join_mv_randomized_dml_equivalence(jeng):
             assert sorted(
                 jeng.execute("SELECT * FROM rlmv").rows, key=repr
             ) == sorted(jeng.execute(ldef).rows, key=repr)
+
+
+GA_DEF = (
+    "SELECT grp, count(*) AS n, sum(w) AS sw, sum(v) AS sv "
+    "FROM t LEFT JOIN u ON t.id = u.id GROUP BY grp"
+)
+
+
+def test_grouped_left_join_mv_incremental_refresh(jeng):
+    """Round-11: an aggregate over a LEFT join refreshes incrementally
+    when every group key is owned by the preserved (anchor) side —
+    affected anchors via the anchor key passes, affected groups from the
+    anchors' old+new states, anchor-side exact regroup. Covers match
+    gain/loss (NULL-extension flips feeding sum(w)), group moves, NULL
+    group keys, and new NULL-extended anchors."""
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW gamv AS {GA_DEF}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(
+            jeng.execute("SELECT * FROM gamv").rows, key=repr
+        ) == sorted(jeng.execute(GA_DEF).rows, key=repr)
+
+    fresh()
+    jeng.execute("INSERT INTO u VALUES (4, 7)")         # NULL-key group gains w
+    jeng.execute("DELETE FROM u WHERE id = 1")          # 'a' loses a match
+    jeng.execute("UPDATE t SET grp = 'b' WHERE id = 2")  # group move a→b
+    jeng.execute("INSERT INTO t VALUES (5,'c',50)")     # new NULL-extended group
+    r = jeng.execute("REFRESH MATERIALIZED VIEW gamv")
+    assert (
+        "incremental-agg-left-join" in r.status
+        and "group(s) recomputed" in r.status
+    ), r.status
+    fresh()
+    assert jeng.get_matview("gamv")["stale"] is False
+
+
+def test_grouped_left_join_mv_right_side_key_is_full(jeng):
+    """A group key owned by the NULLABLE side can't restrict the anchor
+    (and restricting the right side would break NULL-extension) — honest
+    full recompute."""
+    r = jeng.execute(
+        "CREATE MATERIALIZED VIEW gam2 AS "
+        "SELECT w, count(*) AS n FROM t LEFT JOIN u ON t.id = u.id GROUP BY w"
+    )
+    assert "full-refresh" in r.status
+
+
+def test_grouped_left_join_mv_emptied_group_disappears(jeng):
+    jeng.execute(
+        f"CREATE MATERIALIZED VIEW gam3 AS "
+        "SELECT grp, count(*) AS n FROM t LEFT JOIN u ON t.id = u.id "
+        "WHERE v < 25 GROUP BY grp"
+    )
+    jeng.execute("UPDATE t SET v = 99 WHERE id = 1")
+    jeng.execute("UPDATE t SET v = 99 WHERE id = 2")  # empties group 'a'
+    r = jeng.execute("REFRESH MATERIALIZED VIEW gam3")
+    assert "incremental-agg-left-join" in r.status, r.status
+    assert all(row[0] != "a" for row in jeng.execute("SELECT * FROM gam3").rows)
+
+
+def test_grouped_left_join_mv_randomized_dml_equivalence(jeng):
+    """Randomized-DML property test, aggregate-over-left-join flavor:
+    interleaved DML on both sides including group moves and match flips;
+    after every refresh the MV equals its defining query, always through
+    the agg-left-join path."""
+    gdef = (
+        "SELECT grp, count(*) AS n, sum(w) AS sw "
+        "FROM t LEFT JOIN u ON t.id = u.id WHERE v >= 0 GROUP BY grp"
+    )
+    rng = random.Random(53)
+    jeng.execute(f"CREATE MATERIALIZED VIEW rgam AS {gdef}")
+    t_live, u_live = [1, 2, 3, 4], [1, 2, 3, 9]
+    nid = 700
+    for step in range(24):
+        op = rng.random()
+        if op < 0.2:
+            jeng.execute(
+                f"INSERT INTO t VALUES ({nid}, 'g{rng.randint(0,2)}', {rng.randint(-9, 60)})"
+            )
+            t_live.append(nid)
+            nid += 1
+        elif op < 0.4:
+            rid = rng.randint(1, 8) if rng.random() < 0.6 else nid
+            if rid == nid:
+                nid += 1
+            if rid not in u_live:
+                jeng.execute(f"INSERT INTO u VALUES ({rid}, {rng.randint(1, 9)})")
+                u_live.append(rid)
+        elif op < 0.55 and t_live:
+            rid = rng.choice(t_live)
+            jeng.execute(f"UPDATE t SET grp = 'g{rng.randint(0,2)}' WHERE id = {rid}")
+        elif op < 0.7 and u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"UPDATE u SET w = {rng.randint(1, 9)} WHERE id = {rid}")
+        elif op < 0.8 and t_live:
+            rid = rng.choice(t_live)
+            jeng.execute(f"UPDATE t SET v = {rng.randint(-9, 60)} WHERE id = {rid}")
+        elif t_live and rng.random() < 0.5:
+            rid = rng.choice(t_live)
+            jeng.execute(f"DELETE FROM t WHERE id = {rid}")
+            t_live.remove(rid)
+        elif u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"DELETE FROM u WHERE id = {rid}")
+            u_live.remove(rid)
+        if step % 6 == 5:
+            r = jeng.execute("REFRESH MATERIALIZED VIEW rgam")
+            assert (
+                "incremental-agg-left-join" in r.status
+                or "no base changes" in r.status
+            ), r.status
+            assert sorted(
+                jeng.execute("SELECT * FROM rgam").rows, key=repr
+            ) == sorted(jeng.execute(gdef).rows, key=repr)
