@@ -517,6 +517,11 @@ class MatviewStatements:
         out_cols = [out for _, _, out in keys]
 
         affected = None
+        # HAVING must not filter the discovery passes: they aggregate
+        # DELTA-RESTRICTED inputs, so a partial group crossing the HAVING
+        # threshold would silently hide an affected key (round 11 —
+        # HAVING rides the grouped shapes). The recompute below keeps it.
+        key_pass = replace(parsed, having=None)
 
         def add_keys(df: DataFrame) -> None:
             nonlocal affected
@@ -535,7 +540,7 @@ class MatviewStatements:
             def post_reader(name: str, _t=tname, _post=post) -> DataFrame:
                 return _post if name == _t else base_read(name)
 
-            add_keys(compile_statement(parsed, self.spark, post_reader))
+            add_keys(compile_statement(key_pass, self.spark, post_reader))
             # pre-image keys: the OLD join rows of the changed PKs, read
             # from the base_version manifest (ALL sides old — any join
             # partner row may have changed too)
@@ -565,7 +570,7 @@ class MatviewStatements:
                         return self.catalog.read_df(old_man, name)
                     return base_read(name)
 
-                add_keys(compile_statement(parsed, self.spark, pre_reader))
+                add_keys(compile_statement(key_pass, self.spark, pre_reader))
         affected = affected.distinct().localCheckpoint(eager=True)
         k = affected.count()
         if k == 0:
@@ -872,7 +877,12 @@ class MatviewStatements:
                 df = df.join(anchor_keys, anchor_pk, "left_semi")
             return df
 
-        affected = compile_statement(parsed, self.spark, new_state_reader).select(
+        # HAVING stripped for the same reason as the grouped_join key
+        # passes: anchor-restricted groups are partial, and a partial
+        # group failing HAVING would hide an affected key; the recompute
+        # below evaluates HAVING on complete groups.
+        group_pass = replace(parsed, having=None)
+        affected = compile_statement(group_pass, self.spark, new_state_reader).select(
             *out_cols
         )
         if all_in_old:
@@ -886,7 +896,7 @@ class MatviewStatements:
                 return base_read(name)
 
             affected = affected.unionByName(
-                compile_statement(parsed, self.spark, old_state_reader).select(
+                compile_statement(group_pass, self.spark, old_state_reader).select(
                     *out_cols
                 )
             )
@@ -959,7 +969,15 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     extractable from the change feed's rows (plain base columns), (b) a
     way to restrict the base scan to affected keys (single table), and
     (c) a key to merge recomputed rows into the snapshot (group cols in
-    the output). Anything else — joins, HAVING, DISTINCT, window
+    the output). HAVING rides (round 11): keys come from raw change
+    rows, so discovery never sees partial groups, and the restricted
+    recompute evaluates HAVING on COMPLETE groups — a group crossing
+    the threshold in either direction merges correctly (absent from the
+    recompute → removed by the anti-join; newly passing → unioned in).
+    DISTINCT aggregates (count(DISTINCT x) …) ride for the same reason:
+    refresh is recompute-per-group, never delta arithmetic. SELECT
+    DISTINCT <plain cols> is GROUP BY all columns in disguise and takes
+    this path too. Anything else — joins (see the join shapes), window
     functions, expressions as group keys — refreshes by full recompute.
 
     Returns {"base", "key_cols", "out_cols"} or None."""
@@ -971,39 +989,52 @@ def _matview_grouped_shape(stmt, deps: set) -> Optional[dict]:
     if f.as_of is not None:
         return None  # a frozen AS OF base never changes incrementally
     if (
-        stmt.distinct
-        or stmt.having is not None
-        or stmt.order_by
+        stmt.order_by
         or stmt.limit is not None
         or stmt.offset is not None
-        or not stmt.group_by
         or stmt.group_mode != "plain"  # super-aggregate rows don't merge by key
     ):
         return None
-    if any(not isinstance(g, ast.Field) for g in stmt.group_by):
-        return None
-    group_names = [g.name for g in stmt.group_by]
     key_cols: list[str] = []
     out_cols: list[str] = []
-    for expr, alias in stmt.select:
-        if isinstance(expr, ast.Field) and expr.name in group_names:
+    if stmt.distinct:
+        # SELECT DISTINCT c1, c2 FROM base [WHERE ...] ≡ GROUP BY c1, c2
+        if stmt.group_by or stmt.having is not None:
+            return None
+        for expr, alias in stmt.select:
+            if not isinstance(expr, ast.Field):
+                return None
             key_cols.append(expr.name)
             out_cols.append(alias or expr.name)
-        elif (
-            isinstance(expr, ast.FuncCall)
-            and expr.name.lower() in _MV_AGGS
-            and not isinstance(expr, ast.WindowFunc)
-        ):
-            continue
-        else:
+        if len(key_cols) != len(set(key_cols)):
             return None
-    if sorted(key_cols) != sorted(set(group_names)) or len(key_cols) != len(
-        set(key_cols)
-    ):
-        return None
+    else:
+        if not stmt.group_by:
+            return None
+        if any(not isinstance(g, ast.Field) for g in stmt.group_by):
+            return None
+        group_names = [g.name for g in stmt.group_by]
+        for expr, alias in stmt.select:
+            if isinstance(expr, ast.Field) and expr.name in group_names:
+                key_cols.append(expr.name)
+                out_cols.append(alias or expr.name)
+            elif (
+                isinstance(expr, ast.FuncCall)
+                and expr.name.lower() in _MV_AGGS
+                and not isinstance(expr, ast.WindowFunc)
+            ):
+                continue
+            else:
+                return None
+        if sorted(key_cols) != sorted(set(group_names)) or len(key_cols) != len(
+            set(key_cols)
+        ):
+            return None
     roots = [e for e, _ in stmt.select] + list(stmt.group_by)
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.Subquery) or (
@@ -1052,6 +1083,8 @@ def _matview_join_shape(stmt, deps: set) -> Optional[dict]:
     roots = [e for e, _ in stmt.select] + _join_predicates(f)
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.WindowFunc):
@@ -1105,8 +1138,11 @@ def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
     columns>` over ANY number of DISTINCT managed tables, every group
     column present in the output as a plain field. This is the most
     common real-world MV shape (TPC-H Q3 joins three tables, Q10 four).
-    No HAVING/DISTINCT/ORDER/LIMIT/windows/subqueries/grouping
-    extensions — affected-group recompute needs mergeable plain keys.
+    HAVING and DISTINCT aggregates ride (round 11) — refresh recomputes
+    whole groups, and the key-discovery passes strip HAVING so partial-
+    group aggregates never hide an affected key. No SELECT DISTINCT/
+    ORDER/LIMIT/windows/subqueries/grouping extensions —
+    affected-group recompute needs mergeable plain keys.
 
     Returns {"tables": ((name, alias), ...), "key_fields": ((qualifier,
     column, out_alias), ...)} — resolved against the CURRENT manifest at
@@ -1124,7 +1160,6 @@ def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
         return None  # a self-join can't split sides by reader substitution
     if (
         stmt.distinct
-        or stmt.having is not None
         or stmt.order_by
         or stmt.limit is not None
         or stmt.offset is not None
@@ -1156,6 +1191,8 @@ def _matview_grouped_join_shape(stmt, deps: set) -> Optional[dict]:
     )
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.WindowFunc):
@@ -1296,6 +1333,8 @@ def _matview_anchor_join_shape(stmt, deps: set) -> Optional[dict]:
     roots = [e for e, _ in stmt.select] + _join_predicates(f)
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.WindowFunc):
@@ -1420,7 +1459,6 @@ def _matview_grouped_anchor_shape(stmt, deps: set) -> Optional[dict]:
         return None  # a self-join can't split sides by reader substitution
     if (
         stmt.distinct
-        or stmt.having is not None
         or stmt.order_by
         or stmt.limit is not None
         or stmt.offset is not None
@@ -1452,6 +1490,8 @@ def _matview_grouped_anchor_shape(stmt, deps: set) -> Optional[dict]:
     )
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.WindowFunc):
@@ -1587,6 +1627,8 @@ def _matview_spj_shape(stmt, deps: set) -> Optional[dict]:
     roots = [e for e, _ in stmt.select]
     if stmt.where is not None:
         roots.append(stmt.where)
+    if stmt.having is not None:
+        roots.append(stmt.having)
     for root in roots:
         for sub in ast.walk(root):
             if isinstance(sub, ast.WindowFunc):

@@ -97,18 +97,19 @@ def test_filtered_mv_where_rides_the_refresh(eng):
 
 def test_full_recompute_shapes(eng):
     """Shapes no incremental path covers refresh by honest full
-    recompute. (A join exposing one side's PK — this test's former
-    example — is now incremental via the round-11 anchor path.)"""
+    recompute. (A join exposing one side's PK, and SELECT DISTINCT —
+    this test's former examples — are incremental since round 11.)"""
     eng.execute("CREATE TABLE u (id INT PRIMARY KEY, w INT)")
     eng.execute("INSERT INTO u VALUES (1, 2), (2, 3)")
     r = eng.execute(
-        "CREATE MATERIALIZED VIEW mvj AS SELECT DISTINCT grp FROM t"
+        "CREATE MATERIALIZED VIEW mvj AS "
+        "SELECT grp, sum(v) AS sv FROM t GROUP BY ROLLUP (grp)"
     )
     assert "full-refresh" in r.status
     eng.execute("INSERT INTO t VALUES (90, 'q', 1)")
     r = eng.execute("REFRESH MATERIALIZED VIEW mvj")
     assert "(full" in r.status
-    assert ("q",) in eng.execute("SELECT * FROM mvj").rows
+    assert ("q", 1) in eng.execute("SELECT * FROM mvj").rows
     # FULL OUTER join: neither side's PK is non-NULL on every row —
     # no merge anchor exists, full recompute
     r = eng.execute(
@@ -552,15 +553,19 @@ def test_grouped_join_mv_three_tables_tpch_q3_shape(eng):
 
 
 def test_grouped_join_mv_fallback_shapes(jeng):
-    """HAVING / outer joins stay honestly full-refresh."""
+    """Shapes past every incremental path stay honestly full-refresh.
+    (HAVING and aggregate-over-LEFT-join — this test's former examples —
+    are incremental since round 11.)"""
+    # FULL OUTER join under an aggregate: no preserved side, no anchor
     r = jeng.execute(
         "CREATE MATERIALIZED VIEW h1 AS SELECT grp, count(*) AS n FROM t "
-        "JOIN u ON t.id = u.id GROUP BY grp HAVING count(*) > 1"
+        "FULL JOIN u ON t.id = u.id GROUP BY grp"
     )
     assert "full-refresh" in r.status
+    # expression as group key: not extractable from change-feed rows
     r = jeng.execute(
-        "CREATE MATERIALIZED VIEW h2 AS SELECT grp, count(*) AS n FROM t "
-        "LEFT JOIN u ON t.id = u.id GROUP BY grp"
+        "CREATE MATERIALIZED VIEW h2 AS SELECT v + 0 AS vk, count(*) AS n "
+        "FROM t JOIN u ON t.id = u.id GROUP BY v + 0"
     )
     assert "full-refresh" in r.status
 
@@ -962,3 +967,90 @@ def test_grouped_left_join_mv_randomized_dml_equivalence(jeng):
             assert sorted(
                 jeng.execute("SELECT * FROM rgam").rows, key=repr
             ) == sorted(jeng.execute(gdef).rows, key=repr)
+
+
+def test_grouped_mv_having_crossing(eng):
+    """Round-11: HAVING rides the grouped shape — keys come from raw
+    change rows and the recompute evaluates HAVING on complete groups,
+    so groups crossing the threshold in EITHER direction merge right."""
+    h = "SELECT grp, count(*) AS n, sum(v) AS sv FROM t GROUP BY grp HAVING count(*) > 1"
+    r = eng.execute(f"CREATE MATERIALIZED VIEW hmv AS {h}")
+    assert "incremental-refresh" in r.status
+    eng.execute("INSERT INTO t VALUES (5,'b',7)")   # b enters HAVING
+    eng.execute("DELETE FROM t WHERE id = 2")       # a leaves HAVING
+    r = eng.execute("REFRESH MATERIALIZED VIEW hmv")
+    assert "(incremental," in r.status, r.status
+    assert sorted(eng.execute("SELECT * FROM hmv").rows, key=repr) == sorted(
+        eng.execute(h).rows, key=repr
+    )
+
+
+def test_grouped_mv_distinct_aggregate(eng):
+    """count(DISTINCT x) rides the grouped shape: refresh recomputes
+    whole groups, never delta arithmetic, so non-linear aggregates are
+    exact."""
+    h = "SELECT grp, count(DISTINCT v) AS dv, sum(v) AS sv FROM t GROUP BY grp"
+    r = eng.execute(f"CREATE MATERIALIZED VIEW dmv AS {h}")
+    assert "incremental-refresh" in r.status
+    eng.execute("INSERT INTO t VALUES (6,'a',10)")  # duplicate v in 'a'
+    eng.execute("INSERT INTO t VALUES (7,'a',11)")  # new distinct v
+    r = eng.execute("REFRESH MATERIALIZED VIEW dmv")
+    assert "(incremental," in r.status, r.status
+    assert sorted(eng.execute("SELECT * FROM dmv").rows, key=repr) == sorted(
+        eng.execute(h).rows, key=repr
+    )
+
+
+def test_select_distinct_mv_incremental(eng):
+    """SELECT DISTINCT <cols> is GROUP BY all columns in disguise and
+    refreshes through the grouped path: duplicate inserts change
+    nothing, a delete only drops a pair when its LAST witness goes."""
+    h = "SELECT DISTINCT grp, v FROM t WHERE v < 100"
+    r = eng.execute(f"CREATE MATERIALIZED VIEW sdmv AS {h}")
+    assert "incremental-refresh" in r.status
+    eng.execute("INSERT INTO t VALUES (5,'a',10)")  # duplicate of (a,10)
+    eng.execute("INSERT INTO t VALUES (6,'z',1)")   # new pair
+    eng.execute("DELETE FROM t WHERE id = 1")       # (a,10) survives via id 5
+    r = eng.execute("REFRESH MATERIALIZED VIEW sdmv")
+    assert "(incremental," in r.status, r.status
+    assert sorted(eng.execute("SELECT * FROM sdmv").rows, key=repr) == sorted(
+        eng.execute(h).rows, key=repr
+    )
+    eng.execute("DELETE FROM t WHERE id = 5")       # last witness of (a,10)
+    eng.execute("REFRESH MATERIALIZED VIEW sdmv")
+    assert ("a", 10) not in eng.execute("SELECT * FROM sdmv").rows
+
+
+def test_grouped_join_mv_having_partial_group_trap(jeng):
+    """The discovery passes aggregate DELTA-RESTRICTED inputs; with
+    HAVING unstripped, a big group receiving a small delta would fail
+    the threshold inside the pass and silently stay stale. Pin the
+    stripping: delta of ONE row must still refresh a group whose total
+    crosses the threshold."""
+    h = (
+        "SELECT grp, count(*) AS n FROM t JOIN u ON t.id = u.id "
+        "GROUP BY grp HAVING count(*) >= 2"
+    )
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW hj AS {h}")
+    assert "incremental-refresh" in r.status
+    jeng.execute("INSERT INTO u VALUES (4, 8)")  # 'a' gains 1 joined row
+    r = jeng.execute("REFRESH MATERIALIZED VIEW hj")
+    assert "incremental-agg-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM hj").rows, key=repr) == sorted(
+        jeng.execute(h).rows, key=repr
+    )
+
+
+def test_grouped_left_join_mv_having(jeng):
+    h = (
+        "SELECT grp, count(*) AS n, sum(w) AS sw "
+        "FROM t LEFT JOIN u ON t.id = u.id GROUP BY grp HAVING count(*) >= 2"
+    )
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW hl AS {h}")
+    assert "incremental-refresh" in r.status
+    jeng.execute("INSERT INTO t VALUES (5,'b',2)")  # b 1→2 rows via NULL-extension
+    r = jeng.execute("REFRESH MATERIALIZED VIEW hl")
+    assert "incremental-agg-left-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM hl").rows, key=repr) == sorted(
+        jeng.execute(h).rows, key=repr
+    )
