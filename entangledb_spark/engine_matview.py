@@ -1,7 +1,13 @@
 """Materialized-view statement executors (a mixin of Engine):
-CREATE/DROP/REFRESH MATERIALIZED VIEW with CDF-incremental refresh
-for grouped and SPJ shapes. Split out of engine.py in round 10
-(pure refactor).
+CREATE/DROP/REFRESH MATERIALIZED VIEW with CDF-incremental refresh for
+six shapes — grouped (single-table GROUP BY, incl. HAVING / DISTINCT
+aggregates / SELECT DISTINCT), SPJ (filter/project, direct CDF
+application), join (N-table INNER, the N-term delta rule), grouped_join
+(aggregate over an N-table inner join), anchor_join (LEFT/INNER chains
+merged by one side's PK), and grouped_anchor (aggregate over a LEFT
+chain with anchor-owned keys). _choose_incremental_shape picks the
+strongest shape the query and catalog admit; everything else refreshes
+by honest full recompute. Split out of engine.py in round 10.
 """
 
 from __future__ import annotations
@@ -61,10 +67,11 @@ class MatviewStatements:
         pointer, and the catalog version the data reflects — the
         `base_version` REFRESH diffs from.
 
-        `incremental` is decided by shape analysis at create time: a
-        single-managed-table GROUP BY aggregate refreshes via the change
-        data feed (see _refresh_matview); anything else refreshes by full
-        recompute, honestly labeled in the status and !table output."""
+        `incremental` is decided by shape analysis at create time
+        (_choose_incremental_shape — six shapes, from single-table
+        GROUP BY through LEFT-join chains; see the module docstring and
+        _refresh_matview); anything else refreshes by full recompute,
+        honestly labeled in the status and !table output."""
         taken = self._name_taken(manifest, stmt.name)
         if taken:
             raise EngineError(f"{taken} {stmt.name} already exists")
@@ -135,16 +142,18 @@ class MatviewStatements:
     def _refresh_matview(self, manifest: dict, stmt: ast.RefreshMaterializedView) -> Result:
         """REFRESH MATERIALIZED VIEW: bring the stored snapshot up to date.
 
-        Incremental path (single-table GROUP BY shape): the change data
-        feed between the MV's base_version and the current version yields
-        the changed rows; their group keys — post-image keys PLUS the
-        pre-image keys of the same PKs read from the OLD snapshot (a row
-        UPDATEd into a different group stales BOTH groups) — form the
-        affected-key set. Only those groups are re-aggregated, by
-        compiling the stored query against a reader that semi-joins the
-        base scan to the broadcast key set, and merged into the snapshot
-        with a null-safe anti join (NULL is a legal group). Cost scales
-        with data in CHANGED groups, not table size — the 100 TB design
+        Incremental paths (one runner per shape, see the module
+        docstring; the grouped single-table path is the template): the
+        change data feed between the MV's base_version and the current
+        version yields the changed rows; their merge keys — post-image
+        keys PLUS the pre-image keys of the same PKs read from the OLD
+        state (a row UPDATEd into a different group stales BOTH
+        groups) — form the affected-key set. Only those groups /
+        changed pks / anchors are recomputed, by compiling the stored
+        query against a reader that semi-joins the restricted scan to
+        the broadcast key set, and merged into the snapshot with a
+        null-safe anti join (NULL is a legal group). Cost scales with
+        data in CHANGED keys, not table size — the 100 TB design
         point. Joins are null-safe eqNullSafe throughout.
 
         Falls back to full recompute when: the shape isn't incremental,

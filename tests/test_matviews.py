@@ -1054,3 +1054,29 @@ def test_grouped_left_join_mv_having(jeng):
     assert sorted(jeng.execute("SELECT * FROM hl").rows, key=repr) == sorted(
         jeng.execute(h).rows, key=repr
     )
+
+
+def test_anchor_join_mv_cost_scales_with_delta(jeng):
+    """Cost contract, anchor flavor: a single right-side row change
+    recomputes exactly the anchor(s) it joins — never the anchor
+    population."""
+    jeng.execute(f"CREATE MATERIALIZED VIEW camv AS {LJ_DEF}")
+    jeng.execute("UPDATE u SET w = 99 WHERE id = 1")  # joins anchor t.1 only
+    r = jeng.execute("REFRESH MATERIALIZED VIEW camv")
+    assert "1 anchor pk(s) recomputed" in r.status, r.status
+    jeng.execute("INSERT INTO t VALUES (6,'x',1)")    # one new anchor
+    r = jeng.execute("REFRESH MATERIALIZED VIEW camv")
+    assert "1 anchor pk(s) recomputed" in r.status, r.status
+
+
+def test_grouped_anchor_mv_cost_scales_with_delta(jeng):
+    """Cost contract, aggregate-over-left-join flavor: a value-only
+    right-side change recomputes 1 group; an anchor group move
+    recomputes 2 (old + new)."""
+    jeng.execute(f"CREATE MATERIALIZED VIEW cgam AS {GA_DEF}")
+    jeng.execute("UPDATE u SET w = 99 WHERE id = 1")  # t.1 is in group 'a'
+    r = jeng.execute("REFRESH MATERIALIZED VIEW cgam")
+    assert "1 group(s) recomputed" in r.status, r.status
+    jeng.execute("UPDATE t SET grp = 'moved' WHERE id = 1")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW cgam")
+    assert "2 group(s) recomputed" in r.status, r.status
