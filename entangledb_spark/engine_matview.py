@@ -90,7 +90,7 @@ class MatviewStatements:
         except CompileError as e:
             raise EngineError(f"CREATE MATERIALIZED VIEW {stmt.name}: {e}") from None
         kind, _shape = _choose_incremental_shape(
-            stmt.query, deps, manifest["tables"]
+            _canonicalize_mv_query(stmt.query), deps, manifest["tables"]
         )
         incremental = kind is not None
         rel = self.catalog.write_snapshot(f"__mv_{stmt.name}", df)
@@ -187,7 +187,10 @@ class MatviewStatements:
         # no base table, so the snapshot reflects that version too —
         # without the +1 every refresh would mark itself stale
         post_version = current + 1
-        parsed = parse(mv["sql"])
+        # canonical (RIGHT→swapped-LEFT) form feeds BOTH shape analysis
+        # and the incremental runners, which compile it — semantics are
+        # identical to the stored text
+        parsed = _canonicalize_mv_query(parse(mv["sql"]))
         mode, n_groups, new_df = "full", None, None
         if mv.get("incremental"):
             kind, shape = _choose_incremental_shape(
@@ -1550,6 +1553,42 @@ def _grouped_anchor_keys(tables: dict, j: dict):
             return None
         key_cols.append((fname, falias))
     return anchor, anchor_pk, key_cols
+
+
+def _canonicalize_right_joins(f):
+    """Copy of a FROM tree with every RIGHT join swapped into the
+    equivalent LEFT join (preserved side moved left). One orientation
+    means the shape detectors — and the refresh runners' key-pass
+    innerization, which targets 'the join whose RIGHT side is the
+    changed table' — never miss a RIGHT-written chain. Semantics are
+    identical, so compiling the canonical tree is safe everywhere."""
+    if isinstance(f, ast.Join):
+        left = _canonicalize_right_joins(f.left)
+        right = _canonicalize_right_joins(f.right)
+        if f.join_type == ast.JoinType.RIGHT:
+            return ast.Join(
+                left=right,
+                right=left,
+                join_type=ast.JoinType.LEFT,
+                predicate=f.predicate,
+            )
+        if left is not f.left or right is not f.right:
+            return ast.Join(
+                left=left,
+                right=right,
+                join_type=f.join_type,
+                predicate=f.predicate,
+            )
+    return f
+
+
+def _canonicalize_mv_query(stmt):
+    """Shape-analysis/refresh canonical form of an MV's stored query."""
+    if isinstance(stmt, ast.Select) and stmt.from_ is not None:
+        cf = _canonicalize_right_joins(stmt.from_)
+        if cf is not stmt.from_:
+            return replace(stmt, from_=cf)
+    return stmt
 
 
 def _choose_incremental_shape(stmt, deps: set, tables: Optional[dict] = None):

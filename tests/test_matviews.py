@@ -1080,3 +1080,31 @@ def test_grouped_anchor_mv_cost_scales_with_delta(jeng):
     jeng.execute("UPDATE t SET grp = 'moved' WHERE id = 1")
     r = jeng.execute("REFRESH MATERIALIZED VIEW cgam")
     assert "2 group(s) recomputed" in r.status, r.status
+
+
+def test_right_join_mv_canonicalizes_to_anchor_path(jeng):
+    """RIGHT JOIN is the swapped LEFT join: shape analysis and the
+    refresh runners see the canonical orientation, so a RIGHT-written MV
+    refreshes through the anchor path keyed by the preserved side."""
+    rj = "SELECT t.id AS tid, u.id AS uid, grp, v, w FROM u RIGHT JOIN t ON t.id = u.id"
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW rjm AS {rj}")
+    assert "incremental-refresh" in r.status
+    jeng.execute("INSERT INTO u VALUES (4, 7)")     # t.4 gains first match
+    jeng.execute("DELETE FROM u WHERE id = 1")      # t.1 back to NULL-extended
+    jeng.execute("UPDATE t SET v = 77 WHERE id = 3")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW rjm")
+    assert "incremental-anchor-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM rjm").rows, key=repr) == sorted(
+        jeng.execute(rj).rows, key=repr
+    )
+    # grouped flavor over RIGHT JOIN
+    gr = ("SELECT grp, count(*) AS n, sum(w) AS sw "
+          "FROM u RIGHT JOIN t ON t.id = u.id GROUP BY grp")
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW rjg AS {gr}")
+    assert "incremental-refresh" in r.status
+    jeng.execute("UPDATE u SET w = 50 WHERE id = 2")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW rjg")
+    assert "incremental-agg-left-join" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM rjg").rows, key=repr) == sorted(
+        jeng.execute(gr).rows, key=repr
+    )
