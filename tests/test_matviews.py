@@ -1108,3 +1108,23 @@ def test_right_join_mv_canonicalizes_to_anchor_path(jeng):
     assert sorted(jeng.execute("SELECT * FROM rjg").rows, key=repr) == sorted(
         jeng.execute(gr).rows, key=repr
     )
+
+
+def test_anchor_join_mv_refresh_survives_rename_of_unreferenced_column(jeng):
+    """Same resilience contract as the grouped/SPJ paths: renaming a
+    column the anchor-join MV does not reference must not break REFRESH
+    (worst case it falls back to full recompute; the MV stays usable)."""
+    jeng.execute(
+        "CREATE MATERIALIZED VIEW rnm AS "
+        "SELECT t.id AS tid, u.id AS uid, v, w FROM t LEFT JOIN u ON t.id = u.id"
+    )
+    jeng.execute("ALTER TABLE t RENAME COLUMN grp TO category")
+    jeng.execute("INSERT INTO u VALUES (4, 7)")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW rnm")
+    assert "REFRESH MATERIALIZED VIEW rnm" in r.status
+    assert sorted(jeng.execute("SELECT * FROM rnm").rows, key=repr) == sorted(
+        jeng.execute(
+            "SELECT t.id AS tid, u.id AS uid, v, w FROM t LEFT JOIN u ON t.id = u.id"
+        ).rows,
+        key=repr,
+    )
