@@ -964,6 +964,18 @@ class MatviewStatements:
             **{k: mv[k] for k in ("sql", "deps", "columns", "base_version", "incremental")},
         }
         out["stale"] = mv["base_version"] < self.catalog.current_version()
+        # which refresh path the NEXT refresh would take, resolved against
+        # the current manifest (observability — an ALTER can silently
+        # change this, e.g. dropping a merge key demotes to "full")
+        try:
+            kind, _ = _choose_incremental_shape(
+                _canonicalize_mv_query(parse(mv["sql"])),
+                set(mv["deps"]),
+                self._manifest_for_read()["tables"],
+            )
+        except Exception:
+            kind = None
+        out["refresh_path"] = kind or "full"
         return out
 
 

@@ -1128,3 +1128,21 @@ def test_anchor_join_mv_refresh_survives_rename_of_unreferenced_column(jeng):
         ).rows,
         key=repr,
     )
+
+
+def test_get_matview_reports_refresh_path(jeng):
+    """Observability: get_matview names the refresh path the NEXT
+    refresh would take, resolved against the CURRENT manifest."""
+    jeng.execute(f"CREATE MATERIALIZED VIEW p1 AS {MV_DEF}")
+    assert jeng.get_matview("p1")["refresh_path"] == "grouped"
+    jeng.execute(f"CREATE MATERIALIZED VIEW p2 AS {JOIN_DEF}")
+    assert jeng.get_matview("p2")["refresh_path"] == "join"
+    jeng.execute(f"CREATE MATERIALIZED VIEW p3 AS {LJ_DEF}")
+    assert jeng.get_matview("p3")["refresh_path"] == "anchor_join"
+    jeng.execute(f"CREATE MATERIALIZED VIEW p4 AS {GA_DEF}")
+    assert jeng.get_matview("p4")["refresh_path"] == "grouped_anchor"
+    jeng.execute(
+        "CREATE MATERIALIZED VIEW p5 AS SELECT grp, sum(v) AS sv FROM t "
+        "GROUP BY ROLLUP (grp)"
+    )
+    assert jeng.get_matview("p5")["refresh_path"] == "full"
