@@ -93,11 +93,12 @@ def run_command(engine: Engine, line: str) -> str:
         if mv is not None:
             current = engine.catalog.current_version()
             stale = " STALE" if mv["base_version"] < current else ""
+            path = engine.get_matview(args[0])["refresh_path"]
             return (
                 f"CREATE MATERIALIZED VIEW {args[0]} AS {mv['sql']}\n"
                 f"-- columns: {', '.join(mv['columns'])}\n"
                 f"-- reads: {', '.join(mv['deps']) or '(none)'}\n"
-                f"-- refresh: {'incremental' if mv['incremental'] else 'full'}; "
+                f"-- refresh: {path}; "
                 f"as of v{mv['base_version']} (current v{current}){stale}"
             )
         view = (manifest.get("views") or {}).get(args[0])

@@ -1146,3 +1146,11 @@ def test_get_matview_reports_refresh_path(jeng):
         "GROUP BY ROLLUP (grp)"
     )
     assert jeng.get_matview("p5")["refresh_path"] == "full"
+
+
+def test_cli_table_shows_refresh_path(jeng):
+    from entangledb_spark.cli import run_command
+
+    jeng.execute(f"CREATE MATERIALIZED VIEW cp AS {LJ_DEF}")
+    out = run_command(jeng, "!table cp")
+    assert "-- refresh: anchor_join;" in out, out
