@@ -797,12 +797,16 @@ class MatviewStatements:
            manifest (groups they used to contribute to — an anchor
            UPDATEd into a different group must stale BOTH).
         3. RECOMPUTE — the stored query with the anchor scan semi-joined
-           (broadcast, null-safe) to the affected key VALUES. Because
-           every group key is an anchor column, that restriction is
-           EXACT: it admits all rows of every affected group and no row
-           of any other, so present groups are complete and no post-
-           filter is needed. LEFT joins run intact — NULL-extended rows
-           aggregate exactly as in a full recompute.
+           (broadcast, null-safe) to the affected values of the
+           ANCHOR-OWNED key columns. When every group key is an anchor
+           column that restriction is EXACT: it admits all rows of every
+           affected group and no row of any other. With mixed ownership
+           (some keys on a nullable side, which can restrict nothing)
+           it admits every group sharing an affected anchor-part — a
+           superset, trimmed by a tuple semi-join; groups present are
+           still complete, because a group's rows are included whenever
+           its anchor key-part is. LEFT joins run intact — NULL-extended
+           rows aggregate exactly as in a full recompute.
         4. MERGE — anti-join the old snapshot on the affected key tuples
            (null-safe; an emptied group disappears), union.
 
@@ -814,7 +818,11 @@ class MatviewStatements:
         if resolved is None:
             return None
         anchor, anchor_pk, key_cols = resolved
-        out_cols = [out for _, out in key_cols]
+        # merge key = ALL group columns; the anchor restriction uses only
+        # the anchor-owned subset (key_cols) — nullable-side keys can't
+        # restrict anything without breaking NULL-extension
+        out_cols = [out for _, _, out in j["key_fields"]]
+        exact_restriction = len(key_cols) == len(out_cols)
         names = [name for name, _ in j["tables"]]
         ch = {
             name: self.catalog.changes_df(
@@ -942,6 +950,15 @@ class MatviewStatements:
             return df
 
         recomputed = compile_statement(parsed, self.spark, refresh_reader)
+        if not exact_restriction:
+            # the anchor-owned key subset admits every group sharing an
+            # affected anchor-part (superset); trim to the affected
+            # tuples so untouched sibling groups are not rewritten
+            recomputed = recomputed.join(
+                F.broadcast(affected),
+                _nullsafe_on(recomputed, affected, out_cols, out_cols),
+                "left_semi",
+            )
         old_mv = self.spark.read.parquet(
             os.path.join(self.catalog.base, mv["data"])
         )
@@ -1461,9 +1478,11 @@ def _matview_grouped_anchor_shape(stmt, deps: set) -> Optional[dict]:
     LEFT/INNER chain> [WHERE ...] GROUP BY <plain columns>` with at
     least one LEFT join (all-INNER aggregates take the finer
     grouped_join path) and every group column present in the output.
-    Whether every group key is owned by the ANCHOR table — the condition
-    that makes anchor-side restriction exact — is resolved against the
-    CURRENT manifest at create/refresh time (_grouped_anchor_keys).
+    Whether the group keys support the refresh — at least one owned by
+    the ANCHOR table (the restriction handle; all-anchor ownership makes
+    it exact, mixed ownership a tuple-trimmed superset) — is resolved
+    against the CURRENT manifest at create/refresh time
+    (_grouped_anchor_keys).
 
     Returns {"tables": ((name, alias), ...), "key_fields", "has_left"}
     or None."""
@@ -1536,11 +1555,16 @@ def _matview_grouped_anchor_shape(stmt, deps: set) -> Optional[dict]:
 def _grouped_anchor_keys(tables: dict, j: dict):
     """Resolve a grouped-anchor MV's merge machinery against the CURRENT
     manifest: (anchor table name, anchor pk column, [(anchor column,
-    output alias), ...]) — or None when any joined table is gone/
-    external or any group key is NOT owned by the anchor (restricting a
-    non-preserved side by key values would break NULL-extension
-    semantics, so such MVs stay full-recompute). Bare fields resolve by
-    unique column ownership (same convention as _join_pk_outs)."""
+    output alias), ...] for the ANCHOR-OWNED subset of the group keys)
+    — or None when any joined table is gone/external, a key is
+    unresolvable/ambiguous, or NO group key is anchor-owned. Keys owned
+    by a nullable side cannot restrict anything (restricting that side
+    by key values would break NULL-extension semantics), so the refresh
+    restricts the anchor by its own key subset — a superset of the
+    affected groups, trimmed by a tuple semi-join — but at least one
+    anchor-owned key must exist for the restriction to bound cost at
+    all. Bare fields resolve by unique column ownership (same
+    convention as _join_pk_outs)."""
     cols = {}
     for name, alias in j["tables"]:
         t = tables.get(name)
@@ -1561,9 +1585,12 @@ def _grouped_anchor_keys(tables: dict, j: dict):
             ]
         else:
             owners = [tn for (tn, _ta), cs in cols.items() if fname in cs]
-        if len(owners) != 1 or owners[0] != anchor:
-            return None
-        key_cols.append((fname, falias))
+        if len(owners) != 1:
+            return None  # unknown or ambiguous — unusable as a key
+        if owners[0] == anchor:
+            key_cols.append((fname, falias))
+    if not key_cols:
+        return None
     return anchor, anchor_pk, key_cols
 
 

@@ -1154,3 +1154,88 @@ def test_cli_table_shows_refresh_path(jeng):
     jeng.execute(f"CREATE MATERIALIZED VIEW cp AS {LJ_DEF}")
     out = run_command(jeng, "!table cp")
     assert "-- refresh: anchor_join;" in out, out
+
+
+def test_grouped_anchor_mv_mixed_key_ownership(jeng):
+    """Round-11: group keys split across the anchor and the nullable
+    side. The anchor restricts by its own key subset (a superset of the
+    affected groups, trimmed by a tuple semi-join); NULL group keys from
+    NULL-extended rows merge null-safely."""
+    gm = (
+        "SELECT grp, w, count(*) AS n, sum(v) AS sv "
+        "FROM t LEFT JOIN u ON t.id = u.id GROUP BY grp, w"
+    )
+    r = jeng.execute(f"CREATE MATERIALIZED VIEW mx AS {gm}")
+    assert "incremental-refresh" in r.status
+
+    def fresh():
+        assert sorted(
+            jeng.execute("SELECT * FROM mx").rows, key=repr
+        ) == sorted(jeng.execute(gm).rows, key=repr)
+
+    fresh()
+    jeng.execute("INSERT INTO u VALUES (4, 3)")        # (NULL-grp, NULL-w) → (NULL, 3)
+    jeng.execute("UPDATE u SET w = 9 WHERE id = 1")    # (a,2) → (a,9)
+    jeng.execute("UPDATE t SET grp = 'b' WHERE id = 2")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW mx")
+    assert "incremental-agg-left-join" in r.status, r.status
+    fresh()
+    # sibling group untouched by the superset: insert a t row into a new
+    # group sharing NO anchor key-part with other groups, refresh, then
+    # change only u for a DIFFERENT anchor — the sibling must survive
+    jeng.execute("INSERT INTO t VALUES (40, 'solo', 1)")
+    jeng.execute("REFRESH MATERIALIZED VIEW mx")
+    jeng.execute("UPDATE u SET w = 12 WHERE id = 3")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW mx")
+    assert "incremental-agg-left-join" in r.status, r.status
+    fresh()
+
+
+def test_grouped_anchor_mv_mixed_keys_randomized(jeng):
+    """Randomized-DML equivalence for the mixed-ownership restriction."""
+    gm = (
+        "SELECT grp, w, count(*) AS n "
+        "FROM t LEFT JOIN u ON t.id = u.id GROUP BY grp, w"
+    )
+    rng = random.Random(59)
+    jeng.execute(f"CREATE MATERIALIZED VIEW mxr AS {gm}")
+    t_live, u_live = [1, 2, 3, 4], [1, 2, 3, 9]
+    nid = 900
+    for step in range(18):
+        op = rng.random()
+        if op < 0.25:
+            jeng.execute(
+                f"INSERT INTO t VALUES ({nid}, 'g{rng.randint(0,2)}', {rng.randint(0, 9)})"
+            )
+            t_live.append(nid)
+            nid += 1
+        elif op < 0.45:
+            rid = rng.randint(1, 8) if rng.random() < 0.6 else nid
+            if rid == nid:
+                nid += 1
+            if rid not in u_live:
+                jeng.execute(f"INSERT INTO u VALUES ({rid}, {rng.randint(1, 3)})")
+                u_live.append(rid)
+        elif op < 0.6 and u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"UPDATE u SET w = {rng.randint(1, 3)} WHERE id = {rid}")
+        elif op < 0.75 and t_live:
+            rid = rng.choice(t_live)
+            jeng.execute(f"UPDATE t SET grp = 'g{rng.randint(0,2)}' WHERE id = {rid}")
+        elif t_live and rng.random() < 0.5:
+            rid = rng.choice(t_live)
+            jeng.execute(f"DELETE FROM t WHERE id = {rid}")
+            t_live.remove(rid)
+        elif u_live:
+            rid = rng.choice(u_live)
+            jeng.execute(f"DELETE FROM u WHERE id = {rid}")
+            u_live.remove(rid)
+        if step % 6 == 5:
+            r = jeng.execute("REFRESH MATERIALIZED VIEW mxr")
+            assert (
+                "incremental-agg-left-join" in r.status
+                or "no base changes" in r.status
+            ), r.status
+            assert sorted(
+                jeng.execute("SELECT * FROM mxr").rows, key=repr
+            ) == sorted(jeng.execute(gm).rows, key=repr)
