@@ -789,12 +789,61 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
     - Correlated IN outside a WHERE conjunct is rejected with guidance
       (rewrite as EXISTS); correlated NOT IN likewise (its null-aware
       semantics need a per-group NULL probe).
+    - In an AGGREGATING outer query, a correlated subquery in a
+      POST-aggregation position (select list, HAVING, ORDER BY) rides
+      when every correlation key is itself a GROUP BY column: the
+      joined marker column is then functionally dependent on the group,
+      so it is appended to the GROUP BY as a rider — group granularity
+      is unchanged and the marker survives the aggregation. Keys outside
+      the GROUP BY (or outer-only correlated predicates, which make the
+      marker row-dependent) keep the clean rejection with guidance.
 
     Returns (rewritten stmt, joined df). Subqueries classified
     uncorrelated are left in place for _resolve_subqueries."""
     state = {"df": df, "n": 0}
+    group_riders: list[ast.Expr] = []
 
-    def scalar_marker(sub: ast.Subquery) -> ast.Expr:
+    def _resolved_group_strs():
+        """Resolved-column identities of the GROUP BY exprs (with the
+        SELECT-alias substitution compile_select will apply)."""
+        alias_of = {a: e for e, a in stmt.select if a is not None}
+        out = set()
+        for g in stmt.group_by:
+            if isinstance(g, ast.Field) and g.table is None and g.name in alias_of:
+                g = alias_of[g.name]
+            try:
+                out.add(str(compile_expr(g, scope.resolve, scope.dtype_of)))
+            except CompileError:
+                pass
+        return out
+
+    def _keys_are_grouped(keys, outer_only) -> bool:
+        """True iff the marker will be functionally dependent on the
+        group: every correlation key's outer side resolves to a GROUP BY
+        column, and no outer-only predicate makes the join row-dependent
+        beyond the keys."""
+        if outer_only or not keys:
+            return False
+        gstrs = _resolved_group_strs()
+        for _, outer_e in keys:
+            try:
+                s = str(compile_expr(outer_e, scope.resolve, scope.dtype_of))
+            except CompileError:
+                return False
+            if s not in gstrs:
+                return False
+        return True
+
+    def _post_agg_reject():
+        raise CompileError(
+            "in an aggregating query, a correlated subquery may "
+            "appear in the WHERE clause, inside an aggregate "
+            "function, or — when every correlation key is a GROUP BY "
+            "column — in the select list / HAVING / ORDER BY; for "
+            "other positions compute it in a derived table first"
+        )
+
+    def scalar_marker(sub: ast.Subquery, post_pos: bool = False) -> ast.Expr:
         info = _subquery_correlation(sub, scope, spark, read)
         if info is None:
             return sub  # uncorrelated → bounded fold
@@ -837,6 +886,8 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
                 "compute the count in its own subquery"
             )
         keys, outer_only = _split_corr_equalities(info, scope)
+        if post_pos and not _keys_are_grouped(keys, outer_only):
+            _post_agg_reject()
         inner_where: Optional[ast.Expr] = None
         for c in info["inner_conjs"]:
             inner_where = (
@@ -873,11 +924,16 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
             cond = F.lit(True)
         state["df"] = state["df"].join(aliased, cond, "left")
         ref = ast.Field(name="__scalar", table=marker)
-        if count_top:
-            return ast.FuncCall("coalesce", (ref, ast.Literal(0)))
-        return ref
+        out = (
+            ast.FuncCall("coalesce", (ref, ast.Literal(0))) if count_top else ref
+        )
+        if post_pos:
+            # post-aggregation position: the marker must survive the
+            # groupBy — ride it as a functionally-dependent group key
+            group_riders.append(out)
+        return out
 
-    def exists_marker(sub: ast.Subquery) -> ast.Expr:
+    def exists_marker(sub: ast.Subquery, post_pos: bool = False) -> ast.Expr:
         info = _subquery_correlation(sub, scope, spark, read)
         if info is None:
             return ast.Op("EXISTS", (sub,))  # uncorrelated → bounded fold
@@ -894,6 +950,8 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
                 "conjunct are not supported"
             )
         keys, outer_only = _split_corr_equalities(info, scope)
+        if post_pos and not _keys_are_grouped(keys, outer_only):
+            _post_agg_reject()
         inner_scope, inner_df = info["inner_scope"], info["inner_df"]
         inner_where = None
         for c in info["inner_conjs"]:
@@ -934,6 +992,8 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
         if cond is None:
             cond = F.lit(True)
         state["df"] = state["df"].join(aliased, cond, "left")
+        if post_pos:
+            group_riders.append(ast.Field(name="__flag", table=marker))
         # EXISTS ⇔ a flag row matched; NOT folds naturally around it
         return ast.Op(
             "NOT",
@@ -950,30 +1010,19 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
         ast.contains_aggregate(e) for e, _ in stmt.select
     )
 
-    def check_position(sub: ast.Subquery, pre_agg: bool, in_agg: bool):
-        if outer_is_agg and not pre_agg and not in_agg:
-            if _subquery_correlation(sub, scope, spark, read) is not None:
-                raise CompileError(
-                    "in an aggregating query, a correlated subquery may "
-                    "appear in the WHERE clause or inside an aggregate "
-                    "function — for other positions compute it in a "
-                    "derived table first"
-                )
-
     def rewrite(
         e: Optional[ast.Expr], pre_agg: bool = True, in_agg: bool = False
     ) -> Optional[ast.Expr]:
+        post_pos = outer_is_agg and not pre_agg and not in_agg
         if e is None:
             return None
         if isinstance(e, ast.Subquery):
-            check_position(e, pre_agg, in_agg)
-            return scalar_marker(e)
+            return scalar_marker(e, post_pos)
         if isinstance(e, ast.Op):
             if e.name == "EXISTS":
                 sub = e.args[0]
                 assert isinstance(sub, ast.Subquery)
-                check_position(sub, pre_agg, in_agg)
-                return exists_marker(sub)
+                return exists_marker(sub, post_pos)
             if e.name == "IN_SUBQ":
                 sub = e.args[1]
                 assert isinstance(sub, ast.Subquery)
@@ -1021,6 +1070,9 @@ def _decorrelate(stmt: ast.Select, df: DataFrame, scope: Scope, spark, read):
             for o in stmt.order_by
         ),
     )
+    if group_riders:
+        fresh = tuple(r for r in group_riders if r not in stmt.group_by)
+        stmt = dataclasses.replace(stmt, group_by=stmt.group_by + fresh)
     return stmt, state["df"]
 
 

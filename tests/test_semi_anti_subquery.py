@@ -277,8 +277,10 @@ def test_decorrelated_scalar_under_outer_aggregate(deng):
 def test_correlated_subquery_positions_in_aggregating_query(deng):
     """In an aggregating outer query the decorrelation marker lives on
     the pre-aggregation frame: WHERE and inside-an-aggregate positions
-    work; select-list/HAVING positions reject with guidance (previously
-    an internal 'unknown table __sqN' leaked)."""
+    work; select-list/HAVING positions whose correlation keys are NOT
+    group columns reject with guidance (previously an internal 'unknown
+    table __sqN' leaked). Grouped-key positions ride — see
+    test_post_aggregation_correlated_subqueries_match_duckdb."""
     from entangledb_spark.engine import EngineError
 
     got = sorted(
@@ -360,3 +362,45 @@ def test_merge_and_set_subqueries_fold(spark, tmp_path):
     r = e.execute("UPDATE t SET v = (SELECT max(v) FROM s) WHERE id = 2")
     assert r.status == "UPDATE 1"
     assert e.execute("SELECT v FROM t WHERE id = 2").rows == [(99,)]
+
+
+POST_AGG_PARITY_SQL = [
+    # correlated scalar in the select list of an aggregating query —
+    # the correlation key IS the group key, so the marker rides the
+    # GROUP BY as a functionally-dependent extra column
+    "SELECT ck, count(*) AS n, (SELECT sum(amt) FROM o WHERE o.ck = c.ck) AS t "
+    "FROM c GROUP BY ck",
+    # marker inside arithmetic, post-aggregation
+    "SELECT ck, count(*) AS n, (SELECT count(*) FROM o WHERE o.ck = c.ck) + 1 AS n1 "
+    "FROM c GROUP BY ck",
+    # correlated scalar in HAVING
+    "SELECT ck, count(*) AS n FROM c GROUP BY ck "
+    "HAVING count(*) >= (SELECT count(*) FROM o WHERE o.ck = c.ck)",
+    # EXISTS in the select list of an aggregating query
+    "SELECT ck, count(*) AS n, EXISTS (SELECT 1 FROM o WHERE o.ck = c.ck) AS h "
+    "FROM c GROUP BY ck",
+    # EXISTS inside OR in HAVING
+    "SELECT ck, count(*) AS n FROM c GROUP BY ck "
+    "HAVING count(*) > 1 OR EXISTS (SELECT 1 FROM o WHERE o.ck = c.ck AND amt > 8)",
+    # ORDER BY a correlated scalar over a group key
+    "SELECT ck, count(*) AS n FROM c GROUP BY ck "
+    "ORDER BY (SELECT count(*) FROM o WHERE o.ck = c.ck), ck",
+]
+
+
+def test_post_aggregation_correlated_subqueries_match_duckdb(deng):
+    """Round 11: when every correlation key is a GROUP BY column, a
+    correlated subquery may sit in the select list, HAVING, or ORDER BY
+    of an aggregating query — the marker joins pre-aggregation and rides
+    the GROUP BY as a functionally-dependent column (group granularity
+    unchanged). Exact-row parity with DuckDB on identical SQL."""
+    con = _duck()
+    try:
+        for sql in POST_AGG_PARITY_SQL:
+            got = sorted((tuple(r) for r in deng.execute(sql).rows), key=repr)
+            want = sorted(
+                (tuple(r) for r in con.execute(sql).fetchall()), key=repr
+            )
+            assert got == want, (sql, got, want)
+    finally:
+        con.close()
