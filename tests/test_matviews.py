@@ -1239,3 +1239,34 @@ def test_grouped_anchor_mv_mixed_keys_randomized(jeng):
             assert sorted(
                 jeng.execute("SELECT * FROM mxr").rows, key=repr
             ) == sorted(jeng.execute(gm).rows, key=repr)
+
+
+def test_anchor_join_mv_large_delta_falls_back_to_full(jeng, monkeypatch):
+    """Above MV_INCREMENTAL_MAX_GROUPS affected anchors, the anchor path
+    reroutes to full recompute (honestly labeled) rather than broadcast
+    an unbounded key set."""
+    from entangledb_spark.engine import Engine
+
+    jeng.execute(f"CREATE MATERIALIZED VIEW big AS {LJ_DEF}")
+    monkeypatch.setattr(Engine, "MV_INCREMENTAL_MAX_GROUPS", 1)
+    jeng.execute("INSERT INTO t VALUES (701,'q',1)")
+    jeng.execute("INSERT INTO t VALUES (702,'q',2)")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW big")
+    assert "(full" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM big").rows, key=repr) == sorted(
+        jeng.execute(LJ_DEF).rows, key=repr
+    )
+
+
+def test_grouped_anchor_mv_large_delta_falls_back_to_full(jeng, monkeypatch):
+    from entangledb_spark.engine import Engine
+
+    jeng.execute(f"CREATE MATERIALIZED VIEW bigg AS {GA_DEF}")
+    monkeypatch.setattr(Engine, "MV_INCREMENTAL_MAX_GROUPS", 1)
+    jeng.execute("INSERT INTO t VALUES (711,'q1',1)")
+    jeng.execute("INSERT INTO t VALUES (712,'q2',2)")
+    r = jeng.execute("REFRESH MATERIALIZED VIEW bigg")
+    assert "(full" in r.status, r.status
+    assert sorted(jeng.execute("SELECT * FROM bigg").rows, key=repr) == sorted(
+        jeng.execute(GA_DEF).rows, key=repr
+    )
