@@ -75,6 +75,7 @@ from entangledb_spark.operators.similarity import (
     ivf_centroids,
     lsh_bucket_codes,
 )
+from entangledb_spark.sources.parquet_io import _read_cached_schema
 
 # Ceiling on the per-probe LITERAL route of probe_ivfpq_index: each probe
 # folds an m x width ADC lookup table (plus, under by_residual, one table
@@ -91,6 +92,38 @@ PROBE_LITERAL_MAX = 32
 # the three indexes cannot drift on atomicity or exactly-once semantics.
 _write_meta = write_meta
 _read_meta = read_meta
+
+
+def _centroid_rows_local(path: str, spark: SparkSession):
+    """Centroid rows read ON THE DRIVER via pyarrow — no Spark job.
+
+    Every probe needs the saved centroids *collected to the driver* anyway
+    (they parameterize the literal assignment fold / ADC tables), so the
+    prior ``spark.read.parquet(...).collect()`` spent a full Spark job +
+    scheduler round-trip per probe to move data that ends up driver-local
+    regardless. The relation is bounded by n_cells (16 here; even 50k
+    cells × 768 dims is a few hundred MB — the same bytes collect()
+    shipped). Round-11 measurement: the IVF-PQ probe ran 2 such jobs per
+    rep (centroids for routing + centroids for ADC), each ~60-100 ms of
+    pure fixed cost at bench scale. Falls back to the Spark collect for
+    non-local filesystems (object stores), where pyarrow-on-driver may
+    not have credentials plumbed."""
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+        from pyspark.sql import Row
+
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        rows = []
+        for f in files:
+            for rec in _pq.read_table(f).to_pylist():
+                rows.append(Row(**rec))
+        return rows
+    except Exception:  # noqa: BLE001 — remote fs / layout surprises
+        return spark.read.parquet(path).collect()
 
 
 def _codes_path(index_dir: str, meta: dict) -> str:
@@ -185,7 +218,10 @@ def probe_lsh_index(
     corpus ids: a coincidental id collision would otherwise silently drop
     a true nearest neighbor."""
     meta = _read_meta(index_dir, "lsh")
-    idx = spark.read.parquet(os.path.join(index_dir, "buckets")).alias("n")
+    # cached-schema read: the index layout is immutable between commits
+    # (mtime-keyed), so repeated probes skip the per-plan schema-inference
+    # job (round-11: one such job per index dir per probe)
+    idx = _read_cached_schema(spark, os.path.join(index_dir, "buckets")).alias("n")
     # probe-side multi-probe (one-bit flips) — same expansion as the inline
     # path, applied to the tiny probe relation only; each extra bucket still
     # prunes to its own partition directory at the source
@@ -201,23 +237,32 @@ def probe_lsh_index(
     cond = (F.col("q.tbl") == F.col("n.tbl")) & (F.col("q.bucket") == F.col("n.bucket"))
     if exclude_self:
         cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
+    # round 11 (guide §2.3 "project before the exchange" / "aggregate
+    # before you shuffle"): score candidates in the join projection and
+    # dedup via groupBy instead of dropDuplicates on rows still carrying
+    # both embedding arrays. The multi-table duplicates of a (query,
+    # neighbor) pair are identical rows, so min(cos_sim) IS the score;
+    # partial aggregation collapses them map-side and the exchange moves
+    # (long, long, double) instead of two embedding vectors per row —
+    # at corpus scale the same candidate surfacing in several hash
+    # tables no longer ships its payload once per table.
     cands = (
         q.join(idx, cond)
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
-            F.col("q.embedding").alias("q_emb"),
-            F.col("n.embedding").alias("n_emb"),
+            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+                "cos_sim"
+            ),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cos_sim").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        cands.withColumn("cos_sim", r4(cosine_sim(F.col("q_emb"), F.col("n_emb"))))
-        .drop("q_emb", "n_emb")
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        cands.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -285,9 +330,9 @@ def probe_ivf_index(
     probe_lsh_index — pass False for external probe sets whose ids are
     unrelated to the indexed corpus ids."""
     _read_meta(index_dir, "ivf")
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cents = _centroid_rows_local(f"{index_dir}/centroids", spark)
     q = ivf_assign(probes, cents, nprobe=nprobe).alias("q")
-    n = spark.read.parquet(f"{index_dir}/cells").alias("n")
+    n = _read_cached_schema(spark, f"{index_dir}/cells").alias("n")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -607,7 +652,7 @@ def probe_ivfpq_index(
     meta = _read_meta(index_dir, "ivfpq")
     model = meta["pq_model"]
     by_residual = meta.get("by_residual", False)
-    cent_rows = spark.read.parquet(_cents_path(index_dir, meta)).collect()
+    cent_rows = _centroid_rows_local(_cents_path(index_dir, meta), spark)
     raw_cents = {
         int(r.cell): [float(x) for x in r.centroid] for r in cent_rows
     }
@@ -628,7 +673,7 @@ def probe_ivfpq_index(
         ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
         ent[1].append(int(r.cell))
     cells = sorted({int(r.cell) for r in qrows})
-    codes = spark.read.parquet(_codes_path(index_dir, meta)).filter(
+    codes = _read_cached_schema(spark, _codes_path(index_dir, meta)).filter(
         F.col("cell").isin(cells)
     )
     branches = []
@@ -679,10 +724,19 @@ def probe_ivfpq_index(
         F.col("_ark") <= shortlist
     )
     # the SHARED rerank expression (pq.exact_l2_case_sql) — the inline
-    # two-stage search and this index probe cannot diverge on the math
+    # two-stage search and this index probe cannot diverge on the math.
+    # BROADCAST the shortlist side (round 11, guide §3.1): it is bounded
+    # by |probes| × shortlist rows of (long, long, double) by
+    # construction — the literal route itself caps probes at
+    # PROBE_LITERAL_MAX — while ``rerank_with`` is the full corpus
+    # relation. Without the hint Catalyst has no size estimate for the
+    # windowed shortlist subtree and plans a sort-merge join that
+    # SHUFFLES the corpus embeddings by vec_id; with it the corpus side
+    # streams straight into a BroadcastHashJoin (no corpus exchange).
     rerank_rows = [(pid, pvec) for pid, (pvec, _) in sorted(by_pid.items())]
     exact = (
-        short.join(
+        F.broadcast(short)
+        .join(
             rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
             "neighbor_id",
         )
@@ -758,7 +812,7 @@ def probe_ivfpq_bulk(
     meta = _read_meta(index_dir, "ivfpq")
     model = meta["pq_model"]
     by_residual = meta.get("by_residual", False)
-    cent_rows = spark.read.parquet(_cents_path(index_dir, meta)).collect()
+    cent_rows = _centroid_rows_local(_cents_path(index_dir, meta), spark)
     assigned = ivf_assign(probes, cent_rows, nprobe=nprobe).select(
         F.col("vec_id").alias("query_id"), "embedding", "cell"
     )
@@ -792,7 +846,7 @@ def probe_ivfpq_bulk(
     else:
         q = adc_lut_arrow(q, model, "_pvec", "_luts")
     lutrel = q.select("query_id", "cell", "_luts")
-    codes = spark.read.parquet(_codes_path(index_dir, meta)).filter(
+    codes = _read_cached_schema(spark, _codes_path(index_dir, meta)).filter(
         F.col("cell").isin(cells)
     )
     scored = codes.join(F.broadcast(lutrel), "cell").select(

@@ -280,14 +280,19 @@ def ann_lsh_indexed(
     from entangledb_spark.operators.ann_index import build_lsh_index, probe_lsh_index
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
-    e = repartition_for_cpu(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
-    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = _LSH_INDEX_CACHE.get((sf_dir, sign))
     if idx is None:
         idx = tempfile.mkdtemp(prefix="entangledb-lsh-index-")
-        build_lsh_index(e, idx, sign=sign)
+        # the BUILD is the corpus-wide CPU pass — spread it across cores;
+        # the probe side below never needs that shuffle
+        build_lsh_index(repartition_for_cpu(e, spark), idx, sign=sign)
         _LSH_INDEX_CACHE[(sf_dir, sign)] = idx
+    # probe relation from the RAW scan: vec_id < 20 reaches the parquet
+    # reader as a PushedFilter, so a probe reads ~20 rows instead of
+    # round-robin-shuffling the whole corpus first (round 11 — the old
+    # probe lineage went through repartition_for_cpu; at 100 TB that is
+    # a full-corpus exchange to extract a handful of probe vectors)
     return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
 
@@ -312,13 +317,16 @@ def ann_ivf_indexed(
     from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
-    e = repartition_for_cpu(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
-    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = _IVF_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
         idx = tempfile.mkdtemp(prefix="entangledb-ivf-index-")
-        build_ivf_index(e, idx, n_cells=N_IVF_CELLS, cell_base=cell_base)
+        # build = corpus-wide assignment pass → spread across cores; the
+        # probe path reads ~20 rows via the pushed vec_id filter instead
+        # (see ann_lsh_indexed)
+        build_ivf_index(
+            repartition_for_cpu(e, spark), idx, n_cells=N_IVF_CELLS, cell_base=cell_base
+        )
         _IVF_INDEX_CACHE[(sf_dir, cell_base)] = idx
     return probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
 
@@ -349,24 +357,28 @@ def ann_ivfpq_indexed(
     )
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
-    e = repartition_for_cpu(
-        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), spark
-    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # cast to double BEFORE squaring so the norm is the double-precision
     # fold the DuckDB oracle re-derives bit-identically (squaring the raw
     # float32 elements would round each square to float32 first — a
     # ~1e-8 relative divergence that the q71 gate's raw-distance rank
     # ordering cannot tolerate; r4-rounded outputs never saw it)
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    unit = e.select(
-        "vec_id",
-        F.transform(emb_d, lambda x: x / norm(emb_d)).alias("embedding"),
-    )
+
+    def _unit(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.transform(emb_d, lambda x: x / norm(emb_d)).alias("embedding"),
+        )
+
     idx = _IVFPQ_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
+        from entangledb_spark.operators.dedup import repartition_for_cpu
+
         idx = tempfile.mkdtemp(prefix="entangledb-ivfpq-index-")
+        # build normalizes + encodes the WHOLE corpus → spread across cores
         build_ivfpq_index(
-            unit,
+            _unit(repartition_for_cpu(e, spark)),
             idx,
             n_cells=N_IVF_CELLS,
             m=4,
@@ -375,14 +387,22 @@ def ann_ivfpq_indexed(
             cell_base=cell_base,
         )
         _IVFPQ_INDEX_CACHE[(sf_dir, cell_base)] = idx
+    # probe + rerank sides normalize per row, so filter-then-normalize is
+    # row-identical to the old normalize-then-filter; both now read the
+    # RAW scan (probe: PushedFilter vec_id < 20; rerank: the shortlist
+    # join bounds what is evaluated) instead of a full-corpus round-robin
+    # exchange per probe. n_probes=20 is the route hint (the probe set is
+    # vec_id < 20 by construction): route=auto's bounded take() job is
+    # skipped — the hint only selects the route, results are identical.
     hits = probe_ivfpq_index(
         spark,
         idx,
-        unit.filter(F.col("vec_id") < 20),
+        _unit(e.filter(F.col("vec_id") < 20)),
         k=5,
         nprobe=2,
-        rerank_with=unit,
+        rerank_with=_unit(e),
         shortlist=shortlist,
+        n_probes=20,
     )
     return hits.select(
         "query_id",

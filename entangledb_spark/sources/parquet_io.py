@@ -30,14 +30,47 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 # (abspath, mtime_ns) -> list of ns-timestamp column names (footer memo)
 _NS_COLS_CACHE: dict[tuple[str, int], list[str]] = {}
 
+# (abspath, mtime_ns) -> Spark StructType, as INFERRED BY SPARK ITSELF on
+# the first read of that (path, version). `spark.read.parquet(path)` runs
+# a one-task schema-inference JOB on the driver at plan time; round-11
+# profiling showed q17's rep spending 6 of its 13 jobs on exactly this
+# (one per fixture table, ~30-80 ms each, every rep). Supplying the
+# previously-inferred schema via `spark.read.schema(s).parquet(path)`
+# skips that job with zero type-drift risk — the cached schema IS what
+# Spark inferred for those bytes (this is schema/catalog metadata, the
+# thing a real engine keeps in its catalog, not result caching; contents
+# are still scanned from parquet on every query). Keyed by mtime_ns so a
+# rewritten file/dir re-infers (Spark writes refresh the root _SUCCESS /
+# directory mtime).
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _mtime_key(path: str) -> tuple[str, int] | None:
+    try:
+        return (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return None
+
+
+def _read_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    key = _mtime_key(path)
+    if key is None:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def read_parquet_any(spark: SparkSession, path: str) -> DataFrame:
     """Native parquet scan; ns-timestamp files go through the one-time
     distributed µs conversion described in the module docstring."""
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    return spark.read.parquet(_ensure_us_copy(spark, path, ns_cols))
+        return _read_cached_schema(spark, path)
+    return _read_cached_schema(spark, _ensure_us_copy(spark, path, ns_cols))
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:

@@ -507,6 +507,10 @@ def test_route_hint_skips_the_count_job_and_stays_correct(spark, tmp_path):
             sc.setJobGroup(None, None)
         return len(sc.statusTracker().getJobIdsForGroup(group))
 
+    # warm once so the round-11 schema cache (parquet_io._SCHEMA_CACHE:
+    # the first read of the codes dir pays a one-off schema-inference job,
+    # later reads don't) can't skew the per-route job accounting below
+    probe_ivfpq_index(spark, d, probes, k=3, n_probes=3).collect()
     n_hint = jobs_for(
         "hint-route",
         lambda: probe_ivfpq_index(spark, d, probes, k=3, n_probes=3).collect(),
