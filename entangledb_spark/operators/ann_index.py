@@ -251,7 +251,7 @@ def probe_lsh_index(
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
-            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+            r4(cosine_sim("q.embedding", "n.embedding")).alias(
                 "cos_sim"
             ),
         )
@@ -345,7 +345,7 @@ def probe_ivf_index(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
             F.col("q.cell").alias("cell"),
-            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+            r4(cosine_sim("q.embedding", "n.embedding")).alias(
                 "cos_sim"
             ),
         )

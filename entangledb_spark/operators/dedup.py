@@ -26,10 +26,15 @@ banded path against ground truth.
 
 from __future__ import annotations
 
+import os
+import re
+import urllib.parse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entangledb_spark.operators.text import fingerprint
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
@@ -243,7 +248,7 @@ def q61_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     va = e.filter(F.col("vec_id") % 10 == 0).alias("va")
     vb = e.alias("vb")
-    cos_raw = cosine_sim(F.col("va.embedding"), F.col("vb.embedding"))
+    cos_raw = cosine_sim("va.embedding", "vb.embedding")
     cos = (
         va.join(vb, F.col("va.vec_id") < F.col("vb.vec_id"))
         .withColumn("cos_sim_raw", cos_raw)
@@ -276,6 +281,7 @@ def _md5_30bit(s):
     )
 
 
+@expr_template
 def _shingle_hash_expr(base: str = "xxhash64"):
     """30-bit shingle-hash array over a `_toks` column: one hash per
     SHINGLE_N-token window, short docs fall back to a single whole-text
@@ -333,6 +339,24 @@ def shingle_hash_sets(
     )
 
 
+@expr_template
+def _minhash_sig_expr():
+    """Template: the MINHASH_PERMS permutation-minima array over `_base`
+    (one array_min(transform(...)) per permutation — ~700 ms of py4j
+    round-trips to construct; identical every build, so built once)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_base"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P),
+                )
+            )
+            for a, b in _MINHASH_AB
+        ]
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -354,14 +378,7 @@ def minhash_signature(
     """
     toks = word_tokens(F.col(text_col))
     base = _shingle_hash_expr(base)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_base"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
-            )
-            for a, b in _MINHASH_AB
-        ]
-    )
+    sig = _minhash_sig_expr()
     out = (
         df.withColumn("_toks", toks)
         .withColumn("_base", base)
@@ -481,6 +498,17 @@ def minhash_gate_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    m = re.fullmatch(r"(\d+)\s*([a-z]*)", conf_value.strip().lower())
+    if not m:
+        return 0
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40,
+            "tb": 1 << 40}.get(m.group(2), 1)
+    return int(m.group(1)) * mult
+
+
 def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread rows across cores before a CPU-heavy narrow map.
 
@@ -490,11 +518,82 @@ def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     the cluster (partitions < cores): at 100 TB inputs already have
     thousands of partitions, so the guard is a TRUE no-op there — an
     unconditional repartition would re-shuffle the whole corpus just to
-    change partition count."""
+    change partition count.
+
+    The narrowness test is driver-side arithmetic over the scan's file
+    sizes: a parquet scan of B total bytes yields at least
+    B / maxPartitionBytes partitions (splits are capped at
+    maxPartitionBytes), so B >= cores * maxPartitionBytes guarantees the
+    scan is already at least cores wide. The previous implementation asked
+    the live plan via ``df.rdd.getNumPartitions()``, which forces a full
+    RDD-conversion planning pass — profiled at ~140 ms of driver time per
+    call, ~15 calls per bench suite, all to learn a number the file
+    listing already determines."""
     cores = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plan: fall back to the live probe
+        files = []
+    if files:
+        total = 0
+        for uri in files:
+            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path) or uri
+            try:
+                total += os.stat(p).st_size
+            except OSError:
+                total = -1  # remote/unstattable: use the live probe
+                break
+        if total >= 0:
+            max_split = _size_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            )
+            if max_split > 0 and total >= cores * max_split:
+                return df
+            return df.repartition(cores)
     if df.rdd.getNumPartitions() >= cores:
         return df
     return df.repartition(cores)
+
+
+@expr_template
+def _band_structs(base: str):
+    """Template: the LSH_BANDS (band_idx, band_hash) struct array over
+    `minhash`. Production compresses the band string to one xxhash64
+    (smaller shuffle keys, same equality); the md5 twin keeps the raw
+    string so DuckDB joins on the identical key."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+    def band_key(b):
+        raw = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return raw if base == "md5" else F.xxhash64(raw)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(b.alias("band_idx"), band_key(b).alias("band_hash")),
+    )
+
+
+@expr_template
+def _est_jaccard_expr():
+    """Template: estimated Jaccard = matching signature-component fraction
+    between the aliased join sides a/b."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
+                ),
+                lambda m: m,
+            )
+        ).cast("double")
+        / MINHASH_PERMS
+    )
 
 
 def minhash_lsh_pairs(
@@ -552,46 +651,14 @@ def minhash_lsh_pairs(
         .select("doc_id", "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rows_per_band = MINHASH_PERMS // LSH_BANDS
-
-    def band_key(b):
-        raw = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-        )
-        # production compresses the band string to one xxhash64 (smaller
-        # shuffle keys, same equality); the md5 twin keeps the raw string
-        # so DuckDB joins on the identical key
-        return raw if base == "md5" else F.xxhash64(raw)
-
     bands = sig.select(
         "doc_id",
         "minhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"), band_key(b).alias("band_hash")
-                ),
-            )
-        ).alias("band"),
+        F.explode(_band_structs(base)).alias("band"),
     ).select("doc_id", "minhash", "band.band_idx", "band.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y
-                ),
-                lambda m: m,
-            )
-        ).cast("double")
-        / MINHASH_PERMS
-    )
+    est = _est_jaccard_expr()
     cand = (
         a.join(
             b,

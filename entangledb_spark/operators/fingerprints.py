@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.operators.text import normalize_text
 
 # k must be large enough that a matching k-gram means COPIED TEXT, not
@@ -59,9 +60,12 @@ def _let(bound: Column, body) -> Column:
     return F.transform(F.array(bound), body)[0]
 
 
-def winnow_expr(text: Column, k: int = K_GRAM, window: int = WINDOW) -> Column:
+@expr_template
+def winnow_expr(text: Column | str, k: int = K_GRAM, window: int = WINDOW) -> Column:
     """DISTINCT winnowed fingerprints of ``text`` as an array<string>
-    column — one narrow expression, no shuffle, no UDF.
+    column — one narrow expression, no shuffle, no UDF. ``text`` may be a
+    column NAME (preferred — the ~230-round-trip template is then memoized
+    per (name, k, window)) or a live Column.
 
     Grams are md5(hex) of the k-char substrings of the normalized text;
     each length-``window`` run of consecutive gram hashes contributes its
@@ -289,7 +293,7 @@ def winnow_fingerprints(
     return docs.select(
         F.col(id_col),
         F.greatest(F.length(s) - F.lit(k - 1), F.lit(0)).cast("long").alias("n_grams"),
-        winnow_expr(F.col(text_col), k, window).alias("fps"),
+        winnow_expr(text_col, k, window).alias("fps"),
     ).withColumn("n_fps", F.size("fps").cast("long"))
 
 

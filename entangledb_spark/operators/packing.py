@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.operators.text import TOKEN_RE, knuth_bucket
 from entangledb_spark.registry import query, table
 
@@ -56,18 +57,25 @@ def _windows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     Same narrow flatMap shape as q55_text_chunking: output volume is
     corpus_tokens / span_tokens rows regardless of document-length skew.
     """
-    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
-    n_chunks = F.ceil(F.size("_toks") / float(span_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * span_tokens + 1, span_tokens)),
-    )
+    toks, chunks = _window_templates(span_tokens)
     return (
         docs.withColumn("_toks", toks)
         .filter(F.size("_toks") > 0)
         .select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
         .withColumn("h", F.md5(F.lower(F.col("chunk"))))
     )
+
+
+@expr_template
+def _window_templates(span_tokens: int) -> tuple:
+    """Templates for _windows' tokenizer + fixed-token chunk transform."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    n_chunks = F.ceil(F.size("_toks") / float(span_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * span_tokens + 1, span_tokens)),
+    )
+    return toks, chunks
 
 
 def _mark_duplicates(
@@ -207,19 +215,22 @@ def dedup_spans(
     marked = _mark_duplicates(
         _windows(docs, span_tokens), min_count, hot_span_cap, order_col="idx"
     )
+    return marked.groupBy("doc_id").agg(*_dedup_spans_aggs())
+
+
+@expr_template
+def _dedup_spans_aggs() -> tuple:
+    """Templates for dedup_spans' per-document rollup aggregates."""
     kept = F.filter(
         F.sort_array(F.collect_list(F.struct("idx", "chunk", "keep"))),
         lambda s: s["keep"],
     )
     return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
-            F.array_join(
-                F.transform(kept, lambda s: s["chunk"]), " "
-            ).alias("cleaned_text"),
-        )
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["chunk"]), " ").alias(
+            "cleaned_text"
+        ),
     )
 
 
@@ -242,6 +253,17 @@ def _sliding_windows(docs: DataFrame, window_tokens: int) -> DataFrame:
     and entirely skew-free below the boilerplate caveat in
     _mark_duplicates. The window text itself never leaves the map side.
     """
+    toks, wins = _sliding_window_templates(window_tokens)
+    return (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") >= window_tokens)
+        .select("doc_id", F.posexplode(wins).alias("pos", "h"))
+    )
+
+
+@expr_template
+def _sliding_window_templates(window_tokens: int) -> tuple:
+    """Templates for _sliding_windows' tokenizer + stride-1 hash array."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
     wins = F.transform(
         F.sequence(F.lit(0), F.size("_toks") - window_tokens),
@@ -249,11 +271,7 @@ def _sliding_windows(docs: DataFrame, window_tokens: int) -> DataFrame:
             F.lower(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, window_tokens)))
         ),
     )
-    return (
-        docs.withColumn("_toks", toks)
-        .filter(F.size("_toks") >= window_tokens)
-        .select("doc_id", F.posexplode(wins).alias("pos", "h"))
-    )
+    return toks, wins
 
 
 def duplicate_substring_spans(
@@ -567,6 +585,26 @@ def span_family_stats(
         (is_ss.cast("int") * 2 + is_ct.cast("int")).alias("mask"),
     ).filter(F.col("mask") > 0)
 
+    brk_cols, isl_cols, pairs_col, span_aggs, doc_aggs = _family_templates(
+        window_tokens
+    )
+    step = fam.select("doc_id", "pos", "mask", *brk_cols).select(
+        "doc_id", "pos", "mask", *isl_cols
+    )
+    pairs = step.select("doc_id", "pos", pairs_col)
+    spans = (
+        pairs.groupBy("doc_id", F.col("fi.fam").alias("fam"), F.col("fi.island").alias("island"))
+        .agg(*span_aggs)
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+    )
+    return spans.groupBy("doc_id").agg(*doc_aggs)
+
+
+@expr_template
+def _family_templates(window_tokens: int) -> tuple:
+    """Templates for span_family_stats' islands/pairs/rollup expressions
+    (pure of ``window_tokens``; the bench_pred-dependent mask select stays
+    inline in the caller)."""
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prevw = wd.rowsBetween(Window.unboundedPreceding, -1)
     runw = wd.rowsBetween(Window.unboundedPreceding, 0)
@@ -579,52 +617,36 @@ def span_family_stats(
             flag & (prev.isNull() | (F.col("pos") - prev > window_tokens)), 1
         ).otherwise(0)
 
-    step = fam.select(
-        "doc_id",
-        "pos",
-        "mask",
-        _brk(ss_flag).alias("brk_ss"),
-        _brk(ct_flag).alias("brk_ct"),
-    ).select(
-        "doc_id",
-        "pos",
-        "mask",
+    brk_cols = (_brk(ss_flag).alias("brk_ss"), _brk(ct_flag).alias("brk_ct"))
+    isl_cols = (
         F.sum("brk_ss").over(runw).alias("isl_ss"),
         F.sum("brk_ct").over(runw).alias("isl_ct"),
     )
-    pairs = step.select(
-        "doc_id",
-        "pos",
-        F.explode(
-            F.array_compact(
-                F.array(
-                    F.when(
-                        ss_flag,
-                        F.struct(
-                            F.lit("ss").alias("fam"), F.col("isl_ss").alias("island")
-                        ),
+    pairs_col = F.explode(
+        F.array_compact(
+            F.array(
+                F.when(
+                    ss_flag,
+                    F.struct(
+                        F.lit("ss").alias("fam"), F.col("isl_ss").alias("island")
                     ),
-                    F.when(
-                        ct_flag,
-                        F.struct(
-                            F.lit("ct").alias("fam"), F.col("isl_ct").alias("island")
-                        ),
+                ),
+                F.when(
+                    ct_flag,
+                    F.struct(
+                        F.lit("ct").alias("fam"), F.col("isl_ct").alias("island")
                     ),
-                )
+                ),
             )
-        ).alias("fi"),
-    )
-    spans = (
-        pairs.groupBy("doc_id", F.col("fi.fam").alias("fam"), F.col("fi.island").alias("island"))
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + window_tokens - 1).cast("long").alias("span_end"),
         )
-        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+    ).alias("fi")
+    span_aggs = (
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + window_tokens - 1).cast("long").alias("span_end"),
     )
     ss_c = F.col("fam") == "ss"
     ct_c = F.col("fam") == "ct"
-    return spans.groupBy("doc_id").agg(
+    doc_aggs = (
         F.count(F.when(ss_c, 1)).cast("long").alias("ss_n_spans"),
         F.coalesce(F.sum(F.when(ss_c, F.col("span_len"))), F.lit(0))
         .cast("long")
@@ -640,6 +662,7 @@ def span_family_stats(
             F.when(ct_c, F.struct(F.col("span_start"), F.col("span_end")))
         ).alias("ct_spans"),
     )
+    return brk_cols, isl_cols, pairs_col, span_aggs, doc_aggs
 
 
 def clean_corpus(
@@ -1134,38 +1157,45 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     is_bench = F.col("doc_id") % 37 == 0
     stats = span_family_stats(docs, is_bench)
-    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
-    empty_spans = F.array().cast(
-        "array<struct<span_start:bigint,span_end:bigint>>"
-    )
+    toks_col, spans_col, final_cols = _q93_final_templates()
     return (
         dedup_spans(docs)
         .join(stats, "doc_id", "left")
         .join(docs.select("doc_id", "text"), "doc_id", "left")
-        .withColumn("_toks", toks)
-        .withColumn("_spans", F.coalesce(F.col("ct_spans"), empty_spans))
-        .select(
-            "doc_id",
-            "n_spans",
-            "n_removed",
-            "cleaned_text",
-            F.coalesce("ss_n_spans", F.lit(0).cast("long")).alias("ss_n_spans"),
-            F.coalesce("ss_removed_tokens", F.lit(0).cast("long")).alias(
-                "ss_removed_tokens"
-            ),
-            F.coalesce("ss_max_span", F.lit(0).cast("long")).alias(
-                "ss_max_span"
-            ),
-            F.coalesce("ct_n_spans", F.lit(0).cast("long")).alias("ct_n_spans"),
-            F.coalesce("ct_removed_tokens", F.lit(0).cast("long")).alias(
-                "ct_removed_tokens"
-            ),
-            F.array_join(
-                F.transform(_kept_tokens(F.col("_toks"), F.col("_spans")), lambda s: s["t"]),
-                " ",
-            ).alias("ct_cleaned_text"),
-        )
+        .withColumn("_toks", toks_col)
+        .withColumn("_spans", spans_col)
+        .select(*final_cols)
     )
+
+
+@expr_template
+def _q93_final_templates() -> tuple:
+    """Templates for q93's final projection (incl. the _kept_tokens HOF)."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    empty_spans = F.array().cast(
+        "array<struct<span_start:bigint,span_end:bigint>>"
+    )
+    spans_col = F.coalesce(F.col("ct_spans"), empty_spans)
+    final_cols = (
+        "doc_id",
+        "n_spans",
+        "n_removed",
+        "cleaned_text",
+        F.coalesce("ss_n_spans", F.lit(0).cast("long")).alias("ss_n_spans"),
+        F.coalesce("ss_removed_tokens", F.lit(0).cast("long")).alias(
+            "ss_removed_tokens"
+        ),
+        F.coalesce("ss_max_span", F.lit(0).cast("long")).alias("ss_max_span"),
+        F.coalesce("ct_n_spans", F.lit(0).cast("long")).alias("ct_n_spans"),
+        F.coalesce("ct_removed_tokens", F.lit(0).cast("long")).alias(
+            "ct_removed_tokens"
+        ),
+        F.array_join(
+            F.transform(_kept_tokens(F.col("_toks"), F.col("_spans")), lambda s: s["t"]),
+            " ",
+        ).alias("ct_cleaned_text"),
+    )
+    return toks, spans_col, final_cols
 
 
 @query(

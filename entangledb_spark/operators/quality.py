@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
@@ -151,12 +152,26 @@ def repetition_metrics(
     - dup_trigram_char_frac: characters covered by word 3-grams occurring
       more than once / total 3-gram characters.
     """
+    d_cols, rolled_cols, out_cols, flag = _repetition_templates(text_col, id_col)
+    return (
+        docs.select(*d_cols)
+        .select(*rolled_cols)
+        .select(*out_cols)
+        .withColumn("repetition_flagged", flag)
+    )
+
+
+@expr_template
+def _repetition_templates(text_col: str, id_col: str) -> tuple:
+    """Templates for repetition_metrics' three projections + flag —
+    ~1,000 py4j round-trips of pure HOF-fold construction, built once
+    per (text_col, id_col)."""
     # NULL text behaves as the empty document: without the coalesce the
     # tagged-array concat below is NULL and explode(NULL) emits no rows,
     # silently dropping the doc from the output (and from the oracle
     # comparison).
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    d = docs.select(
+    d_cols = (
         F.col(id_col).alias("doc_id"),
         F.filter(
             F.transform(F.split(txt, "\n"), lambda l: F.trim(l)),
@@ -182,7 +197,7 @@ def repetition_metrics(
         # chars covered by a gram occurrence = its letters (spaces excluded)
         return F.length(F.regexp_replace(x, " ", "")).cast("long")
 
-    rolled = d.select(
+    rolled_cols = (
         "doc_id",
         F.size("lines").cast("long").alias("n_lines"),
         F.size(F.array_distinct("lines")).cast("long").alias("n_distinct_lines"),
@@ -200,7 +215,7 @@ def repetition_metrics(
         ).alias("trigram_chars"),
     )
 
-    out = rolled.select(
+    out_cols = (
         "doc_id",
         "n_lines",
         F.when(
@@ -229,13 +244,13 @@ def repetition_metrics(
             / F.greatest(F.col("trigram_chars"), F.lit(1)).cast("double")
         ).alias("dup_trigram_char_frac"),
     )
-    return out.withColumn(
-        "repetition_flagged",
+    flag = (
         (F.col("dup_line_frac") > DUP_LINE_FRAC_MAX)
         | (F.col("dup_line_char_frac") > DUP_LINE_CHAR_FRAC_MAX)
         | (F.col("top_bigram_char_frac") > TOP_BIGRAM_CHAR_FRAC_MAX)
-        | (F.col("dup_trigram_char_frac") > DUP_TRIGRAM_CHAR_FRAC_MAX),
+        | (F.col("dup_trigram_char_frac") > DUP_TRIGRAM_CHAR_FRAC_MAX)
     )
+    return d_cols, rolled_cols, out_cols, flag
 
 
 def contamination(

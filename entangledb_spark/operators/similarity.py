@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4, r6
 from entangledb_spark.operators.text import knuth_key_sql as _knuth_key_sql
 from entangledb_spark.registry import query, table
@@ -41,9 +42,16 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
+@expr_template
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity between two float-array columns (cast to double
-    element-wise first so accumulation matches the DuckDB oracle)."""
+    element-wise first so accumulation matches the DuckDB oracle).
+    Accepts column NAMES (template memoized — the fold is ~150 py4j
+    round-trips to construct) or live Columns."""
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     return dot(ad, bd) / (norm(ad) * norm(bd))
@@ -89,7 +97,7 @@ def q70_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
-            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias(
+            r4(cosine_sim("q.embedding", "n.embedding")).alias(
                 "cos_sim"
             ),
         )
@@ -154,6 +162,24 @@ def srp_bucket(
     )
 
 
+@expr_template
+def _bucket_array(n_tables: int, n_planes: int, sign: str) -> Column:
+    """Template: per-table (tbl, bucket) struct array over `embedding` —
+    ~1,400 py4j round-trips to build (srp_bucket's nested HOFs × tables),
+    identical every time, so it is built once per process (exprmemo)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                srp_bucket(
+                    F.col("embedding"), n_planes=n_planes, table_seed=t, sign=sign
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_bucket_codes(
     df: DataFrame,
     n_tables: int = N_LSH_TABLES,
@@ -166,17 +192,7 @@ def lsh_bucket_codes(
     builder (operators/ann_index.py) so the hash family can never diverge
     between them. ``sign`` = "md5" swaps in the DuckDB-derivable plane
     family for the q73 gate twin (srp_bucket)."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                srp_bucket(
-                    F.col("embedding"), n_planes=n_planes, table_seed=t, sign=sign
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
+    buckets = _bucket_array(n_tables, n_planes, sign)
     return df.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
         "vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
@@ -197,16 +213,19 @@ def expand_multiprobe(
     index."""
     if n_flips <= 0:
         return codes
+    return codes.withColumn("bucket", F.explode(_flips_array(n_planes, n_flips)))
+
+
+@expr_template
+def _flips_array(n_planes: int, n_flips: int) -> Column:
+    """Template: the Hamming-ball bucket-flip array over `bucket`."""
     from itertools import combinations
 
     masks = [0]
     for r in range(1, n_flips + 1):
         for bits in combinations(range(n_planes), r):
             masks.append(sum(1 << b for b in bits))
-    flips = F.array(
-        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
-    )
-    return codes.withColumn("bucket", F.explode(flips))
+    return F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
 
 
 def ann_lsh_bucketed(
@@ -249,7 +268,7 @@ def ann_lsh_bucketed(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
-        cands.withColumn("cos_sim", r4(cosine_sim(F.col("q_emb"), F.col("n_emb"))))
+        cands.withColumn("cos_sim", r4(cosine_sim("q_emb", "n_emb")))
         .drop("q_emb", "n_emb")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
@@ -334,6 +353,18 @@ def ann_ivf_indexed(
 _IVFPQ_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
+@expr_template
+def _unit_embedding_expr() -> Column:
+    """Template: unit-normalize the `embedding` float array. Cast to
+    double BEFORE squaring so the norm is the double-precision fold the
+    DuckDB oracle re-derives bit-identically (squaring the raw float32
+    elements would round each square to float32 first — a ~1e-8 relative
+    divergence that the q71 gate's raw-distance rank ordering cannot
+    tolerate; r4-rounded outputs never saw it)."""
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return F.transform(emb_d, lambda x: x / norm(emb_d))
+
+
 def ann_ivfpq_indexed(
     spark: SparkSession,
     sf_dir: str,
@@ -358,18 +389,9 @@ def ann_ivfpq_indexed(
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cast to double BEFORE squaring so the norm is the double-precision
-    # fold the DuckDB oracle re-derives bit-identically (squaring the raw
-    # float32 elements would round each square to float32 first — a
-    # ~1e-8 relative divergence that the q71 gate's raw-distance rank
-    # ordering cannot tolerate; r4-rounded outputs never saw it)
-    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def _unit(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            F.transform(emb_d, lambda x: x / norm(emb_d)).alias("embedding"),
-        )
+        return df.select("vec_id", _unit_embedding_expr().alias("embedding"))
 
     idx = _IVFPQ_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
@@ -660,7 +682,7 @@ def ann_ivf(
             F.col("q.vec_id").alias("query_id"),
             F.col("n.vec_id").alias("neighbor_id"),
             F.col("q.cell").alias("cell"),
-            r4(cosine_sim(F.col("q.embedding"), F.col("n.embedding"))).alias("cos_sim"),
+            r4(cosine_sim("q.embedding", "n.embedding")).alias("cos_sim"),
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
@@ -1445,7 +1467,7 @@ def embedding_near_dup_pairs(
             # but the dedup exchange then carries only (id, id, double)
             # instead of two full embedding arrays per candidate — at
             # corpus scale shuffle bytes dominate re-computed CPU
-            r4(cosine_sim(F.col("a.embedding"), F.col("b.embedding"))).alias(
+            r4(cosine_sim("a.embedding", "b.embedding")).alias(
                 "cos_sim"
             ),
         )
@@ -1557,7 +1579,7 @@ def semantic_dedup_pairs(
         tagged = (
             assigned.join(F.broadcast(cent_df), "cell")
             .withColumn(
-                "cent_sim", cosine_sim(F.col("embedding"), F.col("_centroid"))
+                "cent_sim", cosine_sim("embedding", "_centroid")
             )
             .drop("_centroid")
         )
@@ -1571,7 +1593,7 @@ def semantic_dedup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            cosine_sim("a.embedding", "b.embedding").alias("cos_sim"),
             F.col("a.cell").alias("cell"),
             F.col("a.cent_sim").alias("cent_sim_a"),
             F.col("b.cent_sim").alias("cent_sim_b"),

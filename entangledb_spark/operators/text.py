@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.operators._minhash_params import (
     minhash_gate_oracle_ctes,
@@ -193,13 +194,21 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread across cores first (no-op when the input already has ≥cores
     partitions)."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
+
+    d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
+    return d.select(*_q50_cols())
+
+
+@expr_template
+def _q50_cols() -> tuple:
+    """Template: q50's full select list (~740 py4j round-trips to build,
+    all constants and column-name references — built once per process)."""
     from entangledb_spark.operators.fingerprints import (
         K_GRAM as _K_GRAM,
         winnow_expr,
     )
 
-    _winnow_fps = winnow_expr(F.col("text"))
-    d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
+    _winnow_fps = winnow_expr("text")
     n_char = F.length("text")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
@@ -215,7 +224,7 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
-    return d.select(
+    return (
         "doc_id",
         n_char.cast("long").alias("n_char"),
         n_tok.cast("long").alias("n_tokens"),

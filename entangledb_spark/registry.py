@@ -74,6 +74,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan → Catalyst pushes filters
     and prunes columns into the reader (verified via .explain PushedFilters).
 
+    Repeat reads resolve through a session-scoped temp view (round 11):
+    the first read of a (path, mtime) registers the parquet relation as a
+    view; later reads are ``spark.table(view)`` — one catalog lookup
+    instead of re-running reader construction + file listing (~40 py4j
+    round-trips and a JVM relation build per call, ~50 calls per bench
+    rep). This is plan/catalog metadata, the thing a real engine keeps in
+    its catalog — file contents are still scanned per query; each
+    spark.table() call yields a fresh UnresolvedRelation, so self-joins
+    behave exactly as with independent reads. Keyed by file mtime so a
+    rewritten fixture re-registers.
+
     Fallback: the events fixture stores ts as timestamp[ns], which Spark's
     Parquet reader rejects (nanos aren't representable in Spark timestamps).
     read_parquet_any detects ns columns from the footer and runs a ONE-TIME
@@ -81,9 +92,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sources/parquet_io.py:34-41); every later read is a normal native scan
     of the converted copy. No driver-side pyarrow load is involved.
     """
+    import hashlib
+
     from entangledb_spark.sources.parquet_io import read_parquet_any
 
-    return read_parquet_any(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return read_parquet_any(spark, path)
+    # session-scoped (stored on the session object): the round driver's
+    # own vanilla session registers its own views on first use
+    cache = spark.__dict__.setdefault("_edb_fixture_views", {})
+    ent = cache.get(path)
+    if ent is None or ent[0] != mtime:
+        tag = hashlib.sha1(f"{path}:{mtime}".encode()).hexdigest()[:12]
+        vname = f"__edbfix_{name}_{tag}"
+        read_parquet_any(spark, path).createOrReplaceTempView(vname)
+        ent = (mtime, vname)
+        cache[path] = ent
+    return spark.table(ent[1])
 
 
 def load_all() -> None:

@@ -62,6 +62,16 @@ def get_spark(app_name: str = "entangledb-spark", ansi: bool = True) -> SparkSes
         # the round driver's ~2 KB output-tail capture window (round 6's
         # bench line was truncated partly because of this junk).
         .config("spark.ui.showConsoleProgress", "false")
+        # Skip PySpark's per-API-call site capture (DataFrameQueryContext):
+        # with it on (the default), EVERY DataFrame/Column method pays a
+        # conf.get round-trip, a Python stack walk, and two more py4j calls
+        # to set/clear the origin — round-11 profiling measured query
+        # CONSTRUCTION at 0.3-1.9s per query, >90% of it py4j socket waits,
+        # with ~4 of the round-trips per API call coming from this hook.
+        # The only cost is losing the "was called from file:line" fragment
+        # in error messages; scale-neutral (driver overhead exists on any
+        # cluster), and error *semantics* are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()
