@@ -697,9 +697,19 @@ def minhash_lsh_pairs(
     # handful of docs, so re-spreading the whole corpus across cores
     # first would add a full round-robin shuffle for nothing.
     raw = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # persisted: the relation feeds BOTH the doc_a and doc_b joins below,
+    # and Spark does not recognize the two aliased broadcast subtrees as
+    # reusable — without the persist each side re-runs the corpus scan +
+    # semi-join + shingle re-tokenization (verified in the round-11
+    # before-plan: two identical Scan→LeftSemi→shingle→BroadcastExchange
+    # chains, operators 27-45 and 48-66). The persisted relation is
+    # candidate docs ONLY (O(collisions), ~50 rows at sf0.1 — bounded by
+    # LSH banding, never O(corpus)), so this halves the number of corpus
+    # scans (2 → 1) without violating the signatures-only cache budget
+    # documented above.
     sets = shingle_hash_sets(
         raw.join(F.broadcast(cand_ids), "doc_id", "left_semi"), base=base
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exact = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles"))).cast(
         "double"
     ) / F.size(F.array_union(F.col("ta.shingles"), F.col("tb.shingles")))

@@ -1158,10 +1158,17 @@ def q93_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % 37 == 0
     stats = span_family_stats(docs, is_bench)
     toks_col, spans_col, final_cols = _q93_final_templates()
+    # the text re-join reads the RAW scan, not the repartition_for_cpu
+    # relation: the round-11 before-plan showed the repartition's
+    # round-robin Exchange feeding straight into this join's build side —
+    # a full-corpus shuffle whose only effect was re-bucketing rows the
+    # join immediately re-distributes anyway (broadcast locally,
+    # hash-partition at scale). The two explode branches keep the spread.
+    raw_text = table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         dedup_spans(docs)
         .join(stats, "doc_id", "left")
-        .join(docs.select("doc_id", "text"), "doc_id", "left")
+        .join(raw_text, "doc_id", "left")
         .withColumn("_toks", toks_col)
         .withColumn("_spans", spans_col)
         .select(*final_cols)
