@@ -246,6 +246,17 @@ def probe_lsh_index(
     # (long, long, double) instead of two embedding vectors per row —
     # at corpus scale the same candidate surfacing in several hash
     # tables no longer ships its payload once per table.
+    # ONE probe-side exchange serves both the dedup aggregate and the
+    # top-k window (round 11): hash-repartitioning the scored candidates
+    # by query_id satisfies ClusteredDistribution for the (query_id,
+    # neighbor_id) groupBy AND the query_id window, so the plan carries a
+    # single Exchange after the join instead of two (groupBy's
+    # all-keys hash + the window's re-exchange). The trade — multi-table
+    # duplicate candidate rows now cross the exchange un-combined — is
+    # bounded by n_tables × multiprobe on a relation that is
+    # probe-bounded by construction (O(probes × bucket size), never
+    # O(corpus)), while the saved exchange is a whole serving-path stage
+    # round at any scale.
     cands = (
         q.join(idx, cond)
         .select(
@@ -255,6 +266,7 @@ def probe_lsh_index(
                 "cos_sim"
             ),
         )
+        .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )

@@ -60,7 +60,6 @@ def _windows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
     toks, chunks = _window_templates(span_tokens)
     return (
         docs.withColumn("_toks", toks)
-        .filter(F.size("_toks") > 0)
         .select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
         .withColumn("h", F.md5(F.lower(F.col("chunk"))))
     )
@@ -68,12 +67,27 @@ def _windows(docs: DataFrame, span_tokens: int = SPAN_TOKENS) -> DataFrame:
 
 @expr_template
 def _window_templates(span_tokens: int) -> tuple:
-    """Templates for _windows' tokenizer + fixed-token chunk transform."""
+    """Templates for _windows' tokenizer + fixed-token chunk transform.
+
+    The empty-doc guard lives INSIDE the chunk expression (NULL array →
+    posexplode emits no rows) rather than as a `.filter(size > 0)`:
+    round 11 showed Catalyst pushes that filter below the caller's
+    repartition exchange while the `_toks` projection stays above it, so
+    the corpus regex-tokenized TWICE per branch — and the pushed filter
+    made each span family's scan→exchange subtree canonically distinct,
+    defeating ReuseExchange when a host query composes both families over
+    one repartitioned corpus (q93 scanned+shuffled `documents` twice).
+    Row-for-row identical output: exactly the size>0 docs emit windows."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
     n_chunks = F.ceil(F.size("_toks") / float(span_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * span_tokens + 1, span_tokens)),
+    chunks = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * span_tokens + 1, span_tokens)
+            ),
+        ),
     )
     return toks, chunks
 
@@ -256,19 +270,30 @@ def _sliding_windows(docs: DataFrame, window_tokens: int) -> DataFrame:
     toks, wins = _sliding_window_templates(window_tokens)
     return (
         docs.withColumn("_toks", toks)
-        .filter(F.size("_toks") >= window_tokens)
         .select("doc_id", F.posexplode(wins).alias("pos", "h"))
     )
 
 
 @expr_template
 def _sliding_window_templates(window_tokens: int) -> tuple:
-    """Templates for _sliding_windows' tokenizer + stride-1 hash array."""
+    """Templates for _sliding_windows' tokenizer + stride-1 hash array.
+
+    The short-doc guard lives inside the window-array expression (NULL →
+    posexplode emits no rows) instead of `.filter(size >= W)` — same
+    ReuseExchange/double-tokenization rationale as _window_templates:
+    a pushed size-filter re-ran the regex below the repartition exchange
+    and kept the two span families' subtrees from sharing one corpus
+    scan. Output rows are identical (only size>=W docs emit windows)."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("_toks") - window_tokens),
-        lambda i: F.md5(
-            F.lower(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, window_tokens)))
+    wins = F.when(
+        F.size("_toks") >= window_tokens,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - window_tokens),
+            lambda i: F.md5(
+                F.lower(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, window_tokens))
+                )
+            ),
         ),
     )
     return toks, wins
@@ -979,11 +1004,14 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
     )
     top = vocab.orderBy(F.col("term_freq").desc(), F.col("word").asc()).limit(top_k)
-    total = docs.select(
-        F.sum(F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)))
-        .cast("double")
-        .alias("_t")
-    )
+    # corpus token total = sum(term_freq) over the FULL vocab — exact
+    # integer identity with the direct corpus sum (every token lands in
+    # exactly one (word, doc) count), but computed from the aggregation
+    # the query already ran: round 11 replaced a SECOND corpus scan +
+    # regex tokenization pass (the old `docs.select(sum(size(regexp)))`)
+    # with a vocabulary-sized rollup whose child exchanges AQE serves
+    # from the top-k branch's shuffle (stage reuse; guide §6 one-pass).
+    total = vocab.agg(F.sum("term_freq").cast("double").alias("_t"))
     w = Window.orderBy(F.col("term_freq").desc(), F.col("word").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -334,16 +334,25 @@ def q55_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
     n_chunks = F.ceil(F.size("_toks") / float(CHUNK_TOKENS)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    # empty-doc guard INSIDE the chunk array (NULL → posexplode emits no
+    # rows) instead of `.filter(size > 0)`: Catalyst pushed that filter
+    # below the repartition exchange, re-running the tokenizer regex over
+    # the whole corpus at RAW-SCAN parallelism before the spread (round 11;
+    # same fix as packing._window_templates). Output rows identical.
+    chunks = F.when(
+        F.size("_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("_toks"), i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        ),
     )
     n_pii = sum(
         (pii_count_expr(F.col("chunk"), k) for k in PII_PATTERNS), F.lit(0).cast("long")
     )
     return (
         d.withColumn("_toks", toks)
-        .filter(F.size("_toks") > 0)
         .select("doc_id", "_toks", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id",
