@@ -52,6 +52,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.operators.index_commit import (
     META_FILE as _META_FILE,
@@ -92,6 +93,54 @@ PROBE_LITERAL_MAX = 32
 # the three indexes cannot drift on atomicity or exactly-once semantics.
 _write_meta = write_meta
 _read_meta = read_meta
+
+
+# --- construction templates (round 11, guide §5 driver cost) ---------------
+# The probe functions run once per serving request; each Window spec +
+# row_number chain costs ~50 py4j round-trips and each multi-column join
+# condition ~23, all over FIXED column names — exactly the expr_template
+# shape. Live-Column inputs (probe vectors, cell lists) stay out of the
+# memo by construction.
+
+
+@expr_template
+def _probe_topk_rank(order_col: str, descending: bool):
+    """Per-query rank column: row_number over (order_col, neighbor_id)
+    within each query_id partition — the top-k scaffold every probe
+    shares (cos_sim DESC for similarity scores, dist ASC for L2/ADC)."""
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("neighbor_id"))
+    return F.row_number().over(w)
+
+
+@expr_template
+def _lsh_probe_cond(exclude_self: bool):
+    """probe_lsh_index's (tbl, bucket) equi-join condition."""
+    cond = (F.col("q.tbl") == F.col("n.tbl")) & (
+        F.col("q.bucket") == F.col("n.bucket")
+    )
+    if exclude_self:
+        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
+    return cond
+
+
+@expr_template
+def _ivf_probe_cond(exclude_self: bool):
+    """probe_ivf_index's cell equi-join condition."""
+    cond = F.col("q.cell") == F.col("n.cell")
+    if exclude_self:
+        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
+    return cond
+
+
+@expr_template
+def _probe_cand_cols(with_cell: bool) -> tuple:
+    """The scored-candidate projection shared by the LSH and IVF probes."""
+    cols = (
+        F.col("q.vec_id").alias("query_id"),
+        F.col("n.vec_id").alias("neighbor_id"),
+    ) + ((F.col("q.cell").alias("cell"),) if with_cell else ())
+    return cols + (r4(cosine_sim("q.embedding", "n.embedding")).alias("cos_sim"),)
 
 
 def _centroid_rows_local(path: str, spark: SparkSession):
@@ -234,9 +283,7 @@ def probe_lsh_index(
         ),
         meta["n_planes"],
     ).alias("q")
-    cond = (F.col("q.tbl") == F.col("n.tbl")) & (F.col("q.bucket") == F.col("n.bucket"))
-    if exclude_self:
-        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
+    cond = _lsh_probe_cond(exclude_self)
     # round 11 (guide §2.3 "project before the exchange" / "aggregate
     # before you shuffle"): score candidates in the join projection and
     # dedup via groupBy instead of dropDuplicates on rows still carrying
@@ -259,22 +306,13 @@ def probe_lsh_index(
     # round at any scale.
     cands = (
         q.join(idx, cond)
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("n.vec_id").alias("neighbor_id"),
-            r4(cosine_sim("q.embedding", "n.embedding")).alias(
-                "cos_sim"
-            ),
-        )
+        .select(*_probe_cand_cols(False))
         .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
     return (
-        cands.withColumn("rk", F.row_number().over(w).cast("long"))
+        cands.withColumn("rk", _probe_topk_rank("cos_sim", True).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -345,23 +383,10 @@ def probe_ivf_index(
     cents = _centroid_rows_local(f"{index_dir}/centroids", spark)
     q = ivf_assign(probes, cents, nprobe=nprobe).alias("q")
     n = _read_cached_schema(spark, f"{index_dir}/cells").alias("n")
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    cond = F.col("q.cell") == F.col("n.cell")
-    if exclude_self:
-        cond = cond & (F.col("q.vec_id") != F.col("n.vec_id"))
     return (
-        q.join(n, cond)
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("n.vec_id").alias("neighbor_id"),
-            F.col("q.cell").alias("cell"),
-            r4(cosine_sim("q.embedding", "n.embedding")).alias(
-                "cos_sim"
-            ),
-        )
-        .withColumn("rk", F.row_number().over(w).cast("long"))
+        q.join(n, _ivf_probe_cond(exclude_self))
+        .select(*_probe_cand_cols(True))
+        .withColumn("rk", _probe_topk_rank("cos_sim", True).cast("long"))
         .filter(F.col("rk") <= k)
     )
 
@@ -685,8 +710,11 @@ def probe_ivfpq_index(
         ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
         ent[1].append(int(r.cell))
     cells = sorted({int(r.cell) for r in qrows})
+    # IN as ONE parsed SQL string: Column.isin() lifts every element
+    # through its own py4j literal (~4 round-trips each — 136 for 32
+    # cells, measured round 11); F.expr parses the same predicate in one.
     codes = _read_cached_schema(spark, _codes_path(index_dir, meta)).filter(
-        F.col("cell").isin(cells)
+        F.expr(f"cell IN ({','.join(str(c) for c in cells)})")
     )
     branches = []
     for pid, (pvec, pcells) in sorted(by_pid.items()):
@@ -724,15 +752,13 @@ def probe_ivfpq_index(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id")
-    )
+    adc_rank = _probe_topk_rank("adc_dist", False)
     if rerank_with is None:
         return (
-            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            scored.withColumn("rk", adc_rank.cast("long"))
             .filter(F.col("rk") <= k)
         )
-    short = scored.withColumn("_ark", F.row_number().over(w)).filter(
+    short = scored.withColumn("_ark", adc_rank).filter(
         F.col("_ark") <= shortlist
     )
     # the SHARED rerank expression (pq.exact_l2_case_sql) — the inline
@@ -758,11 +784,8 @@ def probe_ivfpq_index(
         )
         .drop("embedding", "_ark")
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("exact_dist").asc(), F.col("neighbor_id")
-    )
     return (
-        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        exact.withColumn("rk", _probe_topk_rank("exact_dist", False).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "exact_dist", "rk")
     )
@@ -868,15 +891,13 @@ def probe_ivfpq_bulk(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id")
-    )
+    adc_rank = _probe_topk_rank("adc_dist", False)
     if rerank_with is None:
         return (
-            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            scored.withColumn("rk", adc_rank.cast("long"))
             .filter(F.col("rk") <= k)
         )
-    short = scored.withColumn("_ark", F.row_number().over(w)).filter(
+    short = scored.withColumn("_ark", adc_rank).filter(
         F.col("_ark") <= shortlist
     )
     pemb = probes.select(
@@ -899,11 +920,8 @@ def probe_ivfpq_bulk(
         )
         .drop("embedding", "_qemb", "_ark")
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("exact_dist").asc(), F.col("neighbor_id")
-    )
     return (
-        exact.withColumn("rk", F.row_number().over(w2).cast("long"))
+        exact.withColumn("rk", _probe_topk_rank("exact_dist", False).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "exact_dist", "rk")
     )

@@ -122,10 +122,7 @@ def _mark_duplicates(
     so no window task ever materializes a boilerplate span's full
     occurrence list. Survivors are identical either route (asserted in
     tests/test_skew_stress.py)."""
-    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
-        F.col(f"first_occ.{order_col}") == F.col(order_col)
-    )
-    keep_rule = (F.col("occ") < min_count) | is_first
+    occ_col, first_col, keep_rule = _mark_templates(order_col, min_count)
     bench_int = None if bench_pred is None else F.when(bench_pred, 1).otherwise(0)
     if hot_span_cap is not None:
         hot_aggs = [
@@ -150,8 +147,8 @@ def _mark_duplicates(
         cold = tagged.filter(F.col("hot_occ").isNull()).drop(*drop_hot)
         ws = Window.partitionBy("h")
         cold_marked = (
-            cold.withColumn("occ", F.count(F.lit(1)).over(ws))
-            .withColumn("first_occ", F.min(F.struct("doc_id", order_col)).over(ws))
+            cold.withColumn("occ", occ_col)
+            .withColumn("first_occ", first_col)
             .withColumn("keep", keep_rule)
         )
         hot_marked = (
@@ -170,13 +167,27 @@ def _mark_duplicates(
         )
     ws = Window.partitionBy("h")
     marked = (
-        w.withColumn("occ", F.count(F.lit(1)).over(ws))
-        .withColumn("first_occ", F.min(F.struct("doc_id", order_col)).over(ws))
+        w.withColumn("occ", occ_col)
+        .withColumn("first_occ", first_col)
         .withColumn("keep", keep_rule)
     )
     if bench_int is not None:
         marked = marked.withColumn("bench_hit", F.max(bench_int).over(ws) == 1)
     return marked
+
+
+@expr_template
+def _mark_templates(order_col: str, min_count: int) -> tuple:
+    """Templates for _mark_duplicates' window stats + keep rule (fixed by
+    (order_col, min_count); the bench_pred column stays live/untemplated)."""
+    ws = Window.partitionBy("h")
+    occ_col = F.count(F.lit(1)).over(ws)
+    first_col = F.min(F.struct("doc_id", order_col)).over(ws)
+    is_first = (F.col("first_occ.doc_id") == F.col("doc_id")) & (
+        F.col(f"first_occ.{order_col}") == F.col(order_col)
+    )
+    keep_rule = (F.col("occ") < min_count) | is_first
+    return occ_col, first_col, keep_rule
 
 
 def dedup_spans(

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
@@ -57,21 +58,27 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Parquet reader (PushedFilters: LessThanOrEqual(l_shipdate)).
     """
     l = table(spark, sf_dir, "lineitem")
+    flt, aggs = _q01_templates()
+    return l.filter(flt).groupBy("l_returnflag", "l_linestatus").agg(*aggs)
+
+
+@expr_template
+def _q01_templates() -> tuple:
+    """Template: q01's shipdate filter + aggregate list (~250 py4j
+    round-trips of fixed expression tree — built once per process)."""
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r4(F.sum(disc_price)).alias("sum_disc_price"),
-            r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    flt = F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    aggs = (
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r4(F.sum(disc_price)).alias("sum_disc_price"),
+        r4(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
+    return flt, aggs
 
 
 @query(
