@@ -1015,14 +1015,18 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
     )
     top = vocab.orderBy(F.col("term_freq").desc(), F.col("word").asc()).limit(top_k)
-    # corpus token total = sum(term_freq) over the FULL vocab — exact
-    # integer identity with the direct corpus sum (every token lands in
-    # exactly one (word, doc) count), but computed from the aggregation
-    # the query already ran: round 11 replaced a SECOND corpus scan +
-    # regex tokenization pass (the old `docs.select(sum(size(regexp)))`)
-    # with a vocabulary-sized rollup whose child exchanges AQE serves
-    # from the top-k branch's shuffle (stage reuse; guide §6 one-pass).
-    total = vocab.agg(F.sum("term_freq").cast("double").alias("_t"))
+    # corpus token total = sum over the (word, doc) counts — exact integer
+    # identity with the direct corpus sum (every token lands in exactly one
+    # (word, doc) count), but computed from the per_doc aggregation the
+    # query already ran: round 11 replaced a SECOND corpus scan + regex
+    # tokenization pass (the old `docs.select(sum(size(regexp)))`) with a
+    # rollup of the FIRST shared exchange, which AQE serves to both
+    # branches from one shuffle write (stage reuse; guide §6 one-pass).
+    # per_doc, not vocab: aggregating the first exchange keeps the total
+    # branch one stage deep so it materializes in parallel with the vocab
+    # branch's word exchange (measured: the vocab-rollup form serialized
+    # 4 stages behind the top-k branch and cost +30% at sf0.1).
+    total = per_doc.agg(F.sum("c").cast("double").alias("_t"))
     w = Window.orderBy(F.col("term_freq").desc(), F.col("word").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
