@@ -1003,18 +1003,11 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
          driver-sized k rows) — no global sort.
       4. coverage: window cumsum over the k surviving rows (tiny).
     """
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
-        ).alias("word"),
-    )
-    per_doc = words.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("c"))
-    vocab = per_doc.groupBy("word").agg(
-        F.sum("c").cast("long").alias("term_freq"),
-        F.count(F.lit(1)).cast("long").alias("doc_freq"),
-    )
-    top = vocab.orderBy(F.col("term_freq").desc(), F.col("word").asc()).limit(top_k)
+    word_col, pd_agg, vocab_aggs, order_cols, rank_col, cov_col = _vocab_templates()
+    words = docs.select("doc_id", word_col)
+    per_doc = words.groupBy("word", "doc_id").agg(pd_agg)
+    vocab = per_doc.groupBy("word").agg(*vocab_aggs)
+    top = vocab.orderBy(*order_cols).limit(top_k)
     # corpus token total = sum over the (word, doc) counts — exact integer
     # identity with the direct corpus sum (every token lands in exactly one
     # (word, doc) count), but computed from the per_doc aggregation the
@@ -1027,15 +1020,35 @@ def vocabulary(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     # branch's word exchange (measured: the vocab-rollup form serialized
     # 4 stages behind the top-k branch and cost +30% at sf0.1).
     total = per_doc.agg(F.sum("c").cast("double").alias("_t"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", rank_col)
+        .withColumn("coverage", cov_col)
+        .drop("_t")
+    )
+
+
+@expr_template
+def _vocab_templates() -> tuple:
+    """Template: vocabulary()'s fixed expression pieces (tokenizer explode,
+    rollup aggregates, ordering, coverage window)."""
+    word_col = F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+    ).alias("word")
+    pd_agg = F.count(F.lit(1)).alias("c")
+    vocab_aggs = (
+        F.sum("c").cast("long").alias("term_freq"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    order_cols = (F.col("term_freq").desc(), F.col("word").asc())
     w = Window.orderBy(F.col("term_freq").desc(), F.col("word").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        top.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(Window.orderBy(F.col("term_freq").desc(), F.col("word").asc())).cast("long"))
-        .withColumn("coverage", F.sum("term_freq").over(w) / F.col("_t"))
-        .drop("_t")
-    )
+    rank_col = F.row_number().over(
+        Window.orderBy(F.col("term_freq").desc(), F.col("word").asc())
+    ).cast("long")
+    cov_col = F.sum("term_freq").over(w) / F.col("_t")
+    return word_col, pd_agg, vocab_aggs, order_cols, rank_col, cov_col
 
 
 @query(

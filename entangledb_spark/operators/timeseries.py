@@ -25,9 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.registry import query, table
 
 RANGE_WINDOW_SEC = 600  # range-join interval width (10 minutes)
+
+
+@expr_template
+def _asof_carry_col(on: str, ts: str, value_col: str):
+    """Template: last-non-null carry-forward of one tagged right column
+    over the (on, ts, _is_left) as-of window (fixed by the name triple)."""
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return F.last(f"_r_{value_col}", ignorenulls=True).over(w)
 
 
 def asof_join(
@@ -46,9 +59,10 @@ def asof_join(
     rows at equal ts (marker asc) so the at-or-before semantics include
     exact-ts matches."""
     lcols = left.columns
+    rschema, lschema = right.schema, left.schema  # fetched once (py4j)
     l_tagged = left.withColumn("_is_left", F.lit(1))
     for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(rschema[c].dataType))
     r_tagged = right.select(
         F.col(on),
         F.col(ts),
@@ -57,15 +71,10 @@ def asof_join(
     )
     for c in lcols:
         if c not in (on, ts):
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(lschema[c].dataType))
     u = l_tagged.unionByName(r_tagged)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     for c in value_cols:
-        u = u.withColumn(f"asof_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+        u = u.withColumn(f"asof_{c}", _asof_carry_col(on, ts, c))
     return u.filter(F.col("_is_left") == 1).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
     )
@@ -136,36 +145,43 @@ def q95_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale. Bucket width trades shuffle fan-out vs candidates per
     probe; match it to the interval width."""
     e = table(spark, sf_dir, "events")
-    n = e.select(
+    probe_filt, n_cols, p_cols, join_bin, cond, aggs = _q95_templates(
+        RANGE_WINDOW_SEC
+    )
+    n = e.select(*n_cols)
+    p = e.filter(probe_filt).select(*p_cols).withColumn("join_bin", join_bin)
+    return p.join(n, cond, "left").groupBy("event_id").agg(*aggs)
+
+
+@expr_template
+def _q95_templates(win_sec: int) -> tuple:
+    """Template: q95's bin projections, residual interval condition, and
+    rollup (fixed by the bucket width — built once per process)."""
+    probe_filt = F.col("event_id") % 200 == 0
+    n_cols = (
         F.col("event_id").alias("n_id"),
         F.col("ts").alias("n_ts"),
         F.col("event_type").alias("n_type"),
-        F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_SEC).alias("n_bin"),
+        F.floor(F.unix_timestamp("ts") / win_sec).alias("n_bin"),
     )
-    p = (
-        e.filter(F.col("event_id") % 200 == 0)
-        .select(
-            F.col("event_id"),
-            F.col("ts").alias("p_ts"),
-            F.floor(F.unix_timestamp("ts") / RANGE_WINDOW_SEC).alias("p_bin"),
-        )
-        .withColumn("join_bin", F.explode(F.array(F.col("p_bin"), F.col("p_bin") + 1)))
+    p_cols = (
+        F.col("event_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_timestamp("ts") / win_sec).alias("p_bin"),
     )
-    in_range = (F.col("n_ts") > F.col("p_ts")) & (
-        F.col("n_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND")
+    join_bin = F.explode(F.array(F.col("p_bin"), F.col("p_bin") + 1))
+    cond = (
+        (F.col("join_bin") == F.col("n_bin"))
+        & (F.col("n_ts") > F.col("p_ts"))
+        & (F.col("n_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {win_sec} SECOND"))
     )
-    return (
-        p.join(n, (F.col("join_bin") == F.col("n_bin")) & in_range, "left")
-        .groupBy("event_id")
-        .agg(
-            F.count("n_id").alias("n_following"),
-            F.coalesce(
-                F.sum(F.when(F.col("n_type") == "error", 1)), F.lit(0)
-            )
-            .cast("long")
-            .alias("n_errors"),
-        )
+    aggs = (
+        F.count("n_id").alias("n_following"),
+        F.coalesce(F.sum(F.when(F.col("n_type") == "error", 1)), F.lit(0))
+        .cast("long")
+        .alias("n_errors"),
     )
+    return probe_filt, n_cols, p_cols, join_bin, cond, aggs
 
 
 GAPFILL_STEP_SEC = 3600  # default resample step (1 hour)

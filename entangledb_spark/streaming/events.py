@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from entangledb_spark.functions.exprmemo import expr_template
 from entangledb_spark.functions.numeric import r4
 from entangledb_spark.registry import query, table
 
@@ -187,31 +188,39 @@ def q42_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is session_window/applyInPandasWithState; same keying).
     Scale: one shuffle on user_id; both window passes reuse the same
     partitioning, so Spark plans a single exchange."""
+    e = table(spark, sf_dir, "events")
+    sec, prev_sec, is_new, session_id, aggs = _q42_templates()
+    seq = e.select("user_id", "event_id", "value", sec, F.col("ts")).withColumn(
+        "prev_sec", prev_sec
+    )
+    sessions = seq.withColumn("is_new", is_new).withColumn("session_id", session_id)
+    return sessions.groupBy("user_id", "session_id").agg(*aggs)
+
+
+@expr_template
+def _q42_templates() -> tuple:
+    """Template: q42's session windows + rollup (fixed expression tree —
+    ~170 py4j round-trips, built once per process)."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "events")
     sec = F.unix_timestamp("ts").alias("sec")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select("user_id", "event_id", "value", sec, F.col("ts")).withColumn(
-        "prev_sec", F.lag(F.unix_timestamp("ts")).over(w)
-    )
-    marked = seq.withColumn(
-        "is_new",
-        F.when(
-            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
-        ).otherwise(0),
-    )
+    prev_sec = F.lag(F.unix_timestamp("ts")).over(w)
+    is_new = F.when(
+        F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1
+    ).otherwise(0)
     w2 = (
         Window.partitionBy("user_id")
         .orderBy("sec", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sessions = marked.withColumn("session_id", F.sum("is_new").over(w2).cast("long"))
-    return sessions.groupBy("user_id", "session_id").agg(
+    session_id = F.sum("is_new").over(w2).cast("long")
+    aggs = (
         F.count(F.lit(1)).alias("n_events"),
         (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
         r4(F.sum("value")).alias("session_value"),
     )
+    return sec, prev_sec, is_new, session_id, aggs
 
 
 @query(
