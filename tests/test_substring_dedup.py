@@ -444,6 +444,19 @@ def test_q93_explodes_corpus_exactly_once_at_stride_1(spark):
         if "Exchange hashpartitioning(h#" in l
     ]
     assert len(h_exchanges) == 2  # one tumbling, one stride-1
+    # round 11: the two span families must SHARE one corpus scan+shuffle —
+    # the size guards moved inside the window expressions so both branches'
+    # scan→repartition subtrees are canonically identical and AQE serves
+    # the second from the first's shuffle write. Final plan: exactly one
+    # ReusedExchange, and only two live documents scans remain (the shared
+    # span scan + the raw-text re-join).
+    assert final.count("ReusedExchange") == 1, final
+    doc_scans = [
+        l
+        for l in final.splitlines()
+        if "FileScan parquet" in l and "documents.parquet" in l
+    ]
+    assert len(doc_scans) == 2, final
 
 
 def test_clean_corpus_union_semantics(spark):
