@@ -881,8 +881,10 @@ def probe_ivfpq_bulk(
     else:
         q = adc_lut_arrow(q, model, "_pvec", "_luts")
     lutrel = q.select("query_id", "cell", "_luts")
+    # one parsed IN predicate, not Column.isin — same rationale as the
+    # literal route (isin lifts each cell id through its own py4j literal)
     codes = _read_cached_schema(spark, _codes_path(index_dir, meta)).filter(
-        F.col("cell").isin(cells)
+        F.expr(f"cell IN ({','.join(str(c) for c in cells)})")
     )
     scored = codes.join(F.broadcast(lutrel), "cell").select(
         "query_id",

@@ -5,6 +5,8 @@ cosine, literal/arrow route equivalence, plan shapes."""
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -550,7 +552,13 @@ def test_ivfpq_bulk_plan_independent_of_probe_count_and_pruned(spark, tmp_path):
 
     def plan(n):
         p = probe_ivfpq_bulk(spark, d, df.filter(F.col("vec_id") < n), k=3)
-        return p._jdf.queryExecution().executedPlan().toString()
+        # normalize exprIds out of the text: their DIGIT WIDTH grows with
+        # session age (#9999 → #10000 adds one char to every attribute
+        # reference, ~2.7 KB across this plan), so a raw length compare
+        # flakes whenever the two builds straddle a width rollover —
+        # observed under `-k` subsetting at the 10k boundary.
+        text = p._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"#\d+", "#", text)
 
     p4, p200 = plan(4), plan(200)
     # identical up to cell-filter literals (bounded by n_cells, not probes)
