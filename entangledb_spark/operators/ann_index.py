@@ -624,6 +624,7 @@ def probe_ivfpq_index(
     shortlist: int = 50,
     route: str = "auto",
     n_probes: int | None = None,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """Top-k ANN against a prebuilt IVF-PQ index, no corpus vectors read:
 
@@ -662,12 +663,38 @@ def probe_ivfpq_index(
     shortlist-sized shuffle) and EXACT squared L2 reranks to top-k; the
     recall then equals shortlist coverage (the pq_adc_rerank_topk
     two-stage contract). Returns (query_id, neighbor_id, adc_dist
-    [, exact_dist], rk)."""
+    [, exact_dist], rk).
+
+    ``probe_rows``: PREPARED-PROBE internal path (round 12, guide §5) —
+    (pid, vector) pairs whose vectors are already driver-local doubles
+    (exactly what ``probes`` would evaluate to; for unit-normalized
+    probes use similarity.unit_vec_local). The literal route collects
+    the probe relation to the driver anyway (the vectors parameterize
+    the ADC/rerank literals), so a caller that already holds them skips
+    the routing Spark job + probe-plan construction outright; cell
+    routing runs through ivf_assign_local, the bit-exact driver twin of
+    the literal assignment fold. Bounded by PROBE_LITERAL_MAX (it IS the
+    literal route); ``probes`` may then be None. Results are identical
+    to the collect route by construction (same doubles → same literal
+    plan text), asserted in tests."""
     from entangledb_spark.operators.pq import adc_score_sql, exact_l2_case_sql
 
     if route not in ("auto", "literal", "bulk"):
         raise ValueError(f"route must be auto|literal|bulk, got {route!r}")
-    if route == "auto":
+    if probe_rows is not None:
+        if route == "bulk":
+            raise ValueError(
+                "probe_rows is the prepared literal route — it cannot be "
+                "combined with route='bulk' (pass the probes DataFrame)"
+            )
+        if len(probe_rows) > PROBE_LITERAL_MAX:
+            raise ValueError(
+                f"probe_rows carries {len(probe_rows)} probes, over the "
+                f"literal-route ceiling PROBE_LITERAL_MAX={PROBE_LITERAL_MAX}"
+                " — use the bulk route with a probes DataFrame"
+            )
+        route = "literal"
+    elif route == "auto":
         if n_probes is not None:
             if isinstance(n_probes, bool) or n_probes < 0:
                 raise ValueError(f"n_probes must be a nonnegative int, got {n_probes!r}")
@@ -693,11 +720,26 @@ def probe_ivfpq_index(
     raw_cents = {
         int(r.cell): [float(x) for x in r.centroid] for r in cent_rows
     }
-    q = ivf_assign(probes, cent_rows, nprobe=nprobe).select(
-        F.col("vec_id").alias("pid"), "embedding", "cell"
-    )
-    qrows = q.collect()
-    if not qrows:  # legitimate empty probe set → typed empty result
+    by_pid: dict = {}
+    if probe_rows is not None:
+        # prepared probes: cell routing runs driver-local (bit-exact twin
+        # of the literal assignment fold) — no Spark job in the build
+        from entangledb_spark.operators.similarity import ivf_assign_local
+
+        for pid, vec, pcells in ivf_assign_local(
+            probe_rows, cent_rows, nprobe=nprobe
+        ):
+            by_pid[int(pid)] = ([float(x) for x in vec], [int(c) for c in pcells])
+    else:
+        q = ivf_assign(probes, cent_rows, nprobe=nprobe).select(
+            F.col("vec_id").alias("pid"), "embedding", "cell"
+        )
+        for r in q.collect():
+            ent = by_pid.setdefault(
+                int(r.pid), ([float(x) for x in r.embedding], [])
+            )
+            ent[1].append(int(r.cell))
+    if not by_pid:  # legitimate empty probe set → typed empty result
         schema = "query_id long, neighbor_id long, adc_dist double, rk long"
         if rerank_with is not None:
             schema = (
@@ -705,11 +747,7 @@ def probe_ivfpq_index(
                 "exact_dist double, rk long"
             )
         return spark.createDataFrame([], schema)
-    by_pid: dict = {}
-    for r in qrows:
-        ent = by_pid.setdefault(int(r.pid), ([float(x) for x in r.embedding], []))
-        ent[1].append(int(r.cell))
-    cells = sorted({int(r.cell) for r in qrows})
+    cells = sorted({c for _, pcells in by_pid.values() for c in pcells})
     # IN as ONE parsed SQL string: Column.isin() lifts every element
     # through its own py4j literal (~4 round-trips each — 136 for 32
     # cells, measured round 11); F.expr parses the same predicate in one.

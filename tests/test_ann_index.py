@@ -201,3 +201,79 @@ def test_lsh_and_ivf_probes_are_already_bulk_capable(spark, tmp_path):
     for fn, idx in ((probe_lsh_index, lsh), (probe_ivf_index, ivf)):
         p4, p400 = plan_len(fn, idx, 4), plan_len(fn, idx, 400)
         assert p400 < p4 + 500, (fn.__name__, p4, p400)
+
+
+def test_prepared_probe_rows_match_spark_route(spark, tmp_path):
+    """The round-12 prepared-probe path (probe_ivfpq_index(probe_rows=...))
+    must be BIT-identical to the Spark-evaluated probe route: same unit
+    vectors (unit_vec_local vs _unit_embedding_expr, asserted with ==, no
+    tolerance), same cell routing (ivf_assign_local vs the literal fold),
+    and therefore the same literal plan text and result rows. IEEE doubles
+    make +, *, / and sqrt correctly rounded in both runtimes, so equality
+    is the contract, not an approximation."""
+    from entangledb_spark.operators.ann_index import (
+        build_ivfpq_index,
+        probe_ivfpq_index,
+    )
+    from entangledb_spark.operators.similarity import (
+        _unit_embedding_expr,
+        _unit_probe_rows_local,
+        ivf_assign,
+        ivf_assign_local,
+        unit_vec_local,
+    )
+
+    e = _emb(spark)
+
+    def _unit(df):
+        return df.select("vec_id", _unit_embedding_expr().alias("embedding"))
+
+    # 1. unit normalization: local twin == Spark expression, bit for bit
+    spark_units = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in _unit(e.filter(F.col("vec_id") < 20)).collect()
+    }
+    local_units = dict(_unit_probe_rows_local(SF))
+    assert spark_units == local_units
+
+    # 2. cell routing: local twin == the literal-route assignment
+    idx = str(tmp_path / "ivfpq_prepared")
+    build_ivfpq_index(_unit(e), idx, n_cells=8, m=4, ksub=16, pq_refine=1)
+    cents = spark.read.parquet(f"{idx}/centroids").collect()
+    probes_df = _unit(e.filter(F.col("vec_id") < 20))
+    want_cells = {
+        (int(r.vec_id), int(r.cell))
+        for r in ivf_assign(probes_df, cents, nprobe=2).collect()
+    }
+    got_cells = {
+        (pid, c)
+        for pid, _, pcells in ivf_assign_local(
+            sorted(local_units.items()), cents, nprobe=2
+        )
+        for c in pcells
+    }
+    assert got_cells == want_cells
+
+    # 3. end to end: identical result rows, prepared vs collect route
+    kw = dict(k=5, nprobe=2, rerank_with=_unit(e), shortlist=1_000_000)
+    a = probe_ivfpq_index(spark, idx, probes_df, n_probes=20, **kw)
+    b = probe_ivfpq_index(
+        spark, idx, None, probe_rows=sorted(local_units.items()), **kw
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # 4. guardrails: bulk route and over-ceiling prepared sets are rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="bulk"):
+        probe_ivfpq_index(
+            spark, idx, None, probe_rows=[(1, [0.5, 0.5])], route="bulk"
+        )
+    with pytest.raises(ValueError, match="PROBE_LITERAL_MAX"):
+        probe_ivfpq_index(
+            spark, idx, None, probe_rows=[(i, [0.5, 0.5]) for i in range(40)]
+        )
+
+    # 5. zero-norm probe rows force the caller fallback (unit_vec_local
+    # refuses rather than replicate Spark's division-by-zero semantics)
+    assert unit_vec_local([0.0, 0.0]) is None
