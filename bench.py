@@ -460,6 +460,17 @@ def main() -> None:
     # local sf0.01 smoke can never clobber the official record
     sf_tag = "" if sf == 0.1 else f"_sf{sf:g}"
     detail_rel = f"docs/bench_reps_r{_next_round():02d}{sf_tag}.json"
+    # Never clobber an existing (typically committed) round sidecar: later
+    # runs in the same round land on a +timestamped name that .gitignore
+    # hides, so an ad-hoc or driver bench run leaves the tree clean (the
+    # r11 driver run overwrote the committed bench_reps_r11.json — VERDICT
+    # item 7). The canonical name is only taken by the FIRST run of a
+    # round; the round's official sidecar is committed deliberately.
+    if os.path.exists(os.path.join(here, detail_rel)):
+        detail_rel = (
+            f"docs/bench_reps_r{_next_round():02d}{sf_tag}"
+            f"+{time.strftime('%Y%m%dT%H%M%S')}.{os.getpid()}.json"
+        )
     out, sidecar = build_output(
         timings, rep_times, sentinel, _latest_prev_bench(), sf, detail_path=detail_rel
     )
