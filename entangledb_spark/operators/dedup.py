@@ -101,8 +101,14 @@ def exact_dedup(
     return docs.join(keep, id_col, "left_semi")
 
 
+@expr_template
 def word_tokens(col):
-    """Lowercased word tokens — shared tokenizer for all near-dup ops."""
+    """Lowercased word tokens — shared tokenizer for all near-dup ops.
+    Accepts a column NAME (template-memoized — round 12: this is called
+    on every text path, several times per bench rep) or a live Column
+    (builds directly, exprmemo's non-primitive bypass)."""
+    if isinstance(col, str):
+        col = F.col(col)
     return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+"), 0)
 
 
@@ -323,6 +329,14 @@ def _shingle_hash_expr(base: str = "xxhash64"):
     return F.when(F.size(F.col("_toks")) >= SHINGLE_N, win).otherwise(short)
 
 
+@expr_template
+def _shingle_set_expr(base: str):
+    """Template: the distinct shingle-hash set over `_toks` (round 12 —
+    the array_distinct wrap was rebuilt per call around the memoized
+    _shingle_hash_expr)."""
+    return F.array_distinct(_shingle_hash_expr(base))
+
+
 def shingle_hash_sets(
     df: DataFrame, text_col: str = "text", base: str = "xxhash64"
 ) -> DataFrame:
@@ -333,8 +347,8 @@ def shingle_hash_sets(
     picks the hash primitive and must match the signature's (the set IS
     the universe the signature estimates over)."""
     return (
-        df.withColumn("_toks", word_tokens(F.col(text_col)))
-        .withColumn("shingles", F.array_distinct(_shingle_hash_expr(base)))
+        df.withColumn("_toks", word_tokens(text_col))
+        .withColumn("shingles", _shingle_set_expr(base))
         .select("doc_id", "shingles")
     )
 
@@ -376,7 +390,7 @@ def minhash_signature(
     single parquet file → one partition, which would serialize this
     CPU-bound map on one core.
     """
-    toks = word_tokens(F.col(text_col))
+    toks = word_tokens(text_col)
     base = _shingle_hash_expr(base)
     sig = _minhash_sig_expr()
     out = (
@@ -509,6 +523,34 @@ def _size_bytes(conf_value: str) -> int:
     return int(m.group(1)) * mult
 
 
+# Analyzed-plan node heads that cannot change partitioning between the
+# file scan and the input relation — the WHITELIST for repartition_for_cpu's
+# byte-arithmetic route. Conservative by construction: an unrecognized node
+# (Aggregate, Join, Window, Sort, Repartition, Deduplicate, …) just falls
+# through to the live probe, costing one planning pass, never correctness.
+_NARROW_LINEAGE_NODES = frozenset(
+    {"Project", "Filter", "Generate", "SubqueryAlias", "View", "Relation"}
+)
+
+
+def _scan_narrow_lineage(df: DataFrame) -> bool:
+    """True when every node between ``df`` and its scan is narrow (cannot
+    re-distribute rows), so file-size arithmetic is a valid stand-in for
+    the live partition count. One py4j round-trip (plan toString)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # foreign plan shape: let the live probe decide
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-")
+        if not node:
+            continue
+        head = node.split(" ", 1)[0].split("[", 1)[0]
+        if head and head not in _NARROW_LINEAGE_NODES:
+            return False
+    return True
+
+
 def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread rows across cores before a CPU-heavy narrow map.
 
@@ -528,13 +570,23 @@ def repartition_for_cpu(df: DataFrame, spark: SparkSession) -> DataFrame:
     the live plan via ``df.rdd.getNumPartitions()``, which forces a full
     RDD-conversion planning pass — profiled at ~140 ms of driver time per
     call, ~15 calls per bench suite, all to learn a number the file
-    listing already determines."""
+    listing already determines.
+
+    That arithmetic judges the SCAN, not the input relation (round-12,
+    VERDICT item 5): ``df.inputFiles()`` reports the underlying files even
+    when ``df`` is a post-shuffle/post-aggregation relation whose live
+    width is whatever AQE coalesced it to — a big-scan→small-aggregate
+    input would come back "already wide" and run its CPU map serially at
+    scale. The byte route therefore only fires when the ANALYZED lineage
+    is the scan itself or narrow ops over it (_NARROW_LINEAGE_NODES —
+    anything that can re-distribute falls through to the live probe,
+    whose answer is authoritative for any plan)."""
     cores = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:  # non-file-backed plan: fall back to the live probe
         files = []
-    if files:
+    if files and _scan_narrow_lineage(df):
         total = 0
         for uri in files:
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path) or uri
@@ -596,6 +648,43 @@ def _est_jaccard_expr():
     )
 
 
+@expr_template
+def _lsh_pairs_templates(base: str) -> dict:
+    """All constant Column trees of minhash_lsh_pairs, built once per
+    ``base`` (round 12 — guide §5 q62 construction sweep: ~120 py4j
+    round-trips of join conditions, r4 folds and alias chains were
+    rebuilt byte-identically every call). Conditions are parsed-SQL
+    (F.expr, ~3 round-trips cold) instead of column-by-column Column
+    comparisons; semantics pinned by the oracle hash and a plan diff."""
+    return {
+        "band": F.explode(_band_structs(base)).alias("band"),
+        "join_cond": F.expr(
+            "a.band_idx = b.band_idx AND a.band_hash = b.band_hash "
+            "AND a.doc_id < b.doc_id"
+        ),
+        "cand_cols": (
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            r4(_est_jaccard_expr()).alias("est_jaccard"),
+        ),
+        "cand_id_a": F.col("doc_a").alias("doc_id"),
+        "cand_id_b": F.col("doc_b").alias("doc_id"),
+        "ta_cond": F.expr("ta.doc_id = doc_a"),
+        "tb_cond": F.expr("tb.doc_id = doc_b"),
+        "out_cols": (
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            r4(
+                F.expr(
+                    "CAST(size(array_intersect(ta.shingles, tb.shingles)) "
+                    "AS DOUBLE) / size(array_union(ta.shingles, tb.shingles))"
+                )
+            ).alias("exact_jaccard"),
+        ),
+    }
+
+
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, base: str = "xxhash64"
 ) -> DataFrame:
@@ -643,6 +732,7 @@ def minhash_lsh_pairs(
     """
     from pyspark import StorageLevel
 
+    tpl = _lsh_pairs_templates(base)
     d = repartition_for_cpu(
         table(spark, sf_dir, "documents").select("doc_id", "text"), spark
     )
@@ -651,28 +741,12 @@ def minhash_lsh_pairs(
         .select("doc_id", "minhash")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = sig.select(
-        "doc_id",
-        "minhash",
-        F.explode(_band_structs(base)).alias("band"),
-    ).select("doc_id", "minhash", "band.band_idx", "band.band_hash")
+    bands = sig.select("doc_id", "minhash", tpl["band"]).select(
+        "doc_id", "minhash", "band.band_idx", "band.band_hash"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    est = _est_jaccard_expr()
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            r4(est).alias("est_jaccard"),
-        )
-        .distinct()
-    )
+    cand = a.join(b, tpl["join_cond"]).select(*tpl["cand_cols"]).distinct()
     # Exact shingle-set Jaccard on the candidate set only (quality signal
     # in the gate output; VERDICT r2 ask #4). Round 4 restructure: the
     # persisted relation is back to signatures only (~130 B/doc); the
@@ -684,8 +758,8 @@ def minhash_lsh_pairs(
     # re-run for the candidate-id extraction — it is O(collisions) rows.
     cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(tpl["cand_id_a"])
+        .union(cand.select(tpl["cand_id_b"]))
         .distinct()
     )
     # broadcast the candidate-id set: the semi-join then costs one narrow
@@ -710,13 +784,10 @@ def minhash_lsh_pairs(
     sets = shingle_hash_sets(
         raw.join(F.broadcast(cand_ids), "doc_id", "left_semi"), base=base
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    exact = F.size(F.array_intersect(F.col("ta.shingles"), F.col("tb.shingles"))).cast(
-        "double"
-    ) / F.size(F.array_union(F.col("ta.shingles"), F.col("tb.shingles")))
     return (
-        cand.join(sets.alias("ta"), F.col("ta.doc_id") == F.col("doc_a"))
-        .join(sets.alias("tb"), F.col("tb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", "est_jaccard", r4(exact).alias("exact_jaccard"))
+        cand.join(sets.alias("ta"), tpl["ta_cond"])
+        .join(sets.alias("tb"), tpl["tb_cond"])
+        .select(*tpl["out_cols"])
     )
 
 

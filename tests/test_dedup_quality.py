@@ -351,3 +351,70 @@ def test_simhash_base_equivalence_on_exact_duplicates(spark):
         }
         for a, b in dup_pairs:
             assert fp[a] == fp[b], (base, a, b)
+
+
+def test_repartition_for_cpu_post_aggregation_uses_live_probe(spark):
+    """repartition_for_cpu's byte arithmetic judges the SCAN; a
+    post-aggregation input must fall through to the live probe (VERDICT
+    r11 item 5): df.inputFiles() still reports the scan's files for an
+    aggregated relation, so with a tiny maxPartitionBytes the byte route
+    would declare a 1-partition aggregate "already wide" and leave a
+    CPU-heavy map serial. The whitelist (_scan_narrow_lineage) must route
+    scans through the arithmetic and anything that can re-distribute rows
+    through the probe."""
+    from entangledb_spark.operators.dedup import (
+        _scan_narrow_lineage,
+        repartition_for_cpu,
+    )
+
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    agg = docs.groupBy(F.length("text").alias("n")).count()
+    assert _scan_narrow_lineage(docs)
+    assert _scan_narrow_lineage(docs.filter("doc_id > 3"))
+    assert not _scan_narrow_lineage(agg)
+    assert not _scan_narrow_lineage(docs.orderBy("doc_id"))
+    assert not _scan_narrow_lineage(docs.join(docs.select("doc_id"), "doc_id"))
+
+    cores = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1b")
+    try:
+        # scan bytes >= cores * 1b → byte route says "already wide": the
+        # aggregate must NOT take that route — the live probe sees its
+        # true (coalesced) width and widens it for the CPU map
+        out = repartition_for_cpu(agg, spark)
+        assert out.rdd.getNumPartitions() >= cores
+        # while a genuine scan takes the arithmetic route untouched
+        assert repartition_for_cpu(docs, spark) is docs
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_q62_verification_scan_pinned_in_executed_plan(spark):
+    """Executed-plan pin for q62's round-11 B1 structure (VERDICT r11
+    item: 'pin q62's single verification corpus scan'): in the final
+    adaptive plan exactly ONE live documents.parquet FileScan remains —
+    the others are served from the persisted relations (signatures,
+    candidates), which appear as InMemoryTableScans; a cached relation's
+    own build subtree prints inline at its first materialization, which
+    is where the surviving scan line lives. A regression that drops a
+    persist or splits the candidate-bounded verification subtree makes
+    the ta/tb exact-score joins (or the banded self-join) re-scan the
+    corpus and shows up here as extra live documents scans."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q62_dedup_minhash_lsh"](spark, SF)
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    doc_scans = [
+        l
+        for l in final.splitlines()
+        if "FileScan parquet" in l and "documents.parquet" in l
+    ]
+    assert len(doc_scans) == 1, final
+    assert final.count("InMemoryTableScan") >= 2, final
