@@ -34,10 +34,49 @@ def _read_dialect(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.select(*casts)
 
 
+# Statement-plan cache for the READ-ONLY dialect gate queries (round 12,
+# guide §5): the same SQL text recompiled per rep costs a full
+# lexer→parser→compiler pass plus ~180 py4j round-trips of DataFrame
+# assembly — a classic prepared-statement plan cache removes it. Keyed by
+# (sql, sf_dir, session, per-table mtimes): a rewritten fixture or a new
+# SparkSession recompiles, so the cached plan can never scan a stale file
+# listing. This caches the PLAN only — every execution re-reads the
+# parquet inputs (the cached DataFrame is lazy; each action re-runs the
+# scan). DML/DDL and the engine session surface are untouched — this path
+# serves the registry's SELECT-only dialect entries.
+_PLAN_CACHE: dict = {}
+
+
+def _catalog_state(sf_dir: str) -> tuple:
+    import os
+
+    from entangledb_spark.session import TABLE_NAMES
+
+    out = []
+    for n in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        try:
+            out.append((n, os.path.getmtime(p)))
+        except OSError:
+            continue
+    return tuple(out)
+
+
 def _run(sql: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the session object itself keys the cache (identity semantics — a
+    # stopped/recreated session is a different object, so cached plans
+    # can never outlive their gateway)
+    key = (sql, sf_dir, spark, _catalog_state(sf_dir))
+    df = _PLAN_CACHE.get(key)
+    if df is not None:
+        return df
     stmt = parse(sql)
     assert isinstance(stmt, (ast.Select, ast.SetOp, ast.With))
-    return compile_statement(stmt, spark, lambda name: _read_dialect(spark, sf_dir, name))
+    df = compile_statement(
+        stmt, spark, lambda name: _read_dialect(spark, sf_dir, name)
+    )
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def dialect(name: str, sql: str, oracle: str):

@@ -43,6 +43,13 @@ def _asof_carry_col(on: str, ts: str, value_col: str):
     return F.last(f"_r_{value_col}", ignorenulls=True).over(w)
 
 
+@expr_template
+def _asof_null_col(type_str: str, name: str):
+    """Template: a typed NULL column for the union-marker pad (fixed by
+    the (type, name) pair — built once per process)."""
+    return F.lit(None).cast(type_str).alias(name)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -60,23 +67,50 @@ def asof_join(
     exact-ts matches."""
     lcols = left.columns
     rschema, lschema = right.schema, left.schema  # fetched once (py4j)
-    l_tagged = left.withColumn("_is_left", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(rschema[c].dataType))
+    # ONE select per side instead of a withColumn chain (round 12, §5:
+    # each withColumn is its own py4j Project round; the optimizer
+    # collapses them anyway, so a single projection is plan-identical),
+    # and typed NULLs cast via the type's simpleString (1 round-trip)
+    # rather than shipping a DataType object through the gateway.
+    null_as = _asof_null_col  # memoized on (type string, name)
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_is_left"),
+        *[
+            null_as(rschema[c].dataType.simpleString(), f"_r_{c}")
+            for c in value_cols
+        ],
+    )
     r_tagged = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[
+            null_as(lschema[c].dataType.simpleString(), c)
+            for c in lcols
+            if c not in (on, ts)
+        ],
     )
-    for c in lcols:
-        if c not in (on, ts):
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(lschema[c].dataType))
-    u = l_tagged.unionByName(r_tagged)
-    for c in value_cols:
-        u = u.withColumn(f"asof_{c}", _asof_carry_col(on, ts, c))
+    u = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            _asof_carry_col(on, ts, c).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
     return u.filter(F.col("_is_left") == 1).select(
         *lcols, *[f"asof_{c}" for c in value_cols]
+    )
+
+
+@expr_template
+def _q94_templates() -> tuple:
+    """Template: q94's constant filter/aggregate columns (round 12 §5)."""
+    return (
+        F.expr("event_type = 'purchase'"),
+        F.expr("event_type = 'signup'"),
+        F.max("value").alias("signup_value"),
     )
 
 
@@ -102,22 +136,15 @@ def q94_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN is the oracle). Union-marker implementation — one shuffle on
     user_id, no join explosion; ties on (user_id, ts) on the right are
     pre-aggregated (max value) so both engines are deterministic."""
+    p_filt, s_filt, s_agg = _q94_templates()
     e = table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("signup_value"))
-    )
+    p = e.filter(p_filt).select("event_id", "user_id", "ts")
+    s = e.filter(s_filt).groupBy("user_id", "ts").agg(s_agg)
     out = asof_join(p, s, on="user_id", ts="ts", value_cols=["ts", "signup_value"])
     # asof_join would collide appending right's ts under the same name, so
     # it exposes it as asof_ts via the value_cols mechanism below.
     return out.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("asof_ts"),
-        F.col("asof_signup_value"),
+        "event_id", "user_id", "ts", "asof_ts", "asof_signup_value"
     )
 
 
