@@ -281,6 +281,26 @@ def ann_lsh_bucketed(
 # every later call goes straight to the probe.
 _LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
+# Prepared-probe PLAN cache (round 12 — the VERDICT q71 item: "bind probe
+# vectors into a reusable plan"): the q71 branch probes are fixed
+# statements (same index dir, same vec_id < 20 probe slice), yet each call
+# re-assembled an identical ~100-500-round-trip probe plan. The cache
+# holds the lazy DataFrame only — every action re-scans the parquet
+# inputs — keyed by (sf_dir, primitive, session identity, embeddings
+# mtime) so a rewritten fixture or a new session rebuilds. This is the
+# serving-path prepared statement; the dialect front-end got the same
+# treatment (operators/dialect._PLAN_CACHE).
+_PROBE_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _emb_mtime(sf_dir: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        return -1.0
+
 
 def ann_lsh_indexed(
     spark: SparkSession, sf_dir: str, sign: str = "xxhash64"
@@ -299,6 +319,10 @@ def ann_lsh_indexed(
     from entangledb_spark.operators.ann_index import build_lsh_index, probe_lsh_index
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
+    pkey = ("lsh", sf_dir, sign, spark, _emb_mtime(sf_dir))
+    plan = _PROBE_PLAN_CACHE.get(pkey)
+    if plan is not None:
+        return plan
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = _LSH_INDEX_CACHE.get((sf_dir, sign))
     if idx is None:
@@ -312,7 +336,9 @@ def ann_lsh_indexed(
     # round-robin-shuffling the whole corpus first (round 11 — the old
     # probe lineage went through repartition_for_cpu; at 100 TB that is
     # a full-corpus exchange to extract a handful of probe vectors)
-    return probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+    plan = probe_lsh_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+    _PROBE_PLAN_CACHE[pkey] = plan
+    return plan
 
 
 _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
@@ -336,6 +362,10 @@ def ann_ivf_indexed(
     from entangledb_spark.operators.ann_index import build_ivf_index, probe_ivf_index
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
+    pkey = ("ivf", sf_dir, cell_base, spark, _emb_mtime(sf_dir))
+    plan = _PROBE_PLAN_CACHE.get(pkey)
+    if plan is not None:
+        return plan
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     idx = _IVF_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
@@ -347,7 +377,9 @@ def ann_ivf_indexed(
             repartition_for_cpu(e, spark), idx, n_cells=N_IVF_CELLS, cell_base=cell_base
         )
         _IVF_INDEX_CACHE[(sf_dir, cell_base)] = idx
-    return probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+    plan = probe_ivf_index(spark, idx, e.filter(F.col("vec_id") < 20), k=5)
+    _PROBE_PLAN_CACHE[pkey] = plan
+    return plan
 
 
 def _unit_probe_rows_local(sf_dir: str):
@@ -425,6 +457,10 @@ def ann_ivfpq_indexed(
     def _unit(df: DataFrame) -> DataFrame:
         return df.select("vec_id", _unit_embedding_expr().alias("embedding"))
 
+    pkey = ("ivfpq", sf_dir, cell_base, shortlist, spark, _emb_mtime(sf_dir))
+    plan = _PROBE_PLAN_CACHE.get(pkey)
+    if plan is not None:
+        return plan
     idx = _IVFPQ_INDEX_CACHE.get((sf_dir, cell_base))
     if idx is None:
         from entangledb_spark.operators.dedup import repartition_for_cpu
@@ -478,12 +514,14 @@ def ann_ivfpq_indexed(
             shortlist=shortlist,
             n_probes=20,
         )
-    return hits.select(
+    plan = hits.select(
         "query_id",
         "neighbor_id",
         r4(1.0 - F.col("exact_dist") / 2.0).alias("cos_sim"),
         "rk",
     )
+    _PROBE_PLAN_CACHE[pkey] = plan
+    return plan
 
 
 def ivf_centroids(
@@ -1054,6 +1092,18 @@ def _ann_scalable_oracle_sql() -> str:
     )
 
 
+@expr_template
+def _method_cols(tag: str) -> tuple:
+    """Template: the tagged 5-column projection each q71 branch shares."""
+    return (
+        F.lit(tag).alias("method"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        "rk",
+    )
+
+
 @query("q71_ann_scalable", oracle=_ann_scalable_oracle_sql())
 def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three scale-path ANN strategies in one tagged result:
@@ -1083,17 +1133,13 @@ def q71_ann_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is then independent of ADC ordering, whose math is hash-gated
     separately on q73 (pq_adc_q) and whose bounded-shortlist behavior is
     covered by the probe≡inline and recall pytest gates."""
-    lsh = ann_lsh_indexed(spark, sf_dir, sign="md5").select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
+    lsh = ann_lsh_indexed(spark, sf_dir, sign="md5").select(*_method_cols("lsh"))
     ivf = ann_ivf_indexed(spark, sf_dir, cell_base="knuth").select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
+        *_method_cols("ivf")
     )
     ivfpq = ann_ivfpq_indexed(
         spark, sf_dir, cell_base="knuth", shortlist=1_000_000
-    ).select(
-        F.lit("ivfpq").alias("method"), "query_id", "neighbor_id", "cos_sim", "rk"
-    )
+    ).select(*_method_cols("ivfpq"))
     return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
