@@ -192,23 +192,38 @@ def q50_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the fused projection reads the corpus once instead of five
     times. The ~10 regex passes are the CPU hot spot, so the scan is
     spread across cores first (no-op when the input already has ≥cores
-    partitions)."""
+    partitions).
+
+    The winnowing fingerprint array feeds TWO output columns (n_fps,
+    fp_digest) but higher-order-function expressions never enter codegen
+    subexpression elimination, so a single-projection form evaluated the
+    whole winnow pipeline (one md5 per character + window mins) twice per
+    row — measured 2x the winnow cost at sf1. It is therefore let-bound
+    in its own projection layer (CollapseProject keeps a non-cheap alias
+    with two consumers), halving the dominant per-row cost; same fused
+    single pass, identical output columns."""
     from entangledb_spark.operators.dedup import repartition_for_cpu
 
     d = repartition_for_cpu(table(spark, sf_dir, "documents"), spark)
-    return d.select(*_q50_cols())
+    return d.select("*", *_q50_pre_cols()).select(*_q50_cols())
+
+
+@expr_template
+def _q50_pre_cols() -> tuple:
+    """Template: the let-bound winnow fingerprint array (see
+    q50_text_suite — two consumers, HOFs get no codegen CSE)."""
+    from entangledb_spark.operators.fingerprints import winnow_expr
+
+    return (winnow_expr("text").alias("_fps"),)
 
 
 @expr_template
 def _q50_cols() -> tuple:
     """Template: q50's full select list (~740 py4j round-trips to build,
     all constants and column-name references — built once per process)."""
-    from entangledb_spark.operators.fingerprints import (
-        K_GRAM as _K_GRAM,
-        winnow_expr,
-    )
+    from entangledb_spark.operators.fingerprints import K_GRAM as _K_GRAM
 
-    _winnow_fps = winnow_expr("text")
+    _winnow_fps = F.col("_fps")
     n_char = F.length("text")
     n_tok = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
     count_re = lambda c, pat: F.size(F.regexp_extract_all(c, F.lit(pat), 0))  # noqa: E731
