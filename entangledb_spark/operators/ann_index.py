@@ -810,10 +810,23 @@ def probe_ivfpq_index(
     # SHUFFLES the corpus embeddings by vec_id; with it the corpus side
     # streams straight into a BroadcastHashJoin (no corpus exchange).
     rerank_rows = [(pid, pvec) for pid, (pvec, _) in sorted(by_pid.items())]
+    # The stream side of this broadcast join evaluates the per-probe
+    # 64-dim exact-distance CASE for every candidate, so its parallelism
+    # is the corpus scan's split count — 2 splits for a single small
+    # parquet file, which serialized ~90% of the probe's wall time at the
+    # sf1 scaling fixture (2-task stage, ~2.7 s/task; guide §2: CPU-heavy
+    # narrow map behind a narrow scan). repartition_for_cpu widens it to
+    # the core count when (and only when) the scan is narrower than the
+    # cluster; at production scale the byte guard makes it a no-op.
+    from entangledb_spark.operators.dedup import repartition_for_cpu
+
     exact = (
         F.broadcast(short)
         .join(
-            rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            repartition_for_cpu(
+                rerank_with.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                spark,
+            ),
             "neighbor_id",
         )
         .withColumn(

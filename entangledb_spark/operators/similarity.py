@@ -424,9 +424,21 @@ def _unit_embedding_expr() -> Column:
     DuckDB oracle re-derives bit-identically (squaring the raw float32
     elements would round each square to float32 first — a ~1e-8 relative
     divergence that the q71 gate's raw-distance rank ordering cannot
-    tolerate; r4-rounded outputs never saw it)."""
+    tolerate; r4-rounded outputs never saw it).
+
+    Both the casted array and its norm are LET-BOUND (fingerprints._let):
+    capturing ``norm(emb_d)`` inside the division lambda re-evaluates the
+    whole cast+square+fold pipeline once PER ELEMENT — O(dim²) per row,
+    measured as ~90% of the warm IVF-PQ probe wall at the sf1 scaling
+    fixture (6.5 s of CPU on a 2-task stage to normalize 20k vectors).
+    Same doubles, same fold order — bit-identical results, ~dim× less
+    work."""
+    from entangledb_spark.operators.fingerprints import _let
+
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return F.transform(emb_d, lambda x: x / norm(emb_d))
+    return _let(
+        emb_d, lambda e: _let(norm(e), lambda n: F.transform(e, lambda x: x / n))
+    )
 
 
 def ann_ivfpq_indexed(
