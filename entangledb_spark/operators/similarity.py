@@ -47,14 +47,26 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity between two float-array columns (cast to double
     element-wise first so accumulation matches the DuckDB oracle).
     Accepts column NAMES (template memoized — the fold is ~150 py4j
-    round-trips to construct) or live Columns."""
+    round-trips to construct) or live Columns.
+
+    The casted arrays are let-bound (fingerprints._let): each feeds both
+    the dot product and its own norm, and HOF expressions get no codegen
+    subexpression elimination, so the inline form ran every cast
+    transform twice per pair — ~20% of the LSH-probe candidate stage's
+    CPU at the sf1 scaling fixture. Same element ops and fold order,
+    bit-identical values."""
+    from entangledb_spark.operators.fingerprints import _let
+
     if isinstance(a, str):
         a = F.col(a)
     if isinstance(b, str):
         b = F.col(b)
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    return _let(
+        ad,
+        lambda A: _let(bd, lambda B: dot(A, B) / (norm(A) * norm(B))),
+    )
 
 
 @query(
