@@ -32,6 +32,18 @@ import functools
 
 _PRIMS = (str, int, float, bool, bytes, frozenset, tuple, type(None))
 
+# Every decorated builder registers here so a relaunched py4j gateway can
+# drop Column objects bound to the dead JVM (session.get_spark calls
+# clear_all when it observes a new gateway). Under the normal
+# one-JVM-per-process lifecycle this never fires.
+_ALL_CACHES: list = []
+
+
+def clear_all() -> None:
+    """Clear every @expr_template memo (stale-gateway guard)."""
+    for c in _ALL_CACHES:
+        c()
+
 
 def _hashable(args: tuple, kwargs: dict) -> bool:
     return all(isinstance(a, _PRIMS) for a in args) and all(
@@ -54,4 +66,5 @@ def expr_template(fn):
         return fn(*args, **kwargs)
 
     wrapper.cache_clear = cached.cache_clear  # for tests
+    _ALL_CACHES.append(cached.cache_clear)
     return wrapper

@@ -74,7 +74,30 @@ def get_spark(app_name: str = "entangledb-spark", ansi: bool = True) -> SparkSes
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _guard_expr_memo(spark)
+    return spark
+
+
+_LAST_GATEWAY_ID: list = [None]
+
+
+def _guard_expr_memo(spark: SparkSession) -> None:
+    """Drop memoized Column templates if the py4j gateway changed.
+
+    @expr_template caches hold Column objects bound to one JVM gateway —
+    safe under the normal one-JVM-per-process lifecycle, but a process
+    that stopped and relaunched the gateway would be served stale
+    JavaObjects. Key the guard on the live gateway's identity."""
+    from entangledb_spark.functions import exprmemo
+
+    try:
+        gid = id(spark.sparkContext._gateway)
+    except Exception:  # pragma: no cover — no JVM gateway to go stale
+        return
+    if _LAST_GATEWAY_ID[0] is not None and _LAST_GATEWAY_ID[0] != gid:
+        exprmemo.clear_all()
+    _LAST_GATEWAY_ID[0] = gid
 
 
 def load_tables(
